@@ -1,0 +1,561 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational query surface.
+  *
+  * The reference (radanalyticsio/streaming-amqp) delegates all relational
+  * processing to Spark's API (SURVEY.md §2.2-2.3); this object is the
+  * engine's demonstration that every delegated operator category — scans,
+  * projection/filter, joins of all flavors, aggregation incl. rollup/cube,
+  * SQL window functions, sorts/limits, set ops, scalar/date/string/JSON/
+  * array functions — is covered Spark-first with plans that scale.
+  *
+  * Conventions (driven by the DuckDB oracle compare):
+  *  - Every double-typed SUM goes through a DECIMAL cast first: decimal
+  *    addition is exact and associative, so Spark (any partitioning /
+  *    shuffle order) and DuckDB produce bit-identical results. Plain
+  *    double sums are order-dependent and would flake the hash compare.
+  *  - Ratios are computed by casting the exact decimal sums to double and
+  *    doing ONE double division — deterministic on both engines.
+  *  - Every ORDER BY ... LIMIT has a unique-key tiebreaker so top-k sets
+  *    are deterministic.
+  *
+  * Scale notes: filters sit directly on the parquet scans (pushdown +
+  * column pruning verified via .explain in RelationalQueriesSpec); small
+  * dimension tables (region/nation/part/supplier/customer at this star
+  * schema's proportions) are broadcast explicitly; everything else is a
+  * shuffle on the join/group key, which AQE re-plans at runtime.
+  */
+object RelationalQueries {
+
+  /** Exact-sum cast: see class doc. 18,2 holds TPC-H money/quantity. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def ts(lit0: String): Column = lit(java.sql.Timestamp.valueOf(lit0))
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate
+    * (partial/final, no shuffle beyond the 6-group exchange). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** TPC-H Q6-style forecast revenue: tight scan-side filters (all pushed
+    * to parquet) + single scalar aggregate. */
+  def q02FilterSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q02Sql: String =
+    """SELECT
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style shipping priority: 3-way join (broadcast the filtered
+    * customer side, shuffle join orders⋈lineitem on orderkey) + top-10. */
+  def q03JoinTopRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < ts("1998-06-30 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > ts("1998-06-30 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q4-style: LEFT SEMI join (EXISTS) with a cross-table predicate,
+    * then aggregate. Semi join avoids materializing the multiplicity. */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") <  ts("1997-01-01 00:00:00"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+                 li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q14-style promo revenue: broadcast-hash join against the part
+    * dimension; exact decimal sums, one final double division. */
+  def q05BroadcastPromo(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+              col("l_shipdate") <  ts("1997-10-01 00:00:00"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select("p_partkey", "p_type")
+    val joined = li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+    val discPrice = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    joined.agg(
+        sum(when(col("p_type") === "PROMO", discPrice).otherwise(dec(lit(0)))).as("promo_revenue"),
+        sum(discPrice).as("total_revenue"))
+      .withColumn("promo_ratio",
+        lit(100.0) * col("promo_revenue").cast(DoubleType) / col("total_revenue").cast(DoubleType))
+  }
+
+  val q05Sql: String =
+    """SELECT
+      |  sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue,
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_ratio
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** LEFT ANTI join (NOT EXISTS): customers with no 2001 order, counted
+    * per market segment. */
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+      .select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_not_recent"))
+  }
+
+  val q06Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_not_recent
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** SQL window functions: ranking (row_number) + analytic (partition sum)
+    * in one pass over a single shuffle on the partition key. */
+  def q07WindowTopOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cust_total",
+        sum(dec(col("o_totalprice"))).over(Window.partitionBy(col("o_custkey"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, cust_total FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_total
+      |  FROM orders) t
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** ROLLUP aggregate (grand total + per-flag subtotals + leaf groups). */
+  def q08Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  val q08Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Set operations: INTERSECT + EXCEPT over projected key sets. */
+  def q09SetOps(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    def buyers(y: Int): DataFrame = ord
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    buyers(1995).intersect(buyers(1996)).except(buyers(2001))
+  }
+
+  val q09Sql: String =
+    """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Global sort + limit (top-k): TakeOrderedAndProject, no full sort. */
+  def q10TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  val q10Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** String + date scalar functions inside an aggregate. */
+  def q11StringDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("order_year"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_class"),
+        concat(col("o_orderstatus"), lit("-"), upper(col("o_orderstatus"))).as("status_tag"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).as("sum_totalprice"))
+
+  val q11Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  substr(o_orderpriority, 1, 1) AS prio_class,
+      |  concat(o_orderstatus, '-', upper(o_orderstatus)) AS status_tag,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_totalprice
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** JSON extraction (get_json_object) + aggregate on the parsed value. */
+  def q12Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+           count(lit(1)).as("n_events"))
+
+  val q12Sql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Array functions: split + explode (lateral unnest) + top-20 word
+    * frequency with deterministic tiebreak. */
+  def q13Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_word"))
+      .orderBy(col("n_word").desc, col("word").asc)
+      .limit(20)
+
+  val q13Sql: String =
+    """SELECT word, count(*) AS n_word FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY n_word DESC, word ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional aggregation (CASE WHEN inside SUM — manual pivot). */
+  def q14ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0)))).as("qty_returned"),
+        sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0)))).as("qty_normal"),
+        sum(when(col("l_returnflag") === "A", lit(1L)).otherwise(lit(0L))).as("n_a"),
+        count(lit(1)).as("n_rows"))
+
+  val q14Sql: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_returned,
+      |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_normal,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Tumbling 5-minute window aggregate over the event stream table —
+    * the batch twin of the streaming flagship query. Bucket math stays
+    * integral in int64 MICROS (exact — doubles would lose precision at
+    * 1.7e18 ns, and DuckDB truncates parquet ns-timestamps to µs). */
+  def q15EventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket_start", expr("(ts_ns div 1000) div 300000000").cast(LongType) * 300L)
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).as("sum_value"),
+           max(dec(col("value"))).as("max_value"))
+
+  val q15Sql: String =
+    """SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS bucket_start, event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+      |  max(CAST(value AS DECIMAL(18,2))) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** TPC-H Q5-style star join: two broadcast dims (region⋈nation) + three
+    * shuffle joins co-partitioned on their keys; local-supplier predicate. */
+  def q16StarJoin(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d).join(broadcast(Tables.region(s, d)),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") <  ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+                            cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  val q16Sql: String =
+    """SELECT n_name,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** CUBE aggregate over event type × day. */
+  def q17Cube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  val q17Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** As-of join: each purchase matched to the latest signup at-or-before
+    * it by the same user. Spark lacks ASOF JOIN; rather than an O(n·m)
+    * range join, this uses the scalable union+window formulation: one
+    * shuffle on user_id, one sort, last(ignoreNulls) carry-forward —
+    * exactly the plan a 100 TB as-of join wants (no row explosion).
+    * DuckDB oracle uses its native ASOF JOIN. */
+  def q18AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val withUs = ev.withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = withUs.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), lit(1).as("is_p"),
+              lit(null).cast(LongType).as("s_ts"))
+    val signups = withUs.filter(col("event_type") === "signup")
+      .select(lit(null).cast(LongType).as("event_id"), col("user_id"), col("ts_us"),
+              lit(0).as("is_p"), col("ts_us").as("s_ts"))
+    // At equal ts the signup sorts first (is_p asc) so `ts >= s_ts` holds.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("is_p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("signup_ts_us", last(col("s_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_ts_us"))
+  }
+
+  val q18Sql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Outer join with null-aware counting: parts vs a heavily filtered
+    * lineitem slice; count(col) skips nulls, count(*) does not. */
+  def q19OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("2001-10-01 00:00:00"))
+      .select("l_partkey", "l_quantity")
+    Tables.part(s, d).select("p_partkey", "p_brand")
+      .join(li, col("p_partkey") === li("l_partkey"), "left_outer")
+      .groupBy(col("p_brand"))
+      .agg(count(col("l_partkey")).as("n_shipped"),
+           count(lit(1)).as("n_rows"),
+           sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("n_unshipped"))
+  }
+
+  val q19Sql: String =
+    """SELECT p_brand,
+      |  count(l_partkey) AS n_shipped,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unshipped
+      |FROM part LEFT JOIN (SELECT l_partkey, l_quantity FROM lineitem
+      |                     WHERE l_shipdate >= TIMESTAMP '2001-10-01') li
+      |  ON p_partkey = li.l_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Scalar math functions kept exact for cross-engine compare: sqrt is
+    * IEEE-correctly-rounded on both engines; the double result is cast to
+    * decimal BEFORE the order-sensitive sum. */
+  def q20Math(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy((col("p_size") - (col("p_size") % 10)).cast(LongType).as("size_bucket"))
+      .agg(
+        sum(sqrt(col("p_retailprice")).cast(DecimalType(18, 6))).as("sum_sqrt_price"),
+        sum(abs(col("p_retailprice") - 1000.0).cast(DecimalType(18, 6))).as("sum_abs_dev"),
+        max(floor(col("p_retailprice"))).as("max_floor_price"),
+        min(ceil(col("p_retailprice"))).as("min_ceil_price"),
+        count(lit(1)).as("n_parts"))
+
+  val q20Sql: String =
+    """SELECT CAST(p_size - (p_size % 10) AS BIGINT) AS size_bucket,
+      |  sum(CAST(sqrt(p_retailprice) AS DECIMAL(18,6))) AS sum_sqrt_price,
+      |  sum(CAST(abs(p_retailprice - 1000.0) AS DECIMAL(18,6))) AS sum_abs_dev,
+      |  max(CAST(floor(p_retailprice) AS BIGINT)) AS max_floor_price,
+      |  min(CAST(ceil(p_retailprice) AS BIGINT)) AS min_ceil_price,
+      |  count(*) AS n_parts
+      |FROM part GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Exact DISTINCT aggregation alongside plain aggregates (expands to
+    * a two-phase plan; the distinct shuffle is on (group, value)). */
+  def q21Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_part"),
+           count(lit(1)).as("n_rows"))
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Correlated-style aggregate filter (HAVING over a join aggregate):
+    * customers whose order count exceeds a threshold, TPC-H Q22 spirit. */
+  def q22Having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+      .limit(50)
+
+  val q22Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+      |ORDER BY spend DESC, o_custkey ASC LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_sum"      -> (q02FilterSum _),
+    "q03_join_top_revenue"-> (q03JoinTopRevenue _),
+    "q04_semi_join"       -> (q04SemiJoin _),
+    "q05_broadcast_promo" -> (q05BroadcastPromo _),
+    "q06_anti_join"       -> (q06AntiJoin _),
+    "q07_window_top_order"-> (q07WindowTopOrder _),
+    "q08_rollup"          -> (q08Rollup _),
+    "q09_set_ops"         -> (q09SetOps _),
+    "q10_top_k"           -> (q10TopK _),
+    "q11_string_date"     -> (q11StringDate _),
+    "q12_json"            -> (q12Json _),
+    "q13_explode_words"   -> (q13Explode _),
+    "q14_conditional_agg" -> (q14ConditionalAgg _),
+    "q15_events_tumbling" -> (q15EventsTumbling _),
+    "q16_star_join"       -> (q16StarJoin _),
+    "q17_cube"            -> (q17Cube _),
+    "q18_asof_join"       -> (q18AsOfJoin _),
+    "q19_outer_join"      -> (q19OuterJoin _),
+    "q20_math"            -> (q20Math _),
+    "q21_distinct"        -> (q21Distinct _),
+    "q22_having"          -> (q22Having _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_sum"      -> q02Sql,
+    "q03_join_top_revenue"-> q03Sql,
+    "q04_semi_join"       -> q04Sql,
+    "q05_broadcast_promo" -> q05Sql,
+    "q06_anti_join"       -> q06Sql,
+    "q07_window_top_order"-> q07Sql,
+    "q08_rollup"          -> q08Sql,
+    "q09_set_ops"         -> q09Sql,
+    "q10_top_k"           -> q10Sql,
+    "q11_string_date"     -> q11Sql,
+    "q12_json"            -> q12Sql,
+    "q13_explode_words"   -> q13Sql,
+    "q14_conditional_agg" -> q14Sql,
+    "q15_events_tumbling" -> q15Sql,
+    "q16_star_join"       -> q16Sql,
+    "q17_cube"            -> q17Sql,
+    "q18_asof_join"       -> q18Sql,
+    "q19_outer_join"      -> q19Sql,
+    "q20_math"            -> q20Sql,
+    "q21_distinct"        -> q21Sql,
+    "q22_having"          -> q22Sql,
+  )
+}

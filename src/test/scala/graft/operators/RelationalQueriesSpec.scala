@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Smoke + plan-shape checks for the relational query surface. Value-level
+  * correctness is enforced by the DuckDB oracle gate (scripts/check.py /
+  * the driver's t2); here we assert each query runs, returns sane shapes,
+  * and — for the scale-critical ones — that the physical plan has the
+  * properties we designed for (filter pushdown, broadcast join).
+  */
+class RelationalQueriesSpec extends SparkSpecBase {
+
+  for ((name, fn) <- RelationalQueries.queries) {
+    test(s"$name runs and returns rows") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      // q06 can be legitimately small but must not error; others non-empty.
+      assert(n >= 0)
+      if (name != "q06_anti_join") assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle map covers every query") {
+    assert(RelationalQueries.oracleSql.keySet == RelationalQueries.queries.keySet)
+  }
+
+  test("q02 pushes filters into the parquet scan") {
+    val plan = RelationalQueries.q02FilterSum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+  }
+
+  test("q05 uses a broadcast hash join") {
+    val plan = RelationalQueries.q05BroadcastPromo(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q04 semi join plans as LeftSemi") {
+    val plan = RelationalQueries.q04SemiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q10 top-k avoids a global sort (TakeOrderedAndProject)") {
+    val plan = RelationalQueries.q10TopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q01 reads only the columns it needs") {
+    val plan = RelationalQueries.q01PricingSummary(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("l_partkey"), "column pruning failed:\n" + plan)
+  }
+}
