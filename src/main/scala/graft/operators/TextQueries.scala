@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis query surface over the `documents` table: token
+  * statistics, quality scoring, language ID, and order-sensitive
+  * fingerprints — the cheap narrow-projection stages that front a
+  * large-scale training-data pipeline. Everything is a per-row map +
+  * one small aggregate, so the plans are a single scan with no joins;
+  * at 100 TB these run at I/O speed.
+  */
+object TextQueries {
+
+  /** Common DuckDB lambda for whitespace tokens (mirrors
+    * TextFunctions.tokens: split on runs of spaces, drop empties). */
+  private val DTokens = "list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')"
+
+  // ---------------------------------------------------------- txt_stats
+  /** Corpus statistics per language: document counts and exact token /
+    * sub-word / punctuation / stopword totals. */
+  def txtStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        sum(regexTokenCount(col("text"))).as("total_subword_tokens"),
+        sum(punctCount(col("text"))).as("total_punct"),
+        sum(stopwordCount(col("text"))).as("total_stopwords"),
+        max(length(col("text")).cast(LongType)).as("max_chars"))
+
+  val txtStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len($DTokens)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_subword_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '[.,!?;:]'))) AS BIGINT) AS total_punct,
+       |  CAST(sum(len(list_filter($DTokens, t -> t IN ('the','a','of','and','to','in')))) AS BIGINT) AS total_stopwords,
+       |  CAST(max(length(text)) AS BIGINT) AS max_chars
+       |FROM documents GROUP BY lang""".stripMargin
+
+  // -------------------------------------------------------- txt_quality
+  /** Per-document quality metrics (the pre-filter columns a data
+    * pipeline materializes before expensive stages). */
+  def txtQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        meanTokenLength(col("text")).as("mean_token_len"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+
+  val txtQualitySql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($DTokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len($DTokens) = 0 THEN 0.0
+       |       ELSE CAST(list_sum(list_transform($DTokens, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |            / CAST(len($DTokens) AS DOUBLE) END AS mean_token_len,
+       |  CASE WHEN len($DTokens) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter($DTokens, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |            / CAST(len($DTokens) AS DOUBLE) END AS stop_ratio,
+       |  least(CAST(len($DTokens) AS DOUBLE) / 64.0, 1.0) * 0.4
+       |  + least((CASE WHEN len($DTokens) = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter($DTokens, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |                / CAST(len($DTokens) AS DOUBLE) END) * 4.0, 1.0) * 0.3
+       |  + (CASE WHEN (CASE WHEN len($DTokens) = 0 THEN 0.0
+       |           ELSE CAST(list_sum(list_transform($DTokens, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |                / CAST(len($DTokens) AS DOUBLE) END) BETWEEN 3.0 AND 8.0
+       |      THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- txt_langid
+  /** Language-ID confusion matrix: labeled lang × predicted lang. */
+  def txtLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), languageId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  private val langScoreSql: Map[String, String] = LangMarkers.map { case (l, ms) =>
+    l -> s"len(list_filter($DTokens, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
+  }.toMap
+
+  val txtLangIdSql: String = {
+    val ss = LangMarkers.map(_._1).map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n  ")
+    val total = LangMarkers.map(_._1).map(l => s"s_$l").mkString(" + ")
+    val m = s"greatest(${LangMarkers.map(_._1).map(l => s"s_$l").mkString(", ")})"
+    val cases = LangMarkers.map(_._1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""SELECT lang, predicted, count(*) AS n_docs FROM (
+       |  SELECT lang,
+       |    CASE WHEN ($total) = 0 THEN 'und' $cases END AS predicted
+       |  FROM (SELECT lang, $ss FROM documents) scores
+       |) t GROUP BY lang, predicted""".stripMargin
+  }
+
+  // --------------------------------------------------- txt_fingerprint
+  /** Order-sensitive rolling-hash fingerprint per document, plus the
+    * count of documents sharing it (content-identity groups). */
+  def txtFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val txtFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($DTokens,
+       |        t -> CAST(length(t) AS BIGINT) * 17 + CAST(ascii(t) AS BIGINT))),
+       |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stats"       -> (txtStats _),
+    "txt_quality"     -> (txtQuality _),
+    "txt_langid"      -> (txtLangId _),
+    "txt_fingerprint" -> (txtFingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_stats"       -> txtStatsSql,
+    "txt_quality"     -> txtQualitySql,
+    "txt_langid"      -> txtLangIdSql,
+    "txt_fingerprint" -> txtFingerprintSql,
+  )
+}
