@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{RelationalQueries, TextQueries}
+import graft.operators.{DedupQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     RelationalQueries.q15EventsTumbling(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ TextQueries.oracleSql
+    RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql
 }

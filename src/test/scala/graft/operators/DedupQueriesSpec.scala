@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.functions.HashFunctions._
+
+class DedupQueriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("shingles builds ordered word n-grams; short docs yield none") {
+    def sh(text: String, n: Int): Seq[String] =
+      Seq(text).toDF("text").select(shingles(col("text"), n).as("s"))
+        .collect().head.getSeq[String](0)
+    assert(sh("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(sh("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(sh("a b", 3) == Seq.empty)
+    assert(sh("", 2) == Seq.empty)
+    assert(sh("  x   y  ", 2) == Seq("x y"))
+  }
+
+  test("charFoldHash matches the documented recurrence") {
+    // 'the': ((0*131+116)*131+104)*131+101 mod P = 2004401
+    val h = Seq("the").toDF("t").select(charFoldHash(col("t")).as("h"))
+      .collect().head.getLong(0)
+    assert(h == 2004401L)
+  }
+
+  test("dedup_exact marks canonical rows consistently") {
+    val df = DedupQueries.dedupExact(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val (doc, canon, n, dup) =
+        (r.getLong(0), r.getLong(3), r.getLong(2), r.getInt(4))
+      assert(canon <= doc)
+      assert(n >= 1)
+      assert((dup == 1) == (doc != canon))
+    }
+  }
+
+  test("ngram jaccard and minhash agree on the planted near-dups") {
+    val ng = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = DedupQueries.dedupMinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.nonEmpty, "expected planted near-duplicates at sf0.001")
+    // bigram@0.9 and trigram@0.8 are different thresholds but the planted
+    // ~0.99 pairs must be caught by both
+    assert((mh intersect ng).nonEmpty)
+  }
+
+  test("minhash pairs are ordered and above threshold") {
+    DedupQueries.dedupMinhashLsh(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("simhash pairs are within hamming 3") {
+    val rows = DedupQueries.dedupSimhash(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= 3)
+    }
+  }
+
+  test("embedding cosine near-dup runs (no planted pairs in data)") {
+    val n = DedupQueries.dedupEmbeddingCosine(spark, sfDir).count()
+    assert(n == 0, "synthetic embeddings have max cosine ~0.6")
+  }
+}
