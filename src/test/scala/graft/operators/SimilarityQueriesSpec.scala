@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class SimilarityQueriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("brute force returns exactly top-k per query, ranked") {
+    val rows = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_._4)
+      // rank order must agree with descending cosine
+      assert(sorted.map(_._3).sliding(2).forall { case Array(a, b) => a >= b case _ => true })
+    }
+    rows.foreach { case (q, v, c, _) =>
+      assert(q != v); assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("IVF finds a reasonable fraction of the exact neighbors") {
+    val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityQueries.simTopKIvf(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // nprobe=3/16 cells on random vectors: expect well above random hit
+    assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+    assert(ivf.size == exact.size)
+  }
+}
