@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.multimodal.{MediaBlob, MediaCodec}
+
+class MultimodalQueriesSpec extends SparkSpecBase {
+
+  private def blob(id: Long, bytes: Array[Byte], frames: Int = 4) =
+    MediaBlob(id, "video", 32, 32, frames, bytes)
+
+  test("decode computes byte stats over the raw payload") {
+    val f = MediaCodec.decode(blob(1, Array[Byte](10, 20, 30)))
+    assert(f.n_bytes == 3 && f.sum_bytes == 60 && f.min_byte == 10 && f.max_byte == 30)
+    assert(f.mean_byte == 20.0)
+    val empty = MediaCodec.decode(blob(2, Array.empty[Byte]))
+    assert(empty.n_bytes == 0 && empty.mean_byte == 0.0)
+  }
+
+  test("decode treats bytes as unsigned") {
+    val f = MediaCodec.decode(blob(1, Array[Byte](-1)))  // 0xFF = 255
+    assert(f.sum_bytes == 255 && f.max_byte == 255)
+  }
+
+  test("frame sampling slices whole frames and drops the tail remainder") {
+    // 10 bytes, 4 frames -> frame_len 2, frames at 0,2,4,6; stride 2 -> frames 0,2
+    val s = MediaCodec.sampleFrames(blob(1, Array.range(0, 10).map(_.toByte), frames = 4), 2)
+    assert(s.frame_len == 2 && s.n_sampled == 2 && s.sampled_bytes == 4)
+  }
+
+  test("resize halves dims and truncates payload to the pixel budget") {
+    val r = MediaCodec.resize(MediaBlob(1, "image", 8, 4, 1, Array.fill(100)(1.toByte)))
+    assert(r.width == 4 && r.height == 2 && r.data.length == 8)
+    val small = MediaCodec.resize(MediaBlob(1, "image", 8, 4, 1, Array.fill(3)(1.toByte)))
+    assert(small.data.length == 3)
+  }
+
+  test("batched pipeline equals per-row decode regardless of batch boundaries") {
+    import spark.implicits._
+    val viaPipeline = MultimodalQueries.mmFeatures(spark, sfDir)
+      .select("doc_id", "sum_bytes").as[(Long, Long)].collect().toMap
+    val perRow = MultimodalQueries.mediaTable(spark, sfDir)
+      .collect().map(b => b.doc_id -> MediaCodec.decode(b).sum_bytes).toMap
+    assert(viaPipeline == perRow)
+    assert(viaPipeline.size == 500)
+  }
+
+  test("media table round-trips binary payloads through the BinaryType column") {
+    val blobs = MultimodalQueries.mediaTable(spark, sfDir).take(5)
+    blobs.foreach { b =>
+      assert(new String(b.data, java.nio.charset.StandardCharsets.UTF_8).nonEmpty)
+      assert(Set("image", "audio", "video").contains(b.media_type))
+    }
+  }
+}
