@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 AMQP source: `spark.readStream.format("amqp")`.
+  *
+  * Spark-native redesign of the reference's DStream receivers
+  * (AMQPReceiver.scala:38-163, ReliableAMQPReceiver.scala:44-188 in
+  * /root/reference): instead of a push Receiver storing converted
+  * objects into the BlockManager, a pull-based MicroBatchStream over
+  * per-link sequence offsets.
+  *
+  * Delivery semantics: offsets are checkpointed by Structured Streaming;
+  * [[AmqpMicroBatchStream.commit]] settles deliveries up to the durably
+  * committed sequence — the reference's settle-after-durable-store
+  * contract (ReliableAMQPReceiver.scala:142-159) with checkpointed
+  * offsets replacing the WAL. Unsettled messages remain replayable, so
+  * restart-after-failure re-reads the uncommitted tail: at-least-once,
+  * upgraded to effectively-once by the deterministic (seq-keyed) replay.
+  * Note Spark calls commit(N) while constructing batch N+1, so
+  * settlement lags one batch behind delivery (exactly like the Kafka
+  * source's offset commits); producer admission therefore keys off the
+  * delivered watermark, not settlement (see InMemoryAmqpBroker).
+  *
+  * Admission control: `maxMessagesPerTrigger` (default 10000 — the
+  * reference's implied per-link ceiling, BASELINE.md) bounds each
+  * micro-batch; link credit (1000 / 50% re-issue) bounds the sender's
+  * in-flight window inside the endpoint.
+  *
+  * Partitioning: one AMQP link = one ordered sequence = one input
+  * partition (the reference is likewise single-link). Horizontal scale
+  * comes from many links/addresses, each its own partition; downstream
+  * transforms are partition-parallel regardless.
+  *
+  * Options: endpoint (mem://name), address, maxMessagesPerTrigger;
+  * host/port/username/password are accepted for API parity with
+  * AMQPUtils.createStream and used by socket transports.
+  */
+class AmqpDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "amqp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AmqpEnvelope.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AmqpTable(new CaseInsensitiveStringMap(properties))
+}
+
+class AmqpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"amqp:${AmqpSourceConfig(options).endpoint}/${AmqpSourceConfig(options).address}"
+  override def schema(): StructType = AmqpEnvelope.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AmqpScan(AmqpSourceConfig(opts))
+    }
+}
+
+case class AmqpSourceConfig(endpoint: String, address: String, maxPerTrigger: Long)
+
+object AmqpSourceConfig {
+  def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = AmqpSourceConfig(
+    endpoint = o.getOrDefault("endpoint",
+      s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}"),
+    address = o.getOrDefault("address", "my_address"),
+    maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong)
+}
+
+class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
+  override def readSchema(): StructType = AmqpEnvelope.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AmqpMicroBatchStream(cfg)
+  override def toBatch: Batch = new AmqpBatchRead(cfg)
+  override def description(): String = s"AmqpScan(${cfg.endpoint}/${cfg.address})"
+}
+
+/** Offset = highest delivered per-link sequence number (SURVEY.md §7.1). */
+case class AmqpOffset(seq: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq}"""
+}
+
+object AmqpOffset {
+  private val SeqRe = """\{\s*"seq"\s*:\s*(\d+)\s*\}""".r
+  def fromJson(s: String): AmqpOffset = s match {
+    case SeqRe(n) => AmqpOffset(n.toLong)
+    case other => throw new IllegalArgumentException(s"bad AMQP offset: $other")
+  }
+}
+
+class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def broker = AmqpEndpointRegistry.broker(cfg.endpoint)
+
+  override def initialOffset(): Offset = AmqpOffset(0L)
+
+  override def latestOffset(): Offset = AmqpOffset(broker.latestSeq(cfg.address))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startSeq = start.asInstanceOf[AmqpOffset].seq
+    val latest = broker.latestSeq(cfg.address)
+    val capped = limit match {
+      case rl: streaming.ReadMaxRows => math.min(latest, startSeq + rl.maxRows())
+      case _ => latest
+    }
+    AmqpOffset(capped)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(AmqpInputPartition(cfg.endpoint, cfg.address,
+      start.asInstanceOf[AmqpOffset].seq, end.asInstanceOf[AmqpOffset].seq))
+
+  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
+
+  /** Settle-after-durable-commit: the epoch is checkpointed, release the
+    * unsettled window (the WAL-replacement contract). */
+  override def commit(end: Offset): Unit =
+    broker.settle(cfg.address, end.asInstanceOf[AmqpOffset].seq)
+
+  override def deserializeOffset(json: String): Offset = AmqpOffset.fromJson(json)
+
+  override def stop(): Unit = ()
+}
+
+/** Batch read of everything currently replayable (unsettled + new):
+  * the envelope as a static DataFrame for tests/oracle comparisons. */
+class AmqpBatchRead(cfg: AmqpSourceConfig) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val b = AmqpEndpointRegistry.broker(cfg.endpoint)
+    Array(AmqpInputPartition(cfg.endpoint, cfg.address,
+      b.settledUpTo(cfg.address), b.latestSeq(cfg.address)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
+}
+
+case class AmqpInputPartition(endpoint: String, address: String,
+    fromExclusive: Long, toInclusive: Long) extends InputPartition
+
+class AmqpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition])
+}
+
+/** Pull-based reader for one (start, end] slice of a link's sequence.
+  * The bounded handoff the reference needed between the Vert.x event
+  * loop and Receiver.store (AMQPFlowController.scala:159-161) is
+  * structural here: the endpoint buffers unsettled deliveries, the
+  * reader pulls exactly the planned slice. */
+class AmqpPartitionReader(p: AmqpInputPartition) extends PartitionReader[InternalRow] {
+
+  private val messages =
+    AmqpEndpointRegistry.broker(p.endpoint).fetch(p.address, p.fromExclusive, p.toInclusive)
+  private var idx = -1
+
+  override def next(): Boolean = { idx += 1; idx < messages.length }
+
+  override def get(): InternalRow = {
+    val (_, msg, tsMicros) = messages(idx)
+    val f = AmqpEnvelope.toFields(msg)
+    def utf(o: Option[String]) = o.map(UTF8String.fromString).orNull
+    def smap(entries: Seq[(String, String)]) =
+      if (entries.isEmpty) null
+      else new ArrayBasedMapData(
+        new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+        new GenericArrayData(entries.map(e => UTF8String.fromString(e._2)).toArray[Any]))
+    new GenericInternalRow(Array[Any](
+      utf(f._1), utf(f._2), utf(f._3), utf(f._4), utf(f._5),
+      smap(f._6), smap(f._7),
+      utf(f._8), utf(f._9), f._10.orNull, tsMicros))
+  }
+
+  override def close(): Unit = ()
+}

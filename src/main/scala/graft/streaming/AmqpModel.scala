@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** AMQP 1.0 message model + the engine's fixed envelope schema.
+  *
+  * The reference exposes raw Proton `Message`s to a user-supplied
+  * converter (`Message => Option[T]`, AMQPUtils.scala:52 in
+  * /root/reference). The Spark-native redesign (SURVEY.md §1.3) replaces
+  * that callback with a FIXED envelope schema emitted by the source —
+  * per-row conversion then happens declaratively with columns, and the
+  * two built-in converters (body / JSON) become Column functions.
+  *
+  * The message sections modeled here are exactly those the reference's
+  * JSON converter surfaces (AMQPJsonFunction.scala:38-54): properties
+  * (messageId, to, subject, replyTo, correlationId), application
+  * properties, message annotations, and the body as a tagged union of
+  * AmqpValue (string / list / array / map) and Data (binary).
+  */
+sealed trait AmqpBody
+/** An amqp-value section; `value` is String, Seq[Any], or Seq[(String, Any)]
+  * (map entries in insertion order, as the wire preserves them). */
+case class AmqpValueBody(value: Any) extends AmqpBody
+/** A data section (raw bytes). */
+case class AmqpDataBody(bytes: Array[Byte]) extends AmqpBody
+/** Any other section (e.g. amqp-sequence): body content omitted, message
+  * still delivered (AMQPJsonFunction.scala:149-154 never drops). */
+case object AmqpOtherBody extends AmqpBody
+
+case class AmqpMessage(
+    messageId: Option[String] = None,
+    to: Option[String] = None,
+    subject: Option[String] = None,
+    replyTo: Option[String] = None,
+    correlationId: Option[String] = None,
+    applicationProperties: Seq[(String, Any)] = Nil,
+    messageAnnotations: Seq[(String, Any)] = Nil,
+    body: AmqpBody = AmqpOtherBody)
+
+object AmqpEnvelope {
+
+  /** The source's fixed output schema (FIXTURES.md §1). */
+  val schema: StructType = StructType(Seq(
+    StructField("message_id", StringType, nullable = true),
+    StructField("to", StringType, nullable = true),
+    StructField("subject", StringType, nullable = true),
+    StructField("reply_to", StringType, nullable = true),
+    StructField("correlation_id", StringType, nullable = true),
+    StructField("application_properties", MapType(StringType, StringType), nullable = true),
+    StructField("message_annotations", MapType(StringType, StringType), nullable = true),
+    StructField("body_type", StringType, nullable = true), // amqpValue | data | null
+    StructField("body", StringType, nullable = true),      // value / JSON text
+    StructField("body_binary", BinaryType, nullable = true),
+    StructField("ingest_timestamp", TimestampType, nullable = false)))
+
+  /** Minimal JSON writer for AmqpValue bodies — list/array/map bodies are
+    * carried in the envelope's `body` column as JSON text, mirroring the
+    * reference's Jackson serialization (AMQPJsonFunction.scala:122-135):
+    * strings quoted/escaped, numbers bare, nested structures recursed,
+    * map keys in insertion order. */
+  def jsonify(v: Any): String = v match {
+    case null => "null"
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case entries: Seq[_] if entries.nonEmpty && entries.head.isInstanceOf[(_, _)] =>
+      entries.asInstanceOf[Seq[(String, Any)]]
+        .map { case (k, x) => quote(k) + ":" + jsonify(x) }
+        .mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(jsonify).mkString("[", ",", "]")
+    case xs: Array[_] => xs.toSeq.map(jsonify).mkString("[", ",", "]")
+    case other => quote(other.toString) // reference stringifies unknown types
+  }
+
+  def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Envelope field values for a message (pre-InternalRow). The body
+    * mapping follows AMQPJsonFunction.scala:105-152: AmqpValue(String) →
+    * the string; list/array/map → JSON text; Data → bytes (+ the
+    * reference's Base64 representation is available via base64()). */
+  def toFields(m: AmqpMessage): (Option[String], Option[String], Option[String],
+      Option[String], Option[String], Seq[(String, String)], Seq[(String, String)],
+      Option[String], Option[String], Option[Array[Byte]]) = {
+    val (bodyType, bodyText, bodyBin) = m.body match {
+      case AmqpValueBody(s: String) => (Some("amqpValue"), Some(s), None)
+      case AmqpValueBody(v)         => (Some("amqpValue"), Some(jsonify(v)), None)
+      case AmqpDataBody(bs)         => (Some("data"), None, Some(bs))
+      case AmqpOtherBody            => (None, None, None)
+    }
+    (m.messageId, m.to, m.subject, m.replyTo, m.correlationId,
+      m.applicationProperties.map { case (k, v) => k -> String.valueOf(v) },
+      m.messageAnnotations.map { case (k, v) => k -> String.valueOf(v) },
+      bodyType, bodyText, bodyBin)
+  }
+}
+
+/** The reference's two built-in converters, as Column functions over the
+  * envelope DataFrame (SURVEY.md §2.1 C1/C2). */
+object AmqpConverters {
+
+  /** C1 (AMQPBodyFunction): the amqp-value body, NULL for anything else —
+    * pair with .where(amqp_body.isNotNull) for the reference's drop
+    * semantics (deliberately the safe flatMap variant, not the crashing
+    * non-reliable path — SURVEY.md §7.4.5). */
+  def amqpBody: Column =
+    when(col("body_type") === "amqpValue", col("body"))
+
+  /** C1 with cast, e.g. amqpBodyAs(IntegerType) for the temperature
+    * example's `String => Int` converter. */
+  def amqpBodyAs(dt: DataType): Column = amqpBody.cast(dt)
+
+  /** C2 (AMQPJsonFunction): the full envelope as one JSON document with
+    * the reference's shape — properties / applicationProperties /
+    * messageAnnotations (only when present) and the tagged body union
+    * ({"type":"amqpValue"|"data","section":...}); Data sections are
+    * Base64-encoded (AMQPJsonFunction.scala:139-148). Never NULL: the
+    * JSON converter never drops a message. */
+  def amqpToJson: Column = {
+    val props = to_json(struct(
+      col("message_id").as("messageId"),
+      col("to").as("to"),
+      col("subject").as("subject"),
+      col("reply_to").as("replyTo"),
+      col("correlation_id").as("correlationId")))
+    val propsPart = concat(lit("\"properties\":"), props)
+    val appPart = when(col("application_properties").isNotNull &&
+        size(col("application_properties")) > 0,
+      concat(lit("\"applicationProperties\":"), to_json(col("application_properties"))))
+    val annPart = when(col("message_annotations").isNotNull &&
+        size(col("message_annotations")) > 0,
+      concat(lit("\"messageAnnotations\":"), to_json(col("message_annotations"))))
+    // list/array/map bodies already carry JSON text; plain strings need
+    // quoting. A leading [ or { marks serialized JSON (jsonify output).
+    // Quoting+escaping a string via to_json: '["x"]' minus the brackets.
+    val quoted = {
+      val arr = to_json(array(col("body")))
+      arr.substr(lit(2), length(arr) - 2)
+    }
+    val valueSection = when(col("body").rlike("^[\\[{]"), col("body")).otherwise(quoted)
+    val bodyPart = when(col("body_type") === "amqpValue",
+        concat(lit("\"body\":{\"type\":\"amqpValue\",\"section\":"), valueSection, lit("}")))
+      .when(col("body_type") === "data",
+        concat(lit("\"body\":{\"type\":\"data\",\"section\":\""), base64(col("body_binary")), lit("\"}")))
+    concat(lit("{"), concat_ws(",", propsPart, appPart, annPart, bodyPart), lit("}"))
+  }
+}

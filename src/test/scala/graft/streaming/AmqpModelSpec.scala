@@ -1,0 +1,92 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+
+import graft.SparkSpecBase
+
+/** Envelope + converter parity with the reference's fixtures
+  * (FIXTURES.md §2; AMQPBrokerStreamSuite.scala in /root/reference). */
+class AmqpModelSpec extends SparkSpecBase {
+
+  private val mapper = new ObjectMapper()
+
+  private def envelopeDf(msgs: AmqpMessage*) = {
+    val rows = msgs.map { m =>
+      val f = AmqpEnvelope.toFields(m)
+      Row(f._1.orNull, f._2.orNull, f._3.orNull, f._4.orNull, f._5.orNull,
+        if (f._6.isEmpty) null else f._6.toMap,
+        if (f._7.isEmpty) null else f._7.toMap,
+        f._8.orNull, f._9.orNull, f._10.orNull,
+        new java.sql.Timestamp(1700000000000L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), AmqpEnvelope.schema)
+  }
+
+  test("string body round-trips (simple-string fixture)") {
+    val df = envelopeDf(AmqpMessage(to = Some("my_address"),
+      body = AmqpValueBody("Spark Streaming & AMQP")))
+    val r = df.select(AmqpConverters.amqpBody.as("b")).collect().head
+    assert(r.getString(0) == "Spark Streaming & AMQP")
+  }
+
+  test("list body serializes as JSON array (list fixture)") {
+    val m = AmqpMessage(body = AmqpValueBody(Seq("a string", 1, 2)))
+    assert(AmqpEnvelope.toFields(m)._9.contains("""["a string",1,2]"""))
+  }
+
+  test("map body serializes as JSON object in insertion order (map fixture)") {
+    val m = AmqpMessage(body = AmqpValueBody(Seq("field_a" -> "a string", "field_b" -> 1)))
+    assert(AmqpEnvelope.toFields(m)._9.contains("""{"field_a":"a string","field_b":1}"""))
+  }
+
+  test("array body serializes as JSON array (array fixture)") {
+    val m = AmqpMessage(body = AmqpValueBody(Array(1, 2)))
+    assert(AmqpEnvelope.toFields(m)._9.contains("[1,2]"))
+  }
+
+  test("binary body lands in body_binary; body converter drops it (C1 None)") {
+    val bytes = "Spark Streaming & AMQP".getBytes("UTF-8")
+    val df = envelopeDf(AmqpMessage(body = AmqpDataBody(bytes)))
+    val r = df.select(AmqpConverters.amqpBody.as("b"), org.apache.spark.sql.functions.col("body_binary")).collect().head
+    assert(r.isNullAt(0), "C1 drops non-AmqpValue bodies")
+    assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == "Spark Streaming & AMQP")
+  }
+
+  test("C2 JSON matches the reference shape for the map fixture") {
+    val df = envelopeDf(AmqpMessage(to = Some("my_address"),
+      body = AmqpValueBody(Seq("field_a" -> "a string", "field_b" -> 1))))
+    val json = df.select(AmqpConverters.amqpToJson.as("j")).collect().head.getString(0)
+    val tree = mapper.readTree(json)
+    assert(tree.at("/properties/to").asText() == "my_address")
+    assert(tree.at("/body/type").asText() == "amqpValue")
+    assert(tree.at("/body/section/field_a").asText() == "a string")
+    assert(tree.at("/body/section/field_b").asInt() == 1)
+  }
+
+  test("C2 JSON base64-encodes data bodies (binary fixture)") {
+    val bytes = "Spark Streaming & AMQP".getBytes("UTF-8")
+    val df = envelopeDf(AmqpMessage(body = AmqpDataBody(bytes)))
+    val json = df.select(AmqpConverters.amqpToJson.as("j")).collect().head.getString(0)
+    val tree = mapper.readTree(json)
+    assert(tree.at("/body/type").asText() == "data")
+    assert(java.util.Base64.getDecoder.decode(tree.at("/body/section").asText())
+      .sameElements(bytes))
+  }
+
+  test("C2 never drops: other-section bodies still produce a document") {
+    val df = envelopeDf(AmqpMessage(subject = Some("s"), body = AmqpOtherBody))
+    val json = df.select(AmqpConverters.amqpToJson.as("j")).collect().head.getString(0)
+    val tree = mapper.readTree(json)
+    assert(tree.at("/properties/subject").asText() == "s")
+    assert(tree.at("/body").isMissingNode)
+  }
+
+  test("application properties are stringified (reference toString coercion)") {
+    val m = AmqpMessage(applicationProperties = Seq("k1" -> 5, "k2" -> "v"))
+    val f = AmqpEnvelope.toFields(m)
+    assert(f._6 == Seq("k1" -> "5", "k2" -> "v"))
+  }
+}
