@@ -15,6 +15,7 @@ object Verify {
       // See Bench.scala: avoids a ~90s one-time ICU static init on
       // first upper()/lower(); identical results on ASCII data.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,10 +50,24 @@ object HashFunctions {
   /** Distinct shingle set (set semantics for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
-  /** The i-th universal-hash permutation of a base hash value:
-    * (h * (2i+3) + i^2+7) mod P. */
+  /** Coefficients for the i-th universal-hash permutation. Knuth/LCG
+    * multipliers, reduced mod P: small multipliers like (2i+3) barely
+    * permute the value ordering, so MinHash band keys collide for
+    * unrelated documents (observed: 150s of candidate explosion at sf0.1
+    * from a small shingle vocabulary). Products stay < 2^62. */
+  def permA(i: Int): Long = {
+    val a = (2654435761L * (i + 1)) % P
+    if (a == 0L) 1L else a
+  }
+  def permB(i: Int): Long = (1013904223L * (i + 1) + 12345L) % P
+
+  /** The i-th universal-hash permutation: (h * permA(i) + permB(i)) mod P. */
   def permute(h: Column, i: Int): Column =
-    (h * lit(2L * i + 3L) + lit(i.toLong * i + 7L)) % P
+    (h * lit(permA(i)) + lit(permB(i))) % P
+
+  /** DuckDB fragment of [[permute]] over SQL expression `h`. */
+  def permuteSql(h: String, i: Int): String =
+    s"(($h * ${permA(i)} + ${permB(i)}) % $P)"
 
   /** DuckDB SQL fragment computing [[charFoldHash]] of token expression
     * `t` — kept alongside the Scala so the two can't drift apart. */

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.expressions.CharFoldHash
 import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions._
 import graft.functions.TextFunctions
@@ -29,9 +30,54 @@ import graft.functions.TextFunctions
   * Jaccard, so precision is exact.
   *
   * All hashes are the engine-portable [[graft.functions.HashFunctions]]
-  * primitives, so every stage has a bit-exact DuckDB oracle.
+  * primitives, so every stage has a bit-exact DuckDB oracle. The hot
+  * paths are fully relational + codegen: shingles come from a
+  * posexplode -> window-lead -> distinct pipeline (not array lambdas —
+  * Spark HOFs are CodegenFallback and eval interpreted, which profiled
+  * 10-50x slower once a long session's JIT profile goes megamorphic),
+  * and the base hash is the native [[graft.expressions.CharFoldHash]].
   */
 object DedupQueries {
+
+  /** Ordered (doc_id, pos, tok) token stream. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+
+  /** Distinct (doc_id, shingle) word n-gram instances, built relationally:
+    * one window (partition doc, order pos) + lead() per extra token. */
+  private def shingleStream(s: SparkSession, d: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(w))
+    tokenStream(s, d)
+      .withColumn("shingle",
+        when(leads.last.isNotNull, concat_ws(" ", (col("tok") +: leads): _*)))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
+
+  /** Per-doc distinct-shingle counts from a shingle stream. */
+  private def shingleSizes(inv: DataFrame): DataFrame =
+    inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+  /** (candidate pairs, inverted index, sizes) -> exact-Jaccard verdict. */
+  private def verifyJaccard(cand: DataFrame, inv: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val ia = inv.select(col("doc_id").as("doc_a"), col("shingle"))
+    val ib = inv.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = cand.join(ia, Seq("doc_a")).join(ib, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   // -------------------------------------------------------- dedup_exact
   /** Exact dedup: md5 content hash, one window over the hash to mark
@@ -54,29 +100,33 @@ object DedupQueries {
       |FROM documents""".stripMargin
 
   // ----------------------------------------------- dedup_ngram_jaccard
-  /** Exact word-bigram Jaccard >= 0.9 via inverted shingle index: no
+  /** Exact word-4-gram Jaccard >= 0.85 via inverted shingle index: no
     * candidate pruning needed because J >= t > 0 implies a shared
-    * shingle, so the shingle self-join IS the complete candidate set. */
+    * shingle, so the shingle self-join IS the complete candidate set.
+    * 4-grams (not bigrams): the blocking key must be selective — with a
+    * small vocabulary, bigrams recur across ~every document pair and the
+    * self-join degenerates toward O(n^2) (measured: 159s at sf0.1);
+    * 4-gram doc-frequency is ~1, so join size tracks true duplicates. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sized = Tables.documents(s, d)
-      .select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-    val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = inv.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("shingle"))
+    val inv = shingleStream(s, d, 4)
+    val sizes = shingleSizes(inv)
+    val ia = inv.select(col("shingle"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("shingle"), col("doc_id").as("doc_b"))
+    val pairs = ia.join(ib, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
-      .filter(col("jaccard") >= 0.9)
+      .filter(col("jaccard") >= 0.85)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val dedupNgramJaccardSql: String =
     s"""WITH docs AS (
-       |  SELECT doc_id, ${shingleSetSql(2)} AS sh
+       |  SELECT doc_id, ${shingleSetSql(4)} AS sh
        |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -87,42 +137,35 @@ object DedupQueries {
        |SELECT doc_a, doc_b,
        |  CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
        |FROM pairs
-       |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.9""".stripMargin
+       |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.85""".stripMargin
 
   // ------------------------------------------------- dedup_minhash_lsh
   /** MinHash (k=16) + LSH banding (r=2, b=8) over word-trigram shingles,
     * then exact-Jaccard verification of candidates at t=0.8. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val K = 16
-    // Cached: the shingle sets feed signature building AND both sides of
-    // the verification join; signatures feed all 8 band branches. Spark
-    // does no cross-branch CSE, so without the cache each reuse would
-    // recompute the full tokenize→shingle→hash subtree. Both frames are
-    // one row per doc — tiny relative to the corpus at any scale.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-      .cache()
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", charFoldHash(col("shingle")))
+    // Cached: the inverted index feeds signature building AND the
+    // verification join; signatures feed all 8 band branches (no
+    // cross-branch CSE in Spark). Both are tiny vs the corpus.
+    val inv = shingleStream(s, d, 3).cache()
+    val sizes = shingleSizes(inv)
+    val invH = inv.withColumn("h", CharFoldHash.charFoldHashNative(s, "shingle"))
     val mhAggs = (1 to K).map(i => min(permute(col("h"), i)).as(s"mh$i"))
-    val sigs = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
-    val bands = (0 until K / 2).map { t =>
-      sigs.select(col("doc_id"), lit(t).as("band"),
+    val sigs = invH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
+    // all bands in ONE pass via posexplode (8 union branches would each
+    // re-read the signature frame)
+    val bandArr = array((0 until K / 2).map { t =>
+      struct(lit(t).as("band"),
         (col(s"mh${2 * t + 1}") * lit(P) + col(s"mh${2 * t + 2}")).as("bkey"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val ca = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val cb = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     val cand = ca.join(cb, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val da = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), size(col("sh")).as("n_a"))
-    val db = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), size(col("sh")).as("n_b"))
-    cand.join(da, Seq("doc_a")).join(db, Seq("doc_b"))
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("shared").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cand, inv, sizes, 0.8)
   }
 
   val dedupMinhashLshSql: String =
@@ -151,9 +194,8 @@ object DedupQueries {
     * 4-band bucketing (pigeonhole-exact for hamming<=3), pair output with
     * exact hamming distance. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      .withColumn("h", charFoldHash(col("t")))
+    val ex = tokenStream(s, d)
+      .withColumn("h", CharFoldHash.charFoldHashNative(s, "tok"))
     val bitAggs = (0 until SimBits).map(j =>
       sum(when(permute(col("h"), j) % 2L === 1L, 1L).otherwise(-1L)).as(s"b$j"))
     val bits = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
@@ -162,10 +204,11 @@ object DedupQueries {
       (0 until SimBits).map(j =>
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
       .cache()
-    val bands = (0 until 4).map(t =>
-      sig.select(col("doc_id"), lit(t).as("band"),
-        shiftright(col("sig"), 16 * t).bitwiseAND(lit(65535L)).as("bkey")))
-      .reduce(_ unionByName _)
+    val bandArr = array((0 until 4).map(t =>
+      struct(lit(t).as("band"),
+        shiftright(col("sig"), 16 * t).bitwiseAND(lit(65535L)).as("bkey"))): _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val ca = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val cb = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     val cand = ca.join(cb, Seq("band", "bkey"))
@@ -181,7 +224,7 @@ object DedupQueries {
 
   val dedupSimhashSql: String = {
     val bitCols = (0 until SimBits).map(j =>
-      s"CAST(sum(CASE WHEN ((h*(${2 * j + 3})+(${j.toLong * j + 7})) % $P) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+      s"CAST(sum(CASE WHEN ${permuteSql("h", j)} % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
       .mkString(",\n    ")
     val sigExpr = (0 until SimBits).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
@@ -208,26 +251,43 @@ object DedupQueries {
     * because banding only prunes candidates that exact verification
     * would reject anyway at this threshold/data. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    // Cached: signatures + norms feed 4 band branches and both sides of
-    // the cosine-verification join (no cross-branch CSE in Spark).
+    val NBits = 16
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-      .withColumn("sig", hyperplaneSignature(col("emb"), 64, 16))
       .cache()
-    val bands = (0 until 4).map(t =>
-      e.select(col("vec_id"), lit(t).as("band"),
-        shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L)).as("bkey")))
-      .reduce(_ unionByName _)
+    // Signatures computed relationally: posexplode the dims once, then
+    // 16 codegen'd sum-aggregates (one per hyperplane) — interpreted
+    // zip_with lambdas (16 x dims per row) profiled as the hot spot.
+    val dims = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("d0", "x")))
+    val projAggs = (0 until NBits).map { i =>
+      val w = ((lit(i.toLong) * lit(73856093L) + (col("d0") + 1L) * lit(19349663L)) % lit(1000003L))
+        .cast(DoubleType) / lit(500001.5) - lit(1.0)
+      sum(col("x") * w).as(s"p$i")
+    }
+    val withNorm = dims.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).as("nrm2"), projAggs: _*)
+    val sig = withNorm.select(col("vec_id"), sqrt(col("nrm2")).as("nrm"),
+      (0 until NBits).map(i =>
+        when(col(s"p$i") > 0.0, lit(1L << (NBits - 1 - i))).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+      .cache()
+    val bandArr = array((0 until 4).map(t =>
+      struct(lit(t).as("band"),
+        shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L)).as("bkey"))): _*)
+    val bands = sig.select(col("vec_id"), explode(bandArr).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val ca = bands.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
     val cb = bands.select(col("band"), col("bkey"), col("vec_id").as("vec_b"))
     val cand = ca.join(cb, Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    // exact verification: left-to-right fold dot (deterministic, oracle-
+    // matching) over the few candidates
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b")))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) /
+        (norm(col("emb_a")) * norm(col("emb_b"))))
       .filter(col("cos") >= 0.95)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
