@@ -27,10 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] = driver-only execution: the heap IS the cluster memory.
-  // Fixed pre-touched heap: heap expand/shrink churn showed up as
-  // massive kernel time (page faults) and 2-20x run-to-run variance.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+AlwaysPreTouch",
+  // Fixed-size heap (Xms=Xmx) so G1 never uncommits/recommits — but NO
+  // AlwaysPreTouch and NO TransparentHugePages: on this Firecracker
+  // kernel the parallel pretouch of a 16g heap burns 40+ CPU-MINUTES of
+  // kernel page-fault time before main() runs (measured: `java -Xms16g
+  // -XX:+AlwaysPreTouch -version` = 124s wall / 42min sys; with THP
+  // 270s / 102min), which is what timed out the round-1 driver gate.
+  // Lazy 4K faulting costs ~1.7s sys/GiB actually used — pay only that.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
   "-XX:ReservedCodeCacheSize=1g",
 )

@@ -168,20 +168,46 @@ object DedupQueries {
     verifyJaccard(cand, inv, sizes, 0.8)
   }
 
-  val dedupMinhashLshSql: String =
+  /** Oracle replicates the MinHash+LSH banding itself (not a brute-force
+    * stand-in): banding deterministically misses some near-threshold true
+    * pairs, so a brute-force oracle would flag working-as-designed output
+    * as a mismatch on any dataset with borderline pairs (ADVICE r1). The
+    * signature/band/verify pipeline below is bit-exact with the Spark
+    * side via the shared [[graft.functions.HashFunctions]] primitives. */
+  val dedupMinhashLshSql: String = {
+    val mhCols = (1 to 16).map(i =>
+      s"min(${permuteSql("h", i)}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until 8).map(t =>
+      s"SELECT doc_id, $t AS band, mh${2 * t + 1} * $P + mh${2 * t + 2} AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
     s"""WITH docs AS (
        |  SELECT doc_id, ${shingleSetSql(3)} AS sh
        |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |shx AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |shh AS (SELECT doc_id, ${charFoldHashSql("shingle")} AS h FROM shx),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS shared,
-       |    len(a.sh) AS n_a, len(b.sh) AS n_b
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS shared,
+       |    len(da.sh) AS n_a, len(db.sh) AS n_b
+       |  FROM cand c
+       |  JOIN docs da ON da.doc_id = c.doc_a
+       |  JOIN docs db ON db.doc_id = c.doc_b)
        |SELECT doc_a, doc_b,
        |  CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
        |FROM pairs
-       |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8""".stripMargin
+       |WHERE shared > 0
+       |  AND CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8""".stripMargin
+  }
 
   // ----------------------------------------------------- dedup_simhash
   /** 62 bits: with the tiny synthetic vocabulary, 31-bit signatures left
@@ -247,9 +273,12 @@ object DedupQueries {
   // ------------------------------------------- dedup_embedding_cosine
   /** Embedding near-dup at cosine >= 0.95: 16-bit random-hyperplane
     * signatures, 4-band bucketing for candidates, exact f64 cosine
-    * verification. The oracle brute-forces all pairs — safe to compare
-    * because banding only prunes candidates that exact verification
-    * would reject anyway at this threshold/data. */
+    * verification. The oracle replicates the hyperplane signatures and
+    * banding (not brute force): banding misses a near-threshold true pair
+    * with ~1.4% probability at cos=0.95, so a brute-force oracle would be
+    * data-dependent (ADVICE r1). DuckDB's list_dot_product is the same
+    * left-to-right f64 fold as the Spark-side projection sums, so the
+    * signature bits agree exactly. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     val NBits = 16
     val e = Tables.embeddings(s, d)
@@ -292,16 +321,42 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
-  val dedupEmbeddingCosineSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    list_dot_product(a.emb, b.emb)
-      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95""".stripMargin
+  val dedupEmbeddingCosineSql: String = {
+    // hyperplane i weight at 1-based dim d: the same LCG as the Spark side
+    // (which uses 0-based d0 with (d0+1) — i.e. d)
+    def w(i: Int) =
+      s"CAST(($i * 73856093 + d * 19349663) % 1000003 AS DOUBLE) / 500001.5 - 1.0"
+    val projCols = (0 until 16).map(i =>
+      s"list_dot_product(emb, list_transform(range(1, len(emb) + 1), d -> ${w(i)})) AS p$i")
+      .mkString(",\n    ")
+    val sigExpr = (0 until 16).map(i =>
+      s"CASE WHEN p$i > 0 THEN ${1L << (15 - i)} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS band, (sig >> ${4 * t}) & 15 AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id,
+       |    $projCols
+       |  FROM e),
+       |sig AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM proj),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_dot_product(ea.emb, eb.emb)
+       |      / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,7 @@ object AmqpEnvelope {
     StructField("correlation_id", StringType, nullable = true),
     StructField("application_properties", MapType(StringType, StringType), nullable = true),
     StructField("message_annotations", MapType(StringType, StringType), nullable = true),
-    StructField("body_type", StringType, nullable = true), // amqpValue | data | null
+    StructField("body_type", StringType, nullable = true), // amqpValue | amqpValueJson | data | null
     StructField("body", StringType, nullable = true),      // value / JSON text
     StructField("body_binary", BinaryType, nullable = true),
     StructField("ingest_timestamp", TimestampType, nullable = false)))
@@ -98,8 +98,14 @@ object AmqpEnvelope {
       Option[String], Option[String], Seq[(String, String)], Seq[(String, String)],
       Option[String], Option[String], Option[Array[Byte]]) = {
     val (bodyType, bodyText, bodyBin) = m.body match {
+      // Provenance is carried in body_type, never re-derived from the
+      // text: a plain string body is "amqpValue" even if it happens to
+      // start with '[' or '{'; a serialized list/array/map body is
+      // "amqpValueJson". amqpToJson keys off this tag so a string body
+      // is ALWAYS emitted as a JSON string (matching the reference's
+      // Jackson behavior, AMQPJsonFunction.scala:122-135).
       case AmqpValueBody(s: String) => (Some("amqpValue"), Some(s), None)
-      case AmqpValueBody(v)         => (Some("amqpValue"), Some(jsonify(v)), None)
+      case AmqpValueBody(v)         => (Some("amqpValueJson"), Some(jsonify(v)), None)
       case AmqpDataBody(bs)         => (Some("data"), None, Some(bs))
       case AmqpOtherBody            => (None, None, None)
     }
@@ -119,7 +125,7 @@ object AmqpConverters {
     * semantics (deliberately the safe flatMap variant, not the crashing
     * non-reliable path — SURVEY.md §7.4.5). */
   def amqpBody: Column =
-    when(col("body_type") === "amqpValue", col("body"))
+    when(col("body_type").isin("amqpValue", "amqpValueJson"), col("body"))
 
   /** C1 with cast, e.g. amqpBodyAs(IntegerType) for the temperature
     * example's `String => Int` converter. */
@@ -145,15 +151,17 @@ object AmqpConverters {
     val annPart = when(col("message_annotations").isNotNull &&
         size(col("message_annotations")) > 0,
       concat(lit("\"messageAnnotations\":"), to_json(col("message_annotations"))))
-    // list/array/map bodies already carry JSON text; plain strings need
-    // quoting. A leading [ or { marks serialized JSON (jsonify output).
+    // body_type carries the provenance: "amqpValueJson" bodies already
+    // hold serialized JSON; "amqpValue" bodies are plain strings and are
+    // ALWAYS quoted — even ones starting with [ or {.
     // Quoting+escaping a string via to_json: '["x"]' minus the brackets.
     val quoted = {
       val arr = to_json(array(col("body")))
       arr.substr(lit(2), length(arr) - 2)
     }
-    val valueSection = when(col("body").rlike("^[\\[{]"), col("body")).otherwise(quoted)
-    val bodyPart = when(col("body_type") === "amqpValue",
+    val valueSection =
+      when(col("body_type") === "amqpValueJson", col("body")).otherwise(quoted)
+    val bodyPart = when(col("body_type").isin("amqpValue", "amqpValueJson"),
         concat(lit("\"body\":{\"type\":\"amqpValue\",\"section\":"), valueSection, lit("}")))
       .when(col("body_type") === "data",
         concat(lit("\"body\":{\"type\":\"data\",\"section\":\""), base64(col("body_binary")), lit("\"}")))

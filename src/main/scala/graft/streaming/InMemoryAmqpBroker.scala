@@ -8,41 +8,43 @@ import scala.collection.mutable.ArrayBuffer
 /** Credit-based flow control, reproducing the reference's live
   * controller (AMQPFlowController.scala:50-142 in /root/reference):
   * manual credit mode (prefetch disabled), an initial grant of
-  * [[AmqpFlowController.CreditsDefault]] link credits, one credit
-  * consumed per delivery, and a re-issue of the consumed count once
-  * consumption crosses [[AmqpFlowController.CreditsThreshold]] (50%).
+  * [[AmqpFlowController.CreditsDefault]] link credits spent one per
+  * SEND, replenished on CONSUMPTION — the consumed count is re-issued
+  * once it crosses [[AmqpFlowController.CreditsThreshold]] (50%).
   * Credits bound the sender's in-flight window; settlement is a separate
   * axis (the reliable path settles only after durable commit).
   */
 class AmqpFlowController {
   import AmqpFlowController._
 
-  private var available: Long = CreditsDefault
+  private var sent: Long = 0L
   private var consumedSinceIssue: Long = 0L
   private var issuedTotal: Long = CreditsDefault
 
-  /** One delivery arrived: consume a credit. Returns false when the
-    * sender overran its window (no credit — a compliant peer never
-    * does; the in-memory broker turns this into sender back-pressure). */
-  def acquire(): Boolean = synchronized {
-    if (available <= 0) false
-    else {
-      available -= 1
-      consumedSinceIssue += 1
-      if (consumedSinceIssue >= CreditsThreshold) issueCredits()
-      true
+  /** Sender admission: each send spends one issued credit. Returns false
+    * when the issued window is exhausted (a compliant peer stops sending;
+    * the in-memory broker turns this into sender back-pressure). This is
+    * the SOLE admission bound — credits are replenished only by
+    * [[consumed]], so the sender can never run more than CreditsDefault
+    * ahead of the receiver. */
+  def trySend(): Boolean = synchronized {
+    if (sent >= issuedTotal) false
+    else { sent += 1; true }
+  }
+
+  /** `n` deliveries were consumed by the receiver (fetched by Spark).
+    * Re-issues the consumed count once consumption crosses the 50%
+    * threshold — the reference replenishes credit on CONSUMPTION, not on
+    * send (AMQPFlowController.scala:131-141). */
+  def consumed(n: Long): Unit = synchronized {
+    consumedSinceIssue += n
+    if (consumedSinceIssue >= CreditsThreshold) {
+      issuedTotal += consumedSinceIssue
+      consumedSinceIssue = 0L
     }
   }
 
-  /** Re-issue the consumed count (reference issues `count` new credits
-    * when count >= threshold, AMQPFlowController.scala:131-141). */
-  private def issueCredits(): Unit = {
-    available += consumedSinceIssue
-    issuedTotal += consumedSinceIssue
-    consumedSinceIssue = 0L
-  }
-
-  def creditsAvailable: Long = synchronized(available)
+  def creditsAvailable: Long = synchronized(issuedTotal - sent)
   def totalIssued: Long = synchronized(issuedTotal)
 }
 
@@ -59,12 +61,12 @@ object AmqpFlowController {
   * micro-batch COMMIT — the settle-after-durable-store contract of the
   * reference's reliable receiver, ReliableAMQPReceiver.scala:142-159).
   *
-  * Flow control bounds the UNDELIVERED window: senders are refused once
-  * `maxInFlight` deliveries are enqueued but not yet fetched by the
-  * consumer — matching the reference, whose flow controller re-issues
-  * credits as messages are CONSUMED (50% threshold), independent of
-  * settlement (AMQPFlowController.scala:131-141; its unsettled buffer is
-  * unbounded — SURVEY.md §7.4.2). Settlement gates only redelivery:
+  * Flow control bounds the UNDELIVERED window: each send spends one
+  * issued link credit and senders are refused when the issued window is
+  * exhausted; credits are re-issued as messages are CONSUMED (fetched by
+  * the Spark reader, 50% threshold), independent of settlement — matching
+  * the reference (AMQPFlowController.scala:131-141; its unsettled buffer
+  * is unbounded — SURVEY.md §7.4.2). Settlement gates only redelivery:
   * Spark commits a batch's offsets while constructing the NEXT batch, so
   * settlement intentionally lags one batch (same as the Kafka source's
   * offset commits) — admission must not depend on it or an idle stream
@@ -76,7 +78,7 @@ object AmqpFlowController {
   * delivery/settlement/flow-control semantics are real. A TCP transport
   * would implement the same operations against a socket.
   */
-class InMemoryAmqpBroker(val maxInFlight: Long = AmqpFlowController.CreditsDefault) {
+class InMemoryAmqpBroker {
 
   /** (seq, message, enqueue timestamp micros). seq starts at 1. */
   private final class Address {
@@ -100,8 +102,7 @@ class InMemoryAmqpBroker(val maxInFlight: Long = AmqpFlowController.CreditsDefau
     val q = addr(address)
     q.lock.lock()
     try {
-      if (q.nextSeq - 1 - math.max(q.deliveredUpTo, q.settledUpTo) >= maxInFlight) -1L
-      else if (!q.flow.acquire()) -1L
+      if (!q.flow.trySend()) -1L
       else {
         val seq = q.nextSeq
         q.nextSeq += 1
@@ -125,7 +126,10 @@ class InMemoryAmqpBroker(val maxInFlight: Long = AmqpFlowController.CreditsDefau
     val q = addr(address)
     q.lock.lock()
     try {
-      if (toInclusive > q.deliveredUpTo) q.deliveredUpTo = toInclusive
+      if (toInclusive > q.deliveredUpTo) {
+        q.flow.consumed(toInclusive - q.deliveredUpTo)
+        q.deliveredUpTo = toInclusive
+      }
       q.messages.filter { case (s, _, _) => s > fromExclusive && s <= toInclusive }.toSeq
     } finally q.lock.unlock()
   }

@@ -44,8 +44,8 @@ class DedupQueriesSpec extends SparkSpecBase {
     val mh = DedupQueries.dedupMinhashLsh(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(mh.nonEmpty, "expected planted near-duplicates at sf0.001")
-    // bigram@0.9 and trigram@0.8 are different thresholds but the planted
-    // ~0.99 pairs must be caught by both
+    // 4-gram@0.85 and trigram@0.8 are different shingles/thresholds but
+    // the planted ~0.99 pairs must be caught by both
     assert((mh intersect ng).nonEmpty)
   }
 

@@ -76,6 +76,17 @@ class AmqpModelSpec extends SparkSpecBase {
       .sameElements(bytes))
   }
 
+  test("C2 quotes a plain string body even when it starts with '{' or '['") {
+    for (s <- Seq("{hello", "[not json", """{"a":1}""")) {
+      val df = envelopeDf(AmqpMessage(body = AmqpValueBody(s)))
+      val json = df.select(AmqpConverters.amqpToJson.as("j")).collect().head.getString(0)
+      val tree = mapper.readTree(json)
+      assert(tree.at("/body/type").asText() == "amqpValue")
+      assert(tree.at("/body/section").isTextual, s"string body '$s' must stay a JSON string")
+      assert(tree.at("/body/section").asText() == s)
+    }
+  }
+
   test("C2 never drops: other-section bodies still produce a document") {
     val df = envelopeDf(AmqpMessage(subject = Some("s"), body = AmqpOtherBody))
     val json = df.select(AmqpConverters.amqpToJson.as("j")).collect().head.getString(0)
