@@ -27,14 +27,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] = driver-only execution: the heap IS the cluster memory.
-  // Fixed-size heap (Xms=Xmx) so G1 never uncommits/recommits — but NO
-  // AlwaysPreTouch and NO TransparentHugePages: on this Firecracker
-  // kernel the parallel pretouch of a 16g heap burns 40+ CPU-MINUTES of
-  // kernel page-fault time before main() runs (measured: `java -Xms16g
-  // -XX:+AlwaysPreTouch -version` = 124s wall / 42min sys; with THP
-  // 270s / 102min), which is what timed out the round-1 driver gate.
-  // Lazy 4K faulting costs ~1.7s sys/GiB actually used — pay only that.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
+  // TOUCH AS FEW PAGES AS POSSIBLE: on this VM, first-touch page faults
+  // cost 2-25s of kernel time PER GiB (varies ~10x with host load), and
+  // contend catastrophically when touched by many threads at once.
+  // Measured: `java -Xms16g -XX:+AlwaysPreTouch -version` = 124s wall /
+  // 42 CPU-min sys (that pretouch is what timed out the round-1 driver
+  // gate); a pinned 10g Xms=Xmx heap lazily faulted by 32 executor
+  // threads inflated a 7s aggregation to 191s; a single-threaded 7 GiB
+  // user-space prefault took 170s under host load. A small Xms with
+  // incremental G1 growth (the spark-shell default) runs the same
+  // queries at full speed because only ~1-2 GiB ever get touched.
+  "-Xms512m",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:ReservedCodeCacheSize=1g",
+  // C1-only JIT: the gate mains are one-shot JVMs running 36 distinct
+  // query plans — hundreds of large generated classes, each executed
+  // once. C2 compilation of those classes costs far more than it ever
+  // repays here (measured: first-run query times 5-10x their warm
+  // times, with C2 threads burning 20+ CPU-minutes); C1 compiles are
+  // ~20x cheaper at ~1.5-2x peak-code cost. A long-lived production
+  // driver would keep full tiered compilation.
+  "-XX:TieredStopAtLevel=1",
 )

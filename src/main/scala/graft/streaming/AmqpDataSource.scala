@@ -5,10 +5,11 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,16 +58,21 @@ class AmqpDataSource extends TableProvider with DataSourceRegister {
     new AmqpTable(new CaseInsensitiveStringMap(properties))
 }
 
-class AmqpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class AmqpTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"amqp:${AmqpSourceConfig(options).endpoint}/${AmqpSourceConfig(options).address}"
   override def schema(): StructType = AmqpEnvelope.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new AmqpScan(AmqpSourceConfig(opts))
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AmqpWriteBuilder(AmqpSourceConfig(info.options()), info)
 }
 
 case class AmqpSourceConfig(endpoint: String, address: String, maxPerTrigger: Long)

@@ -25,6 +25,11 @@ sealed trait AmqpBody
 case class AmqpValueBody(value: Any) extends AmqpBody
 /** A data section (raw bytes). */
 case class AmqpDataBody(bytes: Array[Byte]) extends AmqpBody
+/** An amqp-value list/array/map section already serialized to JSON text —
+  * used when an envelope row is written back out (the sink can't recover
+  * the original structure, but preserves the serialized form + its
+  * body_type provenance so source→sink round-trips are lossless). */
+case class AmqpJsonBody(json: String) extends AmqpBody
 /** Any other section (e.g. amqp-sequence): body content omitted, message
   * still delivered (AMQPJsonFunction.scala:149-154 never drops). */
 case object AmqpOtherBody extends AmqpBody
@@ -106,6 +111,7 @@ object AmqpEnvelope {
       // Jackson behavior, AMQPJsonFunction.scala:122-135).
       case AmqpValueBody(s: String) => (Some("amqpValue"), Some(s), None)
       case AmqpValueBody(v)         => (Some("amqpValueJson"), Some(jsonify(v)), None)
+      case AmqpJsonBody(j)          => (Some("amqpValueJson"), Some(j), None)
       case AmqpDataBody(bs)         => (Some("data"), None, Some(bs))
       case AmqpOtherBody            => (None, None, None)
     }

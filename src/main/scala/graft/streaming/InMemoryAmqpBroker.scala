@@ -46,6 +46,12 @@ class AmqpFlowController {
 
   def creditsAvailable: Long = synchronized(issuedTotal - sent)
   def totalIssued: Long = synchronized(issuedTotal)
+
+  /** Record a send without the credit check — used by transactional
+    * (sink) publishes, whose backpressure is the engine's own epoch
+    * pacing rather than per-message link credit. Keeps `sent` accounting
+    * consistent so [[consumed]]-side re-issue math stays truthful. */
+  private[streaming] def sendUnconditionally(): Unit = synchronized { sent += 1 }
 }
 
 object AmqpFlowController {
@@ -170,6 +176,63 @@ class InMemoryAmqpBroker {
   }
 
   def flowController(address: String): AmqpFlowController = addr(address).flow
+
+  // ------------------------------------------------- transactional sends
+  // AMQP 1.0 transactional-messaging semantics (txn-capability), used by
+  // the Spark sink: executors STAGE messages under a transaction key,
+  // the driver's epoch commit atomically publishes the whole transaction.
+  // Staging is keyed by (txn, partitionId) and REPLACES any previous
+  // staging for that partition, so task retries / speculative duplicates
+  // are idempotent; epoch commits are tracked per (query, address), so a
+  // replayed epoch after restart publishes nothing twice: exactly-once.
+
+  /** txn → partitionId → staged messages (in partition-task row order). */
+  private val staged =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Int, Seq[AmqpMessage]]]()
+  /** "queryId/address" → highest committed epoch. */
+  private val committedEpochs = new ConcurrentHashMap[String, Long]()
+
+  /** Stage one writer task's messages; replaces earlier attempts of the
+    * same (txn, partition). */
+  def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
+    staged.computeIfAbsent(txn, _ => new ConcurrentHashMap[Int, Seq[AmqpMessage]]())
+      .put(partitionId, msgs)
+
+  /** Atomically publish a staged transaction to `address`. Returns the
+    * number of messages published, or -1 if this (query, epoch) was
+    * already committed (replay after restart — staged data discarded).
+    * Transactional publish bypasses the per-send credit check (a socket
+    * transport would await credit inside the transaction); the flow
+    * accounting still records the sends so consumption-side re-issue
+    * stays consistent. */
+  def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
+      timestampMicros: Long = System.currentTimeMillis() * 1000L): Int = {
+    val parts = staged.remove(txn)
+    val key = s"$queryId/$address"
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      val last = committedEpochs.getOrDefault(key, Long.MinValue)
+      if (epochId <= last) return -1
+      committedEpochs.put(key, epochId)
+      if (parts == null) return 0
+      var n = 0
+      val pids = parts.keySet().toArray(new Array[Integer](0)).map(_.intValue).sorted
+      pids.foreach { pid =>
+        parts.get(pid).foreach { msg =>
+          q.flow.sendUnconditionally()
+          val seq = q.nextSeq
+          q.nextSeq += 1
+          q.messages += ((seq, msg, timestampMicros))
+          n += 1
+        }
+      }
+      n
+    } finally q.lock.unlock()
+  }
+
+  /** Discard a staged transaction (epoch abort). */
+  def abortStaged(txn: String): Unit = staged.remove(txn)
 }
 
 /** Process-wide endpoint registry: `mem://<name>` endpoints resolve to

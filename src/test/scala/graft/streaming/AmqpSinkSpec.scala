@@ -1,0 +1,140 @@
+package graft.streaming
+
+import scala.concurrent.duration._
+
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** End-to-end tests of the DSv2 AMQP sink — the write-side counterpart
+  * the reference only sketches as raw ProtonSender loops in fixtures
+  * (AMQPTestUtils.scala:110-120, AMQPTemperature.scala:161-180 in
+  * /root/reference): batch + streaming publishes, envelope round-trip
+  * through source→sink→source, and exactly-once epoch commit. */
+class AmqpSinkSpec extends SparkSpecBase {
+
+  private def poll[T](f: => T): T =
+    eventually(timeout(30.seconds), interval(500.millis))(f)
+
+  private def freshEndpoint(name: String): (String, InMemoryAmqpBroker) = {
+    val ep = s"mem://sink-$name"
+    AmqpEndpointRegistry.reset(ep)
+    (ep, AmqpEndpointRegistry.broker(ep))
+  }
+
+  test("batch write publishes one message per row (bare string column)") {
+    val (ep, broker) = freshEndpoint("batch")
+    import spark.implicits._
+    (1 to 7).map(i => s"payload-$i").toDF("value")
+      .write.format("amqp").option("endpoint", ep).option("address", "out").mode("append").save()
+    assert(broker.latestSeq("out") == 7)
+    val bodies = broker.fetch("out", 0, 7).map(_._2.body).collect {
+      case AmqpValueBody(s: String) => s
+    }
+    assert(bodies.toSet == (1 to 7).map(i => s"payload-$i").toSet)
+  }
+
+  test("envelope columns map to message fields; properties survive") {
+    val (ep, broker) = freshEndpoint("envelope")
+    import spark.implicits._
+    Seq(("id-1", "sub", "hello"))
+      .toDF("message_id", "subject", "body")
+      .withColumn("application_properties",
+        map(lit("k1"), lit("v1"), lit("k2"), lit("v2")))
+      .write.format("amqp").option("endpoint", ep).option("address", "out").mode("append").save()
+    val Seq((_, m, _)) = broker.fetch("out", 0, 1)
+    assert(m.messageId.contains("id-1"))
+    assert(m.subject.contains("sub"))
+    assert(m.body == AmqpValueBody("hello"))
+    assert(m.applicationProperties.toMap == Map("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("source → sink → source round-trips the envelope, including JSON bodies") {
+    val (epIn, brokerIn) = freshEndpoint("rt-in")
+    val (epOut, _) = freshEndpoint("rt-out")
+    brokerIn.send("my_address", AmqpMessage(messageId = Some("m1"),
+      body = AmqpValueBody(Seq("field_a" -> "a string", "field_b" -> 1))))
+    brokerIn.send("my_address", AmqpMessage(messageId = Some("m2"),
+      body = AmqpValueBody("{looks like json but is a string")))
+    brokerIn.send("my_address", AmqpMessage(messageId = Some("m3"),
+      body = AmqpDataBody("bytes!".getBytes("UTF-8"))))
+    // batch read of the replayable window → batch write
+    spark.read.format("amqp").option("endpoint", epIn).option("address", "my_address")
+      .load()
+      .write.format("amqp").option("endpoint", epOut).option("address", "my_address").mode("append").save()
+    // read the copy back and compare the body union tags + content
+    val copied = spark.read.format("amqp")
+      .option("endpoint", epOut).option("address", "my_address").load()
+      .select("message_id", "body_type", "body", "body_binary")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(copied == Map("m1" -> "amqpValueJson", "m2" -> "amqpValue", "m3" -> "data"))
+    val m1 = AmqpEndpointRegistry.broker(epOut).fetch("my_address", 0, 3)
+      .find(_._2.messageId.contains("m1")).get._2
+    assert(m1.body == AmqpJsonBody("""{"field_a":"a string","field_b":1}"""))
+    val m2 = AmqpEndpointRegistry.broker(epOut).fetch("my_address", 0, 3)
+      .find(_._2.messageId.contains("m2")).get._2
+    assert(m2.body == AmqpValueBody("{looks like json but is a string"))
+  }
+
+  test("streaming write: each micro-batch publishes exactly once") {
+    val (epIn, brokerIn) = freshEndpoint("s-in")
+    val (epOut, brokerOut) = freshEndpoint("s-out")
+    (1 to 5).foreach(i =>
+      brokerIn.send("my_address", AmqpMessage(body = AmqpValueBody(s"m-$i"))))
+    val ckpt = java.nio.file.Files.createTempDirectory("amqp-sink-ckpt").toString
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", epIn).option("address", "my_address").load()
+      .writeStream.format("amqp")
+      .option("endpoint", epOut).option("address", "copied")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      poll { assert(brokerOut.latestSeq("copied") == 5) }
+      (6 to 8).foreach(i =>
+        brokerIn.send("my_address", AmqpMessage(body = AmqpValueBody(s"m-$i"))))
+      q.processAllAvailable()
+      poll { assert(brokerOut.latestSeq("copied") == 8) }
+      val bodies = brokerOut.fetch("copied", 0, 8).map(_._2.body).collect {
+        case AmqpValueBody(s: String) => s
+      }
+      assert(bodies.toSet == (1 to 8).map(i => s"m-$i").toSet)
+    } finally q.stop()
+  }
+
+  test("epoch replay is idempotent: a committed epoch publishes nothing twice") {
+    val (ep, broker) = freshEndpoint("idem")
+    val msgs = Seq(AmqpMessage(body = AmqpValueBody("once")))
+    broker.stage("q1#7", 0, msgs)
+    assert(broker.commitStaged("q1#7", "q1", 7L, "out") == 1)
+    // replayed epoch after a restart: same query, same epoch, re-staged
+    broker.stage("q1#7", 0, msgs)
+    assert(broker.commitStaged("q1#7", "q1", 7L, "out") == -1)
+    assert(broker.latestSeq("out") == 1)
+    // the next epoch goes through
+    broker.stage("q1#8", 0, msgs)
+    assert(broker.commitStaged("q1#8", "q1", 8L, "out") == 1)
+    assert(broker.latestSeq("out") == 2)
+  }
+
+  test("task retry is idempotent: re-staging a partition replaces, not appends") {
+    val (ep, broker) = freshEndpoint("retry")
+    val attempt1 = Seq(AmqpMessage(body = AmqpValueBody("a")),
+      AmqpMessage(body = AmqpValueBody("b")))
+    broker.stage("q2#1", 3, attempt1)
+    broker.stage("q2#1", 3, attempt1) // speculative duplicate of partition 3
+    broker.stage("q2#1", 4, Seq(AmqpMessage(body = AmqpValueBody("c"))))
+    assert(broker.commitStaged("q2#1", "q2", 1L, "out") == 3)
+    assert(broker.latestSeq("out") == 3)
+  }
+
+  test("abort discards the staged transaction") {
+    val (ep, broker) = freshEndpoint("abort")
+    broker.stage("q3#1", 0, Seq(AmqpMessage(body = AmqpValueBody("x"))))
+    broker.abortStaged("q3#1")
+    assert(broker.commitStaged("q3#1", "q3", 1L, "out") == 0)
+    assert(broker.latestSeq("out") == 0)
+  }
+}
