@@ -45,9 +45,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * comes from many links/addresses, each its own partition; downstream
   * transforms are partition-parallel regardless.
   *
-  * Options: endpoint (mem://name), address, maxMessagesPerTrigger;
-  * host/port/username/password are accepted for API parity with
-  * AMQPUtils.createStream and used by socket transports.
+  * Options: endpoint (mem://name), address, maxMessagesPerTrigger,
+  * maxMessagesPerSecond (0 = unlimited — rate-controller parity, see
+  * [[AmqpMicroBatchStream.rateBudget]]); host/port/username/password are
+  * accepted for API parity with AMQPUtils.createStream and used by
+  * socket transports.
   */
 class AmqpDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "amqp"
@@ -75,14 +77,16 @@ class AmqpTable(options: CaseInsensitiveStringMap)
     new AmqpWriteBuilder(AmqpSourceConfig(info.options()), info)
 }
 
-case class AmqpSourceConfig(endpoint: String, address: String, maxPerTrigger: Long)
+case class AmqpSourceConfig(endpoint: String, address: String, maxPerTrigger: Long,
+    maxPerSecond: Long)
 
 object AmqpSourceConfig {
   def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = AmqpSourceConfig(
     endpoint = o.getOrDefault("endpoint",
       s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}"),
     address = o.getOrDefault("address", "my_address"),
-    maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong)
+    maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong,
+    maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong)
 }
 
 class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
@@ -117,13 +121,43 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
 
+  /** Injectable clock (nanos) so rate-limit admission is unit-testable. */
+  private[streaming] var nanoClock: () => Long = () => System.nanoTime()
+  private var lastAdmissionNanos = 0L
+  private var firstAdmission = true
+
+  /** Admission cap from `maxMessagesPerSecond`: the declarative
+    * replacement for the reference's rate-controller hierarchy
+    * (AMQPRateController.scala:38-341 in /root/reference — dead code
+    * there, but its manual-credit variant caps deliveries per pacing
+    * interval). Budget = rate x seconds since the last admission
+    * decision; the first trigger gets one second's worth. Unused budget
+    * does NOT accumulate beyond one interval (the reference's
+    * RateLimiter likewise smooths bursts). */
+  private def rateBudget(): Long =
+    if (cfg.maxPerSecond <= 0L) Long.MaxValue
+    else {
+      val now = nanoClock()
+      val budget =
+        if (firstAdmission) cfg.maxPerSecond
+        else {
+          val dt = (now - lastAdmissionNanos) / 1e9
+          math.max(1L, math.min(cfg.maxPerSecond * 10, // burst ceiling
+            (cfg.maxPerSecond * dt).toLong))
+        }
+      firstAdmission = false
+      lastAdmissionNanos = now
+      budget
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startSeq = start.asInstanceOf[AmqpOffset].seq
     val latest = broker.latestSeq(cfg.address)
-    val capped = limit match {
-      case rl: streaming.ReadMaxRows => math.min(latest, startSeq + rl.maxRows())
-      case _ => latest
+    val triggerCap = limit match {
+      case rl: streaming.ReadMaxRows => rl.maxRows()
+      case _ => Long.MaxValue
     }
+    val capped = math.min(latest, startSeq + math.min(triggerCap, rateBudget()))
     AmqpOffset(capped)
   }
 

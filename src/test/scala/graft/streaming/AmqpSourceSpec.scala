@@ -96,6 +96,58 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding window: 10s window, 5s slide (same API family as the tumbling demo)") {
+    val (ep, broker) = freshEndpoint("slide")
+    val base = 100L * 1000000L
+    for (i <- 0 until 10) // temps 20..24 cycling, 1s apart: t=100..109
+      broker.send("my_address",
+        AmqpMessage(body = AmqpValueBody((20 + i % 5).toString)),
+        timestampMicros = base + i * 1000000L)
+    val q = stream(ep)
+      .select(AmqpConverters.amqpBodyAs(IntegerType).as("t"), col("ingest_timestamp"))
+      .withWatermark("ingest_timestamp", "10 seconds")
+      .groupBy(window(col("ingest_timestamp"), "10 seconds", "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("amqp_slide").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val rows = spark.table("amqp_slide")
+          .select(col("window.start").cast("long"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // events span [100,110): window 95-105 sees 5, 100-110 sees all
+        // 10, 105-115 sees the last 5
+        assert(rows == Map(95L -> 5L, 100L -> 10L, 105L -> 5L))
+      }
+    } finally q.stop()
+  }
+
+  test("session window: gap-based sessions over the event stream") {
+    val (ep, broker) = freshEndpoint("session")
+    val base = 100L * 1000000L
+    // two bursts separated by >5s: [100,101,102] and [120,121]
+    Seq(0L, 1L, 2L, 20L, 21L).foreach(s =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody("x")),
+        timestampMicros = base + s * 1000000L))
+    val q = stream(ep)
+      .select(AmqpConverters.amqpBody.as("k"), col("ingest_timestamp"))
+      .withWatermark("ingest_timestamp", "30 seconds")
+      // session windows require a grouping key (global session agg is
+      // unsupported) — the body is the natural per-device/stream key
+      .groupBy(col("k"), session_window(col("ingest_timestamp"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("amqp_sess").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val rows = spark.table("amqp_sess")
+          .select(col("session_window.start").cast("long"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(rows == Map(100L -> 3L, 120L -> 2L))
+      }
+    } finally q.stop()
+  }
+
   test("credit window bounds the sender; consumption re-opens it") {
     val (ep, broker) = freshEndpoint("credits")
     val sent = (1 to 1200).map(_ =>
@@ -133,6 +185,33 @@ class AmqpSourceSpec extends SparkSpecBase {
       assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 3),
         s"batches: ${batchSizes.mkString(",")}")
     } finally q.stop()
+  }
+
+  test("maxMessagesPerSecond admission: budget = rate x elapsed, burst-capped") {
+    val (ep, broker) = freshEndpoint("rate")
+    (1 to 1000).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    val stream = new AmqpMicroBatchStream(
+      AmqpSourceConfig(ep, "my_address", maxPerTrigger = 10000, maxPerSecond = 100))
+    var now = 0L
+    stream.nanoClock = () => now
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def admit(from: Long): Long =
+      stream.latestOffset(AmqpOffset(from), ReadLimit.maxRows(10000))
+        .asInstanceOf[AmqpOffset].seq
+    // first trigger: one second's worth
+    assert(admit(0) == 100)
+    // 500ms later: half a second's budget
+    now += 500L * 1000 * 1000
+    assert(admit(100) == 150)
+    // a long stall does not bank unbounded budget (burst ceiling 10x)
+    now += 3600L * 1000 * 1000 * 1000
+    assert(admit(150) == 1000, "10x burst cap > remaining data")
+    // trigger cap still wins when smaller
+    now += 1000L * 1000 * 1000
+    val cappedByTrigger = stream.latestOffset(AmqpOffset(0), ReadLimit.maxRows(7))
+      .asInstanceOf[AmqpOffset].seq
+    assert(cappedByTrigger == 7)
   }
 
   test("offsets checkpoint across restarts; no duplicates of the settled prefix") {
