@@ -508,6 +508,54 @@ object RelationalQueries {
       |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
       |ORDER BY spend DESC, o_custkey ASC LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** GROUPING SETS (the remaining multi-grouping flavor beyond q08's
+    * rollup and q17's cube): per-(returnflag,linestatus), per-returnflag,
+    * and grand-total aggregates in one pass. Spark expands the sets into
+    * a single Expand + hash aggregate — one scan, one shuffle, same as a
+    * plain groupBy at scale. */
+  def q23GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast(LongType).as("gid"))
+
+  val q23Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  count(*) AS n_rows,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Skew-salted aggregation: the two-phase pattern for hot keys at
+    * scale. Phase 1 pre-aggregates on (key, salt) — the hot key's rows
+    * spread over SALT reducers instead of one — phase 2 merges the salt
+    * buckets. Results are identical to a direct groupBy (the oracle IS
+    * the direct groupBy); decimal sums make the two-phase merge exact.
+    * l_returnflag has only 3 values — a genuinely skewed key. */
+  def q24SaltedSkewAgg(s: SparkSession, d: String): DataFrame = {
+    val Salt = 16
+    Tables.lineitem(s, d)
+      .withColumn("salt", (col("l_orderkey") % Salt).cast(IntegerType))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("q1"),
+        count(lit(1)).as("c1"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("q1")).as("sum_qty"), sum(col("c1")).as("n_rows"))
+  }
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -532,6 +580,8 @@ object RelationalQueries {
     "q20_math"            -> (q20Math _),
     "q21_distinct"        -> (q21Distinct _),
     "q22_having"          -> (q22Having _),
+    "q23_grouping_sets"   -> (q23GroupingSets _),
+    "q24_salted_skew_agg" -> (q24SaltedSkewAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -557,5 +607,7 @@ object RelationalQueries {
     "q20_math"            -> q20Sql,
     "q21_distinct"        -> q21Sql,
     "q22_having"          -> q22Sql,
+    "q23_grouping_sets"   -> q23Sql,
+    "q24_salted_skew_agg" -> q24Sql,
   )
 }

@@ -75,12 +75,36 @@ object TextQueries {
        |FROM documents""".stripMargin
 
   // --------------------------------------------------------- txt_langid
-  /** Language-ID confusion matrix: labeled lang × predicted lang. */
-  def txtLangId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("lang"), languageId(col("text")).as("predicted"))
+  /** Language-ID confusion matrix: labeled lang × predicted lang.
+    *
+    * Relational form of [[graft.functions.TextFunctions.languageId]]:
+    * the Column version evaluates ~2 interpreted array-HOF filters per
+    * language per row (each re-tokenizing the text), which profiled as
+    * the slowest text query. Here the text is tokenized ONCE
+    * (explode_outer keeps zero-token documents), each language's marker
+    * hits are a codegen'd conditional sum, and the argmax/tie order is
+    * identical. Scale shape: map-side explode + partially-aggregated
+    * groupBy(doc) — no HOFs anywhere. */
+  def txtLangId(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode_outer(split(trim(col("text")), " +")).as("tok"))
+    val scoreAggs = LangMarkers.map { case (l, ms) =>
+      sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val scored = tok.groupBy(col("doc_id"), col("lang"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val anyHit = LangMarkers.map(lm => col(s"s_${lm._1}")).reduce(_ + _) > 0
+    val best = LangMarkers.foldLeft(lit(-1L) -> lit("und")) {
+      case ((bestScore, bestLang), (l, _)) =>
+        val take = col(s"s_$l") > bestScore
+        (when(take, col(s"s_$l")).otherwise(bestScore),
+          when(take, lit(l)).otherwise(bestLang))
+    }._2
+    scored
+      .select(col("lang"), when(anyHit, best).otherwise(lit("und")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   private val langScoreSql: Map[String, String] = LangMarkers.map { case (l, ms) =>
     l -> s"len(list_filter($DTokens, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
