@@ -1,0 +1,75 @@
+package graft.streaming
+
+import scala.concurrent.duration._
+
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+
+import graft.SparkSpecBase
+
+/** Stateful operators over the AMQP stream: bounded-state dedup by
+  * message id, and the flatMapGroupsWithState running-max change-log
+  * (the stateful generalization of the reference's reduceByWindow(max)
+  * demo). */
+class AmqpStreamOpsSpec extends SparkSpecBase {
+
+  private def poll[T](f: => T): T =
+    eventually(timeout(30.seconds), interval(500.millis))(f)
+
+  private def freshEndpoint(name: String): (String, InMemoryAmqpBroker) = {
+    val ep = s"mem://ops-$name"
+    AmqpEndpointRegistry.reset(ep)
+    (ep, AmqpEndpointRegistry.broker(ep))
+  }
+
+  private def stream(ep: String) =
+    spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+
+  test("dedupByMessageId drops redelivered ids within the watermark") {
+    val (ep, broker) = freshEndpoint("dedup")
+    val base = 100L * 1000000L
+    def send(id: String, atSec: Long): Unit =
+      broker.send("my_address",
+        AmqpMessage(messageId = Some(id), body = AmqpValueBody(id)),
+        timestampMicros = base + atSec * 1000000L)
+    send("m-1", 0); send("m-2", 1); send("m-1", 2) // m-1 redelivered
+    val q = AmqpStreamOps.dedupByMessageId(stream(ep))
+      .select("message_id")
+      .writeStream.format("memory").queryName("ops_dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      send("m-2", 3); send("m-3", 4) // second batch: m-2 is a dup
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_dedup").collect().map(_.getString(0)).toSeq
+        assert(got.sorted == Seq("m-1", "m-2", "m-3"))
+      }
+    } finally q.stop()
+  }
+
+  test("runningMaxChangelog emits only when a key's max advances") {
+    val (ep, broker) = freshEndpoint("runmax")
+    def send(device: String, temp: Int): Unit =
+      broker.send("my_address", AmqpMessage(subject = Some(device),
+        body = AmqpValueBody(temp.toString)))
+    send("dev-a", 20); send("dev-a", 25); send("dev-b", 30)
+    val q = AmqpStreamOps.runningMaxChangelog(stream(ep), "subject", "body")
+      .writeStream.format("memory").queryName("ops_runmax").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_runmax").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+        assert(got == Set("dev-a" -> 25, "dev-b" -> 30))
+      }
+      // batch 2: lower temps emit nothing; a new high emits one row
+      send("dev-a", 24); send("dev-b", 31)
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_runmax").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+        assert(got == Set("dev-a" -> 25, "dev-b" -> 30, "dev-b" -> 31))
+      }
+    } finally q.stop()
+  }
+}
