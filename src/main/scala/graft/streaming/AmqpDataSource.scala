@@ -113,7 +113,7 @@ object AmqpOffset {
 class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def broker = AmqpEndpointRegistry.broker(cfg.endpoint)
+  private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
 
   override def initialOffset(): Offset = AmqpOffset(0L)
 
@@ -181,7 +181,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
   * the envelope as a static DataFrame for tests/oracle comparisons. */
 class AmqpBatchRead(cfg: AmqpSourceConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val b = AmqpEndpointRegistry.broker(cfg.endpoint)
+    val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
     Array(AmqpInputPartition(cfg.endpoint, cfg.address,
       b.settledUpTo(cfg.address), b.latestSeq(cfg.address)))
   }
@@ -204,7 +204,7 @@ class AmqpReaderFactory extends PartitionReaderFactory {
 class AmqpPartitionReader(p: AmqpInputPartition) extends PartitionReader[InternalRow] {
 
   private val messages =
-    AmqpEndpointRegistry.broker(p.endpoint).fetch(p.address, p.fromExclusive, p.toInclusive)
+    AmqpEndpointRegistry.endpoint(p.endpoint).fetch(p.address, p.fromExclusive, p.toInclusive)
   private var idx = -1
 
   override def next(): Boolean = { idx += 1; idx < messages.length }

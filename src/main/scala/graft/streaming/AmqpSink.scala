@@ -133,11 +133,11 @@ class AmqpStreamingWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: Str
     AmqpStreamingWriterFactory(cfg, schema, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    AmqpEndpointRegistry.broker(cfg.endpoint)
+    AmqpEndpointRegistry.endpoint(cfg.endpoint)
       .commitStaged(txn(epochId), queryId, epochId, cfg.address)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    AmqpEndpointRegistry.broker(cfg.endpoint).abortStaged(txn(epochId))
+    AmqpEndpointRegistry.endpoint(cfg.endpoint).abortStaged(txn(epochId))
 }
 
 /** Batch writes publish as a single transaction keyed by the write's
@@ -148,10 +148,10 @@ class AmqpBatchWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     AmqpBatchWriterFactory(cfg, schema, queryId)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    AmqpEndpointRegistry.broker(cfg.endpoint)
+    AmqpEndpointRegistry.endpoint(cfg.endpoint)
       .commitStaged(s"$queryId#batch", queryId, 0L, cfg.address)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    AmqpEndpointRegistry.broker(cfg.endpoint).abortStaged(s"$queryId#batch")
+    AmqpEndpointRegistry.endpoint(cfg.endpoint).abortStaged(s"$queryId#batch")
 }
 
 /** Buffers one partition's rows, stages them under the epoch transaction
@@ -166,7 +166,7 @@ class AmqpDataWriter(cfg: AmqpSourceConfig, schema: StructType, txn: String,
   override def write(row: InternalRow): Unit = buf += AmqpSink.rowToMessage(row, ix)
 
   override def commit(): WriterCommitMessage = {
-    AmqpEndpointRegistry.broker(cfg.endpoint).stage(txn, partitionId, buf.toSeq)
+    AmqpEndpointRegistry.endpoint(cfg.endpoint).stage(txn, partitionId, buf.toSeq)
     AmqpCommitMessage(partitionId, buf.length.toLong)
   }
 

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Socket transport for the [[AmqpEndpoint]] surface — the cluster path
+  * the in-process registry stands in for under local[n].
+  *
+  * The reference connects executors to the peer with a Vert.x Proton TCP
+  * link (AMQPReceiver.scala:63-88 in /root/reference). This transport
+  * keeps that topology — broker in one process, each Spark executor
+  * holding its own connection — while framing requests with JDK object
+  * streams instead of AMQP 1.0 performatives: the delivery semantics
+  * (ordered per-link sequences, credit-gated sends, settle-on-commit
+  * replay, transactional staged publish) live in [[AmqpEndpoint]] and
+  * are transport-independent; swapping this framing for a Proton codec
+  * changes no engine code.
+  *
+  * Concurrency: the server is thread-per-connection (each executor's
+  * reader holds one connection, exactly like one AMQP link per
+  * receiver); the client serializes request/response pairs per
+  * connection — parallel partitions on one executor each resolve their
+  * own client via the registry.
+  */
+private[streaming] object AmqpTcpProtocol {
+  sealed trait Req extends Serializable
+  case class SendReq(address: String, msg: AmqpMessage, tsMicros: Long) extends Req
+  case class LatestReq(address: String) extends Req
+  case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
+  case class SettleReq(address: String, upTo: Long) extends Req
+  case class SettledUpToReq(address: String) extends Req
+  case class StageReq(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]) extends Req
+  case class CommitStagedReq(txn: String, queryId: String, epochId: Long,
+      address: String, tsMicros: Long) extends Req
+  case class AbortReq(txn: String) extends Req
+}
+
+/** Serves an [[InMemoryAmqpBroker]] over a socket. `port = 0` binds an
+  * ephemeral port (see [[port]]). */
+class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0) {
+  import AmqpTcpProtocol._
+
+  private val server = new ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress(bindPort))
+  private val running = new AtomicBoolean(true)
+
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"amqp-tcp-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable if !running.get() => /* closed */ }
+    }
+  }, "amqp-tcp-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val out = new ObjectOutputStream(sock.getOutputStream)
+      out.flush() // stream header first, before the peer builds its reader
+      val in = new ObjectInputStream(sock.getInputStream)
+      while (running.get()) {
+        val resp: Any = in.readObject() match {
+          case SendReq(a, m, ts)      => backing.send(a, m, ts)
+          case LatestReq(a)           => backing.latestSeq(a)
+          case FetchReq(a, f, t)      => backing.fetch(a, f, t)
+          case SettleReq(a, u)        => backing.settle(a, u)
+          case SettledUpToReq(a)      => backing.settledUpTo(a)
+          case StageReq(x, p, ms)     => backing.stage(x, p, ms)
+          case CommitStagedReq(x, q, e, a, ts) => backing.commitStaged(x, q, e, a, ts)
+          case AbortReq(x)            => backing.abortStaged(x)
+        }
+        out.writeObject(resp)
+        out.flush()
+        out.reset() // don't let the object cache pin every message ever sent
+      }
+    } catch { case _: Throwable => /* peer closed */ }
+    finally sock.close()
+  }
+
+  def close(): Unit = {
+    running.set(false)
+    server.close()
+  }
+}
+
+/** Client side: an [[AmqpEndpoint]] whose every operation is one
+  * request/response round-trip to an [[AmqpTcpServer]]. */
+class TcpAmqpEndpoint(host: String, port: Int) extends AmqpEndpoint with AutoCloseable {
+  import AmqpTcpProtocol._
+
+  private lazy val sock = {
+    val s = new Socket(host, port)
+    s.setTcpNoDelay(true)
+    s
+  }
+  private lazy val out = { val o = new ObjectOutputStream(sock.getOutputStream); o.flush(); o }
+  private lazy val in = new ObjectInputStream(sock.getInputStream)
+
+  private def call[T](req: Req): T = synchronized {
+    out.writeObject(req)
+    out.flush()
+    out.reset()
+    in.readObject().asInstanceOf[T]
+  }
+
+  override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
+    call[Long](SendReq(address, msg, timestampMicros))
+  override def latestSeq(address: String): Long = call[Long](LatestReq(address))
+  override def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)] =
+    call[Seq[(Long, AmqpMessage, Long)]](FetchReq(address, fromExclusive, toInclusive))
+  override def settle(address: String, upTo: Long): Unit =
+    call[Any](SettleReq(address, upTo))
+  override def settledUpTo(address: String): Long = call[Long](SettledUpToReq(address))
+  override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
+    call[Any](StageReq(txn, partitionId, msgs))
+  override def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
+      timestampMicros: Long): Int =
+    call[Int](CommitStagedReq(txn, queryId, epochId, address, timestampMicros))
+  override def abortStaged(txn: String): Unit = call[Any](AbortReq(txn))
+
+  override def close(): Unit = try sock.close() catch { case _: Throwable => () }
+}

@@ -61,6 +61,26 @@ object AmqpFlowController {
   val CreditsThreshold: Long = CreditsDefault * 50 / 100
 }
 
+/** The endpoint surface the Spark source/sink drive — the operations an
+  * AMQP peer provides once the wire protocol is stripped away: ordered
+  * sequence-numbered delivery, credit-gated sends, prefix settlement,
+  * and transactional staged publish. Implemented in-process by
+  * [[InMemoryAmqpBroker]] and over a socket by
+  * [[graft.streaming.TcpAmqpEndpoint]] (same semantics, remote broker).
+  */
+trait AmqpEndpoint {
+  def send(address: String, msg: AmqpMessage,
+      timestampMicros: Long = System.currentTimeMillis() * 1000L): Long
+  def latestSeq(address: String): Long
+  def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
+  def settle(address: String, upTo: Long): Unit
+  def settledUpTo(address: String): Long
+  def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit
+  def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
+      timestampMicros: Long = System.currentTimeMillis() * 1000L): Int
+  def abortStaged(txn: String): Unit
+}
+
 /** An in-process AMQP-semantics endpoint: addresses hold ordered,
   * sequence-numbered messages; deliveries stay replayable until the
   * consumer settles a prefix (which in the Spark source happens on
@@ -84,7 +104,7 @@ object AmqpFlowController {
   * delivery/settlement/flow-control semantics are real. A TCP transport
   * would implement the same operations against a socket.
   */
-class InMemoryAmqpBroker {
+class InMemoryAmqpBroker extends AmqpEndpoint {
 
   /** (seq, message, enqueue timestamp micros). seq starts at 1. */
   private final class Address {
@@ -103,8 +123,7 @@ class InMemoryAmqpBroker {
 
   /** Send one message. Returns the assigned sequence number, or -1 when
     * the in-flight window (link credit) is exhausted. */
-  def send(address: String, msg: AmqpMessage,
-           timestampMicros: Long = System.currentTimeMillis() * 1000L): Long = {
+  def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long = {
     val q = addr(address)
     q.lock.lock()
     try {
@@ -206,7 +225,7 @@ class InMemoryAmqpBroker {
     * accounting still records the sends so consumption-side re-issue
     * stays consistent. */
   def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
-      timestampMicros: Long = System.currentTimeMillis() * 1000L): Int = {
+      timestampMicros: Long): Int = {
     val parts = staged.remove(txn)
     val key = s"$queryId/$address"
     val q = addr(address)
@@ -235,17 +254,33 @@ class InMemoryAmqpBroker {
   def abortStaged(txn: String): Unit = staged.remove(txn)
 }
 
-/** Process-wide endpoint registry: `mem://<name>` endpoints resolve to
-  * broker instances reachable from both the driver (offset tracking) and
-  * executor threads (partition readers) — in local mode one JVM. A
-  * cluster deployment would replace registry lookup with a per-executor
-  * TCP connection implementing the same fetch/settle surface.
+/** Process-wide endpoint registry. `mem://<name>` endpoints resolve to
+  * in-process broker instances reachable from both the driver (offset
+  * tracking) and executor threads (partition readers) — in local mode
+  * one JVM. `tcp://host:port` endpoints resolve to socket clients of a
+  * remote [[AmqpTcpServer]] — the cluster path, where each executor
+  * holds its own connection to the broker.
   */
 object AmqpEndpointRegistry {
   private val brokers = new ConcurrentHashMap[String, InMemoryAmqpBroker]()
+  private val clients = new ConcurrentHashMap[String, TcpAmqpEndpoint]()
 
+  /** The in-process broker behind a mem:// endpoint (also the backing
+    * store an [[AmqpTcpServer]] serves). */
   def broker(endpoint: String): InMemoryAmqpBroker =
     brokers.computeIfAbsent(endpoint, _ => new InMemoryAmqpBroker())
 
-  def reset(endpoint: String): Unit = brokers.remove(endpoint)
+  /** Transport-resolving lookup used by the source/sink. */
+  def endpoint(endpoint: String): AmqpEndpoint =
+    if (endpoint.startsWith("tcp://")) {
+      val hp = endpoint.stripPrefix("tcp://")
+      val (host, port) = hp.span(_ != ':')
+      clients.computeIfAbsent(endpoint,
+        _ => new TcpAmqpEndpoint(host, port.stripPrefix(":").toInt))
+    } else broker(endpoint)
+
+  def reset(endpoint: String): Unit = {
+    brokers.remove(endpoint)
+    Option(clients.remove(endpoint)).foreach(_.close())
+  }
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import scala.concurrent.duration._
+
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+
+import graft.SparkSpecBase
+
+/** Socket-transport parity: the same source/sink semantics over
+  * `tcp://host:port` endpoints — broker in one place, Spark connecting
+  * through a real socket, as the reference does with its Vert.x Proton
+  * link (AMQPReceiver.scala:63-88 in /root/reference). */
+class AmqpTcpSpec extends SparkSpecBase {
+
+  private def poll[T](f: => T): T =
+    eventually(timeout(30.seconds), interval(500.millis))(f)
+
+  private def withServer[T](f: (InMemoryAmqpBroker, String) => T): T = {
+    val backing = new InMemoryAmqpBroker
+    val server = new AmqpTcpServer(backing)
+    val ep = s"tcp://127.0.0.1:${server.port}"
+    try f(backing, ep)
+    finally { AmqpEndpointRegistry.reset(ep); server.close() }
+  }
+
+  test("client endpoint round-trips every operation over the socket") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      assert(client.send("addr", AmqpMessage(messageId = Some("m1"),
+        body = AmqpValueBody("hello")), 42L) == 1L)
+      assert(client.latestSeq("addr") == 1L)
+      val Seq((seq, msg, ts)) = client.fetch("addr", 0, 1)
+      assert(seq == 1L && ts == 42L)
+      assert(msg.messageId.contains("m1") && msg.body == AmqpValueBody("hello"))
+      client.settle("addr", 1)
+      assert(client.settledUpTo("addr") == 1L)
+      assert(backing.settledUpTo("addr") == 1L, "state lives in the remote broker")
+      // transactional staged publish
+      client.stage("t#1", 0, Seq(AmqpMessage(body = AmqpValueBody("staged"))))
+      assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == 1)
+      assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == -1, "idempotent epoch")
+      assert(client.latestSeq("addr") == 2L)
+    }
+  }
+
+  test("streaming read + windowed aggregate over a tcp:// endpoint") {
+    withServer { (backing, ep) =>
+      val base = 100L * 1000000L
+      for (i <- 0 until 10)
+        backing.send("my_address",
+          AmqpMessage(body = AmqpValueBody((20 + i % 5).toString)),
+          timestampMicros = base + i * 1000000L)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.IntegerType
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address").load()
+        .select(AmqpConverters.amqpBodyAs(IntegerType).as("temperature"),
+          col("ingest_timestamp"))
+        .withWatermark("ingest_timestamp", "10 seconds")
+        .groupBy(window(col("ingest_timestamp"), "5 seconds"))
+        .agg(max(col("temperature")).as("max_temperature"))
+        .writeStream.format("memory").queryName("tcp_temps")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        poll {
+          val rows = spark.table("tcp_temps")
+            .select(col("window.start").cast("long"), col("max_temperature"))
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+          assert(rows == Map(100L -> 24, 105L -> 24))
+        }
+        // settle-on-commit reaches the remote broker too
+        backing.send("my_address", AmqpMessage(body = AmqpValueBody("0")))
+        q.processAllAvailable()
+        poll { assert(backing.settledUpTo("my_address") >= 10) }
+      } finally q.stop()
+    }
+  }
+
+  test("sink writes through tcp://; exactly-once epoch commit holds remotely") {
+    withServer { (backing, ep) =>
+      import spark.implicits._
+      (1 to 5).map(i => s"m-$i").toDF("value")
+        .repartition(3) // multiple writer partitions stage independently
+        .write.format("amqp").option("endpoint", ep).option("address", "out")
+        .mode("append").save()
+      assert(backing.latestSeq("out") == 5)
+      val bodies = backing.fetch("out", 0, 5).map(_._2.body).collect {
+        case AmqpValueBody(s: String) => s
+      }
+      assert(bodies.toSet == (1 to 5).map(i => s"m-$i").toSet)
+    }
+  }
+}
