@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.expressions.CharFoldHash
+import graft.expressions.{CharFoldHash, VectorExpressions}
 import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions._
 import graft.functions.TextFunctions
@@ -281,25 +281,17 @@ object DedupQueries {
     * signature bits agree exactly. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     val NBits = 16
+    VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .cache()
-    // Signatures computed relationally: posexplode the dims once, then
-    // 16 codegen'd sum-aggregates (one per hyperplane) — interpreted
-    // zip_with lambdas (16 x dims per row) profiled as the hot spot.
-    val dims = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("d0", "x")))
-    val projAggs = (0 until NBits).map { i =>
-      val w = ((lit(i.toLong) * lit(73856093L) + (col("d0") + 1L) * lit(19349663L)) % lit(1000003L))
-        .cast(DoubleType) / lit(500001.5) - lit(1.0)
-      sum(col("x") * w).as(s"p$i")
-    }
-    val withNorm = dims.groupBy(col("vec_id"))
-      .agg(sum(col("x") * col("x")).as("nrm2"), projAggs: _*)
-    val sig = withNorm.select(col("vec_id"), sqrt(col("nrm2")).as("nrm"),
-      (0 until NBits).map(i =>
-        when(col(s"p$i") > 0.0, lit(1L << (NBits - 1 - i))).otherwise(lit(0L)))
-        .reduce(_ + _).as("sig"))
-      .cache()
+    // Signatures via the native codegen expression: one fused per-row
+    // loop, NO posexplode and NO groupBy shuffle of N x dims rows (the
+    // earlier relational formulation shuffled every dimension; the HOF
+    // formulation before that was interpreted per element). Identical
+    // fold order, so the DuckDB oracle signatures still match bit-exactly.
+    val sig = e.select(col("vec_id"),
+      expr(s"hyperplane_sig(emb, $NBits)").as("sig"))
     val bandArr = array((0 until 4).map(t =>
       struct(lit(t).as("band"),
         shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L)).as("bkey"))): _*)
@@ -315,8 +307,8 @@ object DedupQueries {
     val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .withColumn("cos", dot(col("emb_a"), col("emb_b")) /
-        (norm(col("emb_a")) * norm(col("emb_b"))))
+      .withColumn("cos", expr(
+        "vec_dot(emb_a, emb_b) / (sqrt(vec_dot(emb_a, emb_a)) * sqrt(vec_dot(emb_b, emb_b)))"))
       .filter(col("cos") >= 0.95)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

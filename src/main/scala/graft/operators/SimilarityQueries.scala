@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.expressions.VectorExpressions
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table.
@@ -25,9 +26,12 @@ import graft.functions.VectorFunctions._
   *    replicates the IVF algorithm itself in SQL, so correctness of the
   *    approximation (not just the final ranking) is cross-checked.
   *
-  * All dot products are strict left-to-right f64 folds; DuckDB's
-  * list_dot_product evaluates identically (verified empirically), so
-  * cosine values hash-match across engines.
+  * All dot products are strict left-to-right f64 folds via the native
+  * codegen expression [[graft.expressions.VectorDot]] (one fused loop
+  * per row inside whole-stage codegen — the HOF zip_with/aggregate form
+  * is interpreted per element); DuckDB's list_dot_product evaluates
+  * identically (verified empirically), so cosine values hash-match
+  * across engines.
   */
 object SimilarityQueries {
 
@@ -36,11 +40,13 @@ object SimilarityQueries {
   private val NumCells = 16   // IVF centroids: vec_id < 16
   private val NumProbes = 3
 
-  private def embedded(s: SparkSession, d: String): DataFrame =
+  private def embedded(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
       .cache()
+  }
 
   // ------------------------------------------------- sim_topk_bruteforce
   /** Exact cosine top-k for each query vector (excluding itself). */
@@ -52,7 +58,7 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id").asc)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(dot(col("emb"), col("qemb")), col("nrm"), col("qnrm")))
+      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
@@ -84,7 +90,7 @@ object SimilarityQueries {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm")))
+      .withColumn("csim", cosine(expr("vec_dot(emb, cemb)"), col("nrm"), col("cnrm")))
       .withColumn("rnc", row_number().over(wAssign))
       .filter(col("rnc") === 1)
       .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
@@ -94,7 +100,7 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("csim", cosine(expr("vec_dot(qemb, cemb)"), col("qnrm"), col("cnrm")))
       .withColumn("rnp", row_number().over(wProbe))
       .filter(col("rnp") <= NumProbes)
       .select(col("query_id"), col("cid"), col("qemb"), col("qnrm"))
@@ -103,7 +109,7 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(dot(col("emb"), col("qemb")), col("nrm"), col("qnrm")))
+      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
       .withColumn("rn", row_number().over(wTop).cast(LongType))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
