@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{CharFoldHash, HyperplaneSig, VectorDot}
+
+/** Session-extensions entry point: makes the engine's native expressions
+  * first-class SQL functions in any session, via
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)` on a builder). This is the
+  * idiomatic library integration path — the per-session
+  * `register(spark)` helpers on the expression companions remain for
+  * programmatic use and are what the query objects call internally.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("char_fold_hash"),
+      info("char_fold_hash", "char_fold_hash(str) - portable fold hash mod 2^31-1"),
+      (exprs: Seq[Expression]) => CharFoldHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - strict left-to-right f64 dot product"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "hyperplane_sig(v, nBits) - random-hyperplane LSH signature"),
+      (exprs: Seq[Expression]) => HyperplaneSig(exprs.head, exprs(1) match {
+        case Literal(bits: Int, IntegerType) => bits
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig(v, nBits) needs a literal bit count, got $other")
+      })))
+  }
+}

@@ -556,6 +556,36 @@ object RelationalQueries {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Exact per-group percentiles via percentile_disc — discrete
+    * percentiles SELECT actual data elements (no interpolation), so the
+    * values are engine-exact and oracle-comparable where interpolated
+    * quantiles would differ in the last ulp. Spark computes these with a
+    * per-group sort-based aggregate — one shuffle on the group key; at
+    * scale, t-digest/approx_percentile is the sketch alternative (not
+    * oracle-exact, hence not gated). Also exercises the spark.sql()
+    * entry path over a registered view. */
+  def q25Percentiles(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q25_lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+        min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM q25_lineitem GROUP BY l_returnflag""")
+  }
+
+  val q25Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.25) AS p25,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50,
+      |  quantile_disc(l_extendedprice, 0.75) AS p75,
+      |  quantile_disc(l_extendedprice, 0.95) AS p95,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -582,6 +612,7 @@ object RelationalQueries {
     "q22_having"          -> (q22Having _),
     "q23_grouping_sets"   -> (q23GroupingSets _),
     "q24_salted_skew_agg" -> (q24SaltedSkewAgg _),
+    "q25_percentiles"     -> (q25Percentiles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -609,5 +640,6 @@ object RelationalQueries {
     "q22_having"          -> q22Sql,
     "q23_grouping_sets"   -> q23Sql,
     "q24_salted_skew_agg" -> q24Sql,
+    "q25_percentiles"     -> q25Sql,
   )
 }

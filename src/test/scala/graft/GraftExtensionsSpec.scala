@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions path must work in a session that never called the
+  * programmatic register() helpers. getOrCreate() reuses the default
+  * session, so the default is cleared (and restored) to force a fresh
+  * session with the extension applied, on the same SparkContext. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions path exposes the native functions") {
+    val base = SparkSpecBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s ne base, "must be a fresh session, not the shared one")
+      val r = s.sql(
+        "SELECT char_fold_hash('abc') AS h, " +
+          "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "hyperplane_sig(array(1.0d, 2.0d), 16) AS s").head()
+      assert(r.getLong(0) == graft.expressions.CharFoldHash.hash("abc"))
+      assert(r.getDouble(1) == 11.0)
+      assert(!r.isNullAt(2))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
