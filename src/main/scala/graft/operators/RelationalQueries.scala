@@ -586,6 +586,44 @@ object RelationalQueries {
       |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** Binned range join — the scale pattern for time-range joins. Naive
+    * range joins (ON u.id = v.id AND v.ts BETWEEN u.ts-W AND u.ts) give
+    * Spark no equi-key for the range part and degrade to per-key row
+    * explosion. Bucketing time by the window width W restores a fully
+    * selective equi-join key: a click at time t can only serve purchases
+    * in bucket(t) or bucket(t)+1, so each click is exploded into exactly
+    * those two keys, the join runs hash-partitioned on (user, bucket),
+    * and the exact range predicate filters inside the aggregate. Join
+    * fan-out is bounded by true matches + one-bucket slop — no cross
+    * product at any scale. Counts clicks in the 60s before each purchase
+    * (attribution); purchases with zero clicks kept via left join. */
+  def q26RangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val W = 60L * 1000000L // 60s in integral micros (ts is ns-exact)
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts"))
+      .withColumn("bucket", expr(s"p_ts div $W"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"))
+      .withColumn("bucket",
+        explode(array(expr(s"c_ts div $W"), expr(s"c_ts div $W") + lit(1L))))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(sum(when(col("c_ts") > col("p_ts") - W &&
+        col("c_ts") <= col("p_ts"), 1L).otherwise(0L)).as("n_clicks_60s"))
+  }
+
+  val q26Sql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
+      |  count(c.user_id) AS n_clicks_60s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) > epoch_us(p.ts) - 60000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -613,6 +651,7 @@ object RelationalQueries {
     "q23_grouping_sets"   -> (q23GroupingSets _),
     "q24_salted_skew_agg" -> (q24SaltedSkewAgg _),
     "q25_percentiles"     -> (q25Percentiles _),
+    "q26_range_join_binned" -> (q26RangeJoinBinned _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,5 +680,6 @@ object RelationalQueries {
     "q23_grouping_sets"   -> q23Sql,
     "q24_salted_skew_agg" -> q24Sql,
     "q25_percentiles"     -> q25Sql,
+    "q26_range_join_binned" -> q26Sql,
   )
 }
