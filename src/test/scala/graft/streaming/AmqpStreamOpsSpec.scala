@@ -47,6 +47,32 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: envelope stream enriched against a broadcast dimension") {
+    val (ep, broker) = freshEndpoint("enrich")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // static dimension: device -> site (tiny → broadcast side)
+    val sites = Seq(("dev-a", "berlin"), ("dev-b", "oslo")).toDF("device", "site")
+    Seq("dev-a" -> "20", "dev-b" -> "30", "dev-c" -> "40").foreach { case (dev, t) =>
+      broker.send("my_address", AmqpMessage(subject = Some(dev),
+        body = AmqpValueBody(t)))
+    }
+    val q = stream(ep)
+      .select(col("subject").as("device"),
+        AmqpConverters.amqpBodyAs(org.apache.spark.sql.types.IntegerType).as("t"))
+      .join(broadcast(sites), Seq("device"), "left")
+      .writeStream.format("memory").queryName("ops_enrich").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_enrich").collect()
+          .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+        assert(got == Set(("dev-a", 20, Some("berlin")), ("dev-b", 30, Some("oslo")),
+          ("dev-c", 40, None)))
+      }
+    } finally q.stop()
+  }
+
   test("runningMaxChangelog emits only when a key's max advances") {
     val (ep, broker) = freshEndpoint("runmax")
     def send(device: String, temp: Int): Unit =
