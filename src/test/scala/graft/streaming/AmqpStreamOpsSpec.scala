@@ -73,6 +73,40 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: two AMQP streams correlated within ±5s") {
+    val (epL, brokerL) = freshEndpoint("ss-left")
+    val (epR, brokerR) = freshEndpoint("ss-right")
+    import org.apache.spark.sql.functions._
+    val base = 100L * 1000000L
+    def send(b: InMemoryAmqpBroker, dev: String, v: String, atSec: Long): Unit =
+      b.send("my_address", AmqpMessage(subject = Some(dev), body = AmqpValueBody(v)),
+        timestampMicros = base + atSec * 1000000L)
+    send(brokerL, "dev-a", "p1", 10); send(brokerL, "dev-b", "p2", 20)
+    send(brokerR, "dev-a", "c1", 8)   // within 5s of p1 → joins
+    send(brokerR, "dev-a", "c2", 30)  // 20s away → no match
+    send(brokerR, "dev-b", "c3", 23)  // within 5s of p2 → joins
+    val left = stream(epL)
+      .select(col("subject").as("dev"), AmqpConverters.amqpBody.as("l_val"),
+        col("ingest_timestamp").as("l_ts"))
+      .withWatermark("l_ts", "30 seconds")
+    val right = stream(epR)
+      .select(col("subject").as("r_dev"), AmqpConverters.amqpBody.as("r_val"),
+        col("ingest_timestamp").as("r_ts"))
+      .withWatermark("r_ts", "30 seconds")
+    val q = left.join(right, expr(
+        "dev = r_dev AND r_ts BETWEEN l_ts - INTERVAL 5 SECONDS AND l_ts + INTERVAL 5 SECONDS"))
+      .select("l_val", "r_val")
+      .writeStream.format("memory").queryName("ops_ssjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_ssjoin").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got == Set("p1" -> "c1", "p2" -> "c3"))
+      }
+    } finally q.stop()
+  }
+
   test("runningMaxChangelog emits only when a key's max advances") {
     val (ep, broker) = freshEndpoint("runmax")
     def send(device: String, temp: Int): Unit =
