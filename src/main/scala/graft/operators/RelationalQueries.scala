@@ -624,6 +624,103 @@ object RelationalQueries {
       | AND epoch_us(c.ts) <= epoch_us(p.ts)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** SQL window frames: per-customer running total (UNBOUNDED PRECEDING)
+    * and 4-row moving sum (3 PRECEDING..CURRENT ROW) over the order
+    * history. One shuffle on o_custkey; both frames and row_number reuse
+    * the same sort, so Spark plans a single Window operator. Ordering is
+    * unique (o_orderdate, o_orderkey), so frame contents — and decimal
+    * sums over them — are deterministic on both engines. */
+  def q27WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val w    = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run  = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov4 = w.rowsBetween(-3, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("o_totalprice"))).over(run).as("run_spend"),
+        sum(dec(col("o_totalprice"))).over(mov4).as("mov4_spend"))
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov4_spend
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Gap-based sessionization — the batch form of session windows: a
+    * 30-minute inactivity gap starts a new session; sessions are then
+    * aggregated (count / bounds / exact spend). Classic training-data
+    * pipeline op (user activity segmentation). Scale shape: ONE shuffle
+    * on user_id serves the lag window, the running-sum window, AND the
+    * final groupBy — hash(user_id) already clusters (user_id, sess_id),
+    * so Spark adds no further exchange. Timestamps stay integral µs
+    * (int64) throughout; see q15 for why. */
+  def q28Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w     = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(dec(col("value"))).as("sum_value"))
+  }
+
+  val q28Sql: String =
+    """SELECT user_id, sess_id, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM (
+      |  SELECT user_id, event_id, value, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) <= 1800000000
+      |           THEN 0 ELSE 1 END AS new_sess
+      |    FROM events) flags) sessed
+      |GROUP BY user_id, sess_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Sketch with a verified error bound: HyperLogLog++ distinct-user
+    * counts per event type, gated against the exact count. The output
+    * exposes the EXACT count (hash-compared with the oracle) plus a
+    * boolean asserting the sketch landed within ±5% — the oracle emits
+    * TRUE, so a drifting sketch fails the gate. rsd=0.01 keeps HLL in
+    * sparse (exact) mode for small cardinalities and ≲3σ≈3% beyond.
+    * At 100 TB the sketch path is the point: partial HLL registers merge
+    * map-side, so the shuffle carries fixed-size sketches instead of
+    * user_id sets (the exact branch here is the audit, not the plan). */
+  def q29SketchBounds(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("hll"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll") - col("exact_users")) <=
+          col("exact_users").cast(DoubleType) * 0.05).as("hll_within_5pct"))
+
+  val q29Sql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -652,6 +749,9 @@ object RelationalQueries {
     "q24_salted_skew_agg" -> (q24SaltedSkewAgg _),
     "q25_percentiles"     -> (q25Percentiles _),
     "q26_range_join_binned" -> (q26RangeJoinBinned _),
+    "q27_window_frames"   -> (q27WindowFrames _),
+    "q28_sessionize"      -> (q28Sessionize _),
+    "q29_sketch_bounds"   -> (q29SketchBounds _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -681,5 +781,8 @@ object RelationalQueries {
     "q24_salted_skew_agg" -> q24Sql,
     "q25_percentiles"     -> q25Sql,
     "q26_range_join_binned" -> q26Sql,
+    "q27_window_frames"   -> q27Sql,
+    "q28_sessionize"      -> q28Sql,
+    "q29_sketch_bounds"   -> q29Sql,
   )
 }

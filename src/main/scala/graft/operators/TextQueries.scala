@@ -138,12 +138,58 @@ object TextQueries {
        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------- txt_bpe_vocab
+  /** BPE-style subword tokenization + vocabulary histogram — the token-
+    * counting stage of a training-data pipeline, with a fixed merge
+    * table (the artifact a BPE trainer would emit). Each word is split
+    * to characters and the merge rules are applied in priority order,
+    * each replacing all occurrences (the standard fast BPE encode);
+    * later merges compose earlier ones ("s c"+"a n"→"sc an"→"scan").
+    * Scale shape: explode to words map-side, a chain of codegen'd
+    * string replaces (no HOFs — see the round-1 perf notes), then one
+    * partially-aggregated groupBy(token) whose output is vocabulary-
+    * sized, so the shuffle is tiny regardless of corpus size. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "a n" -> "an", "i n" -> "in", "e r" -> "er",
+    "a r" -> "ar", "o r" -> "or", "s t" -> "st", "o w" -> "ow",
+    "th e" -> "the", "s c" -> "sc", "sc an" -> "scan",
+    "j o" -> "jo", "jo in" -> "join", "w in" -> "win", "d ow" -> "dow",
+    "win dow" -> "window", "b a" -> "ba", "t c" -> "tc",
+    "ba tc" -> "batc", "batc h" -> "batch",
+    "s p" -> "sp", "sp ar" -> "spar", "spar k" -> "spark")
+
+  def txtBpeVocab(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " +")).as("word"))
+      .filter(length(col("word")) > 0)
+    val spaced = trim(regexp_replace(col("word"), "(.)", "$1 "))
+    val merged = BpeMerges.foldLeft(spaced) { case (c, (pair, tok)) =>
+      call_function("replace", c, lit(pair), lit(tok))
+    }
+    words.select(explode(split(merged, " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(60)
+  }
+
+  val txtBpeVocabSql: String = {
+    val chain = BpeMerges.foldLeft("trim(regexp_replace(word, '(.)', '\\1 ', 'g'))") {
+      case (acc, (pair, tok)) => s"replace($acc, '$pair', '$tok')"
+    }
+    s"""SELECT token, count(*) AS n FROM (
+       |  SELECT unnest(string_split($chain, ' ')) AS token
+       |  FROM (SELECT unnest($DTokens) AS word FROM documents) words
+       |) toks GROUP BY token ORDER BY n DESC, token LIMIT 60""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> (txtStats _),
     "txt_quality"     -> (txtQuality _),
     "txt_langid"      -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_bpe_vocab"   -> (txtBpeVocab _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +197,6 @@ object TextQueries {
     "txt_quality"     -> txtQualitySql,
     "txt_langid"      -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_bpe_vocab"   -> txtBpeVocabSql,
   )
 }

@@ -49,6 +49,28 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q27 evaluates both frames + row_number in ONE Window operator") {
+    val plan = RelationalQueries.q27WindowFrames(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Same partition/order spec → Spark fuses all three window functions
+    // into a single WindowExec (one sort, one shuffle).
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q28 sessionization reuses one user_id shuffle end-to-end") {
+    val plan = RelationalQueries.q28Sessionize(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // lag-window, running-sum window, and groupBy(user_id, sess_id) must
+    // all ride the same hash(user_id) exchange: exactly one Exchange.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q29 sketch stays within its asserted bound") {
+    val rows = RelationalQueries.q29SketchBounds(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString("\n"))
+  }
+
   test("q01 reads only the columns it needs") {
     val plan = RelationalQueries.q01PricingSummary(spark, sfDir)
       .queryExecution.executedPlan.toString
