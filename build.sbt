@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver contract needs Bench/Verify stdout VERBATIM (one JSON
+// line); sbt's default LoggedOutput prefixes every forked line with
+// "[info] ", which a strict JSON parser on the driver side would choke
+// on. StdoutOutput inherits this process's streams instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -721,6 +721,35 @@ object RelationalQueries {
       |  TRUE AS hll_within_5pct
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** Correlated scalar subquery: orders priced above 1.5× their own
+    * customer's average. Written as SQL to exercise the decorrelation
+    * path — Catalyst rewrites the correlated aggregate into a
+    * groupBy(o_custkey) + equi-join, so the plan is one shuffle agg and
+    * one join on the same key (no per-row subquery execution, which is
+    * what makes the construct survive 100 TB). The average is a single
+    * double division of an exact decimal sum (see class doc). */
+  def q30CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders_v o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
+        |  1.5 * (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                  / count(*)
+        |         FROM orders_v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val q30Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
+      |  1.5 * (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                  / count(*)
+      |         FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -752,6 +781,7 @@ object RelationalQueries {
     "q27_window_frames"   -> (q27WindowFrames _),
     "q28_sessionize"      -> (q28Sessionize _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
+    "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -784,5 +814,6 @@ object RelationalQueries {
     "q27_window_frames"   -> q27Sql,
     "q28_sessionize"      -> q28Sql,
     "q29_sketch_bounds"   -> q29Sql,
+    "q30_correlated_subquery" -> q30Sql,
   )
 }

@@ -49,6 +49,24 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert((mh intersect ng).nonEmpty)
   }
 
+  test("dedup_cluster components are consistent with the pair graph") {
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val rows = DedupQueries.dedupCluster(spark, sfDir)
+      .select("doc_id", "cluster_id", "cluster_size").as[(Long, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty, "expected dup clusters at sf0.001")
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // every paired doc got a label, endpoints share a component, and the
+    // representative is the component minimum (so sizes are >= 2)
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"$a/$b split") }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid rep not min")
+      assert(members.forall(_._3 == members.length))
+      assert(members.length >= 2)
+    }
+  }
+
   test("minhash pairs are ordered and above threshold") {
     DedupQueries.dedupMinhashLsh(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
