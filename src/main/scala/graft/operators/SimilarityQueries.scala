@@ -146,13 +146,46 @@ object SimilarityQueries {
        |WHERE rn <= $TopK""".stripMargin
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------------ sim_centroids
+  /** Per-label centroids, dimension-parallel: the M-step of distributed
+    * k-means / class-prototype computation. posexplode fans each vector
+    * to (label, dim, x) and the shuffle key is (label, dim), so no
+    * reducer ever holds a whole per-label vector and hot labels spread
+    * over dims — the layout that survives 100 TB (at extreme row counts
+    * one would pre-aggregate per-partition float arrays map-side, at
+    * the cost of the exactness below).
+    *
+    * Exactness: float→decimal(28,9) sums. Spark casts float→decimal
+    * through double; DuckDB's direct float→decimal cast instead goes
+    * through the float's SHORTEST decimal rendering and diverges in the
+    * 7th digit — the oracle must spell CAST(CAST(x AS DOUBLE) AS
+    * DECIMAL(28,9)) (verified empirically on this data). Mean is the
+    * single allowed double division. */
+  def simCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("x").cast(DecimalType(28, 9))).as("sum_x"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (col("sum_x").cast(DoubleType) / col("n_vecs").cast(DoubleType)).as("centroid"))
+
+  val simCentroidsSql: String =
+    """SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CAST(CAST(embedding[dim+1] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS centroid
+      |FROM embeddings, (SELECT CAST(unnest(range(64)) AS INT) AS dim) dims
+      |GROUP BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
+    "sim_centroids"       -> (simCentroids _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
+    "sim_centroids"       -> simCentroidsSql,
   )
 }

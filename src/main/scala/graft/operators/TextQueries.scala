@@ -183,6 +183,47 @@ object TextQueries {
        |) toks GROUP BY token ORDER BY n DESC, token LIMIT 60""".stripMargin
   }
 
+  // ------------------------------------------------------ txt_bigram_lm
+  /** Corpus-model scoring — the two-pass pattern behind model-based
+    * quality filters: pass 1 aggregates a bigram frequency table over
+    * the whole corpus, pass 2 joins it back and scores each document by
+    * the average corpus frequency of its bigrams (an integer-exact
+    * stand-in for LM log-prob, which would hash-flake across engines'
+    * libm). Scale shape: bigrams built relationally (posexplode + one
+    * lead window per doc), frequency table is vocabulary²-bounded (in
+    * practice Zipfian-small), and the score join shuffles on the bigram
+    * key; the final division is the single allowed double op. */
+  def txtBigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_freq"))
+    bg.join(counts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_freq")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        (col("sum_freq").cast(DoubleType) / col("n_bigrams").cast(DoubleType)).as("avg_freq"))
+  }
+
+  val txtBigramLmSql: String =
+    s"""WITH toks AS (SELECT doc_id, $DTokens AS l FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+       |  FROM toks),
+       |counts AS (SELECT bigram, count(*) AS bg_freq FROM bg GROUP BY bigram)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bg_freq) AS BIGINT) AS sum_freq,
+       |  CAST(CAST(sum(bg_freq) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
+       |FROM bg JOIN counts USING (bigram)
+       |GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> (txtStats _),
@@ -190,6 +231,7 @@ object TextQueries {
     "txt_langid"      -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_bpe_vocab"   -> (txtBpeVocab _),
+    "txt_bigram_lm"   -> (txtBigramLm _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -198,5 +240,6 @@ object TextQueries {
     "txt_langid"      -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_bpe_vocab"   -> txtBpeVocabSql,
+    "txt_bigram_lm"   -> txtBigramLmSql,
   )
 }

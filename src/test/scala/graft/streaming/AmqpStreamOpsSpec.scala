@@ -47,6 +47,46 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: epoch-keyed idempotent writes (foreachRDD parity)") {
+    // SURVEY §2.2: the reference's tests collect via foreachRDD; the
+    // Structured Streaming mapping is foreachBatch, with the batchId as
+    // the idempotence key (overwrite-by-epoch = exactly-once on retry).
+    val (ep, broker) = freshEndpoint("feb")
+    val out = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    (1 to 8).foreach(i => broker.send("my_address",
+      AmqpMessage(body = AmqpValueBody(s"m-$i")), timestampMicros = i * 1000000L))
+    val q = stream(ep).selectExpr("CAST(body AS STRING) AS body")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/epoch=$id")
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-feb-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+        assert(got == (1 to 8).map(i => s"m-$i").toSet)
+      }
+    } finally q.stop()
+  }
+
+  test("console sink runs the print() demo end-to-end") {
+    // SURVEY §2.2: AMQPTemperature.scala's print() maps to the console
+    // sink; assert the query processes the stream without error.
+    val (ep, broker) = freshEndpoint("console")
+    (1 to 3).foreach(i => broker.send("my_address",
+      AmqpMessage(body = AmqpValueBody(i.toString)), timestampMicros = i * 1000000L))
+    val q = stream(ep).selectExpr("CAST(body AS STRING) AS body")
+      .writeStream.format("console").option("numRows", 5).start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(q.recentProgress.exists(_.numInputRows > 0))
+    } finally q.stop()
+  }
+
   test("stream-static join: envelope stream enriched against a broadcast dimension") {
     val (ep, broker) = freshEndpoint("enrich")
     import org.apache.spark.sql.functions._
