@@ -750,6 +750,32 @@ object RelationalQueries {
       |                  / count(*)
       |         FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Custom typed UDAF: quantity-weighted average price per return flag
+    * via [[graft.functions.WeightedAvgAggregator]] — the UDAF face of
+    * the engine's extension surface (native codegen Expressions cover
+    * scalars; this covers aggregates). The Aggregator's decimal buffer
+    * makes it partial-aggregation-safe: Spark splits it map-side/final
+    * like any built-in agg, so the shuffle carries one small buffer per
+    * group, not rows. */
+  def q31UdafWavg(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvgAggregator,
+      org.apache.spark.sql.Encoders.product[graft.functions.WavgIn])
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        wavg(dec(col("l_extendedprice")).cast(DecimalType(38, 18)),
+             dec(col("l_quantity")).cast(DecimalType(38, 18))).as("wavg_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q31Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -782,6 +808,7 @@ object RelationalQueries {
     "q28_sessionize"      -> (q28Sessionize _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
+    "q31_udaf_wavg"       -> (q31UdafWavg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -815,5 +842,6 @@ object RelationalQueries {
     "q28_sessionize"      -> q28Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
+    "q31_udaf_wavg"       -> q31Sql,
   )
 }
