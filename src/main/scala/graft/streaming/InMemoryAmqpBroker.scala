@@ -155,7 +155,9 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
         q.flow.consumed(toInclusive - q.deliveredUpTo)
         q.deliveredUpTo = toInclusive
       }
-      q.messages.filter { case (s, _, _) => s > fromExclusive && s <= toInclusive }.toSeq
+      // toIndexedSeq, NOT toSeq: 2.13's Buffer.toSeq builds a List, and
+      // any indexed consumer of the slice would go quadratic.
+      q.messages.filter { case (s, _, _) => s > fromExclusive && s <= toInclusive }.toIndexedSeq
     } finally q.lock.unlock()
   }
 

@@ -238,6 +238,69 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 15)
   }
 
+  test("throughput: sustained end-to-end rate through one link (BASELINE 10k msg/s target)") {
+    // BASELINE.md's only quantitative target: >= 10,000 msg/s per link
+    // (the reference's implied design ceiling). Two measurements:
+    //  1. reader-path cost: batch-read a preloaded backlog (producer
+    //     advances the credit window by consuming its own deliveries
+    //     via fetch, which is what re-issues credit);
+    //  2. live end-to-end: producer thread + streaming query, credit
+    //     window active. Micro-batch scheduling dominates (2), so the
+    //     assertion floor is conservative; measured rates are printed
+    //     for the record.
+    val n = 40000
+    val (ep, broker) = freshEndpoint("tput")
+    var preloaded = 0L
+    val t0 = System.nanoTime()
+    var fetchedUpTo = 0L
+    while (preloaded < n) {
+      if (broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"m-$preloaded")),
+          timestampMicros = preloaded * 1000L) >= 0) preloaded += 1
+      else { // window full: consume the pending slice to re-open credit
+        val to = broker.latestSeq("my_address")
+        broker.fetch("my_address", fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+    val tSend = System.nanoTime()
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+    assert(df.count() == n) // warm: planning + codegen + classloading
+    val t1 = System.nanoTime()
+    assert(df.count() == n)
+    val batchRate = n / ((System.nanoTime() - t1) / 1e9)
+    info(f"batch reader path: $batchRate%.0f msg/s over $n messages " +
+      f"(preload ${n / ((tSend - t0) / 1e9)}%.0f msg/s, " +
+      f"cold first read ${n / ((t1 - tSend) / 1e9)}%.0f msg/s)")
+    assert(batchRate > 10000, f"reader path $batchRate%.0f msg/s below the 10k target")
+
+    // live: fresh endpoint, producer thread racing the stream
+    val (ep2, broker2) = freshEndpoint("tput-live")
+    val live = 20000
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep2).option("address", "my_address").load()
+      .select(col("body"))
+      .writeStream.format("memory").queryName("amqp_tput").outputMode("append").start()
+    val t2 = System.nanoTime()
+    val producer = new Thread(() => {
+      var sent = 0
+      while (sent < live) {
+        if (broker2.send("my_address", AmqpMessage(body = AmqpValueBody(s"l-$sent")),
+            timestampMicros = sent * 1000L) >= 0) sent += 1
+        else Thread.`yield`() // window full: wait for the reader to drain
+      }
+    }, "tput-producer")
+    producer.start()
+    try {
+      eventually(timeout(120.seconds), interval(250.millis)) {
+        assert(tableSize("amqp_tput") == live)
+      }
+      val liveRate = live / ((System.nanoTime() - t2) / 1e9)
+      info(f"live end-to-end: $liveRate%.0f msg/s over $live messages (credit window 1000)")
+      assert(liveRate > 1000, f"live rate $liveRate%.0f msg/s implausibly low")
+    } finally { producer.join(2000); q.stop() }
+  }
+
   test("batch read exposes the replayable window for oracle comparisons") {
     val (ep, broker) = freshEndpoint("batchread")
     (1 to 5).foreach(i =>
