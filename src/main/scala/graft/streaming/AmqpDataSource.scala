@@ -77,16 +77,25 @@ class AmqpTable(options: CaseInsensitiveStringMap)
     new AmqpWriteBuilder(AmqpSourceConfig(info.options()), info)
 }
 
-case class AmqpSourceConfig(endpoint: String, address: String, maxPerTrigger: Long,
-    maxPerSecond: Long)
+/** `addresses` (plural) is the horizontal-scale surface: one AMQP link
+  * per address, one input partition per link per micro-batch. `address`
+  * remains the single-link form (and the sink's target). */
+case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
+    maxPerTrigger: Long, maxPerSecond: Long)
 
 object AmqpSourceConfig {
-  def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = AmqpSourceConfig(
-    endpoint = o.getOrDefault("endpoint",
-      s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}"),
-    address = o.getOrDefault("address", "my_address"),
-    maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong,
-    maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong)
+  def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = {
+    val primary = o.getOrDefault("address", "my_address")
+    AmqpSourceConfig(
+      endpoint = o.getOrDefault("endpoint",
+        s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}"),
+      address = primary,
+      addresses = Option(o.get("addresses"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq(primary)),
+      maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong,
+      maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong)
+  }
 }
 
 class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
@@ -97,15 +106,29 @@ class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
   override def description(): String = s"AmqpScan(${cfg.endpoint}/${cfg.address})"
 }
 
-/** Offset = highest delivered per-link sequence number (SURVEY.md §7.1). */
-case class AmqpOffset(seq: Long) extends Offset {
-  override def json(): String = s"""{"seq":$seq}"""
+/** Offset = highest delivered sequence number PER LINK (SURVEY.md §7.1).
+  * JSON shape: {"seqs":{"addr":n,...}} with keys sorted, so equal
+  * offsets serialize identically (Spark compares offsets by json). The
+  * legacy single-link {"seq":n} form is still parsed (mapped to the
+  * stream's primary address) so pre-multi-link checkpoints resume. */
+case class AmqpOffset(seqs: Map[String, Long]) extends Offset {
+  override def json(): String =
+    seqs.toSeq.sortBy(_._1)
+      .map { case (a, n) => s""""${a}":$n""" }
+      .mkString("""{"seqs":{""", ",", "}}")
+  def seqOf(address: String): Long = seqs.getOrElse(address, 0L)
 }
 
 object AmqpOffset {
-  private val SeqRe = """\{\s*"seq"\s*:\s*(\d+)\s*\}""".r
-  def fromJson(s: String): AmqpOffset = s match {
-    case SeqRe(n) => AmqpOffset(n.toLong)
+  def single(address: String, seq: Long): AmqpOffset = AmqpOffset(Map(address -> seq))
+  private val LegacyRe = """\{\s*"seq"\s*:\s*(\d+)\s*\}""".r
+  private val EntryRe = """"([^"]+)"\s*:\s*(\d+)""".r
+  def fromJson(s: String, primaryAddress: String): AmqpOffset = s match {
+    case LegacyRe(n) => single(primaryAddress, n.toLong)
+    case other if other.contains("\"seqs\"") =>
+      val body = other.substring(other.indexOf("\"seqs\""))
+      AmqpOffset(EntryRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap - "seqs")
     case other => throw new IllegalArgumentException(s"bad AMQP offset: $other")
   }
 }
@@ -115,9 +138,11 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
 
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
 
-  override def initialOffset(): Offset = AmqpOffset(0L)
+  override def initialOffset(): Offset =
+    AmqpOffset(cfg.addresses.map(_ -> 0L).toMap)
 
-  override def latestOffset(): Offset = AmqpOffset(broker.latestSeq(cfg.address))
+  override def latestOffset(): Offset =
+    AmqpOffset(cfg.addresses.map(a => a -> broker.latestSeq(a)).toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
 
@@ -151,39 +176,55 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startSeq = start.asInstanceOf[AmqpOffset].seq
-    val latest = broker.latestSeq(cfg.address)
+    val startOff = start.asInstanceOf[AmqpOffset]
     val triggerCap = limit match {
       case rl: streaming.ReadMaxRows => rl.maxRows()
       case _ => Long.MaxValue
     }
-    val capped = math.min(latest, startSeq + math.min(triggerCap, rateBudget()))
-    AmqpOffset(capped)
+    // The trigger's row budget is shared across links: each link gets an
+    // equal share (at least 1), so a hot link cannot starve the others —
+    // the multi-link generalization of the reference's per-link credit.
+    val totalCap = math.min(triggerCap, rateBudget())
+    val perLink = math.max(1L, totalCap / cfg.addresses.length)
+    AmqpOffset(cfg.addresses.map { a =>
+      val startSeq = startOff.seqOf(a)
+      a -> math.min(broker.latestSeq(a), startSeq + perLink)
+    }.toMap)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(AmqpInputPartition(cfg.endpoint, cfg.address,
-      start.asInstanceOf[AmqpOffset].seq, end.asInstanceOf[AmqpOffset].seq))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[AmqpOffset], end.asInstanceOf[AmqpOffset])
+    cfg.addresses
+      .filter(a => e.seqOf(a) > s.seqOf(a))
+      .map(a => AmqpInputPartition(cfg.endpoint, a, s.seqOf(a), e.seqOf(a)): InputPartition)
+      .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
 
-  /** Settle-after-durable-commit: the epoch is checkpointed, release the
-    * unsettled window (the WAL-replacement contract). */
-  override def commit(end: Offset): Unit =
-    broker.settle(cfg.address, end.asInstanceOf[AmqpOffset].seq)
+  /** Settle-after-durable-commit: the epoch is checkpointed, release
+    * every link's unsettled window (the WAL-replacement contract). */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[AmqpOffset]
+    cfg.addresses.foreach(a => broker.settle(a, e.seqOf(a)))
+  }
 
-  override def deserializeOffset(json: String): Offset = AmqpOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset =
+    AmqpOffset.fromJson(json, cfg.addresses.head)
 
   override def stop(): Unit = ()
 }
 
 /** Batch read of everything currently replayable (unsettled + new):
-  * the envelope as a static DataFrame for tests/oracle comparisons. */
+  * the envelope as a static DataFrame for tests/oracle comparisons.
+  * One partition per link, like the streaming path. */
 class AmqpBatchRead(cfg: AmqpSourceConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
-    Array(AmqpInputPartition(cfg.endpoint, cfg.address,
-      b.settledUpTo(cfg.address), b.latestSeq(cfg.address)))
+    cfg.addresses
+      .map(a => AmqpInputPartition(cfg.endpoint, a,
+        b.settledUpTo(a), b.latestSeq(a)): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
 }

