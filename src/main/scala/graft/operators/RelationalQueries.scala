@@ -776,6 +776,25 @@ object RelationalQueries {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Relational pivot: quantity by return flag, columns pivoted on line
+    * status. Values are enumerated explicitly — with a known value list
+    * Spark skips the extra distinct-collection job and the plan is a
+    * single hash aggregate with conditional sums (identical shape to
+    * the oracle's CASE columns), one row-group shuffle. */
+  def q32Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(sum(dec(col("l_quantity"))))
+      .select(col("l_returnflag"), col("O").as("qty_open"), col("F").as("qty_finished"))
+
+  val q32Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_open,
+      |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_finished
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -809,6 +828,7 @@ object RelationalQueries {
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
+    "q32_pivot"           -> (q32Pivot _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -843,5 +863,6 @@ object RelationalQueries {
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
+    "q32_pivot"           -> q32Sql,
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -134,14 +134,31 @@ object AmqpOffset {
 }
 
 class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  /** Trigger.AvailableNow: snapshot the backlog at query start; batches
+    * (still capped by maxMessagesPerTrigger / rate budget) drain up to
+    * the snapshot and the query stops — run-to-completion catch-up with
+    * the same admission control as continuous execution. */
+  private var availableNowCap: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(cfg.addresses.map(a => a -> broker.latestSeq(a)).toMap)
+
+  private def latestFor(a: String): Long = {
+    val live = broker.latestSeq(a)
+    availableNowCap.fold(live)(cap => math.min(live, cap.getOrElse(a, 0L)))
+  }
 
   override def initialOffset(): Offset =
     AmqpOffset(cfg.addresses.map(_ -> 0L).toMap)
 
   override def latestOffset(): Offset =
+    AmqpOffset(cfg.addresses.map(a => a -> latestFor(a)).toMap)
+
+  override def reportLatestOffset(): Offset =
     AmqpOffset(cfg.addresses.map(a => a -> broker.latestSeq(a)).toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
@@ -188,7 +205,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     val perLink = math.max(1L, totalCap / cfg.addresses.length)
     AmqpOffset(cfg.addresses.map { a =>
       val startSeq = startOff.seqOf(a)
-      a -> math.min(broker.latestSeq(a), startSeq + perLink)
+      a -> math.min(latestFor(a), startSeq + perLink)
     }.toMap)
   }
 

@@ -305,6 +305,23 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally { producer.join(2000); q.stop() }
   }
 
+  test("Trigger.AvailableNow drains the snapshot in capped batches, then stops") {
+    val (ep, broker) = freshEndpoint("availnow")
+    (1 to 25).foreach(i => broker.send("my_address",
+      AmqpMessage(body = AmqpValueBody(s"m-$i")), timestampMicros = i * 1000000L))
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("maxMessagesPerTrigger", "10").load()
+      .select(AmqpConverters.amqpBody.as("b"))
+      .writeStream.format("memory").queryName("amqp_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+      val got = spark.table("amqp_an").collect().map(_.getString(0)).toSet
+      assert(got == (1 to 25).map(i => s"m-$i").toSet)
+    } finally q.stop()
+  }
+
   test("offset json round-trips; legacy single-link form still parses") {
     val o = AmqpOffset(Map("b" -> 2L, "a" -> 7L))
     assert(o.json() == """{"seqs":{"a":7,"b":2}}""", "sorted keys: equal offsets compare equal")
