@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores: the driver's gate may not set
+    // SPARK_GRAFT_CPUS, and local[4] nearly triples the wall-clock of a
+    // 50-query dump — needless hard-timeout exposure.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val qTimeoutS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_Q_TIMEOUT_S", "150").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

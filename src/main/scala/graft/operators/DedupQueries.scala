@@ -367,7 +367,9 @@ object DedupQueries {
     * propagation is the right tool for dedup.
     */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    // cache() before the union: its two branches share no CSE, so an
+    // uncached pairs frame would run the whole shingle self-join twice.
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
     // The dup-pair graph is a vanishing fraction of the corpus (its size
     // tracks true duplicates), so the fixpoint loop runs on a handful of
     // partitions — at 100 TB this would be sized to the edge count, not
@@ -395,7 +397,7 @@ object DedupQueries {
       labels = step.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
-    edges.unpersist()
+    pairs.unpersist(); edges.unpersist()
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast(LongType))
   }

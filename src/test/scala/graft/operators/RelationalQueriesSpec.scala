@@ -71,6 +71,15 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(rows.forall(_.getBoolean(2)), rows.mkString("\n"))
   }
 
+  test("q30 correlated subquery is decorrelated (no per-row subquery)") {
+    val plan = RelationalQueries.q30CorrelatedSubquery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Catalyst rewrites the correlated aggregate into groupBy + join;
+    // a surviving scalar-subquery node would mean per-row re-execution.
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("q01 reads only the columns it needs") {
     val plan = RelationalQueries.q01PricingSummary(spark, sfDir)
       .queryExecution.executedPlan.toString
