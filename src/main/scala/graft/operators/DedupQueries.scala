@@ -220,15 +220,46 @@ object DedupQueries {
     * 4-band bucketing (pigeonhole-exact for hamming<=3), pair output with
     * exact hamming distance. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val ex = tokenStream(s, d)
+    // Two optimizations over the naive 62-column ±1 aggregate (which
+    // profiled at ~6s of the query's ~7s at sf0.1):
+    //  1. SWAR packing — each token's 62 bit INDICATORS pack 4-per-long
+    //     into 16-bit lanes (16 longs instead of 62 counters); lane sums
+    //     are non-negative so plain long addition never borrows (safe
+    //     for docs < 65536 tokens). Per-doc sign_j = (2*ones_j > n_tok),
+    //     algebraically identical to the ±1 sum being > 0.
+    //  2. Dictionary-encode the expensive function — the 62 modular
+    //     permutes are evaluated once per DISTINCT token (vocabulary-
+    //     sized frame, broadcast back), not once per token instance:
+    //     inlining them into the aggregate blew past codegen method
+    //     limits and fell into interpreted expression trees. At 100 TB
+    //     a natural-language vocabulary is still small enough to
+    //     broadcast (or shuffle-join); the aggregate itself shuffles
+    //     only 17 longs per document either way.
+    val Lanes = 4
+    val nGroups = (SimBits + Lanes - 1) / Lanes
+    val packedCols = (0 until nGroups).map { g =>
+      val terms = (0 until Lanes).flatMap { k =>
+        val j = g * Lanes + k
+        if (j < SimBits) Some((permute(col("h"), j) % 2L) * lit(1L << (16 * k)))
+        else None
+      }
+      terms.reduce(_ + _).as(s"p$g")
+    }
+    val toks = tokenStream(s, d)
+    val vocab = toks.select(col("tok")).distinct()
       .withColumn("h", CharFoldHash.charFoldHashNative(s, "tok"))
-    val bitAggs = (0 until SimBits).map(j =>
-      sum(when(permute(col("h"), j) % 2L === 1L, 1L).otherwise(-1L)).as(s"b$j"))
-    val bits = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("tok") +: packedCols: _*)
+    val bits = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (0 until nGroups).map(g => sum(col(s"p$g")).as(s"p$g")): _*)
     // Cached: feeds 4 band branches + both sides of the hamming join.
     val sig = bits.select(col("doc_id"),
-      (0 until SimBits).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+      (0 until SimBits).map { j =>
+        val ones = shiftright(col(s"p${j / Lanes}"), 16 * (j % Lanes))
+          .bitwiseAND(lit(0xFFFFL))
+        when(ones * 2L > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as("sig"))
       .cache()
     val bandArr = array((0 until 4).map(t =>
       struct(lit(t).as("band"),
@@ -377,8 +408,14 @@ object DedupQueries {
     // ~zero locally while still exercising the distributed path.
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(2, col("src")).cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // Init folds the first propagation round in: label0 = min(self,
+    // neighbors) — pairs (the overwhelmingly common component shape)
+    // are already converged before the loop runs, and the groupBy
+    // doubles as the vertex-set distinct.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster_id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
