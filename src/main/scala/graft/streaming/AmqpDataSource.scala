@@ -86,9 +86,18 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
 object AmqpSourceConfig {
   def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = {
     val primary = o.getOrDefault("address", "my_address")
+    val rawEndpoint = o.getOrDefault("endpoint",
+      s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}")
+    // SASL-PLAIN parity: username/password options fold into the socket
+    // URI so every executor-side connection authenticates (reference:
+    // PLAIN when credentials present, ANONYMOUS otherwise).
+    val user = Option(o.get("username"))
+    val endpoint =
+      if (rawEndpoint.startsWith("tcp://") && user.isDefined && !rawEndpoint.contains("@"))
+        s"tcp://${user.get}:${Option(o.get("password")).getOrElse("")}@${rawEndpoint.stripPrefix("tcp://")}"
+      else rawEndpoint
     AmqpSourceConfig(
-      endpoint = o.getOrDefault("endpoint",
-        s"mem://${o.getOrDefault("host", "localhost")}:${o.getOrDefault("port", "5672")}"),
+      endpoint = endpoint,
       address = primary,
       addresses = Option(o.get("addresses"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

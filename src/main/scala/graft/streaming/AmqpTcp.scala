@@ -25,6 +25,10 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 private[streaming] object AmqpTcpProtocol {
   sealed trait Req extends Serializable
+  /** SASL-PLAIN parity (AMQPReceiver.scala:70-78 in /root/reference:
+    * PLAIN when username/password present, ANONYMOUS otherwise): must be
+    * the first request on a credentialed server's connection. */
+  case class AuthReq(username: Option[String], password: Option[String]) extends Req
   case class SendReq(address: String, msg: AmqpMessage, tsMicros: Long) extends Req
   case class LatestReq(address: String) extends Req
   case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
@@ -37,8 +41,13 @@ private[streaming] object AmqpTcpProtocol {
 }
 
 /** Serves an [[InMemoryAmqpBroker]] over a socket. `port = 0` binds an
-  * ephemeral port (see [[port]]). */
-class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0) {
+  * ephemeral port (see [[port]]). With `credentials` set, every
+  * connection must authenticate (AuthReq) before any other operation —
+  * wrong or missing credentials close the connection, which surfaces
+  * client-side exactly like the reference's failed SASL connect
+  * (restart-with-cause, AMQPReceiver.scala:92). */
+class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
+    credentials: Option[(String, String)] = None) {
   import AmqpTcpProtocol._
 
   private val server = new ServerSocket()
@@ -67,8 +76,17 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0) {
       val out = new ObjectOutputStream(sock.getOutputStream)
       out.flush() // stream header first, before the peer builds its reader
       val in = new ObjectInputStream(sock.getInputStream)
+      var authed = credentials.isEmpty
       while (running.get()) {
-        val resp: Any = in.readObject() match {
+        val req = in.readObject()
+        val resp: Any = req match {
+          case AuthReq(u, p) =>
+            authed = credentials.forall { case (cu, cp) =>
+              u.contains(cu) && p.contains(cp)
+            }
+            authed
+          case _ if !authed =>
+            throw new SecurityException("unauthenticated request refused")
           case SendReq(a, m, ts)      => backing.send(a, m, ts)
           case LatestReq(a)           => backing.latestSeq(a)
           case FetchReq(a, f, t)      => backing.fetch(a, f, t)
@@ -81,6 +99,8 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0) {
         out.writeObject(resp)
         out.flush()
         out.reset() // don't let the object cache pin every message ever sent
+        if (!authed && credentials.isDefined)
+          throw new SecurityException("authentication failed — closing")
       }
     } catch { case _: Throwable => /* peer closed */ }
     finally sock.close()
@@ -93,8 +113,12 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0) {
 }
 
 /** Client side: an [[AmqpEndpoint]] whose every operation is one
-  * request/response round-trip to an [[AmqpTcpServer]]. */
-class TcpAmqpEndpoint(host: String, port: Int) extends AmqpEndpoint with AutoCloseable {
+  * request/response round-trip to an [[AmqpTcpServer]]. Authenticates
+  * on first use (SASL-PLAIN parity: credentials if given, anonymous
+  * otherwise — an anonymous server accepts both). */
+class TcpAmqpEndpoint(host: String, port: Int,
+    username: Option[String] = None, password: Option[String] = None)
+    extends AmqpEndpoint with AutoCloseable {
   import AmqpTcpProtocol._
 
   private lazy val sock = {
@@ -105,11 +129,21 @@ class TcpAmqpEndpoint(host: String, port: Int) extends AmqpEndpoint with AutoClo
   private lazy val out = { val o = new ObjectOutputStream(sock.getOutputStream); o.flush(); o }
   private lazy val in = new ObjectInputStream(sock.getInputStream)
 
-  private def call[T](req: Req): T = synchronized {
+  private def rawCall[T](req: Req): T = {
     out.writeObject(req)
     out.flush()
     out.reset()
     in.readObject().asInstanceOf[T]
+  }
+
+  private lazy val handshake: Unit =
+    if (!rawCall[Boolean](AuthReq(username, password)))
+      throw new SecurityException(
+        s"AMQP authentication failed for user ${username.getOrElse("<anonymous>")}")
+
+  private def call[T](req: Req): T = synchronized {
+    handshake
+    rawCall(req)
   }
 
   override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =

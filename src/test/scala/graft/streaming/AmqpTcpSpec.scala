@@ -43,6 +43,46 @@ class AmqpTcpSpec extends SparkSpecBase {
     }
   }
 
+  test("SASL-PLAIN parity: credentialed server accepts right creds, rejects wrong/anonymous") {
+    val backing = new InMemoryAmqpBroker
+    val server = new AmqpTcpServer(backing, credentials = Some(("alice", "s3cret")))
+    try {
+      backing.send("addr", AmqpMessage(body = AmqpValueBody("x")), 1L)
+      // right credentials (via URI userinfo, as AmqpSourceConfig folds
+      // the username/password options)
+      val ok = new TcpAmqpEndpoint("127.0.0.1", server.port, Some("alice"), Some("s3cret"))
+      try assert(ok.latestSeq("addr") == 1L) finally ok.close()
+      // wrong password → SecurityException on first use
+      val bad = new TcpAmqpEndpoint("127.0.0.1", server.port, Some("alice"), Some("nope"))
+      try intercept[SecurityException](bad.latestSeq("addr")) finally bad.close()
+      // anonymous against a credentialed server → refused
+      val anon = new TcpAmqpEndpoint("127.0.0.1", server.port)
+      try intercept[SecurityException](anon.latestSeq("addr")) finally anon.close()
+    } finally server.close()
+    // anonymous server accepts both anonymous AND credentialed clients
+    // (the reference connects PLAIN or ANONYMOUS by option)
+    withServer { (backing2, ep) =>
+      backing2.send("addr", AmqpMessage(body = AmqpValueBody("y")), 1L)
+      val anon = new TcpAmqpEndpoint("127.0.0.1", ep.stripPrefix("tcp://127.0.0.1:").toInt)
+      try assert(anon.latestSeq("addr") == 1L) finally anon.close()
+      val withCreds = AmqpEndpointRegistry.endpoint(
+        s"tcp://bob:pw@127.0.0.1:${ep.stripPrefix("tcp://127.0.0.1:")}")
+      assert(withCreds.latestSeq("addr") == 1L)
+      AmqpEndpointRegistry.reset(s"tcp://bob:pw@127.0.0.1:${ep.stripPrefix("tcp://127.0.0.1:")}")
+    }
+  }
+
+  test("username/password source options fold into the tcp endpoint URI") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tcp = new CaseInsensitiveStringMap(java.util.Map.of(
+      "endpoint", "tcp://h:1234", "username", "alice", "password", "pw"))
+    assert(AmqpSourceConfig(tcp).endpoint == "tcp://alice:pw@h:1234")
+    val mem = new CaseInsensitiveStringMap(java.util.Map.of(
+      "endpoint", "mem://x", "username", "alice"))
+    assert(AmqpSourceConfig(mem).endpoint == "mem://x",
+      "credentials only apply to socket transports")
+  }
+
   test("streaming read + windowed aggregate over a tcp:// endpoint") {
     withServer { (backing, ep) =>
       val base = 100L * 1000000L
