@@ -87,6 +87,32 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental corpus dedup: stream-static anti-join on content hash") {
+    // The streaming face of dedup_exact: documents arriving on the wire
+    // are dropped when their content hash already exists in the static
+    // corpus — at scale the corpus side is a bucketed/Bloom-backed
+    // table; the anti-join shape is identical.
+    val (ep, broker) = freshEndpoint("incdedup")
+    import spark.implicits._
+    val known = Seq("seen before").toDF("text")
+      .selectExpr("md5(text) AS content_hash")
+    Seq("seen before", "brand new", "also new").zipWithIndex.foreach { case (t, i) =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(t)),
+        timestampMicros = i * 1000000L)
+    }
+    val q = stream(ep)
+      .selectExpr("CAST(body AS STRING) AS text", "md5(CAST(body AS STRING)) AS content_hash")
+      .join(known, Seq("content_hash"), "left_anti")
+      .writeStream.format("memory").queryName("ops_incdedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_incdedup").collect().map(_.getString(1)).toSet
+        assert(got == Set("brand new", "also new"))
+      }
+    } finally q.stop()
+  }
+
   test("stream-static join: envelope stream enriched against a broadcast dimension") {
     val (ep, broker) = freshEndpoint("enrich")
     import org.apache.spark.sql.functions._
