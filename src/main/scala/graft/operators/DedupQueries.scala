@@ -456,9 +456,53 @@ object DedupQueries {
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM labels""".stripMargin
 
+  // ----------------------------------------------- dedup_contamination
+  /** Contamination screening — the train/test-leakage check every
+    * training-data pipeline runs before evaluation: for each benchmark
+    * document (deterministic 10% split on doc_id), the fraction of its
+    * distinct word-4-grams that appear ANYWHERE in the training split.
+    * frac >= 0.5 flags the document as contaminated.
+    *
+    * Scale shape: the train side collapses to a distinct-shingle SET
+    * (global dictionary — at 100 TB this is the thing you'd back with a
+    * bucketed table or Bloom filter); the benchmark side left-semi-ish
+    * joins against it on the shingle key, so cost tracks benchmark
+    * size, not train size. One double division per doc at the end. */
+  def dedupContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleStream(s, d, 4)
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle").as("tr_shingle")).distinct()
+    val seen = bench.join(train, col("shingle") === col("tr_shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("tr_shingle").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+    seen.select(col("doc_id"), col("n_sh"), col("n_seen"),
+      (col("n_seen").cast(DoubleType) / col("n_sh").cast(DoubleType)).as("frac_seen"),
+      (col("n_seen").cast(DoubleType) >=
+        col("n_sh").cast(DoubleType) * 0.5).as("contaminated"))
+  }
+
+  val dedupContaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shingleSetSql(4)}) AS shingle
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+       |bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)
+       |SELECT b.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_sh,
+       |  CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS frac_seen,
+       |  CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    >= CAST(count(*) AS DOUBLE) * 0.5 AS contaminated
+       |FROM bench b LEFT JOIN train t USING (shingle)
+       |GROUP BY b.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
+    "dedup_contamination"    -> (dedupContamination _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
@@ -468,6 +512,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster"          -> dedupClusterSql,
+    "dedup_contamination"    -> dedupContaminationSql,
     "dedup_exact"            -> dedupExactSql,
     "dedup_ngram_jaccard"    -> dedupNgramJaccardSql,
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,

@@ -131,13 +131,13 @@ case class AmqpOffset(seqs: Map[String, Long]) extends Offset {
 object AmqpOffset {
   def single(address: String, seq: Long): AmqpOffset = AmqpOffset(Map(address -> seq))
   private val LegacyRe = """\{\s*"seq"\s*:\s*(\d+)\s*\}""".r
+  private val SeqsRe = """(?s).*"seqs"\s*:\s*\{([^}]*)\}.*""".r
   private val EntryRe = """"([^"]+)"\s*:\s*(\d+)""".r
   def fromJson(s: String, primaryAddress: String): AmqpOffset = s match {
     case LegacyRe(n) => single(primaryAddress, n.toLong)
-    case other if other.contains("\"seqs\"") =>
-      val body = other.substring(other.indexOf("\"seqs\""))
-      AmqpOffset(EntryRe.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toLong).toMap - "seqs")
+    case SeqsRe(entries) =>
+      AmqpOffset(EntryRe.findAllMatchIn(entries)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
     case other => throw new IllegalArgumentException(s"bad AMQP offset: $other")
   }
 }

@@ -67,6 +67,17 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("contamination fractions are well-formed over the benchmark split") {
+    val rows = DedupQueries.dedupContamination(spark, sfDir)
+      .select("doc_id", "n_sh", "n_seen", "frac_seen").collect()
+    assert(rows.nonEmpty, "benchmark split (doc_id % 10 == 0) must be non-empty")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, "only benchmark docs are scored")
+      assert(r.getLong(2) <= r.getLong(1), "seen shingles bounded by total")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("minhash pairs are ordered and above threshold") {
     DedupQueries.dedupMinhashLsh(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

@@ -328,6 +328,9 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(AmqpOffset.fromJson(o.json(), "a") == o)
     assert(AmqpOffset.fromJson("""{"seq":5}""", "addr_x") == AmqpOffset.single("addr_x", 5L),
       "pre-multi-link checkpoints resume against the primary address")
+    // an address literally named "seqs" must not confuse the parser
+    val tricky = AmqpOffset(Map("seqs" -> 3L, "z" -> 1L))
+    assert(AmqpOffset.fromJson(tricky.json(), "z") == tricky)
   }
 
   test("multi-link: one partition per address, per-link offsets and settlement") {
