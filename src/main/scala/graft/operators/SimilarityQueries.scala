@@ -177,15 +177,188 @@ object SimilarityQueries {
       |FROM embeddings, (SELECT CAST(unnest(range(64)) AS INT) AS dim) dims
       |GROUP BY label, dim""".stripMargin
 
+  // -------------------------------------------------------- sim_topk_lsh
+  /** LSH-bucketed ANN — the other classic ANN family next to IVF
+    * (sim_topk_ivf): 16-bit random-hyperplane signatures, 4 bands of 4
+    * bits; a corpus vector is a candidate for a query iff they share any
+    * band, and candidates are exact-ranked by cosine. The oracle
+    * replicates the banding (not brute force — ADVICE r1's rule: gate
+    * the algorithm, not a data-dependent approximation of it).
+    *
+    * Scale shape: the bucket join is an equi-join on (band, bkey) — the
+    * corpus side shuffles once by bucket, queries fan out 4 rows each;
+    * nothing is ever all-pairs. At 100 TB the signature frame would be
+    * the stored index (bucketed table on bkey). */
+  def simTopKLsh(s: SparkSession, d: String): DataFrame = {
+    val NBits = 16
+    val e = embedded(s, d)
+    val sig = e.select(col("vec_id"),
+      expr(s"hyperplane_sig(emb, $NBits)").as("sig"))
+    val bandArr = array((0 until 4).map(t =>
+      struct(lit(t).as("band"),
+        shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L)).as("bkey"))): _*)
+    val bands = sig.select(col("vec_id"), explode(bandArr).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val qb = bands.filter(col("vec_id") < NumQueries)
+      .select(col("band"), col("bkey"), col("vec_id").as("query_id"))
+    val cand = bands.join(qb, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+      .withColumn("rn", row_number().over(wTop).cast(LongType))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  val simTopKLshSql: String = {
+    // hyperplane weights: the same LCG as VectorExpressions.hyperplaneSig
+    def w(i: Int) =
+      s"CAST(($i * 73856093 + d * 19349663) % 1000003 AS DOUBLE) / 500001.5 - 1.0"
+    val projCols = (0 until 16).map(i =>
+      s"list_dot_product(emb, list_transform(range(1, len(emb) + 1), d -> ${w(i)})) AS p$i")
+      .mkString(",\n    ")
+    val sigExpr = (0 until 16).map(i =>
+      s"CASE WHEN p$i > 0 THEN ${1L << (15 - i)} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS band, (sig >> ${4 * t}) & 15 AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |proj AS (
+       |  SELECT vec_id,
+       |    $projCols
+       |  FROM e),
+       |sig AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM proj),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+       |  FROM bands b JOIN bands q
+       |    ON b.band = q.band AND b.bkey = q.bkey
+       |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_dot_product(v.emb, q.emb) / (v.nrm * q.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n v ON v.vec_id = c.vec_id
+       |  JOIN n q ON q.vec_id = c.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------- sim_kmeans
+  private val KmK = 8      // clusters: centroids seeded from vec_id < 8
+  private val KmIters = 2  // Lloyd update rounds before the final assign
+  private val KmDims = 64  // embedding dimensionality (TESTDATA)
+
+  /** Lloyd's k-means over the embeddings (K=8, 2 update rounds +
+    * final assignment), reporting per-cluster size and exact inertia —
+    * the iterative-ML workload shape (repeated broadcast-join assign +
+    * shuffle re-centroid) on top of the engine.
+    *
+    * Determinism contract (so a DuckDB oracle can replicate it):
+    * centroids seed from vec_id < K; assignment breaks distance ties by
+    * lowest cluster id; centroid means and the inertia sum go through
+    * DECIMAL(28,9) so the aggregation is order-independent (double sums
+    * would vary with partitioning — see sim_centroids); all distances
+    * are the same left-to-right f64 folds as the oracle's
+    * list_dot_product.
+    *
+    * Scale shape: each round is one broadcast nested-loop assign (K
+    * tiny) + one (cid, dim)-keyed shuffle whose output is K x dims rows;
+    * the corpus is never shuffled. At 100 TB one would localCheckpoint
+    * the per-round centroid frame (lineage truncation, as dedup_cluster
+    * does) — at gate scale the 3-assign DAG is cheaper re-planned. */
+  def simKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    def assign(cents: DataFrame): DataFrame = {
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          "vec_dot(emb, emb) - 2 * vec_dot(emb, cemb) + vec_dot(cemb, cemb)"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("emb"), col("d2"))
+    }
+    var cents = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    for (_ <- 1 to KmIters) {
+      cents = assign(cents)
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("nv"),
+          sum(col("x").cast(DecimalType(28, 9))).as("sx"))
+        .select(col("cid"), col("dim"),
+          (col("sx").cast(DoubleType) / col("nv").cast(DoubleType)).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("c")).as("cemb"))
+    }
+    assign(cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast(DecimalType(28, 9))).as("inertia_dec"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"),
+        col("inertia_dec").cast(DoubleType).as("inertia"))
+  }
+
+  val simKmeansSql: String = {
+    val d2 = (e: String, c: String) =>
+      s"list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + list_dot_product($c, $c)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, emb, d2 FROM (
+         |    SELECT n.vec_id, c.cid, n.emb, ${d2("n.emb", "c.cemb")} AS d2,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2("n.emb", "c.cemb")} ASC, c.cid ASC) AS rn
+         |    FROM e n CROSS JOIN $cents c) t
+         |  WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cid, list(c ORDER BY dim) AS cemb FROM (
+         |    SELECT cid, dim,
+         |      CAST(sum(CAST(emb[dim+1] AS DECIMAL(28,9))) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) AS c
+         |    FROM $assigned, (SELECT CAST(unnest(range($KmDims)) AS INT) AS dim) dims
+         |    GROUP BY cid, dim) x
+         |  GROUP BY cid)""".stripMargin
+    val iterCtes = (1 to KmIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + centCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $KmK),
+       |$iterCtes,
+       |${assignCte("af", s"c$KmIters")}
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS inertia
+       |FROM af GROUP BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
+    "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_centroids"       -> (simCentroids _),
+    "sim_kmeans"          -> (simKmeans _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
+    "sim_topk_lsh"        -> simTopKLshSql,
     "sim_centroids"       -> simCentroidsSql,
+    "sim_kmeans"          -> simKmeansSql,
   )
 }

@@ -224,22 +224,208 @@ object TextQueries {
        |FROM bg JOIN counts USING (bigram)
        |GROUP BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- txt_repetition
+  /** Gopher-style repetition filters: per-document fraction of bigram
+    * instances taken by the single most frequent bigram, and the fraction
+    * of trigram instances whose trigram occurs more than once — the
+    * standard cheap signals for boilerplate / degenerate generation.
+    *
+    * Scale shape: one (doc_id) window shuffle produces both gram widths
+    * (lead(1) + lead(2) share the sort), per-doc-per-gram counts partial-
+    * aggregate map-side, and the output is one row per document. The
+    * thresholds (0.18 / 0.30) follow the Gopher paper's 2-gram/3-gram
+    * duplicate-fraction filters in spirit; values are engine-exact (long
+    * counts, one double division each). */
+  def txtRepetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = tok
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+    val bi = g.filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = g.filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_trigram_n"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("dup_trigram_n"), lit(0L)).as("dup_trigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+          col("top_bigram_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType)))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") === 0, lit(0.0)).otherwise(
+          col("dup_trigram_n").cast(DoubleType) / col("n_trigrams").cast(DoubleType)))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.3)
+  }
+
+  val txtRepetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, $DTokens AS l FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
+       |  FROM toks),
+       |bic AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram),
+       |bid AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(max(c) AS BIGINT) AS top_bigram_n
+       |  FROM bic GROUP BY doc_id),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+       |  FROM toks),
+       |tric AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY doc_id, gram),
+       |trid AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+       |  FROM tric GROUP BY doc_id),
+       |joined AS (
+       |  SELECT d.doc_id,
+       |    coalesce(n_bigrams, 0) AS n_bigrams,
+       |    coalesce(top_bigram_n, 0) AS top_bigram_n,
+       |    coalesce(n_trigrams, 0) AS n_trigrams,
+       |    coalesce(dup_trigram_n, 0) AS dup_trigram_n
+       |  FROM documents d LEFT JOIN bid USING (doc_id) LEFT JOIN trid USING (doc_id)),
+       |fracs AS (
+       |  SELECT *,
+       |    CASE WHEN n_bigrams = 0 THEN 0.0
+       |         ELSE CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS top_bigram_frac,
+       |    CASE WHEN n_trigrams = 0 THEN 0.0
+       |         ELSE CAST(dup_trigram_n AS DOUBLE) / CAST(n_trigrams AS DOUBLE) END AS dup_trigram_frac
+       |  FROM joined)
+       |SELECT doc_id, n_bigrams, top_bigram_n, n_trigrams, dup_trigram_n,
+       |  top_bigram_frac, dup_trigram_frac,
+       |  top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3 AS repetitive
+       |FROM fracs""".stripMargin
+
+  // ---------------------------------------------------------- txt_tfidf
+  /** Corpus TF-IDF with top-3 salient terms per document — the feature
+    * extraction behind keyword indexing / topic-ish clustering in a
+    * data pipeline. IDF uses the BM25 rational form
+    * (N - df + 0.5)/(df + 0.5) rather than a log: IEEE division is
+    * correctly rounded so the scores are bit-identical across engines,
+    * where libm log() would hash-flake in the last ulp.
+    *
+    * Scale shape: one (doc_id, term) shuffle builds TF; the DF table is
+    * vocabulary-sized and broadcast back; doc length is a window over the
+    * TF frame (no second scan of the corpus); the corpus-size scalar
+    * stays in-plan as a broadcast 1-row frame (no driver collect). */
+  def txtTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val tf = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf").cast(DoubleType) / col("dl").cast(DoubleType)) *
+          ((col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("rn", row_number().over(wTop).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
+  val txtTfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($DTokens) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) *
+       |      ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3""".stripMargin
+
+  // ----------------------------------------------------- split_stratified
+  /** Deterministic hash-based train/val/test split with per-stratum
+    * accounting — the corpus-management primitive every training run
+    * starts from. The split key is the engine-portable char-fold hash of
+    * the document id (NOT doc_id % k: sequential ids correlate with
+    * generation order, so modulo splits are not exchangeable), bucketed
+    * 80/10/10.
+    *
+    * Scale shape: a pure map over the scan followed by a tiny
+    * (lang, split)-sized aggregate; the assignment is reproducible from
+    * the id alone on any engine — no stored split column, no RNG state. */
+  def splitStratified(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val bucket = expr("char_fold_hash(CAST(doc_id AS STRING)) % 100")
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("total_chars"))
+  }
+
+  val splitStratifiedSql: String = {
+    val bucket = s"${graft.functions.HashFunctions.charFoldHashSql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT lang, split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents) t
+       |GROUP BY lang, split""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "txt_stats"       -> (txtStats _),
-    "txt_quality"     -> (txtQuality _),
-    "txt_langid"      -> (txtLangId _),
-    "txt_fingerprint" -> (txtFingerprint _),
-    "txt_bpe_vocab"   -> (txtBpeVocab _),
-    "txt_bigram_lm"   -> (txtBigramLm _),
+    "txt_stats"        -> (txtStats _),
+    "txt_quality"      -> (txtQuality _),
+    "txt_langid"       -> (txtLangId _),
+    "txt_fingerprint"  -> (txtFingerprint _),
+    "txt_bpe_vocab"    -> (txtBpeVocab _),
+    "txt_bigram_lm"    -> (txtBigramLm _),
+    "txt_repetition"   -> (txtRepetition _),
+    "txt_tfidf"        -> (txtTfidf _),
+    "split_stratified" -> (splitStratified _),
   )
 
   val oracleSql: Map[String, String] = Map(
-    "txt_stats"       -> txtStatsSql,
-    "txt_quality"     -> txtQualitySql,
-    "txt_langid"      -> txtLangIdSql,
-    "txt_fingerprint" -> txtFingerprintSql,
-    "txt_bpe_vocab"   -> txtBpeVocabSql,
-    "txt_bigram_lm"   -> txtBigramLmSql,
+    "txt_stats"        -> txtStatsSql,
+    "txt_quality"      -> txtQualitySql,
+    "txt_langid"       -> txtLangIdSql,
+    "txt_fingerprint"  -> txtFingerprintSql,
+    "txt_bpe_vocab"    -> txtBpeVocabSql,
+    "txt_bigram_lm"    -> txtBigramLmSql,
+    "txt_repetition"   -> txtRepetitionSql,
+    "txt_tfidf"        -> txtTfidfSql,
+    "split_stratified" -> splitStratifiedSql,
   )
 }

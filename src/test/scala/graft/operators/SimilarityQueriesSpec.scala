@@ -21,6 +21,30 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("LSH ANN finds a reasonable fraction of the exact neighbors") {
+    val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityQueries.simTopKLsh(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    // 4 bands of 4 hyperplane bits: near-neighbors collide in some band
+    // far more often than random vectors do
+    assert(recall >= 0.2, s"LSH recall $recall suspiciously low")
+    lsh.foreach { case (q, v) => assert(q != v) }
+  }
+
+  test("kmeans partitions every vector and reports non-negative inertia") {
+    val rows = SimilarityQueries.simKmeans(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nVecs, "clusters must partition the corpus")
+    assert(rows.length <= 8)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, n, inertia) =>
+      assert(n > 0); assert(inertia >= 0.0)
+    }
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

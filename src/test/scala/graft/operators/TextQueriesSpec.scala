@@ -39,4 +39,48 @@ class TextQueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("repetition fractions are in [0,1] and cover every document") {
+    val rows = TextQueries.txtRepetition(spark, sfDir)
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"))
+      .collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (tb, dt) = (r.getDouble(1), r.getDouble(2))
+      assert(tb >= 0.0 && tb <= 1.0, s"top_bigram_frac $tb")
+      assert(dt >= 0.0 && dt <= 1.0, s"dup_trigram_frac $dt")
+    }
+  }
+
+  test("tfidf returns at most 3 terms per doc, rank-ordered by score") {
+    val rows = TextQueries.txtTfidf(spark, sfDir)
+      .select(col("doc_id"), col("tfidf"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 3)
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to g.length).toSeq)
+      assert(byRank.map(_._2).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }, "tfidf must be non-increasing in rank")
+    }
+  }
+
+  test("stratified split partitions the corpus deterministically") {
+    val rows = TextQueries.splitStratified(spark, sfDir)
+      .select(col("split"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "splits must partition the corpus")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    val train = rows.filter(_._1 == "train").map(_._2).sum
+    assert(train > nDocs / 2, s"train split $train of $nDocs suspiciously small")
+    // deterministic: a second evaluation yields the identical histogram
+    val again = TextQueries.splitStratified(spark, sfDir)
+      .select(col("split"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
 }
