@@ -115,19 +115,26 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
 /** Client side: an [[AmqpEndpoint]] whose every operation is one
   * request/response round-trip to an [[AmqpTcpServer]]. Authenticates
   * on first use (SASL-PLAIN parity: credentials if given, anonymous
-  * otherwise — an anonymous server accepts both). */
+  * otherwise — an anonymous server accepts both).
+  *
+  * Disconnect parity: the reference restarts its receiver when the TCP
+  * connection drops or the peer closes (AMQPReceiver.scala:124-142 in
+  * /root/reference — `restart("Connection ... closed/disconnected")`).
+  * Here the link re-dials and re-authenticates on IO failure, then
+  * retries the interrupted operation once. The retry preserves the
+  * reference's at-least-once contract: reads (fetch/latest/settled) are
+  * idempotent, settlement is a monotone prefix, staged-commit is
+  * epoch-idempotent on the broker — and a send whose ack was lost may
+  * duplicate, exactly the redelivery the reference accepts between
+  * store and settle. */
 class TcpAmqpEndpoint(host: String, port: Int,
     username: Option[String] = None, password: Option[String] = None)
     extends AmqpEndpoint with AutoCloseable {
   import AmqpTcpProtocol._
 
-  private lazy val sock = {
-    val s = new Socket(host, port)
-    s.setTcpNoDelay(true)
-    s
-  }
-  private lazy val out = { val o = new ObjectOutputStream(sock.getOutputStream); o.flush(); o }
-  private lazy val in = new ObjectInputStream(sock.getInputStream)
+  private var sock: Socket = _
+  private var out: ObjectOutputStream = _
+  private var in: ObjectInputStream = _
 
   private def rawCall[T](req: Req): T = {
     out.writeObject(req)
@@ -136,14 +143,27 @@ class TcpAmqpEndpoint(host: String, port: Int,
     in.readObject().asInstanceOf[T]
   }
 
-  private lazy val handshake: Unit =
+  /** (Re)dial + SASL handshake. Auth refusal throws SecurityException
+    * and is never retried (failed-SASL-connect parity). */
+  private def connect(): Unit = {
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    out = new ObjectOutputStream(sock.getOutputStream)
+    out.flush() // stream header first, before the peer builds its reader
+    in = new ObjectInputStream(sock.getInputStream)
     if (!rawCall[Boolean](AuthReq(username, password)))
       throw new SecurityException(
         s"AMQP authentication failed for user ${username.getOrElse("<anonymous>")}")
+  }
 
   private def call[T](req: Req): T = synchronized {
-    handshake
-    rawCall(req)
+    if (sock == null) connect()
+    try rawCall(req)
+    catch { case _: java.io.IOException =>
+      try sock.close() catch { case _: Throwable => () }
+      connect()
+      rawCall(req)
+    }
   }
 
   override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
@@ -161,5 +181,7 @@ class TcpAmqpEndpoint(host: String, port: Int,
     call[Int](CommitStagedReq(txn, queryId, epochId, address, timestampMicros))
   override def abortStaged(txn: String): Unit = call[Any](AbortReq(txn))
 
-  override def close(): Unit = try sock.close() catch { case _: Throwable => () }
+  override def close(): Unit = synchronized {
+    if (sock != null) { try sock.close() catch { case _: Throwable => () } }
+  }
 }
