@@ -45,6 +45,12 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeans assigns via broadcast (the corpus is never shuffled to the centroids)") {
+    val plan = SimilarityQueries.simKmeans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

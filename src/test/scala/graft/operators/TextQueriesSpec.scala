@@ -68,6 +68,12 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("tfidf broadcasts the vocabulary-sized DF table (no corpus shuffle for the join)") {
+    val plan = TextQueries.txtTfidf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("stratified split partitions the corpus deterministically") {
     val rows = TextQueries.splitStratified(spark, sfDir)
       .select(col("split"), col("n_docs")).collect()
