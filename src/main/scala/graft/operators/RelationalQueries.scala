@@ -795,6 +795,32 @@ object RelationalQueries {
       |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_finished
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Quantile sketch with a verified bound — q29's pattern applied to
+    * quantiles: approx_percentile (Spark's positional-error sketch,
+    * accuracy 10000 ⇒ rank error ≤ 0.01%) gated against the exact
+    * discrete p45..p55 band. The output hash-compares the EXACT median
+    * and a boolean the oracle expects TRUE, so a drifting sketch fails
+    * the gate. At 100 TB the sketch branch is the plan — fixed-size
+    * sketch state merges map-side where the exact branch must sort each
+    * group (the exact branch here is the audit, as in q29). */
+  def q33QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("q33_events")
+    s.sql("""
+      SELECT event_type,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS exact_p50,
+        (approx_percentile(value, 0.5, 10000)
+           BETWEEN percentile_disc(0.45) WITHIN GROUP (ORDER BY value)
+               AND percentile_disc(0.55) WITHIN GROUP (ORDER BY value)) AS sketch_in_band
+      FROM q33_events GROUP BY event_type""")
+  }
+
+  val q33Sql: String =
+    """SELECT event_type,
+      |  quantile_disc(value, 0.5) AS exact_p50,
+      |  TRUE AS sketch_in_band
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -829,6 +855,7 @@ object RelationalQueries {
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
     "q32_pivot"           -> (q32Pivot _),
+    "q33_quantile_sketch" -> (q33QuantileSketch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -864,5 +891,6 @@ object RelationalQueries {
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
     "q32_pivot"           -> q32Sql,
+    "q33_quantile_sketch" -> q33Sql,
   )
 }

@@ -47,6 +47,43 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateful agg runs on the RocksDB state store (the large-state path)") {
+    // At 100 TB the streaming state (dedup ids, window partials,
+    // session state) outgrows the executor heap; the deployment answer
+    // is the RocksDB state store provider (bundled with Spark). This
+    // pins that our stateful operators run unchanged on it — same
+    // results, state off-heap/on-disk.
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (ep, broker) = freshEndpoint("rocks")
+    val base = 100L * 1000000L
+    def send(id: String, atSec: Long): Unit =
+      broker.send("my_address",
+        AmqpMessage(messageId = Some(id), body = AmqpValueBody(id)),
+        timestampMicros = base + atSec * 1000000L)
+    send("r-1", 0); send("r-2", 1); send("r-1", 2)
+    val q = AmqpStreamOps.dedupByMessageId(stream(ep))
+      .select("message_id")
+      .writeStream.format("memory").queryName("ops_rocks").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.customMetrics.containsKey("rocksdbGetCount")),
+        "query must actually be running on the RocksDB provider")
+      poll {
+        val got = spark.table("ops_rocks").collect().map(_.getString(0)).toSeq
+        assert(got.sorted == Seq("r-1", "r-2"))
+      }
+    } finally {
+      q.stop()
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink: epoch-keyed idempotent writes (foreachRDD parity)") {
     // SURVEY §2.2: the reference's tests collect via foreachRDD; the
     // Structured Streaming mapping is foreachBatch, with the batchId as
