@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharFoldHash, HyperplaneSig, VectorDot}
+import graft.expressions.{CharFoldHash, HyperplaneSig, SimhashPack, SimhashSig, VectorDot}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * first-class SQL functions in any session, via
@@ -38,5 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"hyperplane_sig(v, nBits) needs a literal bit count, got $other")
       })))
+    ext.injectFunction((FunctionIdentifier("simhash_pack"),
+      info("simhash_pack", "simhash_pack(h) - 62 packed SimHash indicator lanes"),
+      (exprs: Seq[Expression]) => SimhashPack(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(lanes, n) - majority-vote SimHash signature"),
+      (exprs: Seq[Expression]) => SimhashSig(exprs.head, exprs(1))))
   }
 }

@@ -220,7 +220,7 @@ object DedupQueries {
     * 4-band bucketing (pigeonhole-exact for hamming<=3), pair output with
     * exact hamming distance. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // Two optimizations over the naive 62-column ±1 aggregate (which
+    // Three optimizations over the naive 62-column ±1 aggregate (which
     // profiled at ~6s of the query's ~7s at sf0.1):
     //  1. SWAR packing — each token's 62 bit INDICATORS pack 4-per-long
     //     into 16-bit lanes (16 longs instead of 62 counters); lane sums
@@ -235,31 +235,25 @@ object DedupQueries {
     //     a natural-language vocabulary is still small enough to
     //     broadcast (or shuffle-join); the aggregate itself shuffles
     //     only 17 longs per document either way.
-    val Lanes = 4
-    val nGroups = (SimBits + Lanes - 1) / Lanes
-    val packedCols = (0 until nGroups).map { g =>
-      val terms = (0 until Lanes).flatMap { k =>
-        val j = g * Lanes + k
-        if (j < SimBits) Some((permute(col("h"), j) % 2L) * lit(1L << (16 * k)))
-        else None
-      }
-      terms.reduce(_ + _).as(s"p$g")
-    }
+    //  3. Native pack/sig expressions ([[graft.expressions.SimhashPack]]/
+    //     [[graft.expressions.SimhashSig]]) — the inline 62-term column
+    //     arithmetic generated ~kLoC per-row methods whose janino+JIT
+    //     compile time (~3s, re-paid per fresh plan in a one-shot gate
+    //     JVM) dwarfed evaluation; each is now one static call.
+    graft.expressions.SimhashExpressions.register(s)
+    val nGroups = graft.expressions.SimhashExpressions.NGroups
     val toks = tokenStream(s, d)
     val vocab = toks.select(col("tok")).distinct()
       .withColumn("h", CharFoldHash.charFoldHashNative(s, "tok"))
-      .select(col("tok") +: packedCols: _*)
+      .select(col("tok"), expr("simhash_pack(h)").as("p"))
     val bits = toks.join(broadcast(vocab), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
-        (0 until nGroups).map(g => sum(col(s"p$g")).as(s"p$g")): _*)
+        (0 until nGroups).map(g => sum(element_at(col("p"), g + 1)).as(s"p$g")): _*)
     // Cached: feeds 4 band branches + both sides of the hamming join.
     val sig = bits.select(col("doc_id"),
-      (0 until SimBits).map { j =>
-        val ones = shiftright(col(s"p${j / Lanes}"), 16 * (j % Lanes))
-          .bitwiseAND(lit(0xFFFFL))
-        when(ones * 2L > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as("sig"))
+      expr(s"simhash_sig(array(${(0 until nGroups).map("p" + _).mkString(",")}), n_tok)")
+        .as("sig"))
       .cache()
     val bandArr = array((0 until 4).map(t =>
       struct(lit(t).as("band"),
