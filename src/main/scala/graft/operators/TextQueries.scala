@@ -404,6 +404,45 @@ object TextQueries {
        |GROUP BY lang, split""".stripMargin
   }
 
+  // ---------------------------------------------------- corpus_blocklist
+  /** Blocklist + threshold filtering with per-stratum disposition
+    * accounting — the "remove these domains, drop the too-short tail"
+    * stage at the front of every corpus pipeline. The blocklist is a
+    * TABLE (not an isin literal): at 100 TB blocklists are curated
+    * datasets millions of entries long, so the plan shape that matters
+    * is a broadcast left join against the corpus scan — zero corpus
+    * shuffle, filter applied map-side. Disposition precedence (blocked
+    * beats too-short beats kept) is a single coalesce so every document
+    * lands in exactly one bucket. */
+  def corpusBlocklist(s: SparkSession, d: String): DataFrame = {
+    val bl = s.createDataFrame(Seq(
+      ("src3", "blocked_source"), ("src7", "blocked_source"),
+      ("src11", "blocked_source"))).toDF("source", "bl_reason")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokenCount(col("text")).as("n_tokens"))
+      .join(broadcast(bl), Seq("source"), "left")
+      .withColumn("disposition",
+        coalesce(col("bl_reason"),
+          when(col("n_tokens") < 25, lit("too_short")), lit("kept")))
+      .groupBy(col("lang"), col("disposition"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val corpusBlocklistSql: String =
+    s"""WITH bl AS (
+       |  SELECT * FROM (VALUES ('src3', 'blocked_source'), ('src7', 'blocked_source'),
+       |    ('src11', 'blocked_source')) AS t(source, bl_reason)),
+       |d AS (
+       |  SELECT doc_id, lang, source, CAST(len($DTokens) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang,
+       |  coalesce(bl_reason, CASE WHEN n_tokens < 25 THEN 'too_short' END, 'kept') AS disposition,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM d LEFT JOIN bl USING (source)
+       |GROUP BY lang,
+       |  coalesce(bl_reason, CASE WHEN n_tokens < 25 THEN 'too_short' END, 'kept')""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -415,6 +454,7 @@ object TextQueries {
     "txt_repetition"   -> (txtRepetition _),
     "txt_tfidf"        -> (txtTfidf _),
     "split_stratified" -> (splitStratified _),
+    "corpus_blocklist" -> (corpusBlocklist _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -427,5 +467,6 @@ object TextQueries {
     "txt_repetition"   -> txtRepetitionSql,
     "txt_tfidf"        -> txtTfidfSql,
     "split_stratified" -> splitStratifiedSql,
+    "corpus_blocklist" -> corpusBlocklistSql,
   )
 }
