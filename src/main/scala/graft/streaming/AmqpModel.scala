@@ -167,10 +167,17 @@ object AmqpConverters {
     }
     val valueSection =
       when(col("body_type") === "amqpValueJson", col("body")).otherwise(quoted)
+    // Spark's base64() MIME-chunks with CRLF every 76 chars (conf-
+    // dependent in 4.x) — inside a JSON string that is an unescaped
+    // control character. The reference uses the non-chunking encoder
+    // (Base64.getEncoder, AMQPJsonFunction.scala:146), so strip any
+    // line breaks unconditionally. (Caught by AmqpModelPropertySpec:
+    // every payload > 57 bytes produced unparseable JSON.)
+    val b64 = regexp_replace(base64(col("body_binary")), "[\\r\\n]", "")
     val bodyPart = when(col("body_type").isin("amqpValue", "amqpValueJson"),
         concat(lit("\"body\":{\"type\":\"amqpValue\",\"section\":"), valueSection, lit("}")))
       .when(col("body_type") === "data",
-        concat(lit("\"body\":{\"type\":\"data\",\"section\":\""), base64(col("body_binary")), lit("\"}")))
+        concat(lit("\"body\":{\"type\":\"data\",\"section\":\""), b64, lit("\"}")))
     concat(lit("{"), concat_ws(",", propsPart, appPart, annPart, bodyPart), lit("}"))
   }
 }
