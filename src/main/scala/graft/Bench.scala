@@ -50,9 +50,9 @@ object Bench {
 
     val results = mutable.LinkedHashMap[String, Double]()
     val errors = mutable.LinkedHashMap[String, String]()
-    // AMQP-link ingest throughput vs BASELINE.md's 10k msg/s target;
-    // (messages, seconds) once measured
-    @volatile var streamIngest: Option[(Long, Double)] = None
+    // AMQP ingest throughput vs BASELINE.md's 10k msg/s target:
+    // label -> (messages, seconds), measured per link topology
+    val streamIngest = mutable.LinkedHashMap[String, (Long, Double)]()
     val emitted = new AtomicBoolean(false)
     def emit(): Unit = if (emitted.compareAndSet(false, true)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -60,9 +60,10 @@ object Bench {
       val errs = errors.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\""
       }.mkString("{", ",", "}")
-      val stream = streamIngest.map { case (n, sec) =>
-        f""","stream_ingest":{"messages":$n,"sec":$sec,"msgs_per_sec":${n / sec}%.0f}"""
-      }.getOrElse("")
+      val stream = if (streamIngest.isEmpty) "" else streamIngest.map {
+        case (label, (n, sec)) =>
+          f""""$label":{"messages":$n,"sec":$sec,"msgs_per_sec":${n / sec}%.0f}"""
+      }.mkString(""","stream_ingest":{""", ",", "}")
       val total = results.valuesIterator.filter(_ >= 0).sum
       // scalastyle:off println
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$stream,"sf":"$sfDir"}""")
@@ -156,31 +157,41 @@ object Bench {
     if ((System.nanoTime() - t0) / 1e9 < budgetS) {
       try {
         import graft.streaming.{AmqpEndpointRegistry, AmqpMessage, AmqpValueBody}
-        val ep = "mem://bench-ingest"
-        AmqpEndpointRegistry.reset(ep)
-        val broker = AmqpEndpointRegistry.broker(ep)
-        val n = 100000L
-        var sent = 0L
-        var fetchedUpTo = 0L
-        while (sent < n) {
-          if (broker.send("bench", AmqpMessage(body = AmqpValueBody(s"m-$sent")),
-              timestampMicros = sent * 1000L) >= 0) sent += 1
-          else { // credit window full: consume the pending slice
-            val to = broker.latestSeq("bench")
-            broker.fetch("bench", fetchedUpTo, to)
-            fetchedUpTo = to
+        def preload(ep: String, addresses: Seq[String], perLink: Long): Unit = {
+          val broker = { AmqpEndpointRegistry.reset(ep); AmqpEndpointRegistry.broker(ep) }
+          addresses.foreach { a =>
+            var sent = 0L
+            var fetchedUpTo = 0L
+            while (sent < perLink) {
+              if (broker.send(a, AmqpMessage(body = AmqpValueBody(s"m-$sent")),
+                  timestampMicros = sent * 1000L) >= 0) sent += 1
+              else { // credit window full: consume the pending slice
+                val to = broker.latestSeq(a)
+                broker.fetch(a, fetchedUpTo, to)
+                fetchedUpTo = to
+              }
+            }
           }
         }
-        val df = spark.read.format("amqp")
-          .option("endpoint", ep).option("address", "bench").load()
-        require(df.count() == n) // warm: planning + codegen
-        val sec = (1 to 2).map { _ =>
-          val s0 = System.nanoTime()
-          require(df.count() == n)
-          (System.nanoTime() - s0) / 1e9
-        }.min
-        streamIngest = Some((n, sec))
-        System.err.println(f"[bench] stream_ingest ${n / sec}%.0f msg/s ($n msgs in $sec%.2fs)")
+        def measure(label: String, ep: String, addresses: Seq[String], n: Long): Unit = {
+          val df = spark.read.format("amqp")
+            .option("endpoint", ep).option("addresses", addresses.mkString(",")).load()
+          require(df.count() == n) // warm: planning + codegen
+          val sec = (1 to 2).map { _ =>
+            val s0 = System.nanoTime()
+            require(df.count() == n)
+            (System.nanoTime() - s0) / 1e9
+          }.min
+          streamIngest(label) = (n, sec)
+          System.err.println(f"[bench] stream_ingest $label ${n / sec}%.0f msg/s ($n msgs in $sec%.2fs)")
+        }
+        // single link: the reference's per-receiver envelope (10k msg/s)
+        preload("mem://bench-ingest", Seq("l0"), 100000L)
+        measure("1link", "mem://bench-ingest", Seq("l0"), 100000L)
+        // 4 links: the horizontal-scale surface — one partition per link
+        val links = (0 until 4).map(i => s"l$i")
+        preload("mem://bench-ingest4", links, 100000L)
+        measure("4link", "mem://bench-ingest4", links, 400000L)
       } catch { case e: Throwable =>
         errors("stream_ingest") = String.valueOf(e)
         System.err.println(s"[bench] stream_ingest FAILED: $e")
