@@ -240,6 +240,47 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 15)
   }
 
+  test("windowed-agg STATE survives a restart (WAL + getOrCreate parity)") {
+    // The reference's recovery story is StreamingContext.getOrCreate over
+    // a checkpoint (AMQPTemperature.scala:61) with the receiver WAL: after
+    // a driver restart, in-flight window state resumes. Structured
+    // Streaming equivalent: the window aggregate's partial state lives in
+    // the state store under checkpointLocation. This test feeds half a
+    // window, bounces the query, feeds the other half plus a
+    // watermark-advancing nudge, and asserts the finalized window max
+    // combines values from BOTH sides of the restart.
+    val (ep, broker) = freshEndpoint("restart-state")
+    val ckpt = Files.createTempDirectory("amqp-state-ckpt").toString
+    val out = Files.createTempDirectory("amqp-state-out").toString
+    val base = 1000L * 1000000L // t=1000s
+    def send(temp: Int, atSec: Long): Unit =
+      broker.send("my_address",
+        AmqpMessage(body = AmqpValueBody(temp.toString)),
+        timestampMicros = base + atSec * 1000000L)
+    def run(): Unit = {
+      val q = stream(ep)
+        .select(AmqpConverters.amqpBodyAs(IntegerType).as("t"),
+          col("ingest_timestamp"))
+        .withWatermark("ingest_timestamp", "1 second")
+        .groupBy(window(col("ingest_timestamp"), "5 seconds"))
+        .agg(org.apache.spark.sql.functions.max(col("t")).as("max_t"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    send(21, 0); send(24, 1) // first half of the [1000,1005) window
+    run()                    // restart boundary: state must persist
+    send(22, 3); send(23, 4) // second half — lower than the pre-restart max
+    send(0, 30)              // watermark nudge: finalizes the window
+    run()
+    val finalized = spark.read.parquet(out)
+      .select(col("window.start").cast("long"), col("max_t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(finalized.get(1000L).contains(24),
+      s"window max must combine state across the restart: $finalized")
+  }
+
   test("throughput: sustained end-to-end rate through one link (BASELINE 10k msg/s target)") {
     // BASELINE.md's only quantitative target: >= 10,000 msg/s per link
     // (the reference's implied design ceiling). Two measurements:
