@@ -821,6 +821,27 @@ object RelationalQueries {
       |  TRUE AS sketch_in_band
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Unpivot (melt) — the inverse of q32: the wide per-flag aggregate
+    * goes back to long form with Dataset.unpivot, which Spark plans as
+    * an Expand node (each input row fans out to one row per value
+    * column, map-side, no shuffle beyond the aggregate's own). Wide→long
+    * reshapes are routine at the reporting edge of a pipeline; Expand
+    * keeps them scan-local at any scale. */
+  def q34Unpivot(s: SparkSession, d: String): DataFrame =
+    q32Pivot(s, d)
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("qty_open"), col("qty_finished")),
+        variableColumnName = "status",
+        valueColumnName = "qty")
+
+  val q34Sql: String =
+    s"""WITH wide AS ($q32Sql)
+       |SELECT l_returnflag, 'qty_open' AS status, qty_open AS qty FROM wide
+       |UNION ALL
+       |SELECT l_returnflag, 'qty_finished' AS status, qty_finished AS qty FROM wide""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -856,6 +877,7 @@ object RelationalQueries {
     "q31_udaf_wavg"       -> (q31UdafWavg _),
     "q32_pivot"           -> (q32Pivot _),
     "q33_quantile_sketch" -> (q33QuantileSketch _),
+    "q34_unpivot"         -> (q34Unpivot _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -892,5 +914,6 @@ object RelationalQueries {
     "q31_udaf_wavg"       -> q31Sql,
     "q32_pivot"           -> q32Sql,
     "q33_quantile_sketch" -> q33Sql,
+    "q34_unpivot"         -> q34Sql,
   )
 }
