@@ -214,7 +214,13 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     val perLink = math.max(1L, totalCap / cfg.addresses.length)
     AmqpOffset(cfg.addresses.map { a =>
       val startSeq = startOff.seqOf(a)
-      a -> math.min(latestFor(a), startSeq + perLink)
+      // saturating add: an uncapped limit (ReadAllAvailable under
+      // Trigger.Once) makes perLink = Long.MaxValue, and a wrapped sum
+      // would move the end offset BACKWARD past the start — admitting
+      // nothing and checkpointing a corrupt offset
+      val cap = if (startSeq > Long.MaxValue - perLink) Long.MaxValue
+                else startSeq + perLink
+      a -> math.min(latestFor(a), cap)
     }.toMap)
   }
 

@@ -187,6 +187,24 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("uncapped ReadLimit with a non-zero start does not wrap the end offset") {
+    // Trigger.Once passes ReadAllAvailable → per-link budget
+    // Long.MaxValue; a wrapped (startSeq + budget) would move the end
+    // offset BACKWARD (negative), admitting nothing and checkpointing a
+    // corrupt offset. The sum must saturate instead.
+    val (ep, broker) = freshEndpoint("nolimit")
+    (1 to 10).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    val stream = new AmqpMicroBatchStream(
+      AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = 10000, maxPerSecond = 0))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end = stream
+      .latestOffset(AmqpOffset.single("my_address", 5), ReadLimit.allAvailable())
+      .asInstanceOf[AmqpOffset].seqOf("my_address")
+    assert(end == 10, s"end offset must be the live tail, got $end")
+  }
+
   test("maxMessagesPerSecond admission: budget = rate x elapsed, burst-capped") {
     val (ep, broker) = freshEndpoint("rate")
     (1 to 1000).foreach(i =>
