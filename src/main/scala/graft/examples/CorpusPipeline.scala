@@ -1,0 +1,66 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupQueries, TextQueries}
+
+/** End-to-end training-data pipeline demo over the `documents` table —
+  * the stages a 100 TB corpus run chains, at sample scale:
+  *
+  *   1. blocklist + too-short filtering (corpus_blocklist disposition)
+  *   2. quality scoring (txt_quality)
+  *   3. exact dedup (dedup_exact) then near-dup clustering
+  *      (dedup_cluster) — keep one doc per cluster
+  *   4. deterministic train/val/test split (split_stratified logic)
+  *
+  * Each stage is one of the oracle-gated operators; this main just
+  * chains them and prints the funnel. Usage:
+  *
+  *   sbt "runMain graft.examples.CorpusPipeline [sfDir]"
+  */
+object CorpusPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("corpus-pipeline")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // scalastyle:off println
+    val total = graft.Tables.documents(spark, sfDir).count()
+    println(s"corpus: $total documents ($sfDir)")
+
+    // 1. filtering funnel
+    TextQueries.corpusBlocklist(spark, sfDir)
+      .groupBy(col("disposition")).agg(sum(col("n_docs")).as("n"))
+      .collect().sortBy(_.getString(0))
+      .foreach(r => println(f"  ${r.getString(0)}%-16s ${r.getLong(1)}%6d docs"))
+
+    // 2. quality distribution of the kept set
+    val q = TextQueries.txtQuality(spark, sfDir)
+      .agg(min(col("quality")).as("lo"), avg(col("quality")).as("mean"),
+        max(col("quality")).as("hi")).head()
+    println(f"quality: min ${q.getDouble(0)}%.2f  mean ${q.getDouble(1)}%.2f  max ${q.getDouble(2)}%.2f")
+
+    // 3. dedup: exact groups, then near-dup clusters
+    val exactDups = DedupQueries.dedupExact(spark, sfDir)
+      .filter(col("is_duplicate") === 1).count()
+    val clusters = DedupQueries.dedupCluster(spark, sfDir)
+    val clustered = clusters.count()
+    val toDrop = clusters.filter(col("doc_id") =!= col("cluster_id")).count()
+    println(s"dedup: $exactDups exact duplicates; $clustered docs in near-dup clusters, " +
+      s"$toDrop dropped keeping one per cluster")
+
+    // 4. split sizes
+    TextQueries.splitStratified(spark, sfDir)
+      .groupBy(col("split")).agg(sum(col("n_docs")).as("n"))
+      .collect().sortBy(_.getString(0))
+      .foreach(r => println(f"  split ${r.getString(0)}%-6s ${r.getLong(1)}%6d docs"))
+    // scalastyle:on println
+    spark.stop()
+  }
+}
