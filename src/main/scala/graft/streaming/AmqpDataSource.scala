@@ -123,7 +123,7 @@ class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
 case class AmqpOffset(seqs: Map[String, Long]) extends Offset {
   override def json(): String =
     seqs.toSeq.sortBy(_._1)
-      .map { case (a, n) => s""""${a}":$n""" }
+      .map { case (a, n) => s"${AmqpEnvelope.quote(a)}:$n" }
       .mkString("""{"seqs":{""", ",", "}}")
   def seqOf(address: String): Long = seqs.getOrElse(address, 0L)
 }
@@ -131,13 +131,35 @@ case class AmqpOffset(seqs: Map[String, Long]) extends Offset {
 object AmqpOffset {
   def single(address: String, seq: Long): AmqpOffset = AmqpOffset(Map(address -> seq))
   private val LegacyRe = """\{\s*"seq"\s*:\s*(\d+)\s*\}""".r
-  private val SeqsRe = """(?s).*"seqs"\s*:\s*\{([^}]*)\}.*""".r
-  private val EntryRe = """"([^"]+)"\s*:\s*(\d+)""".r
+  private val SeqsRe = """(?s).*"seqs"\s*:\s*\{(.*)\}\s*\}\s*""".r
+  // key = JSON string with escapes intact; addresses are quoted by
+  // AmqpEnvelope.quote, so '"' and '\' in topic names survive the
+  // checkpoint round-trip instead of corrupting the offset JSON
+  private val EntryRe = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' if i + 5 < s.length + 1 =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
   def fromJson(s: String, primaryAddress: String): AmqpOffset = s match {
     case LegacyRe(n) => single(primaryAddress, n.toLong)
     case SeqsRe(entries) =>
       AmqpOffset(EntryRe.findAllMatchIn(entries)
-        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+        .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap)
     case other => throw new IllegalArgumentException(s"bad AMQP offset: $other")
   }
 }

@@ -85,6 +85,18 @@ class AmqpModelPropertySpec extends SparkSpecBase {
     })
   }
 
+  test("offset JSON round-trips any address name (checkpoint safety)") {
+    val genAddr = Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('/', '.', '-', '_', ' '),
+      1 -> Gen.oneOf('"', '\\', '{', '}', ':', ','))).map(_.mkString)
+    val genSeqs = Gen.nonEmptyMap(Gen.zip(genAddr, Gen.chooseNum(0L, Long.MaxValue)))
+    check(Prop.forAll(genSeqs) { m =>
+      val off = AmqpOffset(m)
+      AmqpOffset.fromJson(off.json(), "primary") == off
+    }, n = 200)
+  }
+
   test("C2 over a generated batch: parses, quotes string bodies, base64s data") {
     val genMsg: Gen[AmqpMessage] = for {
       mid <- Gen.option(genStr)
