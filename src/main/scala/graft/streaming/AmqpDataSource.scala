@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -166,7 +166,24 @@ object AmqpOffset {
 
 class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
+
+  /** Per-trigger source metrics in StreamingQueryProgress (the
+    * observability face the Kafka source sets the pattern for):
+    * total backlog behind the consumed offset and the unsettled
+    * (replayable) window across links. */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val consumed = if (latestConsumed.isPresent)
+      latestConsumed.get().asInstanceOf[AmqpOffset] else AmqpOffset(Map.empty)
+    val backlog = cfg.addresses.map(a =>
+      math.max(0L, broker.latestSeq(a) - consumed.seqOf(a))).sum
+    val unsettled = cfg.addresses.map(a =>
+      math.max(0L, broker.latestSeq(a) - broker.settledUpTo(a))).sum
+    java.util.Map.of(
+      "backlogMessages", backlog.toString,
+      "unsettledMessages", unsettled.toString,
+      "links", cfg.addresses.length.toString)
+  }
 
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
 

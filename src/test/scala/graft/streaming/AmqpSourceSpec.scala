@@ -187,6 +187,24 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("progress reports source metrics: backlog, unsettled window, links") {
+    val (ep, broker) = freshEndpoint("metrics")
+    (1 to 8).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    val q = stream(ep).select(col("body"))
+      .writeStream.format("memory").queryName("amqp_metrics").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val m = q.lastProgress.sources.head.metrics
+        assert(m.containsKey("backlogMessages") && m.containsKey("unsettledMessages"),
+          s"metrics: $m")
+        assert(m.get("links") == "1")
+        assert(m.get("backlogMessages").toLong == 0L, s"drained stream, got $m")
+      }
+    } finally q.stop()
+  }
+
   test("uncapped ReadLimit with a non-zero start does not wrap the end offset") {
     // Trigger.Once passes ReadAllAvailable → per-link budget
     // Long.MaxValue; a wrapped (startSeq + budget) would move the end
