@@ -22,6 +22,12 @@ object AmqpStreamOps {
     * message ids, holding each id only until the watermark passes it —
     * the bounded-state streaming dedup (a redelivery storm after a crash
     * re-reads the unsettled tail; ids inside the watermark are caught).
+    *
+    * Precondition: messages carry a message_id. Spark's dropDuplicates
+    * treats NULL as a regular key, so a stream of id-less messages would
+    * collapse to one row per watermark window — route such streams
+    * around this operator (or synthesize ids at the producer, as AMQP
+    * brokers conventionally do).
     */
   def dedupByMessageId(envelope: DataFrame, delay: String = "10 seconds"): DataFrame =
     envelope
