@@ -95,8 +95,16 @@ object AmqpSink {
   }
 }
 
+/** Update mode publishes each changed row as a fresh message
+  * (SupportsStreamingUpdateAsAppend — the Kafka sink's pattern: a
+  * message stream has no keyed state to update in place). Complete mode
+  * likewise re-publishes the full result per epoch; truncate is a no-op
+  * because messages already published are immutable history. */
 class AmqpWriteBuilder(cfg: AmqpSourceConfig, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  override def truncate(): WriteBuilder = this
   override def build(): Write = new AmqpWrite(cfg, info.schema(), info.queryId())
 }
 

@@ -104,6 +104,52 @@ class AmqpSinkSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("full topology: AMQP source → windowed aggregate → AMQP sink") {
+    // The complete user pipeline the reference's example sketches
+    // (sensor → reduceByWindow(max) → output, AMQPTemperature.scala in
+    // /root/reference, with its result re-published via ProtonSender in
+    // the example's responder): ingest an AMQP temperature stream,
+    // aggregate a 5-second windowed max in update mode, publish each
+    // window's result back out as an AMQP message.
+    val (epIn, brokerIn) = freshEndpoint("topo-in")
+    val (epOut, brokerOut) = freshEndpoint("topo-out")
+    val base = 500L * 1000000L
+    for ((t, at) <- Seq((21, 0L), (24, 1L), (19, 2L), (30, 6L), (28, 7L)))
+      brokerIn.send("my_address",
+        AmqpMessage(body = AmqpValueBody(t.toString)),
+        timestampMicros = base + at * 1000000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("amqp-topo-ckpt").toString
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.IntegerType
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", epIn).option("address", "my_address").load()
+      .select(AmqpConverters.amqpBodyAs(IntegerType).as("t"), col("ingest_timestamp"))
+      .withWatermark("ingest_timestamp", "1 second")
+      .groupBy(window(col("ingest_timestamp"), "5 seconds"))
+      .agg(max(col("t")).as("max_t"))
+      .select(
+        col("window.start").cast("long").cast("string").as("subject"),
+        col("max_t").cast("string").as("body"))
+      .writeStream.format("amqp")
+      .option("endpoint", epOut).option("address", "window_max")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val out = brokerOut.fetch("window_max", 0, brokerOut.latestSeq("window_max"))
+          .map(_._2)
+        // update mode re-publishes a window when its max advances; the
+        // LAST message per window carries the final max
+        val finalPerWindow = out.groupBy(_.subject.get)
+          .map { case (w, ms) => w -> ms.last.body }
+        assert(finalPerWindow == Map(
+          "500" -> AmqpValueBody("24"), "505" -> AmqpValueBody("30")),
+          s"got $finalPerWindow")
+      }
+    } finally q.stop()
+  }
+
   test("epoch replay is idempotent: a committed epoch publishes nothing twice") {
     val (ep, broker) = freshEndpoint("idem")
     val msgs = Seq(AmqpMessage(body = AmqpValueBody("once")))
