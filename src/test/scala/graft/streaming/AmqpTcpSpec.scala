@@ -117,6 +117,19 @@ class AmqpTcpSpec extends SparkSpecBase {
     }
   }
 
+  test("failed connect surfaces a clean error (restart-with-cause parity)") {
+    // Reference: a failed initial connect restarts the receiver with
+    // "Connection to AMQP address not established" (AMQPReceiver.scala:92).
+    // Our pull model surfaces the connect failure to the driver/task,
+    // where Spark's retry machinery plays the restart role — the error
+    // must be the raw connection cause, not a hang or a swallowed null.
+    val dead = new TcpAmqpEndpoint("127.0.0.1", 1) // nothing listens on port 1
+    try {
+      val e = intercept[java.io.IOException](dead.latestSeq("addr"))
+      assert(e.getMessage != null)
+    } finally dead.close()
+  }
+
   test("client re-dials after a server drop (receiver-restart parity)") {
     // The reference restarts its receiver on TCP disconnect
     // (AMQPReceiver.scala:124-142); our link must survive a broker
