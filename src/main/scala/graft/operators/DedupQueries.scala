@@ -305,11 +305,23 @@ object DedupQueries {
     * left-to-right f64 fold as the Spark-side projection sums, so the
     * signature bits agree exactly. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val NBits = 16
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .cache()
+    val out = dedupEmbeddingCosineCore(e)
+    out
+  }
+
+  /** Banding + exact-verify core over a (vec_id, emb: array<double>)
+    * frame. Split from the table-reading entry so behavior is testable
+    * on PLANTED near-duplicates: the driver's synthetic embeddings have
+    * no pairs above the 0.95 threshold (max cos ≈ 0.6 — ADVICE r1 calls
+    * the gate vacuously empty on this data), so DedupQueriesSpec feeds
+    * this core constructed vectors and asserts the detector fires. */
+  private[operators] def dedupEmbeddingCosineCore(e: DataFrame): DataFrame = {
+    VectorExpressions.register(e.sparkSession)
+    val NBits = 16
     // Signatures via the native codegen expression: one fused per-row
     // loop, NO posexplode and NO groupBy shuffle of N x dims rows (the
     // earlier relational formulation shuffled every dimension; the HOF

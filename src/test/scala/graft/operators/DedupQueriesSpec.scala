@@ -97,4 +97,35 @@ class DedupQueriesSpec extends SparkSpecBase {
     val n = DedupQueries.dedupEmbeddingCosine(spark, sfDir).count()
     assert(n == 0, "synthetic embeddings have max cosine ~0.6")
   }
+
+  test("embedding cosine detector FIRES on planted near-duplicates") {
+    // The driver data has no near-dup embeddings (the test above), so
+    // prove the detector on planted ones: v1 ≈ v0 (cos ≈ 0.9997, well
+    // above 0.95 — banding recall there is ~1-4e-6), v2 orthogonal-ish,
+    // plus noise vectors. Exactly the (0,1) pair must fire.
+    val dims = 16
+    val base = Array.tabulate(dims)(i => math.sin(i + 1.0))
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.02 else 0.0) }
+    val far = Array.tabulate(dims)(i => math.cos(3.0 * i) * (if (i % 2 == 0) 1 else -1))
+    val noise = (3L to 12L).map(k =>
+      k -> Array.tabulate(dims)(i => math.sin(k * 7.0 + i * 2.3)))
+    val rows = Seq(0L -> base, 1L -> near, 2L -> far) ++ noise
+    val byId = rows.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val e = spark.createDataFrame(rows.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "emb")
+    val out = DedupQueries.dedupEmbeddingCosineCore(e)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)), s"planted pair missed: $out")
+    // exact verification: every reported pair genuinely exceeds the
+    // threshold (candidates from banding are re-checked with true cosine)
+    out.foreach { case (a, b) =>
+      assert(cos(byId(a), byId(b)) >= 0.95, s"false positive ($a,$b)")
+    }
+    assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)),
+      "orthogonal-ish vector must not pair with the planted dup")
+  }
 }
