@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharFoldHash, HyperplaneSig, SimhashPack, SimhashSig, VectorDot}
+import graft.expressions.{CharFoldHash, HyperplaneSig, SimhashPack, SimhashSig, VectorDot, WordShingleSet}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * first-class SQL functions in any session, via
@@ -44,5 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(lanes, n) - majority-vote SimHash signature"),
       (exprs: Seq[Expression]) => SimhashSig(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingle_set"),
+      info("word_shingle_set", "word_shingle_set(text, n) - distinct word n-gram set"),
+      (exprs: Seq[Expression]) => WordShingleSet(exprs.head, exprs(1) match {
+        case Literal(n: Int, IntegerType) => n
+        case other => throw new IllegalArgumentException(
+          s"word_shingle_set(text, n) needs a literal n, got $other")
+      })))
   }
 }

@@ -22,13 +22,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT char_fold_hash('abc') AS h, " +
           "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
           "hyperplane_sig(array(1.0d, 2.0d), 16) AS s, " +
-          "simhash_sig(simhash_pack(char_fold_hash('abc')), 1L) AS sim").head()
+          "simhash_sig(simhash_pack(char_fold_hash('abc')), 1L) AS sim, " +
+          "word_shingle_set('a b c', 2) AS sh").head()
       assert(r.getLong(0) == graft.expressions.CharFoldHash.hash("abc"))
       assert(r.getDouble(1) == 11.0)
       assert(!r.isNullAt(2))
       assert(r.getLong(3) == graft.expressions.SimhashExpressions.sig(
         graft.expressions.SimhashExpressions.pack(
           graft.expressions.CharFoldHash.hash("abc")), 1L))
+      assert(r.getSeq[String](4) == Seq("a b", "b c"))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

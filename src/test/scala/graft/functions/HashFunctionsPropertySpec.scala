@@ -55,6 +55,29 @@ class HashFunctionsPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("native word_shingle_set equals the HOF shingle set on adversarial spacing") {
+    graft.expressions.ShingleExpressions.register(spark)
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      3 -> Gen.const(" "),
+      1 -> Gen.const("   "),
+      1 -> Gen.const("\ttabbed"))).map(_.mkString(" "))
+    val texts = Gen.listOfN(200, genText).sample.getOrElse(Nil) ++
+      Seq("", " ", "a", "a b", "  a  b  c  ", "a a a a")
+    import spark.implicits._
+    for (n <- Seq(2, 3, 4)) {
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          expr(s"word_shingle_set(text, $n)").as("native"),
+          HashFunctions.shingleSet(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n diverged on '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("shingles: count, width, and content follow from the token stream") {
     val genTokens = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
     val genN = Gen.chooseNum(2, 5)
