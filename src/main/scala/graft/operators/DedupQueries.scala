@@ -31,11 +31,13 @@ import graft.functions.TextFunctions
   *
   * All hashes are the engine-portable [[graft.functions.HashFunctions]]
   * primitives, so every stage has a bit-exact DuckDB oracle. The hot
-  * paths are fully relational + codegen: shingles come from a
-  * posexplode -> window-lead -> distinct pipeline (not array lambdas —
-  * Spark HOFs are CodegenFallback and eval interpreted, which profiled
-  * 10-50x slower once a long session's JIT profile goes megamorphic),
-  * and the base hash is the native [[graft.expressions.CharFoldHash]].
+  * paths are compiled, not interpreted: shingle sets come from the
+  * native [[graft.expressions.WordShingleSet]] expression (one pass per
+  * document, zero shuffles before the self-join — the earlier
+  * posexplode→window-lead→distinct pipeline paid two shuffles, and the
+  * HOF array-lambda form before that was CodegenFallback-interpreted,
+  * 10-50x slower under a degraded JIT profile), and the base hash is
+  * the native [[graft.expressions.CharFoldHash]].
   */
 object DedupQueries {
 
