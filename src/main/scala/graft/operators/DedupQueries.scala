@@ -149,8 +149,10 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val K = 16
     // Cached: the inverted index feeds signature building AND the
-    // verification join; signatures feed all 8 band branches (no
-    // cross-branch CSE in Spark). Both are tiny vs the corpus.
+    // verification join; the signature frame feeds both sides of the
+    // band self-join (no cross-branch CSE in Spark, so an uncached
+    // frame would run the 16-min aggregation twice). Both are tiny vs
+    // the corpus.
     val inv = shingleStream(s, d, 3).cache()
     val sizes = shingleSizes(inv)
     val invH = inv.withColumn("h", CharFoldHash.charFoldHashNative(s, "shingle"))
