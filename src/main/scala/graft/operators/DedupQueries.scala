@@ -480,8 +480,15 @@ object DedupQueries {
     * bucketed table or Bloom filter); the benchmark side left-semi-ish
     * joins against it on the shingle key, so cost tracks benchmark
     * size, not train size. One double division per doc at the end. */
-  def dedupContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleStream(s, d, 4)
+  def dedupContamination(s: SparkSession, d: String): DataFrame =
+    dedupContaminationCore(shingleStream(s, d, 4))
+
+  /** Screening core over a (doc_id, shingle) stream. Split from the
+    * table-reading entry so behavior is testable on PLANTED leakage:
+    * the driver corpus has no engineered train/benchmark overlap, so
+    * DedupQueriesSpec feeds this core a constructed corpus with a
+    * benchmark doc copied into the train split and asserts it flags. */
+  private[operators] def dedupContaminationCore(sh: DataFrame): DataFrame = {
     val bench = sh.filter(col("doc_id") % 10 === 0)
     val train = sh.filter(col("doc_id") % 10 =!= 0)
       .select(col("shingle").as("tr_shingle")).distinct()

@@ -98,6 +98,25 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(n == 0, "synthetic embeddings have max cosine ~0.6")
   }
 
+  test("contamination screen FIRES on planted train/benchmark leakage") {
+    // doc 10 (benchmark: %10==0) is a verbatim copy of train doc 11;
+    // doc 20 (benchmark) shares nothing with the train split.
+    graft.expressions.ShingleExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      10L -> leaked,
+      11L -> leaked,
+      20L -> "one two three four five six seven eight",
+      21L -> "red green blue cyan magenta yellow black white")
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr("word_shingle_set(text, 4)")).as("shingle"))
+    val byId = DedupQueries.dedupContaminationCore(sh)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(byId(10L), s"copied benchmark doc must flag: $byId")
+    assert(!byId(20L), s"clean benchmark doc must not flag: $byId")
+  }
+
   test("embedding cosine detector FIRES on planted near-duplicates") {
     // The driver data has no near-dup embeddings (the test above), so
     // prove the detector on planted ones: v1 ≈ v0 (cos ≈ 0.9997, well
