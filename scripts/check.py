@@ -8,6 +8,7 @@ matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 same sfDir tables, and compares: schema (sorted column names), row count,
 and values (columns sorted by name, rows sorted by all columns).
 """
+import decimal
 import json
 import math
 import sys
@@ -21,6 +22,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    # Mirror the driver's hash: it renders decimals through a float path
+    # (trailing zeros dropped), so str(Decimal) here would be stricter
+    # than the gate and str-vs-float laxer — repr(float(...)) matches it.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -24,7 +24,11 @@ import graft.streaming.{AmqpEndpointRegistry, AmqpMessage, AmqpValueBody}
 object IngestQueries {
 
   def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val ep = "mem://gate-ingest-" + java.util.UUID.randomUUID()
+    // Fixed endpoint + reset: Bench/Verify invoke this repeatedly in one
+    // JVM; a fresh UUID endpoint each time would leak a full copy of the
+    // pumped slice into the registry per warm run.
+    val ep = "mem://gate-ingest"
+    AmqpEndpointRegistry.reset(ep)
     val broker = AmqpEndpointRegistry.broker(ep)
     val rows = Tables.events(s, d)
       .filter(col("event_id") % 10 === 0)
@@ -52,12 +56,12 @@ object IngestQueries {
         col("body").cast(DoubleType).as("value"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
   }
 
   val amqpIngestRoundtripSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 

@@ -21,6 +21,15 @@ import graft.Tables
   *    addition is exact and associative, so Spark (any partitioning /
   *    shuffle order) and DuckDB produce bit-identical results. Plain
   *    double sums are order-dependent and would flake the hash compare.
+  *  - Decimal stays INTERNAL: every decimal-typed output column is cast
+  *    to DOUBLE (`outd`) on both the Spark and oracle sides. The driver's
+  *    hash renders Spark parquet decimals at declared scale ("506627.00")
+  *    but DuckDB results through a float path ("506627.0"), so a decimal
+  *    output column hash-mismatches on any value with a trailing zero
+  *    even when bit-identical (diagnosed in VERDICT r2). The exact sum
+  *    has already happened by then; one terminal decimal→double cast is
+  *    deterministic and identical on both engines (n/10^s with n < 2^53
+  *    at gate scale is correctly rounded in both).
   *  - Ratios are computed by casting the exact decimal sums to double and
   *    doing ONE double division — deterministic on both engines.
   *  - Every ORDER BY ... LIMIT has a unique-key tiebreaker so top-k sets
@@ -36,6 +45,8 @@ object RelationalQueries {
 
   /** Exact-sum cast: see class doc. 18,2 holds TPC-H money/quantity. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Terminal output cast: decimal math is internal-only (class doc). */
+  private def outd(c: Column): Column = c.cast(DoubleType)
   private def ts(lit0: String): Column = lit(java.sql.Timestamp.valueOf(lit0))
 
   // ---------------------------------------------------------------- q01
@@ -46,18 +57,18 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax"))).as("sum_charge"),
+        outd(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outd(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        outd(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("sum_disc_price"),
+        outd(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax")))).as("sum_charge"),
         count(lit(1)).as("count_order"))
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -72,12 +83,12 @@ object RelationalQueries {
               col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+      .agg(outd(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
            count(lit(1)).as("n_rows"))
 
   val q02Sql: String =
     """SELECT
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -98,14 +109,14 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(outd(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   val q03Sql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -150,18 +161,18 @@ object RelationalQueries {
     val joined = li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
     val discPrice = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
     joined.agg(
-        sum(when(col("p_type") === "PROMO", discPrice).otherwise(dec(lit(0)))).as("promo_revenue"),
-        sum(discPrice).as("total_revenue"))
+        outd(sum(when(col("p_type") === "PROMO", discPrice).otherwise(dec(lit(0))))).as("promo_revenue"),
+        outd(sum(discPrice)).as("total_revenue"))
       .withColumn("promo_ratio",
-        lit(100.0) * col("promo_revenue").cast(DoubleType) / col("total_revenue").cast(DoubleType))
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
   val q05Sql: String =
     """SELECT
-      |  sum(CASE WHEN p_type = 'PROMO'
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
-      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue,
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
       |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -200,7 +211,7 @@ object RelationalQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .withColumn("cust_total",
-        sum(dec(col("o_totalprice"))).over(Window.partitionBy(col("o_custkey"))))
+        outd(sum(dec(col("o_totalprice"))).over(Window.partitionBy(col("o_custkey")))))
       .filter(col("rn") === 1)
       .drop("rn")
   }
@@ -209,7 +220,7 @@ object RelationalQueries {
     """SELECT o_custkey, o_orderkey, o_totalprice, cust_total FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
-      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_total
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
       |  FROM orders) t
       |WHERE rn = 1""".stripMargin
 
@@ -218,11 +229,11 @@ object RelationalQueries {
   def q08Rollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(outd(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n_rows"))
 
   val q08Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_rows
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // ---------------------------------------------------------------- q09
@@ -263,14 +274,14 @@ object RelationalQueries {
         substring(col("o_orderpriority"), 1, 1).as("prio_class"),
         concat(col("o_orderstatus"), lit("-"), upper(col("o_orderstatus"))).as("status_tag"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(dec(col("o_totalprice"))).as("sum_totalprice"))
+           outd(sum(dec(col("o_totalprice")))).as("sum_totalprice"))
 
   val q11Sql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
       |  substr(o_orderpriority, 1, 1) AS prio_class,
       |  concat(o_orderstatus, '-', upper(o_orderstatus)) AS status_tag,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_totalprice
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
       |FROM orders GROUP BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------- q12
@@ -313,15 +324,15 @@ object RelationalQueries {
     Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))
       .agg(
-        sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0)))).as("qty_returned"),
-        sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0)))).as("qty_normal"),
+        outd(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_returned"),
+        outd(sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_normal"),
         sum(when(col("l_returnflag") === "A", lit(1L)).otherwise(lit(0L))).as("n_a"),
         count(lit(1)).as("n_rows"))
 
   val q14Sql: String =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_returned,
-      |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_normal,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_returned,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_normal,
       |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
@@ -336,14 +347,14 @@ object RelationalQueries {
       .withColumn("bucket_start", expr("(ts_ns div 1000) div 300000000").cast(LongType) * 300L)
       .groupBy(col("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           sum(dec(col("value"))).as("sum_value"),
-           max(dec(col("value"))).as("max_value"))
+           outd(sum(dec(col("value")))).as("sum_value"),
+           outd(max(dec(col("value")))).as("max_value"))
 
   val q15Sql: String =
     """SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS bucket_start, event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
-      |  max(CAST(value AS DECIMAL(18,2))) AS max_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q16
@@ -366,12 +377,12 @@ object RelationalQueries {
                             cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(outd(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("revenue"))
   }
 
   val q16Sql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -458,16 +469,16 @@ object RelationalQueries {
     Tables.part(s, d)
       .groupBy((col("p_size") - (col("p_size") % 10)).cast(LongType).as("size_bucket"))
       .agg(
-        sum(sqrt(col("p_retailprice")).cast(DecimalType(18, 6))).as("sum_sqrt_price"),
-        sum(abs(col("p_retailprice") - 1000.0).cast(DecimalType(18, 6))).as("sum_abs_dev"),
+        outd(sum(sqrt(col("p_retailprice")).cast(DecimalType(18, 6)))).as("sum_sqrt_price"),
+        outd(sum(abs(col("p_retailprice") - 1000.0).cast(DecimalType(18, 6)))).as("sum_abs_dev"),
         max(floor(col("p_retailprice"))).as("max_floor_price"),
         min(ceil(col("p_retailprice"))).as("min_ceil_price"),
         count(lit(1)).as("n_parts"))
 
   val q20Sql: String =
     """SELECT CAST(p_size - (p_size % 10) AS BIGINT) AS size_bucket,
-      |  sum(CAST(sqrt(p_retailprice) AS DECIMAL(18,6))) AS sum_sqrt_price,
-      |  sum(CAST(abs(p_retailprice - 1000.0) AS DECIMAL(18,6))) AS sum_abs_dev,
+      |  CAST(sum(CAST(sqrt(p_retailprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt_price,
+      |  CAST(sum(CAST(abs(p_retailprice - 1000.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_abs_dev,
       |  max(CAST(floor(p_retailprice) AS BIGINT)) AS max_floor_price,
       |  min(CAST(ceil(p_retailprice) AS BIGINT)) AS min_ceil_price,
       |  count(*) AS n_parts
@@ -497,14 +508,14 @@ object RelationalQueries {
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(dec(col("o_totalprice"))).as("spend"))
+           outd(sum(dec(col("o_totalprice")))).as("spend"))
       .filter(col("n_orders") >= 15)
       .orderBy(col("spend").desc, col("o_custkey").asc)
       .limit(50)
 
   val q22Sql: String =
     """SELECT o_custkey, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
       |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
       |ORDER BY spend DESC, o_custkey ASC LIMIT 50""".stripMargin
 
@@ -520,13 +531,13 @@ object RelationalQueries {
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+      .agg(outd(sum(dec(col("l_quantity")))).as("sum_qty"),
         count(lit(1)).as("n_rows"),
         grouping_id().cast(LongType).as("gid"))
 
   val q23Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  count(*) AS n_rows,
       |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
       |FROM lineitem
@@ -547,12 +558,12 @@ object RelationalQueries {
       .agg(sum(dec(col("l_quantity"))).as("q1"),
         count(lit(1)).as("c1"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("q1")).as("sum_qty"), sum(col("c1")).as("n_rows"))
+      .agg(outd(sum(col("q1"))).as("sum_qty"), sum(col("c1")).as("n_rows"))
   }
 
   val q24Sql: String =
     """SELECT l_returnflag,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
@@ -639,19 +650,19 @@ object RelationalQueries {
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"),
         row_number().over(w).as("rn"),
-        sum(dec(col("o_totalprice"))).over(run).as("run_spend"),
-        sum(dec(col("o_totalprice"))).over(mov4).as("mov4_spend"))
+        outd(sum(dec(col("o_totalprice"))).over(run)).as("run_spend"),
+        outd(sum(dec(col("o_totalprice"))).over(mov4)).as("mov4_spend"))
   }
 
   val q27Sql: String =
     """SELECT o_orderkey, o_custkey,
       |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov4_spend
+      |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov4_spend
       |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
   // ---------------------------------------------------------------- q28
@@ -677,13 +688,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
-        sum(dec(col("value"))).as("sum_value"))
+        outd(sum(dec(col("value")))).as("sum_value"))
   }
 
   val q28Sql: String =
     """SELECT user_id, sess_id, count(*) AS n_events,
       |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT user_id, event_id, value, ts_us,
       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -733,7 +744,7 @@ object RelationalQueries {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
     s.sql(
       """SELECT o.o_orderkey, o.o_custkey,
-        |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |FROM orders_v o
         |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
         |  1.5 * (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -743,7 +754,7 @@ object RelationalQueries {
 
   val q30Sql: String =
     """SELECT o.o_orderkey, o.o_custkey,
-      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       |FROM orders o
       |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
       |  1.5 * (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -787,12 +798,12 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("O", "F"))
       .agg(sum(dec(col("l_quantity"))))
-      .select(col("l_returnflag"), col("O").as("qty_open"), col("F").as("qty_finished"))
+      .select(col("l_returnflag"), outd(col("O")).as("qty_open"), outd(col("F")).as("qty_finished"))
 
   val q32Sql: String =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_open,
-      |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_finished
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q33
