@@ -1,12 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.expressions.VectorExpressions
+import graft.functions.{ScoredId, TopKAggregator}
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table.
@@ -14,8 +14,9 @@ import graft.functions.VectorFunctions._
   * Two variants, both oracle-gated:
   *  - brute-force cosine top-k: the exact baseline. Plan shape: broadcast
   *    the (tiny) query set against the candidate corpus — a broadcast
-  *    nested-loop with a per-query top-k window; at 100 TB the corpus
-  *    side stays partition-parallel and nothing shuffles but the k·|Q|
+  *    nested-loop scored map-side, then a bounded top-k hash aggregate
+  *    ([[graft.functions.TopKAggregator]]); at 100 TB the corpus side
+  *    stays partition-parallel and nothing shuffles but the k·|Q|
   *    result rows.
   *  - IVF (inverted-file) ANN: coarse-quantize candidates into C cells
   *    (here: the first C vectors serve as deterministic centroids — a
@@ -48,20 +49,32 @@ object SimilarityQueries {
       .cache()
   }
 
+  /** Bounded per-group top-k (see [[graft.functions.TopKAggregator]]):
+    * map-side partial top-k, k·|groups| rows through the shuffle, no
+    * Sort+Window over candidate×query rows carrying embedding arrays. */
+  private def topKAgg = udaf(new TopKAggregator(TopK), Encoders.product[ScoredId])
+
+  /** Explode a top-k buffer back to (query_id, vec_id, cos, rn) rows. */
+  private def explodeTopK(df: DataFrame): DataFrame =
+    df.select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("vec_id"), col("t.cos").as("cos"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+
   // ------------------------------------------------- sim_topk_bruteforce
-  /** Exact cosine top-k for each query vector (excluding itself). */
+  /** Exact cosine top-k for each query vector (excluding itself).
+    * Plan shape: broadcast the tiny query set along the corpus (corpus
+    * rows never shuffle), then a hash-aggregated bounded top-k — the
+    * shuffle carries k rows per query, not corpus×|Q| scored rows. */
   def simTopKBruteForce(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
+    explodeTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
   }
 
   val simTopKBruteForceSql: String =
@@ -81,38 +94,46 @@ object SimilarityQueries {
 
   // -------------------------------------------------------- sim_topk_ivf
   /** IVF ANN: assign every vector to its nearest of $NumCells centroids,
-    * probe the $NumProbes closest cells per query, exact-rank inside. */
+    * probe the $NumProbes closest cells per query, exact-rank inside.
+    *
+    * Assignment is a per-row argmax over the centroid set collapsed to a
+    * single broadcast array — a pure map (`array_min` over a `transform`
+    * of (neg-cosine, cid) structs; lexicographic struct order = cosine
+    * desc, cid asc, the oracle's exact tiebreak). The corpus is NEVER
+    * shuffled: probes (|Q|·nprobe rows) broadcast onto the assigned
+    * corpus, and the final ranking is the bounded top-k aggregate. The
+    * only shuffle in the whole plan carries k rows per query. */
   def simTopKIvf(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
-    val cents = e.filter(col("vec_id") < NumCells)
+    val centsArr = e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents"))
     // cell assignment: nearest centroid by cosine (ties: lowest cid)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(expr("vec_dot(emb, cemb)"), col("nrm"), col("cnrm")))
-      .withColumn("rnc", row_number().over(wAssign))
-      .filter(col("rnc") === 1)
-      .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
-    // probes: top-nprobe cells per query
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(centsArr))
+      .withColumn("best", expr(
+        """array_min(transform(cents,
+          |  c -> named_struct(
+          |    'negsim', -(vec_dot(emb, c.cemb) / (nrm * c.cnrm)),
+          |    'cid', c.cid)))""".stripMargin))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("emb"), col("nrm"))
+    // probes: top-nprobe cells per query (array sort+slice, same order)
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(expr("vec_dot(qemb, cemb)"), col("qnrm"), col("cnrm")))
-      .withColumn("rnp", row_number().over(wProbe))
-      .filter(col("rnp") <= NumProbes)
-      .select(col("query_id"), col("cid"), col("qemb"), col("qnrm"))
-    // rank candidates within probed cells
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
-      .withColumn("rn", row_number().over(wTop).cast(LongType))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("query_id"), col("qemb"), col("qnrm"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> named_struct(
+             |    'negsim', -(vec_dot(qemb, c.cemb) / (qnrm * c.cnrm)),
+             |    'cid', c.cid))), 1, $NumProbes)""".stripMargin)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cid"), col("qemb"), col("qnrm"))
+    // rank candidates within probed cells: bounded top-k hash aggregate
+    explodeTopK(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
   }
 
   val simTopKIvfSql: String =
@@ -206,13 +227,11 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id")).distinct()
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
-      .withColumn("rn", row_number().over(wTop).cast(LongType))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
+    explodeTopK(
+      cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
   }
 
   val simTopKLshSql: String = {
@@ -280,15 +299,22 @@ object SimilarityQueries {
     * does) — at gate scale the 3-assign DAG is cheaper re-planned. */
   def simKmeans(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
+    // Per-row argmin over the centroid set collapsed to one broadcast
+    // array (centroid self-dots pre-folded in): a pure map — the corpus
+    // never shuffles for assignment. Lexicographic struct order on
+    // (d2, cid) = distance asc, cid asc, the oracle's exact tiebreak.
     def assign(cents: DataFrame): DataFrame = {
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      e.crossJoin(broadcast(cents))
-        .withColumn("d2", expr(
-          "vec_dot(emb, emb) - 2 * vec_dot(emb, cemb) + vec_dot(cemb, cemb)"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("emb"), col("d2"))
+      val centsArr = cents.agg(
+        array_sort(collect_list(struct(col("cid"), col("cemb"),
+          expr("vec_dot(cemb, cemb)").as("cn2")))).as("cents"))
+      e.crossJoin(broadcast(centsArr))
+        .withColumn("best", expr(
+          """array_min(transform(cents,
+            |  c -> named_struct(
+            |    'd2', vec_dot(emb, emb) - 2 * vec_dot(emb, c.cemb) + c.cn2,
+            |    'cid', c.cid)))""".stripMargin))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("emb"),
+          col("best.d2").as("d2"))
     }
     var cents = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))

@@ -51,6 +51,20 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("top-k and argmin plans are hash aggregates, not Sort+Window funnels") {
+    // The window formulation would sort-shuffle corpus×K scored rows
+    // (each carrying embedding arrays) into one reducer per key; the
+    // bounded TopKAggregator / array-argmin formulations must plan as
+    // map-side-partial hash aggregates with no Window and no Sort.
+    for (n <- Seq("sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh", "sim_kmeans")) {
+      val plan = SimilarityQueries.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$n plans a Window:\n$plan")
+      assert(!plan.contains("Sort "), s"$n plans a Sort:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$n lost its hash aggregate:\n$plan")
+    }
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
