@@ -146,7 +146,7 @@ object AmqpOffset {
             case 'n' => sb.append('\n'); i += 2
             case 'r' => sb.append('\r'); i += 2
             case 't' => sb.append('\t'); i += 2
-            case 'u' if i + 5 < s.length + 1 =>
+            case 'u' if i + 6 <= s.length =>
               sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
             case c => sb.append(c); i += 2
           }
@@ -173,8 +173,16 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
     * total backlog behind the consumed offset and the unsettled
     * (replayable) window across links. */
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
-    val consumed = if (latestConsumed.isPresent)
-      latestConsumed.get().asInstanceOf[AmqpOffset] else AmqpOffset(Map.empty)
+    // After crash recovery Spark passes the offset restored from the
+    // offset WAL as a SerializedOffset (populateStartOffsets feeds
+    // finishTrigger the re-executed uncommitted batch's entry), so a
+    // blind cast to AmqpOffset throws during the restarted query's first
+    // trigger — exactly the replay path the reliable contract covers.
+    // Match like the Kafka source does and fall back to JSON parsing.
+    val consumed = if (latestConsumed.isPresent) latestConsumed.get() match {
+      case o: AmqpOffset => o
+      case other => AmqpOffset.fromJson(other.json(), cfg.addresses.head)
+    } else AmqpOffset(Map.empty)
     val backlog = cfg.addresses.map(a =>
       math.max(0L, broker.latestSeq(a) - consumed.seqOf(a))).sum
     val unsettled = cfg.addresses.map(a =>

@@ -223,6 +223,26 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(end == 10, s"end offset must be the live tail, got $end")
   }
 
+  test("metrics survives a SerializedOffset (crash-recovery replay path)") {
+    // After a crash between the offset-log and commit-log writes, Spark
+    // re-executes the uncommitted batch and populateStartOffsets feeds
+    // finishTrigger's metrics() the WAL-restored offset as a
+    // SerializedOffset, not an AmqpOffset — a blind cast would kill the
+    // restarted query exactly on the replay path the reliable-source
+    // contract exists for (the Kafka source guards the same case).
+    val (ep, broker) = freshEndpoint("serialized-offset")
+    (1 to 8).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    val stream = new AmqpMicroBatchStream(
+      AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = 10000, maxPerSecond = 0))
+    val walForm = new org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+      AmqpOffset.single("my_address", 5L).json())
+    val m = stream.metrics(java.util.Optional.of(walForm))
+    assert(m.get("backlogMessages") == "3", s"metrics: $m")
+    assert(m.get("links") == "1")
+  }
+
   test("maxMessagesPerSecond admission: budget = rate x elapsed, burst-capped") {
     val (ep, broker) = freshEndpoint("rate")
     (1 to 1000).foreach(i =>

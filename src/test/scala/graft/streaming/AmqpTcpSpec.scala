@@ -135,13 +135,28 @@ class AmqpTcpSpec extends SparkSpecBase {
     // (AMQPReceiver.scala:124-142); our link must survive a broker
     // bounce: same backing state, new server process on the same port.
     val backing = new InMemoryAmqpBroker
-    val server1 = new AmqpTcpServer(backing)
+    // Bind BELOW the kernel's ephemeral range (32768+): an ephemeral
+    // port freed by server1.close() can be handed to any unrelated
+    // socket (Spark services, parallel suites) before server2 rebinds —
+    // the r2 BindException flake. A fixed-range port only ever contends
+    // transiently with our own close, which the retry loops absorb.
+    val server1 = {
+      var srv: AmqpTcpServer = null
+      var p = 21347
+      while (srv == null) {
+        try srv = new AmqpTcpServer(backing, bindPort = p)
+        catch { case _: java.net.BindException => p += 1 }
+      }
+      srv
+    }
     val port = server1.port
     val client = new TcpAmqpEndpoint("127.0.0.1", port)
     try {
       assert(client.send("addr", AmqpMessage(body = AmqpValueBody("before")), 1L) == 1L)
       server1.close()
-      val server2 = new AmqpTcpServer(backing, bindPort = port)
+      val server2 = eventually(timeout(5.seconds), interval(100.millis)) {
+        new AmqpTcpServer(backing, bindPort = port)
+      }
       try {
         // first call after the drop re-dials, re-authenticates, retries
         assert(client.latestSeq("addr") == 1L)
