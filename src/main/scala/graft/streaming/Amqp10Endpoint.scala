@@ -1,0 +1,360 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import Amqp10Codec._
+import Amqp10Wire._
+
+/** Client side of the `amqp10://` transport: an [[AmqpEndpoint]] whose
+  * operations are AMQP 1.0 performative exchanges with an
+  * [[Amqp10Server]] (see [[Amqp10Wire]] for the mapping). One
+  * connection, one session; sender links are cached per address,
+  * receiver links are attached per operation (probe / drain-fetch) and
+  * detached after, like the reference's per-receiver link lifecycle
+  * (AMQPReceiver.scala:97-118 in /root/reference).
+  *
+  * Disconnect parity (same contract as [[TcpAmqpEndpoint]]): on IO
+  * failure the client re-dials — re-running the header/SASL/open/begin
+  * handshake and re-attaching links lazily — then retries the
+  * interrupted operation once. SASL refusal throws SecurityException
+  * and is never retried (failed-SASL-connect restart-with-cause,
+  * AMQPReceiver.scala:92).
+  */
+class Amqp10Endpoint(host: String, port: Int,
+    username: Option[String] = None, password: Option[String] = None)
+    extends AmqpEndpoint with AutoCloseable {
+
+  private var sock: Socket = _
+  private var in: DataInputStream = _
+  private var out: BufferedOutputStream = _
+  private var nextHandle = 0L
+  private var nextDeliveryId = 0L
+  private val senderLinks = mutable.Map[String, Long]()  // address -> handle
+  private var stagingHandle = -1L
+  private var coordinatorHandle = -1L
+  private val declaredTxns = mutable.Set[String]()
+  /** Per address: (delivery-id, seq) of transfers received on THIS
+    * connection, both strictly increasing — the settlement ledger. */
+  private val received = mutable.Map[String, mutable.ArrayBuffer[(Long, Long)]]()
+
+  // ------------------------------------------------------------ transport
+  private def sendFrame(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
+    writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0, perf, payload)))
+
+  private def connect(): Unit = {
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    out = new BufferedOutputStream(sock.getOutputStream)
+    nextHandle = 0L; nextDeliveryId = 0L
+    senderLinks.clear(); received.clear(); declaredTxns.clear()
+    stagingHandle = -1L; coordinatorHandle = -1L
+    if (username.isDefined) {
+      writeAll(out, HeaderSasl)
+      val serverHeader = readHeader(in)
+      require(java.util.Arrays.equals(serverHeader, HeaderSasl), "no SASL layer offered")
+      val mechs = readFrame(in) // sasl-mechanisms
+      require(descriptorCode(mechs.performative) == Desc.SaslMechanisms)
+      // RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd
+      val response = ("\u0000" + username.getOrElse("") +
+        "\u0000" + password.getOrElse("")).getBytes(UTF_8)
+      writeAll(out, encodeFrame(Frame(FrameTypeSasl, 0,
+        described(Desc.SaslInit, Sym("PLAIN"), response), Array.emptyByteArray)))
+      val outcome = readFrame(in)
+      require(descriptorCode(outcome.performative) == Desc.SaslOutcome)
+      field(outcome.performative, 0) match {
+        case UByte(0) => ()
+        case _ =>
+          close()
+          throw new SecurityException(
+            s"AMQP SASL authentication failed for user ${username.getOrElse("<anonymous>")}")
+      }
+    }
+    writeAll(out, HeaderAmqp)
+    val serverHeader = readHeader(in)
+    require(java.util.Arrays.equals(serverHeader, HeaderAmqp), "bad server AMQP header")
+    sendFrame(described(Desc.Open, s"graft-client-${System.identityHashCode(this)}",
+      null, UInt(MaxFrameSize.toLong)))
+    await(Desc.Open)
+    sendFrame(described(Desc.Begin, null, UInt(0L), UInt(65535L), UInt(65535L)))
+    await(Desc.Begin)
+  }
+
+  /** Read frames until one with the wanted performative arrives; credit
+    * flow frames may interleave and are skipped (their grants are
+    * informational — the broker's per-transfer disposition is the
+    * authoritative admission answer). */
+  private def await(code: Long): Frame = {
+    var f = readFrame(in)
+    while (descriptorCode(f.performative) != code) {
+      require(descriptorCode(f.performative) == Desc.Flow,
+        f"unexpected performative 0x${descriptorCode(f.performative)}%02x awaiting 0x$code%02x")
+      f = readFrame(in)
+    }
+    f
+  }
+
+  private def call[T](op: => T): T = synchronized {
+    if (sock == null) connect()
+    try op
+    catch {
+      case e: SecurityException => throw e
+      case _: java.io.IOException | _: java.io.EOFException =>
+        try sock.close() catch { case _: Throwable => () }
+        connect()
+        op
+    }
+  }
+
+  // ---------------------------------------------------------------- links
+  private def attachSender(target: Any): Long = {
+    val handle = nextHandle
+    nextHandle += 1
+    sendFrame(described(Desc.Attach, s"graft-snd-$handle", UInt(handle),
+      java.lang.Boolean.FALSE, null, null, null, target))
+    await(Desc.Attach)
+    handle
+  }
+
+  private def senderLink(address: String): Long =
+    senderLinks.getOrElseUpdate(address,
+      attachSender(described(Desc.Target, address)))
+
+  private def stagingLink(): Long = {
+    if (stagingHandle < 0)
+      stagingHandle = attachSender(described(Desc.Target, StagingTarget))
+    stagingHandle
+  }
+
+  private def coordinatorLink(): Long = {
+    if (coordinatorHandle < 0)
+      coordinatorHandle = attachSender(described(Desc.Coordinator))
+    coordinatorHandle
+  }
+
+  /** Transfer one message (chunked to the frame-size limit) and return
+    * the broker's disposition state. */
+  private def transfer(handle: Long, payload: Array[Byte],
+      txnId: Option[String] = None): Described = {
+    val did = nextDeliveryId
+    nextDeliveryId += 1
+    val state = txnId
+      .map(t => described(Desc.TransactionalState, t.getBytes(UTF_8)))
+      .orNull
+    var off = 0
+    var done = false
+    while (!done) {
+      val end = math.min(off + MaxPayloadChunk, payload.length)
+      val more = end < payload.length
+      sendFrame(described(Desc.Transfer, UInt(handle), UInt(did),
+        did.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+        java.lang.Boolean.valueOf(more), null, state),
+        java.util.Arrays.copyOfRange(payload, off, end))
+      off = end
+      done = !more
+    }
+    val disp = await(Desc.Disposition)
+    field(disp.performative, 4).asInstanceOf[Described]
+  }
+
+  // ------------------------------------------------------------ operations
+  override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
+    call {
+      val payload = encodeDeliveryAnnotations(Seq(TsAnnotation -> timestampMicros)) ++
+        encodeMessage(msg)
+      val state = transfer(senderLink(address), payload)
+      descriptorCode2(state) match {
+        case Right(EnqueuedOutcome) => asLong(field(state, 0))
+        case Left(Desc.Rejected) => -1L
+        case other => throw new IllegalStateException(s"unexpected send outcome: $state")
+      }
+    }
+
+  /** Descriptor as numeric code (Left) or symbol name (Right). */
+  private def descriptorCode2(d: Described): Either[Long, String] = d.descriptor match {
+    case ULong(c) => Left(c)
+    case UInt(c) => Left(c)
+    case Sym(s) => Right(s)
+    case other => throw new IllegalArgumentException(s"bad descriptor: $other")
+  }
+
+  private def probe(address: String, props: AmqpWireMap): AmqpWireMap = {
+    val handle = nextHandle
+    nextHandle += 1
+    // attach fields (§2.7.3): ..., 9 initial-delivery-count,
+    // 10 max-message-size, 11/12 capabilities, 13 properties
+    sendFrame(described(Desc.Attach, s"graft-rcv-$handle", UInt(handle),
+      java.lang.Boolean.TRUE, null, null,
+      described(Desc.Source, address), null, null, null,
+      null, null, null, props))
+    val echo = await(Desc.Attach)
+    val echoProps = field(echo.performative, 13) match {
+      case m: AmqpWireMap => m
+      case _ => AmqpWireMap(Vector.empty)
+    }
+    sendFrame(described(Desc.Detach, UInt(handle), java.lang.Boolean.TRUE))
+    await(Desc.Detach)
+    echoProps
+  }
+
+  override def latestSeq(address: String): Long = call {
+    probe(address, amqpWireMap(Sym(ProbeProp) -> true))
+      .get(Sym(LatestProp)).map(asLong).getOrElse(0L)
+  }
+
+  override def settledUpTo(address: String): Long = call {
+    probe(address, amqpWireMap(Sym(ProbeProp) -> true))
+      .get(Sym(SettledProp)).map(asLong).getOrElse(0L)
+  }
+
+  override def fetch(address: String, fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, AmqpMessage, Long)] = call {
+    if (toInclusive <= fromExclusive) Vector.empty
+    else {
+      // receiver link resuming at the requested seq (source filter),
+      // then one drain-mode flow for exactly the slice's credit
+      val handle = nextHandle
+      nextHandle += 1
+      sendFrame(described(Desc.Attach, s"graft-rcv-$handle", UInt(handle),
+        java.lang.Boolean.TRUE, null, null,
+        Described(ULong(Desc.Source), Vector(address, null, null, null,
+          java.lang.Boolean.FALSE, null, null,
+          amqpWireMap(Sym(FromSeqFilter) -> fromExclusive)))))
+      await(Desc.Attach)
+      sendFrame(described(Desc.Flow, UInt(0L), UInt(65535L), UInt(0L),
+        UInt(65535L), UInt(handle), UInt(0L),
+        UInt(toInclusive - fromExclusive), UInt(0L), java.lang.Boolean.TRUE))
+      val results = Vector.newBuilder[(Long, AmqpMessage, Long)]
+      val ledger = received.getOrElseUpdate(address, mutable.ArrayBuffer())
+      var chunk: Option[(Long, mutable.ArrayBuffer[Byte])] = None
+      var draining = true
+      while (draining) {
+        val f = readFrame(in)
+        descriptorCode(f.performative) match {
+          case Desc.Transfer =>
+            val did = asLong(field(f.performative, 1))
+            val more = asBool(field(f.performative, 5))
+            val buf = chunk match {
+              case Some((_, b)) => b ++= f.payload; b
+              case None =>
+                val b = mutable.ArrayBuffer[Byte](); b ++= f.payload
+                chunk = Some((did, b)); b
+            }
+            if (!more) {
+              chunk = None
+              val (msg, danns) = decodeTransferPayload(buf.toArray)
+              val seq = danns.collectFirst { case (SeqAnnotation, v) => asLong(v) }
+                .getOrElse(throw new IllegalStateException("transfer without seq annotation"))
+              val ts = danns.collectFirst { case (TsAnnotation, v) => asLong(v) }.getOrElse(0L)
+              results += ((seq, msg, ts))
+              if (ledger.isEmpty || ledger.last._2 < seq) ledger += ((did, seq))
+            }
+          case Desc.Flow => draining = false // drain confirmed: slice done
+          case other =>
+            throw new IllegalStateException(f"unexpected 0x$other%02x during drain")
+        }
+      }
+      sendFrame(described(Desc.Detach, UInt(handle), java.lang.Boolean.TRUE))
+      await(Desc.Detach)
+      results.result()
+    }
+  }
+
+  override def settle(address: String, upTo: Long): Unit = call {
+    // dispositions for the delivery-ids this connection received (the
+    // wire-native path); contiguous did runs become one frame each
+    val ledger = received.getOrElseUpdate(address, mutable.ArrayBuffer())
+    val prefix = ledger.takeWhile(_._2 <= upTo)
+    if (prefix.nonEmpty) {
+      var runStart = prefix.head._1
+      var runEnd = runStart
+      def flush(): Unit =
+        sendFrame(described(Desc.Disposition, java.lang.Boolean.TRUE,
+          UInt(runStart), UInt(runEnd), java.lang.Boolean.TRUE,
+          described(Desc.Accepted)))
+      prefix.drop(1).foreach { case (did, _) =>
+        if (did == runEnd + 1) runEnd = did
+        else { flush(); runStart = did; runEnd = did }
+      }
+      flush()
+      ledger.remove(0, prefix.length)
+    }
+    // restart fallback: seqs delivered on a previous connection have no
+    // delivery-id here — an attach-property settle covers the remainder
+    if (prefix.isEmpty || prefix.last._2 < upTo)
+      probe(address, amqpWireMap(Sym(SettleUpToProp) -> upTo))
+    ()
+  }
+
+  // ------------------------------------------------------- transactions
+  private def declare(txn: String): Unit =
+    if (!declaredTxns.contains(txn)) {
+      val payload = encodeMessage(AmqpMessage(
+        body = AmqpValueBody(described(Desc.Declare, txn))))
+      val state = transfer(coordinatorLink(), payload)
+      require(descriptorCode2(state) == Left(Desc.Declared),
+        s"declare refused: $state")
+      declaredTxns += txn
+    }
+
+  override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit = call {
+    declare(txn)
+    val handle = stagingLink()
+    if (msgs.isEmpty) {
+      // an empty stage still REPLACES earlier attempts (task-retry
+      // idempotence): a reset-only marker, never staged itself
+      val marker = AmqpMessage(messageAnnotations = Seq(
+        PartitionAnnotation -> partitionId, PartitionResetAnnotation -> true,
+        EmptyStageAnnotation -> true))
+      transfer(handle, encodeMessage(marker), Some(txn))
+      ()
+    } else msgs.zipWithIndex.foreach { case (m, i) =>
+      val anns = m.messageAnnotations ++
+        Seq(PartitionAnnotation -> partitionId) ++
+        (if (i == 0) Seq(PartitionResetAnnotation -> true) else Nil)
+      val state = transfer(handle,
+        encodeMessage(m.copy(messageAnnotations = anns)), Some(txn))
+      require(descriptorCode2(state) == Left(Desc.Accepted), s"stage refused: $state")
+    }
+  }
+
+  private def discharge(txn: String, fail: Boolean,
+      anns: Seq[(String, Any)]): Described = {
+    declare(txn)
+    val payload = encodeMessage(AmqpMessage(
+      messageAnnotations = anns,
+      body = AmqpValueBody(described(Desc.Discharge, txn.getBytes(UTF_8),
+        java.lang.Boolean.valueOf(fail)))))
+    transfer(coordinatorLink(), payload)
+  }
+
+  override def commitStaged(txn: String, queryId: String, epochId: Long,
+      address: String, timestampMicros: Long): Int = call {
+    val state = discharge(txn, fail = false, Seq(
+      QueryAnnotation -> queryId, EpochAnnotation -> epochId,
+      AddressAnnotation -> address, TsAnnotation -> timestampMicros))
+    declaredTxns -= txn
+    descriptorCode2(state) match {
+      case Right(CommittedOutcome) => asLong(field(state, 0)).toInt
+      case other => throw new IllegalStateException(s"commit refused: $state")
+    }
+  }
+
+  override def abortStaged(txn: String): Unit = call {
+    discharge(txn, fail = true, Nil)
+    declaredTxns -= txn
+    ()
+  }
+
+  override def close(): Unit = synchronized {
+    if (sock != null) {
+      try { sendFrame(described(Desc.Close)); await(Desc.Close) }
+      catch { case _: Throwable => () }
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+}

@@ -92,10 +92,12 @@ object AmqpSourceConfig {
     // URI so every executor-side connection authenticates (reference:
     // PLAIN when credentials present, ANONYMOUS otherwise).
     val user = Option(o.get("username"))
-    val endpoint =
-      if (rawEndpoint.startsWith("tcp://") && user.isDefined && !rawEndpoint.contains("@"))
-        s"tcp://${user.get}:${Option(o.get("password")).getOrElse("")}@${rawEndpoint.stripPrefix("tcp://")}"
-      else rawEndpoint
+    val socketScheme = Seq("tcp://", "amqp10://").find(rawEndpoint.startsWith)
+    val endpoint = socketScheme match {
+      case Some(scheme) if user.isDefined && !rawEndpoint.contains("@") =>
+        s"$scheme${user.get}:${Option(o.get("password")).getOrElse("")}@${rawEndpoint.stripPrefix(scheme)}"
+      case _ => rawEndpoint
+    }
     AmqpSourceConfig(
       endpoint = endpoint,
       address = primary,
