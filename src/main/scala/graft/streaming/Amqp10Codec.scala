@@ -32,7 +32,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * (binary), String, [[Sym]] (symbol), Vector[Any] (list),
   * [[AmqpWireMap]] (map, entry order preserved), [[Described]].
   * Encoding accepts exactly those — the codec round-trips its own
-  * output bit-for-bit (property-tested).
+  * output bit-for-bit (property-tested in Amqp10CodecPropertySpec:
+  * decode∘encode = id and encode∘decode∘encode = encode over the full
+  * value model, frames, and bare messages).
   */
 object Amqp10Codec {
 

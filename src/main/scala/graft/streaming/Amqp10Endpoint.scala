@@ -162,6 +162,13 @@ class Amqp10Endpoint(host: String, port: Int,
   }
 
   // ------------------------------------------------------------ operations
+  /** At-least-once under reconnect: [[call]] re-dials and retries the
+    * operation once after an IOException, so if the broker applied the
+    * transfer but the connection died before the disposition was read,
+    * the retry enqueues the message a second time under a new seq (same
+    * contract as [[TcpAmqpEndpoint]]). Producers needing exactly-once
+    * must use the transactional path ([[stage]]/[[commitStaged]]), whose
+    * epoch-idempotent discharge makes replays no-ops. */
   override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
     call {
       val payload = encodeDeliveryAnnotations(Seq(TsAnnotation -> timestampMicros)) ++
@@ -185,12 +192,14 @@ class Amqp10Endpoint(host: String, port: Int,
   private def probe(address: String, props: AmqpWireMap): AmqpWireMap = {
     val handle = nextHandle
     nextHandle += 1
-    // attach fields (§2.7.3): ..., 9 initial-delivery-count,
-    // 10 max-message-size, 11/12 capabilities, 13 properties
+    // attach fields (§2.7.3): 0 name, 1 handle, 2 role, 3/4 settle
+    // modes, 5 source, 6 target, 7 unsettled, 8 incomplete-unsettled,
+    // 9 initial-delivery-count, 10 max-message-size,
+    // 11/12 capabilities, 13 properties
     sendFrame(described(Desc.Attach, s"graft-rcv-$handle", UInt(handle),
       java.lang.Boolean.TRUE, null, null,
       described(Desc.Source, address), null, null, null,
-      null, null, null, props))
+      null, null, null, null, props))
     val echo = await(Desc.Attach)
     val echoProps = field(echo.performative, 13) match {
       case m: AmqpWireMap => m
@@ -230,22 +239,27 @@ class Amqp10Endpoint(host: String, port: Int,
         UInt(toInclusive - fromExclusive), UInt(0L), java.lang.Boolean.TRUE))
       val results = Vector.newBuilder[(Long, AmqpMessage, Long)]
       val ledger = received.getOrElseUpdate(address, mutable.ArrayBuffer())
-      var chunk: Option[(Long, mutable.ArrayBuffer[Byte])] = None
+      // reassembly keyed by sending link handle (§2.6.14: multi-frame
+      // deliveries may interleave across links; continuations carry the
+      // handle but may omit the delivery-id)
+      val chunks = mutable.Map[Long, (Long, mutable.ArrayBuffer[Byte])]()
       var draining = true
       while (draining) {
         val f = readFrame(in)
         descriptorCode(f.performative) match {
           case Desc.Transfer =>
-            val did = asLong(field(f.performative, 1))
+            val sndHandle = asLong(field(f.performative, 0))
             val more = asBool(field(f.performative, 5))
-            val buf = chunk match {
+            val buf = chunks.get(sndHandle) match {
               case Some((_, b)) => b ++= f.payload; b
               case None =>
+                val did = asLong(field(f.performative, 1))
                 val b = mutable.ArrayBuffer[Byte](); b ++= f.payload
-                chunk = Some((did, b)); b
+                chunks(sndHandle) = (did, b); b
             }
             if (!more) {
-              chunk = None
+              val did = chunks(sndHandle)._1
+              chunks.remove(sndHandle)
               val (msg, danns) = decodeTransferPayload(buf.toArray)
               val seq = danns.collectFirst { case (SeqAnnotation, v) => asLong(v) }
                 .getOrElse(throw new IllegalStateException("transfer without seq annotation"))

@@ -180,8 +180,12 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       // delivery-id -> (address, seq) for transfers we pushed (settlement)
       val outgoing = mutable.Map[Long, (String, Long)]()
       var nextOutgoingId = 0L
-      // multi-frame transfer reassembly + staged-transaction buffers
-      var pending: Option[(Described, mutable.ArrayBuffer[Byte])] = None
+      // multi-frame transfer reassembly (keyed by link handle — §2.6.14
+      // lets a peer interleave multi-frame deliveries across links on a
+      // session; continuation frames carry the handle but may omit the
+      // delivery-id, so the handle is the reassembly key) and
+      // staged-transaction buffers
+      val pending = mutable.Map[Long, (Described, mutable.ArrayBuffer[Byte])]()
       val txnStage = mutable.Map[(String, Int), mutable.ArrayBuffer[AmqpMessage]]()
 
       def pushTransfers(handle: Long, address: String, from: Long, to: Long): Unit = {
@@ -275,10 +279,13 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                     amqpWireMap(Sym(SettledProp) -> backing.settledUpTo(sourceAddr))
                   case None => null
                 }
+              // §2.7.3 attach fields: ..., 6 target, 7 unsettled,
+              // 8 incomplete-unsettled, 9 initial-delivery-count,
+              // 10 max-message-size, 11/12 capabilities, 13 properties
               amqp(described(Desc.Attach, name, UInt(handle),
                 java.lang.Boolean.FALSE, null, null,
                 described(Desc.Source, sourceAddr), null, null, null,
-                UInt(0L), null, null, echoProps))
+                UInt(0L), null, null, null, echoProps))
             }
           case Desc.Flow =>
             // drain-mode credit on a consumer link: push the slice, then
@@ -298,15 +305,15 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case Desc.Transfer =>
             val handle = asLong(field(perf, 0))
             val more = asBool(field(perf, 5))
-            val buf = pending match {
+            val buf = pending.get(handle) match {
               case Some((_, b)) => b ++= f.payload; b
               case None =>
                 val b = mutable.ArrayBuffer[Byte](); b ++= f.payload
-                pending = Some((perf, b)); b
+                pending(handle) = (perf, b); b
             }
             if (!more) {
-              val first = pending.get._1
-              pending = None
+              val first = pending(handle)._1
+              pending.remove(handle)
               val did = asLong(field(first, 1))
               val payload = buf.toArray
               val (msg, danns) = decodeTransferPayload(payload)

@@ -1,0 +1,343 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.concurrent.duration._
+
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+
+import graft.SparkSpecBase
+
+import Amqp10Codec._
+import Amqp10Wire._
+
+/** End-to-end coverage of the `amqp10://` transport — the real AMQP 1.0
+  * wire path (the protocol the reference speaks through Vert.x Proton;
+  * its suites all run against an embedded broker over the wire,
+  * AMQPTestUtils.scala:66-91,213-266 in /root/reference). Mirrors
+  * AmqpTcpSpec's transport-parity cases, then adds what only a real
+  * framed protocol needs: multi-frame transfer reassembly (both
+  * directions, plus interleaved across links), and a raw wire-level
+  * exchange driving header/open/begin/attach/transfer/disposition with
+  * the codec alone — no [[Amqp10Endpoint]] in the loop.
+  */
+class Amqp10Spec extends SparkSpecBase {
+
+  private def poll[T](f: => T): T =
+    eventually(timeout(30.seconds), interval(500.millis))(f)
+
+  private def withServer[T](f: (InMemoryAmqpBroker, String) => T): T = {
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing)
+    val ep = s"amqp10://127.0.0.1:${server.port}"
+    try f(backing, ep)
+    finally { AmqpEndpointRegistry.reset(ep); server.close() }
+  }
+
+  test("client endpoint round-trips every operation over AMQP 1.0 framing") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      assert(client.send("addr", AmqpMessage(messageId = Some("m1"),
+        body = AmqpValueBody("hello")), 42L) == 1L)
+      assert(client.latestSeq("addr") == 1L)
+      val Seq((seq, msg, ts)) = client.fetch("addr", 0, 1)
+      assert(seq == 1L && ts == 42L)
+      assert(msg.messageId.contains("m1") && msg.body == AmqpValueBody("hello"))
+      client.settle("addr", 1)
+      assert(client.settledUpTo("addr") == 1L)
+      assert(backing.settledUpTo("addr") == 1L, "state lives in the remote broker")
+      // transactional staged publish: declare → stage → discharge
+      client.stage("t#1", 0, Seq(AmqpMessage(body = AmqpValueBody("staged"))))
+      assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == 1)
+      assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == -1,
+        "replayed discharge is an epoch-idempotent no-op")
+      assert(client.latestSeq("addr") == 2L)
+      // abort path: staged messages are discarded atomically
+      client.stage("t#2", 0, Seq(AmqpMessage(body = AmqpValueBody("doomed"))))
+      client.abortStaged("t#2")
+      assert(client.commitStaged("t#2", "q", 2L, "addr", 44L) == 0,
+        "nothing staged survives an aborted transaction")
+      assert(client.latestSeq("addr") == 2L)
+    }
+  }
+
+  test("SASL-PLAIN: credentialed server accepts right creds, rejects wrong/anonymous") {
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing, credentials = Some(("alice", "s3cret")))
+    try {
+      backing.send("addr", AmqpMessage(body = AmqpValueBody("x")), 1L)
+      val ok = new Amqp10Endpoint("127.0.0.1", server.port, Some("alice"), Some("s3cret"))
+      try assert(ok.latestSeq("addr") == 1L) finally ok.close()
+      val bad = new Amqp10Endpoint("127.0.0.1", server.port, Some("alice"), Some("nope"))
+      try intercept[SecurityException](bad.latestSeq("addr")) finally bad.close()
+      val anon = new Amqp10Endpoint("127.0.0.1", server.port)
+      try intercept[Exception](anon.latestSeq("addr")) finally anon.close()
+    } finally server.close()
+    // anonymous server accepts both anonymous AND credentialed clients
+    withServer { (backing2, ep) =>
+      backing2.send("addr", AmqpMessage(body = AmqpValueBody("y")), 1L)
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val anon = new Amqp10Endpoint("127.0.0.1", port)
+      try assert(anon.latestSeq("addr") == 1L) finally anon.close()
+      val credUri = s"amqp10://bob:pw@127.0.0.1:$port"
+      assert(AmqpEndpointRegistry.endpoint(credUri).latestSeq("addr") == 1L)
+      AmqpEndpointRegistry.reset(credUri)
+    }
+  }
+
+  test("multi-frame transfers: messages larger than one frame survive both directions") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      // > MaxPayloadChunk forces client-side chunking on send and
+      // server-side chunking on the fetch push — both reassembly paths
+      val big = Array.tabulate(MaxPayloadChunk * 2 + 1234)(i => (i * 31 + 7).toByte)
+      assert(client.send("big", AmqpMessage(messageId = Some("huge"),
+        body = AmqpDataBody(big)), 9L) == 1L)
+      val stored = backing.fetch("big", 0, 1)
+      assert(stored.head._2.body match {
+        case AmqpDataBody(bs) => java.util.Arrays.equals(bs, big)
+        case _ => false
+      }, "server reassembled the chunked transfer byte-for-byte")
+      val Seq((_, echoed, _)) = client.fetch("big", 0, 1)
+      assert(echoed.body match {
+        case AmqpDataBody(bs) => java.util.Arrays.equals(bs, big)
+        case _ => false
+      }, "client reassembled the server's chunked push byte-for-byte")
+    }
+  }
+
+  test("streaming read + windowed aggregate over an amqp10:// endpoint") {
+    withServer { (backing, ep) =>
+      val base = 100L * 1000000L
+      for (i <- 0 until 10)
+        backing.send("my_address",
+          AmqpMessage(body = AmqpValueBody((20 + i % 5).toString)),
+          timestampMicros = base + i * 1000000L)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.IntegerType
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address").load()
+        .select(AmqpConverters.amqpBodyAs(IntegerType).as("temperature"),
+          col("ingest_timestamp"))
+        .withWatermark("ingest_timestamp", "10 seconds")
+        .groupBy(window(col("ingest_timestamp"), "5 seconds"))
+        .agg(max(col("temperature")).as("max_temperature"))
+        .writeStream.format("memory").queryName("amqp10_temps")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        poll {
+          val rows = spark.table("amqp10_temps")
+            .select(col("window.start").cast("long"), col("max_temperature"))
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+          assert(rows == Map(100L -> 24, 105L -> 24))
+        }
+        // settle-on-commit crosses the wire too
+        backing.send("my_address", AmqpMessage(body = AmqpValueBody("0")))
+        q.processAllAvailable()
+        poll { assert(backing.settledUpTo("my_address") >= 10) }
+      } finally q.stop()
+    }
+  }
+
+  test("client re-dials after a server drop (receiver-restart parity)") {
+    val backing = new InMemoryAmqpBroker
+    // Fixed-range port below the ephemeral range — see AmqpTcpSpec's
+    // re-dial case for why an ephemeral port is a flake magnet.
+    val server1 = {
+      var srv: Amqp10Server = null
+      var p = 22651
+      while (srv == null) {
+        try srv = new Amqp10Server(backing, bindPort = p)
+        catch { case _: java.net.BindException => p += 1 }
+      }
+      srv
+    }
+    val port = server1.port
+    val client = new Amqp10Endpoint("127.0.0.1", port)
+    try {
+      assert(client.send("addr", AmqpMessage(body = AmqpValueBody("before")), 1L) == 1L)
+      server1.close()
+      val server2 = eventually(timeout(5.seconds), interval(100.millis)) {
+        new Amqp10Server(backing, bindPort = port)
+      }
+      try {
+        // first call after the drop re-dials (header/SASL/open/begin) and
+        // retries; sender links re-attach lazily
+        assert(client.latestSeq("addr") == 1L)
+        assert(client.send("addr", AmqpMessage(body = AmqpValueBody("after")), 2L) == 2L,
+          "sequence continuity across the reconnect — state lives in the broker")
+        val bodies = client.fetch("addr", 0, 2).map(_._2.body)
+        assert(bodies == Seq(AmqpValueBody("before"), AmqpValueBody("after")))
+      } finally server2.close()
+    } finally client.close()
+  }
+
+  test("sink writes through amqp10://; exactly-once epoch commit holds remotely") {
+    withServer { (backing, ep) =>
+      import spark.implicits._
+      (1 to 5).map(i => s"m-$i").toDF("value")
+        .repartition(3) // multiple writer partitions stage independently
+        .write.format("amqp").option("endpoint", ep).option("address", "out")
+        .mode("append").save()
+      assert(backing.latestSeq("out") == 5)
+      val bodies = backing.fetch("out", 0, 5).map(_._2.body).collect {
+        case AmqpValueBody(s: String) => s
+      }
+      assert(bodies.toSet == (1 to 5).map(i => s"m-$i").toSet)
+    }
+  }
+
+  // ---------------------------------------------------------- wire level
+  /** Raw protocol driver: a bare socket + the codec, no Amqp10Endpoint —
+    * what a third-party AMQP 1.0 peer looks like to the server. */
+  private final class RawPeer(port: Int) extends AutoCloseable {
+    val sock = new Socket("127.0.0.1", port)
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def send(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
+      writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0, perf, payload)))
+    def read(): Frame = readFrame(in)
+    def expect(code: Long): Frame = {
+      val f = read()
+      assert(descriptorCode(f.performative) == code,
+        f"expected 0x$code%02x, got 0x${descriptorCode(f.performative)}%02x")
+      f
+    }
+    override def close(): Unit = sock.close()
+  }
+
+  test("wire level: header exchange → open/begin/attach → transfer → disposition") {
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        // §2.3.1 protocol header exchange (no SASL on an anonymous server)
+        writeAll(peer.out, HeaderAmqp)
+        assert(java.util.Arrays.equals(readHeader(peer.in), HeaderAmqp))
+        peer.send(described(Desc.Open, "third-party-peer"))
+        val open = peer.expect(Desc.Open)
+        assert(field(open.performative, 0) == "graft-broker")
+        peer.send(described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+        peer.expect(Desc.Begin)
+        // sender link to a target address
+        peer.send(described(Desc.Attach, "peer-snd", UInt(0L),
+          java.lang.Boolean.FALSE, null, null, null,
+          described(Desc.Target, "wire-addr")))
+        val attach = peer.expect(Desc.Attach)
+        assert(field(attach.performative, 1) == UInt(0L), "handle echoed")
+        val flow = peer.expect(Desc.Flow)
+        assert(asLong(field(flow.performative, 6)) ==
+          AmqpFlowController.CreditsDefault,
+          "attach grants the flow-controller's real credit window")
+        // one transfer, settled=false, single frame
+        val payload = encodeDeliveryAnnotations(Seq(TsAnnotation -> 77L)) ++
+          encodeMessage(AmqpMessage(messageId = Some("w1"),
+            body = AmqpValueBody("from the wire")))
+        peer.send(described(Desc.Transfer, UInt(0L), UInt(0L),
+          "tag0".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+          java.lang.Boolean.FALSE), payload)
+        val disp = peer.expect(Desc.Disposition)
+        val state = field(disp.performative, 4).asInstanceOf[Described]
+        assert(state.descriptor == Sym(EnqueuedOutcome))
+        assert(field(state, 0) == 1L, "broker-assigned seq rides the outcome")
+        // the message landed with its enqueue timestamp from the
+        // delivery annotations, envelope intact
+        val Seq((1L, msg, 77L)) = backing.fetch("wire-addr", 0, 1)
+        assert(msg.messageId.contains("w1"))
+        assert(msg.body == AmqpValueBody("from the wire"))
+        // clean shutdown: detach → end → close, each echoed
+        peer.send(described(Desc.Detach, UInt(0L), java.lang.Boolean.TRUE))
+        peer.expect(Desc.Detach)
+        peer.send(described(Desc.End))
+        peer.expect(Desc.End)
+        peer.send(described(Desc.Close))
+        peer.expect(Desc.Close)
+      } finally peer.close()
+    }
+  }
+
+  test("wire level: interleaved multi-frame transfers across two links reassemble per link") {
+    // §2.6.14: a session may interleave multi-frame deliveries from
+    // different links; reassembly must be keyed by link handle.
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        peer.send(described(Desc.Open, "interleaver")); peer.expect(Desc.Open)
+        peer.send(described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+        peer.expect(Desc.Begin)
+        for (h <- 0L to 1L) {
+          peer.send(described(Desc.Attach, s"snd-$h", UInt(h),
+            java.lang.Boolean.FALSE, null, null, null,
+            described(Desc.Target, s"ileave-$h")))
+          peer.expect(Desc.Attach); peer.expect(Desc.Flow)
+        }
+        val msgA = encodeMessage(AmqpMessage(messageId = Some("A"),
+          body = AmqpValueBody("A" * 600)))
+        val msgB = encodeMessage(AmqpMessage(messageId = Some("B"),
+          body = AmqpValueBody("B" * 600)))
+        def half(bs: Array[Byte], first: Boolean): Array[Byte] =
+          if (first) bs.take(bs.length / 2) else bs.drop(bs.length / 2)
+        def xfer(h: Long, did: Long, more: Boolean, chunk: Array[Byte]): Unit =
+          peer.send(described(Desc.Transfer, UInt(h), UInt(did),
+            s"t$did".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+            java.lang.Boolean.valueOf(more)), chunk)
+        // A1 (more) / B1 (more) / A2 (final) / B2 (final)
+        xfer(0L, 0L, more = true, half(msgA, first = true))
+        xfer(1L, 1L, more = true, half(msgB, first = true))
+        xfer(0L, 0L, more = false, half(msgA, first = false))
+        val dispA = peer.expect(Desc.Disposition)
+        assert(asLong(field(dispA.performative, 1)) == 0L)
+        xfer(1L, 1L, more = false, half(msgB, first = false))
+        val dispB = peer.expect(Desc.Disposition)
+        assert(asLong(field(dispB.performative, 1)) == 1L)
+        val Seq((_, a, _)) = backing.fetch("ileave-0", 0, 1)
+        val Seq((_, b, _)) = backing.fetch("ileave-1", 0, 1)
+        assert(a.messageId.contains("A") && a.body == AmqpValueBody("A" * 600),
+          "link 0's message uncorrupted by link 1's interleaved frames")
+        assert(b.messageId.contains("B") && b.body == AmqpValueBody("B" * 600),
+          "link 1's message uncorrupted by link 0's interleaved frames")
+      } finally peer.close()
+    }
+  }
+
+  test("wire level: credit-exhausted transfer is rejected with amqp:resource-limit-exceeded") {
+    withServer { (backing, ep) =>
+      // drain the flow-controller window out-of-band so the next wire
+      // transfer hits the credit refusal surface
+      val ctl = backing.flowController("full-addr")
+      while (ctl.trySend()) ()
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        peer.send(described(Desc.Open, "overflower")); peer.expect(Desc.Open)
+        peer.send(described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+        peer.expect(Desc.Begin)
+        peer.send(described(Desc.Attach, "snd", UInt(0L),
+          java.lang.Boolean.FALSE, null, null, null,
+          described(Desc.Target, "full-addr")))
+        peer.expect(Desc.Attach)
+        val grant = peer.expect(Desc.Flow)
+        assert(asLong(field(grant.performative, 6)) == 0L, "no credit left")
+        peer.send(described(Desc.Transfer, UInt(0L), UInt(0L),
+          "t0".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+          java.lang.Boolean.FALSE),
+          encodeMessage(AmqpMessage(body = AmqpValueBody("nope"))))
+        val disp = peer.expect(Desc.Disposition)
+        val state = field(disp.performative, 4).asInstanceOf[Described]
+        assert(descriptorCode(state) == Desc.Rejected)
+        val err = field(state, 0).asInstanceOf[Described]
+        assert(field(err, 0) == Sym("amqp:resource-limit-exceeded"))
+        assert(backing.latestSeq("full-addr") == 0L, "nothing enqueued")
+      } finally peer.close()
+    }
+  }
+}
