@@ -30,9 +30,20 @@ case class TopKBuf(items: Seq[ScoredId])
   */
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
 
+  /** Total order on scores matching Spark SQL's and DuckDB's sort
+    * semantics: NaN is greater than every value (a zero-norm vector's
+    * 0/0 cosine ranks FIRST under DESC, as the Window formulation this
+    * replaces would rank it), and -0.0 == 0.0. Plain `>`/`==` would
+    * make NaN incomparable: a NaN buffer tail turns `!better(a, last)`
+    * permanently true and silently drops every real candidate. */
+  private def cmpScore(x: Double, y: Double): Int =
+    java.lang.Double.compare(if (x == 0.0) 0.0 else x, if (y == 0.0) 0.0 else y)
+
   /** Strict total order: better-than. */
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = cmpScore(a.cos, b.cos)
+    c > 0 || (c == 0 && a.vec_id < b.vec_id)
+  }
 
   private def insert(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
     if (b.length == k && !better(a, b.last)) b

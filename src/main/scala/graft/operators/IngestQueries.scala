@@ -5,17 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.streaming.{AmqpEndpointRegistry, AmqpMessage, AmqpValueBody}
+import graft.streaming.{Amqp10Server, AmqpEndpointRegistry, AmqpMessage, AmqpValueBody, InMemoryAmqpBroker}
 
 /** Puts the AMQP source itself under the DuckDB oracle gate: a
-  * deterministic slice of the `events` table is pumped through a fresh
-  * in-process broker (driver plays the producer, exactly like the
-  * reference's test senders — AMQPTestUtils.scala:99-125 in
-  * /root/reference), read back through `spark.read.format("amqp")`, and
-  * aggregated. The oracle computes the same aggregate straight from the
-  * parquet table, so any loss, duplication, or field corruption in the
-  * envelope path (send → credit window → sequence buffer → batch scan →
-  * envelope decode → converter columns) breaks the hash match.
+  * deterministic slice of the `events` table is pumped through a broker
+  * (driver plays the producer, exactly like the reference's test
+  * senders — AMQPTestUtils.scala:99-125 in /root/reference), read back
+  * through `spark.read.format("amqp")`, and aggregated. The oracle
+  * computes the same aggregate straight from the parquet table, so any
+  * loss, duplication, or field corruption in the envelope path (send →
+  * credit window → sequence buffer → batch scan → envelope decode →
+  * converter columns) breaks the hash match.
+  *
+  * By default the gate runs over a REAL socket: an in-JVM
+  * [[Amqp10Server]] serving AMQP 1.0 framing, with both the pump and
+  * the Spark read crossing `amqp10://127.0.0.1:<port>` — so the
+  * oracle-gated path exercises the wire codec, framing, credit
+  * refusal, and drain-mode fetch, not just in-process buffers. Set
+  * `-Dgraft.gate.transport=mem` to pin the in-process broker instead.
   *
   * The pump respects the credit window (1000): refused sends drain the
   * pending slice via fetch — the same consume-to-replenish contract the
@@ -23,13 +30,54 @@ import graft.streaming.{AmqpEndpointRegistry, AmqpMessage, AmqpValueBody}
   */
 object IngestQueries {
 
-  def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // Fixed endpoint + reset: Bench/Verify invoke this repeatedly in one
-    // JVM; a fresh UUID endpoint each time would leak a full copy of the
-    // pumped slice into the registry per warm run.
-    val ep = "mem://gate-ingest"
-    AmqpEndpointRegistry.reset(ep)
-    val broker = AmqpEndpointRegistry.broker(ep)
+  /** Serializes the pump against concurrent invocations in one JVM —
+    * the mem path resets the fixed `mem://gate-ingest` endpoint at
+    * entry and would clobber an overlapping pump. The harness runs gate
+    * queries sequentially; the lock makes the pump phase safe anyway.
+    * The returned DataFrame reads lazily: on the mem path a concurrent
+    * invocation between return and read still swaps broker state (the
+    * sequential-harness assumption); the wire path is immune — each run
+    * pumps a fresh per-run address, and a run's messages survive until
+    * the run after it settles them away. */
+  private val gateLock = new Object
+  private val gateRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One wire server per JVM backing the gate's default amqp10:// path
+    * (port 0 = ephemeral; lives for the JVM, like the registry's
+    * cached clients). */
+  private lazy val wireGateEndpoint: String = {
+    val server = new Amqp10Server(new InMemoryAmqpBroker)
+    s"amqp10://127.0.0.1:${server.port}"
+  }
+
+  /** Resolve (endpoint, address) for one gate run. */
+  private def gateTarget(): (String, String) =
+    sys.props.getOrElse("graft.gate.transport", "amqp10") match {
+      case "mem" =>
+        // Fixed endpoint + reset: Bench/Verify invoke this repeatedly in
+        // one JVM; a fresh UUID endpoint each time would leak a full copy
+        // of the pumped slice into the registry per warm run.
+        val ep = "mem://gate-ingest"
+        AmqpEndpointRegistry.reset(ep)
+        (ep, "gate")
+      case _ =>
+        // Per-run address keeps runs independent without restarting the
+        // server; settling the PREVIOUS run's address frees its messages
+        // (settle drops the accepted prefix), bounding broker memory to
+        // one slice regardless of warm-run count.
+        val ep = wireGateEndpoint
+        val run = gateRun.incrementAndGet()
+        if (run > 1) {
+          val client = AmqpEndpointRegistry.endpoint(ep)
+          val prev = s"gate-${run - 1}"
+          client.settle(prev, client.latestSeq(prev))
+        }
+        (ep, s"gate-$run")
+    }
+
+  def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
       .filter(col("event_id") % 10 === 0)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -38,20 +86,20 @@ object IngestQueries {
     var fetchedUpTo = 0L
     while (i < rows.length) {
       val r = rows(i)
-      val seq = broker.send("gate", AmqpMessage(
+      val seq = client.send(address, AmqpMessage(
         messageId = Some(r.getLong(0).toString),
         subject = Some(r.getString(1)),
         body = AmqpValueBody(r.getDouble(2).toString)),
         timestampMicros = r.getLong(0))
       if (seq >= 0) i += 1
       else { // credit window exhausted: consuming replenishes it
-        val to = broker.latestSeq("gate")
-        broker.fetch("gate", fetchedUpTo, to)
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
         fetchedUpTo = to
       }
     }
     s.read.format("amqp")
-      .option("endpoint", ep).option("address", "gate").load()
+      .option("endpoint", ep).option("address", address).load()
       .select(col("subject").as("event_type"),
         col("body").cast(DoubleType).as("value"))
       .groupBy(col("event_type"))

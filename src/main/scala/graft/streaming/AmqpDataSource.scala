@@ -70,9 +70,7 @@ class AmqpTable(options: CaseInsensitiveStringMap)
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new AmqpScan(AmqpSourceConfig(opts))
-    }
+    new AmqpScanBuilder(AmqpSourceConfig(opts))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AmqpWriteBuilder(AmqpSourceConfig(info.options()), info)
 }
@@ -109,12 +107,28 @@ object AmqpSourceConfig {
   }
 }
 
-class AmqpScan(cfg: AmqpSourceConfig) extends Scan {
-  override def readSchema(): StructType = AmqpEnvelope.schema
+/** Column pruning (SURVEY §4's one applicable pushdown): Catalyst hands
+  * the scan the envelope columns the query actually references; readers
+  * then skip materializing the rest — which matters when the pruned
+  * columns are the expensive ones (JSON-ifying structured bodies,
+  * stringifying wide application-property maps). Envelope filters stay
+  * post-scan: the broker's fetch surface is a sequence range, not a
+  * predicate language, so there is nothing to push filters INTO. */
+class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = AmqpEnvelope.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new AmqpScan(cfg, required)
+}
+
+class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema)
+    extends Scan {
+  override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AmqpMicroBatchStream(cfg)
-  override def toBatch: Batch = new AmqpBatchRead(cfg)
-  override def description(): String = s"AmqpScan(${cfg.endpoint}/${cfg.address})"
+    new AmqpMicroBatchStream(cfg, required.fieldNames)
+  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames)
+  override def description(): String =
+    s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}"
 }
 
 /** Offset = highest delivered sequence number PER LINK (SURVEY.md §7.1).
@@ -166,7 +180,8 @@ object AmqpOffset {
   }
 }
 
-class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
+class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
+    fields: Array[String] = AmqpEnvelope.schema.fieldNames)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -281,7 +296,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)
 
   /** Settle-after-durable-commit: the epoch is checkpointed, release
     * every link's unsettled window (the WAL-replacement contract). */
@@ -299,7 +314,8 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig)
 /** Batch read of everything currently replayable (unsettled + new):
   * the envelope as a static DataFrame for tests/oracle comparisons.
   * One partition per link, like the streaming path. */
-class AmqpBatchRead(cfg: AmqpSourceConfig) extends Batch {
+class AmqpBatchRead(cfg: AmqpSourceConfig,
+    fields: Array[String] = AmqpEnvelope.schema.fieldNames) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
     cfg.addresses
@@ -307,15 +323,16 @@ class AmqpBatchRead(cfg: AmqpSourceConfig) extends Batch {
         b.settledUpTo(a), b.latestSeq(a)): InputPartition)
       .toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)
 }
 
 case class AmqpInputPartition(endpoint: String, address: String,
     fromExclusive: Long, toInclusive: Long) extends InputPartition
 
-class AmqpReaderFactory extends PartitionReaderFactory {
+class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition])
+    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields)
 }
 
 /** Pull-based reader for one (start, end] slice of a link's sequence.
@@ -323,7 +340,8 @@ class AmqpReaderFactory extends PartitionReaderFactory {
   * loop and Receiver.store (AMQPFlowController.scala:159-161) is
   * structural here: the endpoint buffers unsettled deliveries, the
   * reader pulls exactly the planned slice. */
-class AmqpPartitionReader(p: AmqpInputPartition) extends PartitionReader[InternalRow] {
+class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
 
   // Iterate — never index: endpoint implementations may return a
   // linked Seq (2.13's ArrayBuffer.toSeq builds a List), where indexed
@@ -337,17 +355,30 @@ class AmqpPartitionReader(p: AmqpInputPartition) extends PartitionReader[Interna
 
   override def get(): InternalRow = {
     val (_, msg, tsMicros) = cur
-    val f = AmqpEnvelope.toFields(msg)
     def utf(o: Option[String]) = o.map(UTF8String.fromString).orNull
-    def smap(entries: Seq[(String, String)]) =
+    def smap(entries: Seq[(String, Any)]) =
       if (entries.isEmpty) null
       else new ArrayBasedMapData(
         new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
-        new GenericArrayData(entries.map(e => UTF8String.fromString(e._2)).toArray[Any]))
-    new GenericInternalRow(Array[Any](
-      utf(f._1), utf(f._2), utf(f._3), utf(f._4), utf(f._5),
-      smap(f._6), smap(f._7),
-      utf(f._8), utf(f._9), f._10.orNull, tsMicros))
+        new GenericArrayData(entries.map(e => UTF8String.fromString(String.valueOf(e._2))).toArray[Any]))
+    // Only the pruned columns are computed: a query that never touches
+    // the body skips JSON-ification entirely; one that skips the
+    // property maps never stringifies them.
+    lazy val body = AmqpEnvelope.bodyFields(msg)
+    new GenericInternalRow(fields.map[Any] {
+      case "message_id" => utf(msg.messageId)
+      case "to" => utf(msg.to)
+      case "subject" => utf(msg.subject)
+      case "reply_to" => utf(msg.replyTo)
+      case "correlation_id" => utf(msg.correlationId)
+      case "application_properties" => smap(msg.applicationProperties)
+      case "message_annotations" => smap(msg.messageAnnotations)
+      case "body_type" => utf(body._1)
+      case "body" => utf(body._2)
+      case "body_binary" => body._3.orNull
+      case "ingest_timestamp" => tsMicros
+      case other => throw new IllegalArgumentException(s"unknown envelope column: $other")
+    })
   }
 
   override def close(): Unit = ()

@@ -102,7 +102,17 @@ object AmqpEnvelope {
   def toFields(m: AmqpMessage): (Option[String], Option[String], Option[String],
       Option[String], Option[String], Seq[(String, String)], Seq[(String, String)],
       Option[String], Option[String], Option[Array[Byte]]) = {
-    val (bodyType, bodyText, bodyBin) = m.body match {
+    val (bodyType, bodyText, bodyBin) = bodyFields(m)
+    (m.messageId, m.to, m.subject, m.replyTo, m.correlationId,
+      m.applicationProperties.map { case (k, v) => k -> String.valueOf(v) },
+      m.messageAnnotations.map { case (k, v) => k -> String.valueOf(v) },
+      bodyType, bodyText, bodyBin)
+  }
+
+  /** The (body_type, body, body_binary) triple alone — the scan computes
+    * it only when a pruned read actually requires a body column. */
+  def bodyFields(m: AmqpMessage): (Option[String], Option[String], Option[Array[Byte]]) =
+    m.body match {
       // Provenance is carried in body_type, never re-derived from the
       // text: a plain string body is "amqpValue" even if it happens to
       // start with '[' or '{'; a serialized list/array/map body is
@@ -115,11 +125,6 @@ object AmqpEnvelope {
       case AmqpDataBody(bs)         => (Some("data"), None, Some(bs))
       case AmqpOtherBody            => (None, None, None)
     }
-    (m.messageId, m.to, m.subject, m.replyTo, m.correlationId,
-      m.applicationProperties.map { case (k, v) => k -> String.valueOf(v) },
-      m.messageAnnotations.map { case (k, v) => k -> String.valueOf(v) },
-      bodyType, bodyText, bodyBin)
-  }
 }
 
 /** The reference's two built-in converters, as Column functions over the

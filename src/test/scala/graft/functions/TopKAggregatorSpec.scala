@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the bounded top-k buffer, focused on the
+  * degenerate-score regression: a NaN cosine (0/0 from a zero-norm
+  * vector) must participate in a TOTAL order — under the pre-fix
+  * `>`-based comparator a NaN buffer tail made `better(a, last)` false
+  * forever and silently dropped every subsequent real candidate. The
+  * contract is Spark/DuckDB sort parity: NaN sorts as greater than
+  * every value, so it legitimately occupies a top slot (exactly what
+  * `row_number() OVER (ORDER BY cos DESC)` would do); it must never
+  * poison the membership of the remaining slots. */
+class TopKAggregatorSpec extends AnyFunSuite {
+
+  private def run(k: Int, items: Seq[ScoredId]): Seq[ScoredId] = {
+    val agg = new TopKAggregator(k)
+    items.foldLeft(agg.zero)(agg.reduce).items
+  }
+
+  private def mergeAll(k: Int, parts: Seq[Seq[ScoredId]]): Seq[ScoredId] = {
+    val agg = new TopKAggregator(k)
+    parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge).items
+  }
+
+  test("plain candidates: keeps best k, sorted (cos desc, id asc), order-independent") {
+    val xs = Seq(ScoredId(0.1, 1), ScoredId(0.9, 2), ScoredId(0.5, 3),
+      ScoredId(0.9, 4), ScoredId(0.3, 5))
+    val want = Seq(ScoredId(0.9, 2), ScoredId(0.9, 4), ScoredId(0.5, 3))
+    assert(run(3, xs) == want)
+    assert(run(3, xs.reverse) == want)
+    assert(mergeAll(3, Seq(xs.take(2), xs.drop(2))) == want)
+  }
+
+  test("NaN candidate ranks first (NaN-total sort parity) and does not poison the buffer") {
+    val nan = ScoredId(Double.NaN, 99)
+    val reals = Seq(ScoredId(0.2, 1), ScoredId(0.8, 2), ScoredId(0.6, 3))
+    // NaN arriving early: later, better real candidates must still displace
+    // weaker reals — the regression dropped them all once NaN was the tail
+    val got = run(2, nan +: reals)
+    assert(got == Seq(nan, ScoredId(0.8, 2)),
+      "NaN holds slot 1; the best REAL candidate must win slot 2")
+    // arrival order and partial-merge order do not change the result
+    assert(run(2, reals :+ nan) == got)
+    assert(mergeAll(2, Seq(Seq(nan, reals.head), reals.tail)) == got)
+    assert(mergeAll(2, Seq(reals, Seq(nan))) == got)
+  }
+
+  test("all-NaN input: deterministic id tie-break, bounded at k") {
+    val xs = Seq(ScoredId(Double.NaN, 3), ScoredId(Double.NaN, 1), ScoredId(Double.NaN, 2))
+    val got = run(2, xs)
+    assert(got.map(_.vec_id) == Seq(1L, 2L), "NaN == NaN: vec_id asc breaks the tie")
+  }
+
+  test("-0.0 and 0.0 compare equal (tie broken by id, matching SQL engines)") {
+    val got = run(2, Seq(ScoredId(-0.0, 2), ScoredId(0.0, 1), ScoredId(-0.5, 3)))
+    assert(got.map(_.vec_id) == Seq(1L, 2L))
+  }
+}

@@ -10,11 +10,25 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(IngestQueries.oracleSql.keySet == IngestQueries.queries.keySet)
   }
 
-  test("ingest round-trip is lossless: counts match the parquet slice") {
+  private def expectedCount: Long = spark.read.parquet(s"$sfDir/events.parquet")
+    .filter(col("event_id") % 10 === 0).count()
+
+  test("ingest round-trip is lossless over the default amqp10:// wire path") {
     val out = IngestQueries.amqpIngestRoundtrip(spark, sfDir)
     val n = out.agg(sum(col("n_events"))).collect().head.getLong(0)
-    val expected = spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("event_id") % 10 === 0).count()
-    assert(n == expected, s"envelope path lost or duplicated rows: $n vs $expected")
+    assert(n == expectedCount, s"envelope path lost or duplicated rows: $n vs $expectedCount")
+    // warm re-run: per-run addresses keep runs independent on the wire path
+    val n2 = IngestQueries.amqpIngestRoundtrip(spark, sfDir)
+      .agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(n2 == expectedCount, "second run over the same in-JVM wire server")
+  }
+
+  test("ingest round-trip is lossless with the in-process mem transport pinned") {
+    System.setProperty("graft.gate.transport", "mem")
+    try {
+      val n = IngestQueries.amqpIngestRoundtrip(spark, sfDir)
+        .agg(sum(col("n_events"))).collect().head.getLong(0)
+      assert(n == expectedCount)
+    } finally System.clearProperty("graft.gate.transport")
   }
 }

@@ -95,6 +95,40 @@ class AmqpModelSpec extends SparkSpecBase {
     assert(tree.at("/body").isMissingNode)
   }
 
+  test("AmqpSequence envelope parity: the row is kept, body content omitted") {
+    // Reference rule: AMQPJsonFunction.scala:149-154 in /root/reference —
+    // a section it doesn't model (amqp-sequence) hits the bare `case _`,
+    // so the message is STILL emitted, with no body content. Assert the
+    // same through the engine end-to-end: source row present, all body
+    // columns null, the rest of the envelope intact.
+    val ep = "mem://seq-envelope"
+    val broker = AmqpEndpointRegistry.broker(ep)
+    broker.send("a", AmqpMessage(messageId = Some("sq1"), subject = Some("s"),
+      applicationProperties = Seq("k" -> "v"), body = AmqpOtherBody), 7L)
+    try {
+      val rows = spark.read.format("amqp")
+        .option("endpoint", ep).option("address", "a").load().collect()
+      assert(rows.length == 1, "sequence-bodied messages are never dropped")
+      val r = rows.head
+      assert(r.getAs[String]("message_id") == "sq1")
+      assert(r.getAs[String]("subject") == "s")
+      assert(r.getAs[Map[String, String]]("application_properties") == Map("k" -> "v"))
+      assert(r.getAs[String]("body_type") == null)
+      assert(r.getAs[String]("body") == null)
+      assert(r.getAs[Array[Byte]]("body_binary") == null)
+    } finally AmqpEndpointRegistry.reset(ep)
+
+    // And from the wire: a CONTENT-BEARING amqp-sequence section (which
+    // only a third-party peer would produce — our encoder writes empty
+    // sequences) decodes to the same kept-message/omitted-body model.
+    import Amqp10Codec._
+    val bare = encode(described(Desc.Properties, "sq2")) ++
+      encode(Described(ULong(Desc.AmqpSequence), Vector("x", 1, true)))
+    val m = decodeMessage(bare)
+    assert(m.messageId.contains("sq2"))
+    assert(m.body == AmqpOtherBody, "sequence content is omitted, not surfaced")
+  }
+
   test("application properties are stringified (reference toString coercion)") {
     val m = AmqpMessage(applicationProperties = Seq("k1" -> 5, "k2" -> "v"))
     val f = AmqpEnvelope.toFields(m)

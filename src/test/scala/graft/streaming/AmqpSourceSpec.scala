@@ -478,4 +478,29 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(r.map(x => (x.getString(0), x.getString(1))).toSet ==
       (1 to 5).map(i => (s"b$i", s"$i")).toSet)
   }
+
+  test("column pruning reaches the AMQP scan (SupportsPushDownRequiredColumns)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("prune")
+    broker.send("my_address", AmqpMessage(messageId = Some("p1"),
+      subject = Some("s1"),
+      applicationProperties = Seq("k" -> "v"),
+      body = AmqpValueBody(Seq("expensive", "json", "body"))))
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+    def scanSchema(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan.readSchema().fieldNames.toSeq
+      }.head
+    // a two-column projection reads a two-column scan — not all 11
+    val narrow = df.select(col("subject"), col("message_id"))
+    assert(scanSchema(narrow).toSet == Set("subject", "message_id"),
+      s"scan must read only required columns, got ${scanSchema(narrow)}")
+    assert(narrow.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s1", "p1")))
+    // an unprojected read still materializes the full envelope
+    assert(scanSchema(df.select(col("*"))).length == AmqpEnvelope.schema.length)
+    assert(df.select(col("body")).collect().head.getString(0) ==
+      """["expensive","json","body"]""")
+  }
 }
