@@ -67,6 +67,35 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("star-rounds CC collapses a planted diameter-heavy chain (adversarial graph)") {
+    // A 61-node path 1-2-3-…-61: diameter 60, the worst case for
+    // label propagation (O(diameter) rounds — beyond dedupCluster's
+    // 20-round cap) and exactly what large-star/small-star is for
+    // (O(log diameter)). Mixed with a star component and an isolated
+    // pair to check components stay separate.
+    val chain = (1L until 61L).map(i => (i, i + 1))
+    val star = (101L to 110L).map(i => (100L, i))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ star ++ pair).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 61L).forall(labels(_) == 1L), "whole chain labeled by its minimum")
+    assert((100L to 110L).forall(labels(_) == 100L))
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+    assert(labels.size == 61 + 11 + 2, "every node labeled exactly once")
+  }
+
+  test("dedup_cluster under -Dgraft.dedup.cc=star matches the propagation default") {
+    val base = DedupQueries.dedupCluster(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    System.setProperty("graft.dedup.cc", "star")
+    try {
+      val alt = DedupQueries.dedupCluster(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(alt == base, "both CC algorithms agree on the real pair graph")
+    } finally System.clearProperty("graft.dedup.cc")
+  }
+
   test("contamination fractions are well-formed over the benchmark split") {
     val rows = DedupQueries.dedupContamination(spark, sfDir)
       .select("doc_id", "n_sh", "n_seen", "frac_seen").collect()
