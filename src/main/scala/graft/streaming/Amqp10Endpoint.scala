@@ -33,6 +33,7 @@ class Amqp10Endpoint(host: String, port: Int,
   private var out: BufferedOutputStream = _
   private var nextHandle = 0L
   private var nextDeliveryId = 0L
+  private var serverPayloadChunk = MaxPayloadChunk
   private val senderLinks = mutable.Map[String, Long]()  // address -> handle
   private var stagingHandle = -1L
   private var coordinatorHandle = -1L
@@ -79,7 +80,13 @@ class Amqp10Endpoint(host: String, port: Int,
     require(java.util.Arrays.equals(serverHeader, HeaderAmqp), "bad server AMQP header")
     sendFrame(described(Desc.Open, s"graft-client-${System.identityHashCode(this)}",
       null, UInt(MaxFrameSize.toLong)))
-    await(Desc.Open)
+    val serverOpen = await(Desc.Open)
+    // §2.7.1: our outgoing frames must fit the SERVER's max-frame-size
+    serverPayloadChunk = field(serverOpen.performative, 2) match {
+      case null => MaxPayloadChunk
+      case mfs => math.max(512 - 128,
+        math.min(MaxPayloadChunk.toLong, asLong(mfs) - 128L).toInt)
+    }
     sendFrame(described(Desc.Begin, null, UInt(0L), UInt(65535L), UInt(65535L)))
     await(Desc.Begin)
   }
@@ -148,7 +155,7 @@ class Amqp10Endpoint(host: String, port: Int,
     var off = 0
     var done = false
     while (!done) {
-      val end = math.min(off + MaxPayloadChunk, payload.length)
+      val end = math.min(off + serverPayloadChunk, payload.length)
       val more = end < payload.length
       sendFrame(described(Desc.Transfer, UInt(handle), UInt(did),
         did.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,

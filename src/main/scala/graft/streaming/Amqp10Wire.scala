@@ -188,6 +188,11 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       val pending = mutable.Map[Long, (Described, mutable.ArrayBuffer[Byte])]()
       val txnStage = mutable.Map[(String, Int), mutable.ArrayBuffer[AmqpMessage]]()
 
+      // §2.7.1: the peer's open announces ITS max-frame-size; frames we
+      // send must fit it (spec floor is 512). Until open arrives, assume
+      // our own limit.
+      var peerPayloadChunk = MaxPayloadChunk
+
       def pushTransfers(handle: Long, address: String, from: Long, to: Long): Unit = {
         backing.fetch(address, from, to).foreach { case (seq, msg, ts) =>
           val payload = encodeDeliveryAnnotations(
@@ -198,7 +203,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           var off = 0
           var done = false
           while (!done) {
-            val end = math.min(off + MaxPayloadChunk, payload.length)
+            val end = math.min(off + peerPayloadChunk, payload.length)
             val more = end < payload.length
             amqp(described(Desc.Transfer, UInt(handle), UInt(did),
               seq.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
@@ -216,6 +221,14 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
         val perf = f.performative
         descriptorCode(perf) match {
           case Desc.Open =>
+            field(perf, 2) match {
+              case null => () // absent = unlimited (§2.7.1 default)
+              case mfs =>
+                // transfer frame overhead (header + performative) stays
+                // well under 128 bytes; 512 is the spec's floor
+                peerPayloadChunk = math.max(512 - 128,
+                  math.min(MaxPayloadChunk.toLong, asLong(mfs) - 128L).toInt)
+            }
             amqp(described(Desc.Open, "graft-broker", null, UInt(MaxFrameSize.toLong)))
           case Desc.Begin =>
             amqp(described(Desc.Begin, UShort(f.channel), UInt(0L),
