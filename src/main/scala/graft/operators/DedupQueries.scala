@@ -577,6 +577,55 @@ object DedupQueries {
         col("n_sh").cast(DoubleType) * 0.5).as("contaminated"))
   }
 
+  // ----------------------------------------- dedup_contamination_bloom
+  /** Contamination screening with a Bloom-filter prefilter — the
+    * 100 TB shape of [[dedupContamination]], promised by its own doc
+    * ("the thing you'd back with a ... Bloom filter") and gated here:
+    *
+    *  - the train split's distinct shingles collapse into ONE driver
+    *    Bloom filter (`stat.bloomFilter`: executor-side partial sketches
+    *    merged on the driver) broadcast to every task — a few hundred MB
+    *    for billions of shingles at 3% fpp, vs shuffling the benchmark
+    *    side against a multi-TB dictionary;
+    *  - Bloom NEGATIVES are definitive (no false negatives): those
+    *    benchmark shingles never reach the join;
+    *  - Bloom POSITIVES (including the ~3% false ones) go to the exact
+    *    verify join against the dictionary, so the OUTPUT is bit-equal
+    *    to the exact query — the oracle is the same SQL.
+    *
+    * Cost tracks `bench x fpp + true overlap` instead of `bench x
+    * train-dictionary`. The probe is a broadcast-Bloom UDF: membership
+    * against a driver-built BloomFilter has no builtin Column form, and
+    * the alternative (the full semi-join) is exactly what it removes. */
+  def dedupContaminationBloom(s: SparkSession, d: String): DataFrame =
+    dedupContaminationBloomCore(s, shingleStream(s, d, 4))
+
+  private[operators] def dedupContaminationBloomCore(s: SparkSession, sh: DataFrame): DataFrame = {
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+    // localCheckpoint: count + bloom build + verify join reuse one
+    // materialization of the dictionary instead of three shingle scans
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle").as("tr_shingle")).distinct()
+      .localCheckpoint()
+    val bloom = train.stat.bloomFilter("tr_shingle", math.max(1L, train.count()), 0.03)
+    val bBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((x: String) => bBloom.value.mightContainString(x))
+    val seenPerDoc = bench.filter(mightContain(col("shingle")))
+      .join(train, col("shingle") === col("tr_shingle"), "left") // exact verify
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tr_shingle").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+    // totals come from the UNFILTERED benchmark stream: bloom-negative
+    // shingles still count toward n_sh, they just never join
+    shingleSizes(bench)
+      .join(seenPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        (coalesce(col("n_seen"), lit(0L)).cast(DoubleType)
+          / col("n_sh").cast(DoubleType)).as("frac_seen"),
+        (coalesce(col("n_seen"), lit(0L)).cast(DoubleType) >=
+          col("n_sh").cast(DoubleType) * 0.5).as("contaminated"))
+  }
+
   val dedupContaminationSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(${shingleSetSql(4)}) AS shingle
@@ -597,6 +646,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_contamination"    -> (dedupContamination _),
+    "dedup_contamination_bloom" -> (dedupContaminationBloom _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
@@ -607,6 +657,8 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster"          -> dedupClusterSql,
     "dedup_contamination"    -> dedupContaminationSql,
+    // bloom prefilter + exact verify = bit-equal to the exact screen
+    "dedup_contamination_bloom" -> dedupContaminationSql,
     "dedup_exact"            -> dedupExactSql,
     "dedup_ngram_jaccard"    -> dedupNgramJaccardSql,
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,

@@ -144,6 +144,21 @@ class DedupQueriesSpec extends SparkSpecBase {
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(byId(10L), s"copied benchmark doc must flag: $byId")
     assert(!byId(20L), s"clean benchmark doc must not flag: $byId")
+    // the Bloom-prefiltered screen reaches the same verdicts on the
+    // planted corpus (false positives die in the exact verify join)
+    val bloomById = DedupQueries.dedupContaminationBloomCore(spark, sh)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(bloomById == byId, s"bloom screen must agree: $bloomById vs $byId")
+  }
+
+  test("bloom contamination screen is bit-equal to the exact screen on the corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val exact = rows(DedupQueries.dedupContamination(spark, sfDir))
+    val bloom = rows(DedupQueries.dedupContaminationBloom(spark, sfDir))
+    assert(bloom == exact,
+      "bloom prefilter + exact verify must not change a single row")
   }
 
   test("embedding cosine detector FIRES on planted near-duplicates") {
