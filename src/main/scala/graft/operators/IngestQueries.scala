@@ -82,17 +82,23 @@ object IngestQueries {
       .filter(col("event_id") % 10 === 0)
       .select(col("event_id"), col("event_type"), col("value"))
       .collect() // the producer role: driver-side by design, as in the reference's suites
+    // Pipelined batches (one disposition round-trip per ~500 messages on
+    // socket transports, see AmqpEndpoint.sendMany) sized under the
+    // 1000-credit window so at most one drain per batch is ever needed.
     var i = 0
     var fetchedUpTo = 0L
     while (i < rows.length) {
-      val r = rows(i)
-      val seq = client.send(address, AmqpMessage(
-        messageId = Some(r.getLong(0).toString),
-        subject = Some(r.getString(1)),
-        body = AmqpValueBody(r.getDouble(2).toString)),
-        timestampMicros = r.getLong(0))
-      if (seq >= 0) i += 1
+      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      }
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0) // refusals are a suffix (credit contract)
+      if (refusedAt < 0) i += slice.length
       else { // credit window exhausted: consuming replenishes it
+        i += refusedAt
         val to = client.latestSeq(address)
         client.fetch(address, fetchedUpTo, to)
         fetchedUpTo = to

@@ -71,6 +71,17 @@ object AmqpFlowController {
 trait AmqpEndpoint {
   def send(address: String, msg: AmqpMessage,
       timestampMicros: Long = System.currentTimeMillis() * 1000L): Long
+
+  /** Bulk produce. Per-message results in order (assigned seq, or -1
+    * refused). Socket transports override this to PIPELINE the
+    * transfers — many unsettled deliveries in flight, dispositions
+    * drained after — so producer throughput is bounded by bandwidth and
+    * the credit window instead of per-message round-trip latency.
+    * Credit refusals are a SUFFIX of the result (the window only
+    * shrinks mid-batch, it is replenished by fetches, never by sends):
+    * callers resume from the first refusal after draining. */
+  def sendMany(address: String, msgs: Seq[(AmqpMessage, Long)]): Seq[Long] =
+    msgs.map { case (m, ts) => send(address, m, ts) }
   def latestSeq(address: String): Long
   def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
   def settle(address: String, upTo: Long): Unit

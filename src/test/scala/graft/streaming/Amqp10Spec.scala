@@ -87,6 +87,29 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("sendMany pipelines transfers: one disposition drain per batch, refusals are a suffix") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      // full batch accepted, ordered seqs
+      val seqs = client.sendMany("bulk",
+        (1 to 300).map(i => (AmqpMessage(body = AmqpValueBody(s"b$i")), i.toLong)))
+      assert(seqs == (1L to 300L))
+      assert(backing.latestSeq("bulk") == 300L)
+      val bodies = client.fetch("bulk", 0, 300).map(_._2.body)
+      assert(bodies == (1 to 300).map(i => AmqpValueBody(s"b$i")))
+      // exhaust the remaining credit window: refusals arrive as a
+      // suffix, and everything accepted before the refusal is durable
+      val more = client.sendMany("bulk",
+        (301 to 1200).map(i => (AmqpMessage(body = AmqpValueBody(s"b$i")), i.toLong)))
+      val refusedAt = more.indexWhere(_ < 0)
+      assert(refusedAt >= 0, "the 1000-credit window must exhaust")
+      assert(more.take(refusedAt) == (301L until 301L + refusedAt),
+        "accepted prefix keeps contiguous seqs")
+      assert(more.drop(refusedAt).forall(_ == -1L), "refusals form a suffix")
+      assert(backing.latestSeq("bulk") == 300L + refusedAt)
+    }
+  }
+
   test("multi-frame transfers: messages larger than one frame survive both directions") {
     withServer { (backing, ep) =>
       val client = AmqpEndpointRegistry.endpoint(ep)
