@@ -153,6 +153,39 @@ object Bench {
       measure("4link", "mem://bench-ingest4", links, 400000L)
       AmqpEndpointRegistry.reset("mem://bench-ingest")
       AmqpEndpointRegistry.reset("mem://bench-ingest4")
+      // REAL AMQP 1.0 framing in the loop: produce via pipelined
+      // transfers and read back through the wire codec — the number
+      // directly comparable to the reference's Proton path (its 10k
+      // msg/s ceiling includes the same framed-protocol cost).
+      try {
+        import graft.streaming.{Amqp10Server, InMemoryAmqpBroker}
+        val server = new Amqp10Server(new InMemoryAmqpBroker)
+        val wireEp = s"amqp10://127.0.0.1:${server.port}"
+        try {
+          val client = AmqpEndpointRegistry.endpoint(wireEp)
+          val batch = (0 until 500).map(i =>
+            (AmqpMessage(body = AmqpValueBody(s"m-$i")), i.toLong))
+          var sent = 0L
+          var fetchedUpTo = 0L
+          val p0 = System.nanoTime()
+          while (sent < 100000L) {
+            val accepted = client.sendMany("l0", batch).count(_ >= 0)
+            sent += accepted
+            if (accepted < batch.length) {
+              val to = client.latestSeq("l0")
+              client.fetch("l0", fetchedUpTo, to)
+              fetchedUpTo = to
+            }
+          }
+          val pSec = (System.nanoTime() - p0) / 1e9
+          System.err.println(
+            f"[bench] stream_ingest 1link_wire produce ${100000L / pSec}%.0f msg/s")
+          measure("1link_wire", wireEp, Seq("l0"), 100000L)
+        } finally { AmqpEndpointRegistry.reset(wireEp); server.close() }
+      } catch { case e: Throwable =>
+        errors("stream_ingest_wire") = String.valueOf(e)
+        System.err.println(s"[bench] stream_ingest wire FAILED: $e")
+      }
     } catch { case e: Throwable =>
       errors("stream_ingest") = String.valueOf(e)
       System.err.println(s"[bench] stream_ingest FAILED: $e")
