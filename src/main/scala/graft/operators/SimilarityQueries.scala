@@ -38,6 +38,9 @@ object SimilarityQueries {
 
   private val NumQueries = 10 // query set: vec_id < 10
   private val TopK = 5
+  // sim_range_search cosine radius: ~p99 of the corpus's query-vs-corpus
+  // cosine distribution (max ≈ 0.49), so the gate carries real rows
+  private val RangeThreshold = 0.3
   private val NumCells = 16   // IVF centroids: vec_id < 16
   private val NumProbes = 3
 
@@ -211,8 +214,18 @@ object SimilarityQueries {
     * nothing is ever all-pairs. At 100 TB the signature frame would be
     * the stored index (bucketed table on bkey). */
   def simTopKLsh(s: SparkSession, d: String): DataFrame = {
-    val NBits = 16
     val e = embedded(s, d)
+    explodeTopK(
+      lshScoredCandidates(e)
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+  }
+
+  /** Shared LSH front half: banded bucket join (query vs corpus) plus
+    * exact cosine on the surviving candidates — consumed by the top-k
+    * (bounded agg) and range (threshold filter) tails. */
+  private def lshScoredCandidates(e: DataFrame): DataFrame = {
+    val NBits = 16
     val sig = e.select(col("vec_id"),
       expr(s"hyperplane_sig(emb, $NBits)").as("sig"))
     val bandArr = array((0 until 4).map(t =>
@@ -227,14 +240,32 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id")).distinct()
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    explodeTopK(
-      cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
-        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
-        .groupBy(col("query_id"))
-        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
   }
 
-  val simTopKLshSql: String = {
+  // ------------------------------------------------- sim_range_search
+  /** Radius (range) similarity search: every corpus vector within
+    * cosine >= [[RangeThreshold]] of a query vector — the
+    * query-vs-corpus complement of dedup_embedding_cosine's self-join,
+    * and the retrieval shape RAG-style pipelines run (all
+    * sufficiently-close neighbors, not a fixed k). Same LSH bucket gate
+    * as sim_topk_lsh, exact cosine verify; the oracle replicates the
+    * banding (gate the algorithm, not a data-dependent approximation).
+    *
+    * Scale shape: identical bucket equi-join; a threshold filter
+    * replaces the bounded top-k agg, so the shuffle out of the verify
+    * stage carries only true matches. */
+  def simRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    lshScoredCandidates(e)
+      .filter(col("cos") >= RangeThreshold)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** Shared SQL front half of the LSH queries: banding + exact cosine,
+    * ending in a `scored(query_id, vec_id, cos)` CTE. */
+  private lazy val lshScoredCteSql: String = {
     // hyperplane weights: the same LCG as VectorExpressions.hyperplaneSig
     def w(i: Int) =
       s"CAST(($i * 73856093 + d * 19349663) % 1000003 AS DOUBLE) / 500001.5 - 1.0"
@@ -267,12 +298,20 @@ object SimilarityQueries {
        |    list_dot_product(v.emb, q.emb) / (v.nrm * q.nrm) AS cos
        |  FROM cand c
        |  JOIN n v ON v.vec_id = c.vec_id
-       |  JOIN n q ON q.vec_id = c.query_id)
+       |  JOIN n q ON q.vec_id = c.query_id)""".stripMargin
+  }
+
+  val simTopKLshSql: String =
+    s"""$lshScoredCteSql
        |SELECT query_id, vec_id, cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
-  }
+
+  val simRangeSearchSql: String =
+    s"""$lshScoredCteSql
+       |SELECT query_id, vec_id, cos FROM scored
+       |WHERE cos >= $RangeThreshold""".stripMargin
 
   // ---------------------------------------------------------- sim_kmeans
   private val KmK = 8      // clusters: centroids seeded from vec_id < 8
@@ -376,6 +415,7 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
+    "sim_range_search"    -> (simRangeSearch _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
   )
@@ -384,6 +424,7 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
+    "sim_range_search"    -> simRangeSearchSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
   )

@@ -33,6 +33,34 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     lsh.foreach { case (q, v) => assert(q != v) }
   }
 
+  test("range search returns only true matches and never a false positive") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityQueries.simRangeSearch(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "threshold is tuned so the corpus carries real matches")
+    rows.foreach { case (q, v, c) =>
+      assert(q < 10 && v != q)
+      assert(c >= 0.3, s"radius violated: ($q,$v,$c)")
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length, "no duplicate pairs")
+    // soundness vs brute force: every returned pair must be a true
+    // range match when scored exactly (banding can miss, never invent)
+    val exact = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val a = exact.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .where(col("qid") < 10)
+    val truePairs = exact.crossJoin(a)
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(transform(qemb, x -> x * x), 0D, (acc, x) -> acc + x)")))).as("cos"))
+      .where(col("cos") >= 0.3)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet.subsetOf(truePairs),
+      "LSH-gated results must be a subset of the exact range set")
+  }
+
   test("kmeans partitions every vector and reports non-negative inertia") {
     val rows = SimilarityQueries.simKmeans(spark, sfDir)
       .as[(Long, Long, Double)].collect()
