@@ -277,10 +277,49 @@ object Amqp10Codec {
     Described(ULong(code), trimmed)
   }
 
+  /** §1.2 lets a peer pick either form of a standard descriptor: the
+    * numeric code or the symbolic name. We emit numeric (like Proton)
+    * but accept both. */
+  private val SymbolicDescriptors: Map[String, Long] = Map(
+    "amqp:open:list" -> Desc.Open, "amqp:begin:list" -> Desc.Begin,
+    "amqp:attach:list" -> Desc.Attach, "amqp:flow:list" -> Desc.Flow,
+    "amqp:transfer:list" -> Desc.Transfer,
+    "amqp:disposition:list" -> Desc.Disposition,
+    "amqp:detach:list" -> Desc.Detach, "amqp:end:list" -> Desc.End,
+    "amqp:close:list" -> Desc.Close, "amqp:error:list" -> Desc.Error,
+    "amqp:source:list" -> Desc.Source, "amqp:target:list" -> Desc.Target,
+    "amqp:accepted:list" -> Desc.Accepted, "amqp:rejected:list" -> Desc.Rejected,
+    "amqp:released:list" -> Desc.Released,
+    "amqp:coordinator:list" -> Desc.Coordinator,
+    "amqp:declare:list" -> Desc.Declare, "amqp:discharge:list" -> Desc.Discharge,
+    "amqp:declared:list" -> Desc.Declared,
+    "amqp:transactional-state:list" -> Desc.TransactionalState,
+    "amqp:sasl-mechanisms:list" -> Desc.SaslMechanisms,
+    "amqp:sasl-init:list" -> Desc.SaslInit,
+    "amqp:sasl-outcome:list" -> Desc.SaslOutcome,
+    "amqp:header:list" -> Desc.Header,
+    "amqp:delivery-annotations:map" -> Desc.DeliveryAnnotations,
+    "amqp:message-annotations:map" -> Desc.MessageAnnotations,
+    "amqp:properties:list" -> Desc.Properties,
+    "amqp:application-properties:map" -> Desc.ApplicationProperties,
+    "amqp:data:binary" -> Desc.Data, "amqp:amqp-sequence:list" -> Desc.AmqpSequence,
+    "amqp:amqp-value:*" -> Desc.AmqpValue, "amqp:footer:map" -> Desc.Footer)
+
   def descriptorCode(d: Described): Long = d.descriptor match {
     case ULong(c) => c
     case UInt(c) => c
+    case Sym(n) if SymbolicDescriptors.contains(n) => SymbolicDescriptors(n)
     case other => throw new IllegalArgumentException(s"symbolic descriptor: $other")
+  }
+
+  /** Tolerant form for message sections: an unknown (e.g. custom
+    * vendor-symbol) descriptor maps to -1 so the section is skipped
+    * instead of failing the whole message. */
+  private def descriptorCodeOrUnknown(d: Described): Long = d.descriptor match {
+    case ULong(c) => c
+    case UInt(c) => c
+    case Sym(n) => SymbolicDescriptors.getOrElse(n, -1L)
+    case _ => -1L
   }
 
   /** Performative field access with trailing-null tolerance. */
@@ -387,7 +426,7 @@ object Amqp10Codec {
     var deliveryAnns = Vector.empty[(String, Any)]
     while (r.hasRemaining) {
       val d = readValue(r).asInstanceOf[Described]
-      descriptorCode(d) match {
+      descriptorCodeOrUnknown(d) match {
         case Desc.Properties =>
           def s(i: Int): Option[String] = field(d, i) match {
             case null => None

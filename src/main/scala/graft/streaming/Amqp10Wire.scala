@@ -73,17 +73,25 @@ private[streaming] object Amqp10Wire {
 
   def writeAll(out: OutputStream, bs: Array[Byte]): Unit = { out.write(bs); out.flush() }
 
-  /** Read one frame (4-byte size prefix + body). */
+  /** Read one frame (4-byte size prefix + body). Empty frames — a bare
+    * 8-byte header with no body, the §2.4.5 keepalive real brokers emit
+    * under an idle-timeout — carry no performative and are skipped. */
   def readFrame(in: DataInputStream): Frame = {
-    val size = in.readInt()
-    require(size >= 8 && size <= MaxFrameSize * 2, s"bad frame size $size")
-    val rest = new Array[Byte](size - 4)
-    in.readFully(rest)
-    val all = new Array[Byte](size)
-    all(0) = (size >>> 24).toByte; all(1) = (size >>> 16).toByte
-    all(2) = (size >>> 8).toByte; all(3) = size.toByte
-    System.arraycopy(rest, 0, all, 4, rest.length)
-    decodeFrame(all)
+    while (true) {
+      val size = in.readInt()
+      require(size >= 8 && size <= MaxFrameSize * 2, s"bad frame size $size")
+      val rest = new Array[Byte](size - 4)
+      in.readFully(rest)
+      val doff = rest(0) & 0xff
+      if (size > doff * 4) { // non-empty body: a real performative
+        val all = new Array[Byte](size)
+        all(0) = (size >>> 24).toByte; all(1) = (size >>> 16).toByte
+        all(2) = (size >>> 8).toByte; all(3) = size.toByte
+        System.arraycopy(rest, 0, all, 4, rest.length)
+        return decodeFrame(all)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def readHeader(in: DataInputStream): Array[Byte] = {

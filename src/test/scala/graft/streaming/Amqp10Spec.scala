@@ -441,6 +441,79 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("wire level: symbolic descriptors (§1.2's other legal form) are accepted") {
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        def sym(name: String, fields: Any*): Described = {
+          val fs = fields.toVector
+          Described(Sym(name), fs.take(fs.lastIndexWhere(_ != null) + 1))
+        }
+        // every performative by NAME, not code — Proton sends codes, but
+        // the spec allows either, and a compliant broker takes both
+        peer.send(sym("amqp:open:list", "symbolic-peer")); peer.expect(Desc.Open)
+        peer.send(sym("amqp:begin:list", null, UInt(0L), UInt(100L), UInt(100L)))
+        peer.expect(Desc.Begin)
+        peer.send(sym("amqp:attach:list", "snd", UInt(0L),
+          java.lang.Boolean.FALSE, null, null, null,
+          sym("amqp:target:list", "sym-addr")))
+        peer.expect(Desc.Attach); peer.expect(Desc.Flow)
+        // bare message with symbolic section descriptors + one unknown
+        // vendor section the broker must skip, not reject
+        val w = new Writer
+        writeValue(w, Described(Sym("amqp:properties:list"), Vector("sym-1")))
+        writeValue(w, Described(Sym("vendor:custom-section:map"),
+          AmqpWireMap(Vector(("k": Any, "v": Any)))))
+        writeValue(w, Described(Sym("amqp:amqp-value:*"), "symbolic body"))
+        peer.send(sym("amqp:transfer:list", UInt(0L), UInt(0L),
+          "t".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+          java.lang.Boolean.FALSE), w.bytes)
+        val disp = peer.expect(Desc.Disposition)
+        assert(field(disp.performative, 4).asInstanceOf[Described]
+          .descriptor == Sym(EnqueuedOutcome))
+        val Seq((1L, msg, _)) = backing.fetch("sym-addr", 0, 1)
+        assert(msg.messageId.contains("sym-1"))
+        assert(msg.body == AmqpValueBody("symbolic body"),
+          "symbolic sections decode; the vendor section is skipped")
+      } finally peer.close()
+    }
+  }
+
+  test("wire level: empty keepalive frames (§2.4.5) are tolerated mid-session") {
+    withServer { (backing, ep) =>
+      backing.send("ka", AmqpMessage(body = AmqpValueBody("alive")), 3L)
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        def keepalive(): Unit = // bare 8-byte header, no body
+          writeAll(peer.out, Array[Byte](0, 0, 0, 8, 2, 0, 0, 0))
+        keepalive() // before the first performative
+        peer.send(described(Desc.Open, "idle-peer")); peer.expect(Desc.Open)
+        keepalive()
+        peer.send(described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+        peer.expect(Desc.Begin)
+        keepalive(); keepalive() // the broker must just skip these
+        peer.send(described(Desc.Attach, "snd", UInt(0L),
+          java.lang.Boolean.FALSE, null, null, null,
+          described(Desc.Target, "ka")))
+        peer.expect(Desc.Attach); peer.expect(Desc.Flow)
+        peer.send(described(Desc.Transfer, UInt(0L), UInt(0L),
+          "t".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+          java.lang.Boolean.FALSE),
+          encodeMessage(AmqpMessage(body = AmqpValueBody("after keepalives"))))
+        val disp = peer.expect(Desc.Disposition)
+        val state = field(disp.performative, 4).asInstanceOf[Described]
+        assert(state.descriptor == Sym(EnqueuedOutcome))
+        assert(backing.latestSeq("ka") == 2L)
+      } finally peer.close()
+    }
+  }
+
   test("wire level: credit-exhausted transfer is rejected with amqp:resource-limit-exceeded") {
     withServer { (backing, ep) =>
       // drain the flow-controller window out-of-band so the next wire
