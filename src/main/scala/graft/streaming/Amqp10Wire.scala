@@ -147,8 +147,10 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new BufferedOutputStream(sock.getOutputStream)
       def send(f: Frame): Unit = writeAll(out, encodeFrame(f))
-      def amqp(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
-        send(Frame(FrameTypeAmqp, 0, perf, payload))
+      // session frames answer on the channel they arrived on (§2.5.6:
+      // one session per channel; a peer may run several concurrently)
+      def amqpOn(ch: Int)(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
+        send(Frame(FrameTypeAmqp, ch, perf, payload))
 
       // ---- protocol header exchange (SASL layer first when credentialed)
       var header = readHeader(in)
@@ -183,17 +185,18 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       require(java.util.Arrays.equals(header, HeaderAmqp), "bad AMQP header")
       writeAll(out, HeaderAmqp)
 
-      // ---- connection state
-      val links = mutable.Map[Long, Link]()
-      // delivery-id -> (address, seq) for transfers we pushed (settlement)
-      val outgoing = mutable.Map[Long, (String, Long)]()
-      var nextOutgoingId = 0L
-      // multi-frame transfer reassembly (keyed by link handle — §2.6.14
-      // lets a peer interleave multi-frame deliveries across links on a
-      // session; continuation frames carry the handle but may omit the
-      // delivery-id, so the handle is the reassembly key) and
-      // staged-transaction buffers
-      val pending = mutable.Map[Long, (Described, mutable.ArrayBuffer[Byte])]()
+      // ---- connection state. Link handles and delivery-ids are scoped
+      // to their SESSION (§2.5/§2.6): everything keys on (channel, …) so
+      // two sessions reusing handle 0 or delivery-id 0 never collide.
+      val links = mutable.Map[(Int, Long), Link]()
+      // (channel, delivery-id) -> (address, seq) for transfers we pushed
+      val outgoing = mutable.Map[(Int, Long), (String, Long)]()
+      val nextOutgoingIds = mutable.Map[Int, Long]().withDefaultValue(0L)
+      // multi-frame transfer reassembly (keyed by (channel, handle) —
+      // §2.6.14 lets a peer interleave multi-frame deliveries across
+      // links; continuation frames carry the handle but may omit the
+      // delivery-id) and staged-transaction buffers
+      val pending = mutable.Map[(Int, Long), (Described, mutable.ArrayBuffer[Byte])]()
       val txnStage = mutable.Map[(String, Int), mutable.ArrayBuffer[AmqpMessage]]()
 
       // §2.7.1: the peer's open announces ITS max-frame-size; frames we
@@ -201,19 +204,19 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       // our own limit.
       var peerPayloadChunk = MaxPayloadChunk
 
-      def pushTransfers(handle: Long, address: String, from: Long, to: Long): Unit = {
+      def pushTransfers(ch: Int, handle: Long, address: String, from: Long, to: Long): Unit = {
         backing.fetch(address, from, to).foreach { case (seq, msg, ts) =>
           val payload = encodeDeliveryAnnotations(
             Seq(SeqAnnotation -> seq, TsAnnotation -> ts)) ++ encodeMessage(msg)
-          val did = nextOutgoingId
-          nextOutgoingId += 1
-          outgoing(did) = (address, seq)
+          val did = nextOutgoingIds(ch)
+          nextOutgoingIds(ch) = did + 1
+          outgoing((ch, did)) = (address, seq)
           var off = 0
           var done = false
           while (!done) {
             val end = math.min(off + peerPayloadChunk, payload.length)
             val more = end < payload.length
-            amqp(described(Desc.Transfer, UInt(handle), UInt(did),
+            amqpOn(ch)(described(Desc.Transfer, UInt(handle), UInt(did),
               seq.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
               java.lang.Boolean.valueOf(more)),
               java.util.Arrays.copyOfRange(payload, off, end))
@@ -227,6 +230,9 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       while (open && running.get()) {
         val f = readFrame(in)
         val perf = f.performative
+        val ch = f.channel
+        def amqp(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
+          amqpOn(ch)(perf, payload)
         descriptorCode(perf) match {
           case Desc.Open =>
             field(perf, 2) match {
@@ -259,7 +265,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                   }
                 case other => throw new IllegalStateException(s"bad target: $other")
               }
-              links(handle) = link
+              links((ch, handle)) = link
               amqp(described(Desc.Attach, name, UInt(handle), java.lang.Boolean.TRUE))
               link match {
                 case ProducerLink(a) =>
@@ -288,7 +294,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                 case _ => AmqpWireMap(Vector.empty)
               }
               val fromSeq = filter.get(Sym(FromSeqFilter)).map(asLong).getOrElse(0L)
-              links(handle) = ConsumerLink(sourceAddr, fromSeq)
+              links((ch, handle)) = ConsumerLink(sourceAddr, fromSeq)
               val echoProps =
                 if (props.get(Sym(ProbeProp)).isDefined) {
                   amqpWireMap(
@@ -312,29 +318,29 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
             // drain-mode credit on a consumer link: push the slice, then
             // confirm the drain with a flow echo (credit exhausted)
             val handle = field(perf, 4)
-            if (handle != null) links.get(asLong(handle)) match {
+            if (handle != null) links.get((ch, asLong(handle))) match {
               case Some(ConsumerLink(a, fromSeq)) =>
                 val credit = asLong(field(perf, 6))
                 val to = math.min(backing.latestSeq(a), fromSeq + credit)
-                if (to > fromSeq) pushTransfers(asLong(handle), a, fromSeq, to)
-                links(asLong(handle)) = ConsumerLink(a, to)
+                if (to > fromSeq) pushTransfers(ch, asLong(handle), a, fromSeq, to)
+                links((ch, asLong(handle))) = ConsumerLink(a, to)
                 amqp(described(Desc.Flow, UInt(0L), UInt(65535L),
-                  UInt(nextOutgoingId), UInt(65535L), UInt(asLong(handle)),
+                  UInt(nextOutgoingIds(ch)), UInt(65535L), UInt(asLong(handle)),
                   UInt(to - fromSeq), UInt(0L)))
               case _ => () // credit for producer links: informational
             }
           case Desc.Transfer =>
             val handle = asLong(field(perf, 0))
             val more = asBool(field(perf, 5))
-            val buf = pending.get(handle) match {
+            val buf = pending.get((ch, handle)) match {
               case Some((_, b)) => b ++= f.payload; b
               case None =>
                 val b = mutable.ArrayBuffer[Byte](); b ++= f.payload
-                pending(handle) = (perf, b); b
+                pending((ch, handle)) = (perf, b); b
             }
             if (!more) {
-              val first = pending(handle)._1
-              pending.remove(handle)
+              val first = pending((ch, handle))._1
+              pending.remove((ch, handle))
               val did = asLong(field(first, 1))
               val payload = buf.toArray
               val (msg, danns) = decodeTransferPayload(payload)
@@ -345,7 +351,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                   Some(new String(field(d, 0).asInstanceOf[Array[Byte]], UTF_8))
                 case _ => None
               }
-              links(handle) match {
+              links((ch, handle)) match {
                 case ProducerLink(a) =>
                   val seq = backing.send(a, msg, tsUs)
                   val state =
@@ -424,16 +430,19 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
             if (asBool(field(perf, 0)) && asBool(field(perf, 3))) {
               val first = asLong(field(perf, 1))
               val last = field(perf, 2) match { case null => first; case v => asLong(v) }
-              val covered = outgoing.filter { case (did, _) => did >= first && did <= last }
+              val covered = outgoing.filter { case ((c, did), _) =>
+                c == ch && did >= first && did <= last }
               covered.values.groupBy(_._1)
                 .foreach { case (a, seqs) => backing.settle(a, seqs.map(_._2).max) }
               covered.keys.foreach(outgoing.remove) // settled: ledger entry done
             }
           case Desc.Detach =>
             val handle = asLong(field(perf, 0))
-            links.remove(handle)
+            links.remove((ch, handle))
             amqp(described(Desc.Detach, UInt(handle), java.lang.Boolean.TRUE))
           case Desc.End =>
+            links.filterInPlace { case ((c, _), _) => c != ch }
+            pending.filterInPlace { case ((c, _), _) => c != ch }
             amqp(described(Desc.End))
           case Desc.Close =>
             amqp(described(Desc.Close))

@@ -482,6 +482,50 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("wire level: two concurrent sessions with colliding handles stay isolated") {
+    // §2.5.6: one session per channel; handles and delivery-ids are
+    // session-scoped, so BOTH sessions legitimately use handle 0 and
+    // delivery-id 0. Interleave multi-frame transfers across them.
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        peer.send(described(Desc.Open, "two-sessions")); peer.expect(Desc.Open)
+        def sessionFrame(ch: Int, perf: Described,
+            payload: Array[Byte] = Array.emptyByteArray): Unit =
+          writeAll(peer.out, encodeFrame(Frame(FrameTypeAmqp, ch, perf, payload)))
+        for (ch <- 0 to 1) {
+          sessionFrame(ch, described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+          peer.expect(Desc.Begin)
+          sessionFrame(ch, described(Desc.Attach, s"snd-ch$ch", UInt(0L),
+            java.lang.Boolean.FALSE, null, null, null,
+            described(Desc.Target, s"sess-$ch")))
+          peer.expect(Desc.Attach); peer.expect(Desc.Flow)
+        }
+        val msg0 = encodeMessage(AmqpMessage(body = AmqpValueBody("zero" * 200)))
+        val msg1 = encodeMessage(AmqpMessage(body = AmqpValueBody("one!" * 200)))
+        def xfer(ch: Int, more: Boolean, chunk: Array[Byte]): Unit =
+          sessionFrame(ch, described(Desc.Transfer, UInt(0L), UInt(0L),
+            "t0".getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+            java.lang.Boolean.valueOf(more)), chunk)
+        // ch0 first half / ch1 first half / ch0 final / ch1 final —
+        // same handle, same delivery-id, different sessions
+        xfer(0, more = true, msg0.take(msg0.length / 2))
+        xfer(1, more = true, msg1.take(msg1.length / 2))
+        xfer(0, more = false, msg0.drop(msg0.length / 2))
+        assert(peer.expect(Desc.Disposition).channel == 0, "reply on session 0's channel")
+        xfer(1, more = false, msg1.drop(msg1.length / 2))
+        assert(peer.expect(Desc.Disposition).channel == 1, "reply on session 1's channel")
+        val Seq((_, a, _)) = backing.fetch("sess-0", 0, 1)
+        val Seq((_, b, _)) = backing.fetch("sess-1", 0, 1)
+        assert(a.body == AmqpValueBody("zero" * 200), "session 0 uncorrupted")
+        assert(b.body == AmqpValueBody("one!" * 200), "session 1 uncorrupted")
+      } finally peer.close()
+    }
+  }
+
   test("wire level: empty keepalive frames (§2.4.5) are tolerated mid-session") {
     withServer { (backing, ep) =>
       backing.send("ka", AmqpMessage(body = AmqpValueBody("alive")), 3L)
