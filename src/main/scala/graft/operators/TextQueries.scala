@@ -404,6 +404,63 @@ object TextQueries {
        |GROUP BY lang, split""".stripMargin
   }
 
+  // --------------------------------------------------------- split_kfold
+  /** Deterministic k-fold assignment (k=5) for cross-validation — the
+    * other split primitive next to split_stratified's 80/10/10. The fold
+    * key hashes a SALTED id ('kf' prefix) so fold membership is
+    * independent of the train/val/test bucketing (same hash, different
+    * domain). Reproducible from the id alone on any engine; per-fold
+    * accounting verifies balance.
+    *
+    * Scale shape: pure map over the scan + a k-row aggregate. */
+  def splitKfold(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    Tables.documents(s, d)
+      .withColumn("fold",
+        expr("char_fold_hash(CONCAT('kf', CAST(doc_id AS STRING))) % 5").cast(IntegerType))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("total_chars"))
+  }
+
+  val splitKfoldSql: String = {
+    val fold = s"${graft.functions.HashFunctions.charFoldHashSql("'kf' || CAST(doc_id AS VARCHAR)")} % 5"
+    s"""SELECT CAST($fold AS INT) AS fold, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------- txt_hash_features
+  /** Hashing-trick bag-of-words features (D=64 buckets): each document
+    * becomes a sparse term-frequency vector keyed by
+    * char_fold_hash(token) % D — the zero-vocabulary featurizer used
+    * when a learned embedding is too expensive and a fixed-dim input is
+    * needed (classifier features, cheap clustering, dedup prefilters).
+    * Output is the sparse (doc_id, bucket, tf) form; density stays
+    * bounded by distinct-tokens-per-doc regardless of corpus size.
+    *
+    * Scale shape: explode tokens (one scan), hash map-side, one
+    * (doc_id, bucket) hash aggregate — no vocabulary table, no join,
+    * which is the entire point of the hashing trick at 100 TB. */
+  def txtHashFeatures(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        expr("char_fold_hash(tok) % 64").cast(IntegerType).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  val txtHashFeaturesSql: String = {
+    import graft.functions.HashFunctions.{charFoldHashSql, tokensSql}
+    s"""SELECT doc_id, CAST(${charFoldHashSql("tok")} % 64 AS INT) AS bucket,
+       |  count(*) AS tf
+       |FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+       |GROUP BY doc_id, bucket""".stripMargin
+  }
+
   // ---------------------------------------------------- corpus_blocklist
   /** Blocklist + threshold filtering with per-stratum disposition
     * accounting — the "remove these domains, drop the too-short tail"
@@ -454,6 +511,8 @@ object TextQueries {
     "txt_repetition"   -> (txtRepetition _),
     "txt_tfidf"        -> (txtTfidf _),
     "split_stratified" -> (splitStratified _),
+    "split_kfold"      -> (splitKfold _),
+    "txt_hash_features" -> (txtHashFeatures _),
     "corpus_blocklist" -> (corpusBlocklist _),
   )
 
@@ -467,6 +526,8 @@ object TextQueries {
     "txt_repetition"   -> txtRepetitionSql,
     "txt_tfidf"        -> txtTfidfSql,
     "split_stratified" -> splitStratifiedSql,
+    "split_kfold"      -> splitKfoldSql,
+    "txt_hash_features" -> txtHashFeaturesSql,
     "corpus_blocklist" -> corpusBlocklistSql,
   )
 }

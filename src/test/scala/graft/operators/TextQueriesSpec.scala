@@ -74,6 +74,34 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("kfold split covers the corpus with balanced, deterministic folds") {
+    val folds = TextQueries.splitKfold(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4), "every fold populated")
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(folds.values.sum == total, "every document in exactly one fold")
+    // a salted hash split is exchangeable: no fold dominates
+    assert(folds.values.max < total / 2, s"folds badly skewed: $folds")
+  }
+
+  test("hash features form a bounded sparse TF vector per document") {
+    val rows = TextQueries.txtHashFeatures(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bucket, tf) =>
+      assert(bucket >= 0 && bucket < 64, s"bucket out of range: $bucket")
+      assert(tf >= 1)
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "one row per (doc, bucket)")
+    // tf mass equals the corpus token count: the hashing trick loses
+    // no tokens, it only buckets them
+    val tokenTotal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == tokenTotal)
+  }
+
   test("stratified split partitions the corpus deterministically") {
     val rows = TextQueries.splitStratified(spark, sfDir)
       .select(col("split"), col("n_docs")).collect()
