@@ -451,7 +451,20 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
             throw new IllegalStateException(f"unexpected performative 0x$other%02x")
         }
       }
-    } catch { case _: Throwable => () /* peer closed / protocol error */ }
+    } catch {
+      case e: IllegalStateException =>
+        // protocol error from a live peer: answer with close(error)
+        // (§2.7.9 amqp:connection:framing-error family) instead of a
+        // bare TCP reset, so a compliant peer can log WHY
+        try {
+          val out = sock.getOutputStream
+          writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0,
+            described(Desc.Close, described(Desc.Error,
+              Sym("amqp:internal-error"), String.valueOf(e.getMessage))),
+            Array.emptyByteArray)))
+        } catch { case _: Throwable => () }
+      case _: Throwable => () /* peer closed / IO error */
+    }
     finally sock.close()
   }
 }

@@ -482,6 +482,25 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("wire level: a protocol error answers close(error), not a bare TCP reset") {
+    withServer { (_, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        peer.send(described(Desc.Open, "rogue")); peer.expect(Desc.Open)
+        // an unknown performative code: the broker must report WHY
+        peer.send(described(0x99L, "garbage"))
+        val close = peer.expect(Desc.Close)
+        val err = field(close.performative, 0).asInstanceOf[Described]
+        assert(descriptorCode(err) == Desc.Error)
+        assert(field(err, 0) == Sym("amqp:internal-error"))
+        assert(String.valueOf(field(err, 1)).contains("0x99"))
+      } finally peer.close()
+    }
+  }
+
   test("wire level: two concurrent sessions with colliding handles stay isolated") {
     // §2.5.6: one session per channel; handles and delivery-ids are
     // session-scoped, so BOTH sessions legitimately use handle 0 and

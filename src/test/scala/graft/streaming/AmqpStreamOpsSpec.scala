@@ -210,6 +210,52 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-pads unmatched rows after watermark eviction") {
+    // The hard stream-stream case: an outer join can only emit the
+    // null-padded side once the watermark proves no match can still
+    // arrive — state eviction, not just correlation.
+    val (epL, brokerL) = freshEndpoint("sso-left")
+    val (epR, brokerR) = freshEndpoint("sso-right")
+    import org.apache.spark.sql.functions._
+    val base = 100L * 1000000L
+    def send(b: InMemoryAmqpBroker, dev: String, v: String, atSec: Long): Unit =
+      b.send("my_address", AmqpMessage(subject = Some(dev), body = AmqpValueBody(v)),
+        timestampMicros = base + atSec * 1000000L)
+    send(brokerL, "dev-a", "m1", 10) // matched by c1
+    send(brokerL, "dev-b", "m2", 12) // never matched → null-padded row
+    send(brokerR, "dev-a", "c1", 11)
+    val left = stream(epL)
+      .select(col("subject").as("dev"), AmqpConverters.amqpBody.as("l_val"),
+        col("ingest_timestamp").as("l_ts"))
+      .withWatermark("l_ts", "5 seconds")
+    val right = stream(epR)
+      .select(col("subject").as("r_dev"), AmqpConverters.amqpBody.as("r_val"),
+        col("ingest_timestamp").as("r_ts"))
+      .withWatermark("r_ts", "5 seconds")
+    val q = left.join(right, expr(
+        "dev = r_dev AND r_ts BETWEEN l_ts - INTERVAL 2 SECONDS AND l_ts + INTERVAL 2 SECONDS"),
+        "leftOuter")
+      .select("l_val", "r_val")
+      .writeStream.format("memory").queryName("ops_ssouter").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH watermarks far past m2's join window so the state
+      // store can prove no partner will arrive and emits the padded row
+      send(brokerL, "dev-z", "late-l", 60)
+      send(brokerR, "dev-z", "late-r", 90)
+      q.processAllAvailable()
+      send(brokerR, "dev-z2", "later-r", 120) // second advance to flush
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("ops_ssouter").collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+        assert(got.contains(("m1", Some("c1"))), s"inner match missing: $got")
+        assert(got.contains(("m2", None)),
+          s"unmatched left row must surface null-padded after eviction: $got")
+      }
+    } finally q.stop()
+  }
+
   test("runningMaxChangelog emits only when a key's max advances") {
     val (ep, broker) = freshEndpoint("runmax")
     def send(device: String, temp: Int): Unit =
