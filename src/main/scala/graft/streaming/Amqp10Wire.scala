@@ -195,8 +195,9 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       // multi-frame transfer reassembly (keyed by (channel, handle) —
       // §2.6.14 lets a peer interleave multi-frame deliveries across
       // links; continuation frames carry the handle but may omit the
-      // delivery-id) and staged-transaction buffers
-      val pending = mutable.Map[(Int, Long), (Described, mutable.ArrayBuffer[Byte])]()
+      // delivery-id) and staged-transaction buffers. Single-frame
+      // transfers never touch the buffer (the produce hot path).
+      val pending = mutable.Map[(Int, Long), (Described, java.io.ByteArrayOutputStream)]()
       val txnStage = mutable.Map[(String, Int), mutable.ArrayBuffer[AmqpMessage]]()
 
       // §2.7.1: the peer's open announces ITS max-frame-size; frames we
@@ -332,17 +333,22 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case Desc.Transfer =>
             val handle = asLong(field(perf, 0))
             val more = asBool(field(perf, 5))
-            val buf = pending.get((ch, handle)) match {
-              case Some((_, b)) => b ++= f.payload; b
+            val (first, payload) = pending.get((ch, handle)) match {
+              case Some((p, b)) =>
+                b.write(f.payload, 0, f.payload.length)
+                if (more) (null, null)
+                else { pending.remove((ch, handle)); (p, b.toByteArray) }
               case None =>
-                val b = mutable.ArrayBuffer[Byte](); b ++= f.payload
-                pending((ch, handle)) = (perf, b); b
+                if (!more) (perf, f.payload) // fast path: no copy
+                else {
+                  val b = new java.io.ByteArrayOutputStream(f.payload.length * 2)
+                  b.write(f.payload, 0, f.payload.length)
+                  pending((ch, handle)) = (perf, b)
+                  (null, null)
+                }
             }
             if (!more) {
-              val first = pending((ch, handle))._1
-              pending.remove((ch, handle))
               val did = asLong(field(first, 1))
-              val payload = buf.toArray
               val (msg, danns) = decodeTransferPayload(payload)
               val tsUs = danns.collectFirst { case (TsAnnotation, v) => asLong(v) }
                 .getOrElse(System.currentTimeMillis() * 1000L)
