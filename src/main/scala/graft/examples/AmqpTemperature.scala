@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.IntegerType
 
-import graft.streaming.{AmqpEndpointRegistry, AmqpConverters, AmqpMessage, AmqpValueBody}
+import graft.streaming.{Amqp10Server, AmqpConverters, AmqpEndpointRegistry, AmqpMessage, AmqpValueBody, InMemoryAmqpBroker}
 
 /** The reference's flagship example, re-expressed Spark-first: an IoT
   * temperature stream aggregated with a 5-second windowed max and
@@ -22,11 +22,13 @@ import graft.streaming.{AmqpEndpointRegistry, AmqpConverters, AmqpMessage, AmqpV
   *  - `StreamingContext.getOrCreate` checkpointing (:61) →
   *    `option("checkpointLocation", ...)`
   *
-  * Runs self-contained against the in-process endpoint (zero-egress
-  * environment): a producer thread plays the sensor, and the query
-  * drains with Trigger.AvailableNow so the demo terminates.
+  * Runs self-contained (zero-egress environment): a producer plays the
+  * sensor, and the query drains with Trigger.AvailableNow so the demo
+  * terminates. By default the whole path crosses a real AMQP 1.0
+  * socket (an in-JVM [[Amqp10Server]]) — the same wire the reference
+  * speaks via Proton; pass `mem` to pin the in-process endpoint.
   *
-  * Usage: sbt "runMain graft.examples.AmqpTemperature"
+  * Usage: sbt "runMain graft.examples.AmqpTemperature [amqp10|mem]"
   */
 object AmqpTemperature {
   def main(args: Array[String]): Unit = {
@@ -38,14 +40,20 @@ object AmqpTemperature {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val endpoint = "mem://temperature-demo"
-    val broker = AmqpEndpointRegistry.broker(endpoint)
+    val endpoint =
+      if (args.headOption.contains("mem")) "mem://temperature-demo"
+      else {
+        val server = new Amqp10Server(new InMemoryAmqpBroker)
+        println(s"[demo] AMQP 1.0 server listening on 127.0.0.1:${server.port}")
+        s"amqp10://127.0.0.1:${server.port}"
+      }
+    val producer = AmqpEndpointRegistry.endpoint(endpoint)
 
     // the sensor: temperatures 20..24 cycling, one reading per second
     // of event time across two 5s windows
     val base = 1000L * 1000000L
     for (i <- 0 until 10)
-      broker.send("temperature",
+      producer.send("temperature",
         AmqpMessage(body = AmqpValueBody((20 + i % 5).toString)),
         timestampMicros = base + i * 1000000L)
 

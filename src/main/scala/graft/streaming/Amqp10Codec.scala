@@ -338,8 +338,24 @@ object Amqp10Codec {
     * amqp-value — provenance the envelope's body_type column preserves. */
   val JsonBodyAnnotation = "x-graft-body-json"
 
+  /** Delivery annotations + bare message in ONE buffer — the transfer
+    * payload both produce paths send per message; fusing the two
+    * encodes avoids an extra array and copy on the hot path. */
+  def encodeTransferPayload(deliveryAnns: Seq[(String, Any)], m: AmqpMessage): Array[Byte] = {
+    val w = new Writer
+    writeValue(w, Described(ULong(Desc.DeliveryAnnotations),
+      AmqpWireMap(deliveryAnns.map { case (k, v) => (Sym(k): Any, anyToWire(v)) }.toVector)))
+    writeMessage(w, m)
+    w.bytes
+  }
+
   def encodeMessage(m: AmqpMessage): Array[Byte] = {
     val w = new Writer
+    writeMessage(w, m)
+    w.bytes
+  }
+
+  private def writeMessage(w: Writer, m: AmqpMessage): Unit = {
     val anns = m.body match {
       case AmqpJsonBody(_) => m.messageAnnotations :+ (JsonBodyAnnotation -> true)
       case _ => m.messageAnnotations
@@ -364,7 +380,6 @@ object Amqp10Codec {
       case AmqpDataBody(bs) => writeValue(w, Described(ULong(Desc.Data), bs))
       case AmqpOtherBody => writeValue(w, Described(ULong(Desc.AmqpSequence), Vector.empty[Any]))
     }
-    w.bytes
   }
 
   /** Scala model value → wire value (maps become AmqpWireMap etc.). */

@@ -185,8 +185,7 @@ class Amqp10Endpoint(host: String, port: Int,
     * epoch-idempotent discharge makes replays no-ops. */
   override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
     call {
-      val payload = encodeDeliveryAnnotations(Seq(TsAnnotation -> timestampMicros)) ++
-        encodeMessage(msg)
+      val payload = encodeTransferPayload(Seq(TsAnnotation -> timestampMicros), msg)
       val state = transfer(senderLink(address), payload)
       descriptorCode2(state) match {
         case Right(EnqueuedOutcome) => asLong(field(state, 0))
@@ -213,9 +212,7 @@ class Amqp10Endpoint(host: String, port: Int,
     else call {
       val handle = senderLink(address)
       val dids = msgs.map { case (m, ts) =>
-        val payload = encodeDeliveryAnnotations(Seq(TsAnnotation -> ts)) ++
-          encodeMessage(m)
-        transferFrames(handle, payload, None)
+        transferFrames(handle, encodeTransferPayload(Seq(TsAnnotation -> ts), m), None)
       }
       val outcomes = mutable.Map[Long, Described]()
       while (outcomes.size < dids.size) {

@@ -207,8 +207,8 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
 
       def pushTransfers(ch: Int, handle: Long, address: String, from: Long, to: Long): Unit = {
         backing.fetch(address, from, to).foreach { case (seq, msg, ts) =>
-          val payload = encodeDeliveryAnnotations(
-            Seq(SeqAnnotation -> seq, TsAnnotation -> ts)) ++ encodeMessage(msg)
+          val payload = encodeTransferPayload(
+            Seq(SeqAnnotation -> seq, TsAnnotation -> ts), msg)
           val did = nextOutgoingIds(ch)
           nextOutgoingIds(ch) = did + 1
           outgoing((ch, did)) = (address, seq)
