@@ -63,8 +63,9 @@ object IngestQueries {
       case _ =>
         // Per-run address keeps runs independent without restarting the
         // server; settling the PREVIOUS run's address frees its messages
-        // (settle drops the accepted prefix), bounding broker memory to
-        // one slice regardless of warm-run count.
+        // and prunes the server's delivery ledger, bounding broker
+        // message memory to one slice regardless of warm-run count
+        // (per-run link/address metadata remains — O(runs), tiny).
         val ep = wireGateEndpoint
         val run = gateRun.incrementAndGet()
         if (run > 1) {

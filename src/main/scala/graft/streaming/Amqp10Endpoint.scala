@@ -82,11 +82,7 @@ class Amqp10Endpoint(host: String, port: Int,
       null, UInt(MaxFrameSize.toLong)))
     val serverOpen = await(Desc.Open)
     // §2.7.1: our outgoing frames must fit the SERVER's max-frame-size
-    serverPayloadChunk = field(serverOpen.performative, 2) match {
-      case null => MaxPayloadChunk
-      case mfs => math.max(512 - 128,
-        math.min(MaxPayloadChunk.toLong, asLong(mfs) - 128L).toInt)
-    }
+    serverPayloadChunk = negotiatedPayloadChunk(field(serverOpen.performative, 2))
     sendFrame(described(Desc.Begin, null, UInt(0L), UInt(65535L), UInt(65535L)))
     await(Desc.Begin)
   }

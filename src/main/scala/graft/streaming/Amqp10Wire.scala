@@ -101,6 +101,17 @@ private[streaming] object Amqp10Wire {
   }
 
   def amqpWireMap(entries: (Any, Any)*): AmqpWireMap = AmqpWireMap(entries.toVector)
+
+  /** Payload bytes per transfer frame given the peer's announced
+    * max-frame-size (§2.7.1; null = unlimited). 128 bytes covers the
+    * frame header + transfer performative; 512 is the spec's floor, so
+    * the result never drops below 512-128. Shared by both sides so the
+    * chunking limits cannot drift apart. */
+  def negotiatedPayloadChunk(maxFrameSize: Any): Int = maxFrameSize match {
+    case null => MaxPayloadChunk
+    case mfs => math.max(512 - 128,
+      math.min(MaxPayloadChunk.toLong, Amqp10Codec.asLong(mfs) - 128L).toInt)
+  }
 }
 
 /** Serves an [[InMemoryAmqpBroker]] over real AMQP 1.0 framing. With
@@ -205,6 +216,15 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       // our own limit.
       var peerPayloadChunk = MaxPayloadChunk
 
+      // Drop ledger entries for pushes the broker has now settled — a
+      // re-fetch of an already-ledgered seq gets a NEW delivery-id the
+      // receiver never settles by id, so settlement by address is the
+      // only bound that keeps `outgoing` from growing with re-reads.
+      def pruneSettled(a: String): Unit = {
+        val upTo = backing.settledUpTo(a)
+        outgoing.filterInPlace { case (_, (a2, s2)) => a2 != a || s2 > upTo }
+      }
+
       def pushTransfers(ch: Int, handle: Long, address: String, from: Long, to: Long): Unit = {
         backing.fetch(address, from, to).foreach { case (seq, msg, ts) =>
           val payload = encodeTransferPayload(
@@ -236,14 +256,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           amqpOn(ch)(perf, payload)
         descriptorCode(perf) match {
           case Desc.Open =>
-            field(perf, 2) match {
-              case null => () // absent = unlimited (§2.7.1 default)
-              case mfs =>
-                // transfer frame overhead (header + performative) stays
-                // well under 128 bytes; 512 is the spec's floor
-                peerPayloadChunk = math.max(512 - 128,
-                  math.min(MaxPayloadChunk.toLong, asLong(mfs) - 128L).toInt)
-            }
+            peerPayloadChunk = negotiatedPayloadChunk(field(perf, 2))
             amqp(described(Desc.Open, "graft-broker", null, UInt(MaxFrameSize.toLong)))
           case Desc.Begin =>
             amqp(described(Desc.Begin, UShort(f.channel), UInt(0L),
@@ -304,6 +317,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                 } else props.get(Sym(SettleUpToProp)) match {
                   case Some(upTo) =>
                     backing.settle(sourceAddr, asLong(upTo))
+                    pruneSettled(sourceAddr)
                     amqpWireMap(Sym(SettledProp) -> backing.settledUpTo(sourceAddr))
                   case None => null
                 }
@@ -438,17 +452,24 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
               val last = field(perf, 2) match { case null => first; case v => asLong(v) }
               val covered = outgoing.filter { case ((c, did), _) =>
                 c == ch && did >= first && did <= last }
-              covered.values.groupBy(_._1)
-                .foreach { case (a, seqs) => backing.settle(a, seqs.map(_._2).max) }
-              covered.keys.foreach(outgoing.remove) // settled: ledger entry done
+              covered.values.groupBy(_._1).foreach { case (a, seqs) =>
+                backing.settle(a, seqs.map(_._2).max)
+                pruneSettled(a) // also clears stale ids from re-fetches
+              }
             }
           case Desc.Detach =>
             val handle = asLong(field(perf, 0))
             links.remove((ch, handle))
             amqp(described(Desc.Detach, UInt(handle), java.lang.Boolean.TRUE))
           case Desc.End =>
+            // the whole session dies with its channel: links, half-read
+            // transfers, the outgoing-delivery ledger, AND the transfer-id
+            // counter — a re-begun session on this channel starts at
+            // delivery-id 0, which is what the begin echo announces
             links.filterInPlace { case ((c, _), _) => c != ch }
             pending.filterInPlace { case ((c, _), _) => c != ch }
+            outgoing.filterInPlace { case ((c, _), _) => c != ch }
+            nextOutgoingIds.remove(ch)
             amqp(described(Desc.End))
           case Desc.Close =>
             amqp(described(Desc.Close))
@@ -458,18 +479,21 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
         }
       }
     } catch {
-      case e: IllegalStateException =>
-        // protocol error from a live peer: answer with close(error)
-        // (§2.7.9 amqp:connection:framing-error family) instead of a
-        // bare TCP reset, so a compliant peer can log WHY
+      case _: java.io.IOException => () // peer closed / transport died
+      case e if scala.util.control.NonFatal(e) =>
+        // Any protocol error from a live peer — unexpected performative
+        // (IllegalState), malformed fields (ClassCast/Match), unknown
+        // handle (NoSuchElement), bad sizes (IllegalArgument) — answers
+        // with close(error) (§2.7.9) instead of a bare TCP reset, so a
+        // compliant peer can log WHY.
         try {
           val out = sock.getOutputStream
           writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0,
             described(Desc.Close, described(Desc.Error,
-              Sym("amqp:internal-error"), String.valueOf(e.getMessage))),
+              Sym("amqp:internal-error"),
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")),
             Array.emptyByteArray)))
         } catch { case _: Throwable => () }
-      case _: Throwable => () /* peer closed / IO error */
     }
     finally sock.close()
   }

@@ -30,6 +30,9 @@ private[streaming] object AmqpTcpProtocol {
     * the first request on a credentialed server's connection. */
   case class AuthReq(username: Option[String], password: Option[String]) extends Req
   case class SendReq(address: String, msg: AmqpMessage, tsMicros: Long) extends Req
+  /** Bulk produce in one round-trip (the AmqpEndpoint.sendMany
+    * pipelining contract); per-message results, refusals as a suffix. */
+  case class SendManyReq(address: String, msgs: Seq[(AmqpMessage, Long)]) extends Req
   case class LatestReq(address: String) extends Req
   case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
   case class SettleReq(address: String, upTo: Long) extends Req
@@ -88,6 +91,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case _ if !authed =>
             throw new SecurityException("unauthenticated request refused")
           case SendReq(a, m, ts)      => backing.send(a, m, ts)
+          case SendManyReq(a, ms)     => backing.sendMany(a, ms)
           case LatestReq(a)           => backing.latestSeq(a)
           case FetchReq(a, f, t)      => backing.fetch(a, f, t)
           case SettleReq(a, u)        => backing.settle(a, u)
@@ -168,6 +172,9 @@ class TcpAmqpEndpoint(host: String, port: Int,
 
   override def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long =
     call[Long](SendReq(address, msg, timestampMicros))
+  override def sendMany(address: String, msgs: Seq[(AmqpMessage, Long)]): Seq[Long] =
+    if (msgs.isEmpty) Vector.empty
+    else call[Seq[Long]](SendManyReq(address, msgs))
   override def latestSeq(address: String): Long = call[Long](LatestReq(address))
   override def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)] =
     call[Seq[(Long, AmqpMessage, Long)]](FetchReq(address, fromExclusive, toInclusive))

@@ -482,6 +482,44 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("wire level: a re-begun session restarts delivery-ids at the announced 0") {
+    // §2.5.6/§2.6: transfer-ids are session state; end kills the
+    // session, so a new session on the SAME channel must number its
+    // deliveries from the begin echo's next-outgoing-id (0), and the
+    // old session's ledger must not leak into the new one.
+    withServer { (backing, ep) =>
+      backing.send("rb", AmqpMessage(body = AmqpValueBody("x1")), 1L)
+      backing.send("rb", AmqpMessage(body = AmqpValueBody("x2")), 2L)
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val peer = new RawPeer(port)
+      try {
+        writeAll(peer.out, HeaderAmqp)
+        readHeader(peer.in)
+        peer.send(described(Desc.Open, "rebegin")); peer.expect(Desc.Open)
+        def consumeOne(fromSeq: Long): Long = {
+          peer.send(described(Desc.Begin, null, UInt(0L), UInt(100L), UInt(100L)))
+          peer.expect(Desc.Begin)
+          peer.send(described(Desc.Attach, "rcv", UInt(0L),
+            java.lang.Boolean.TRUE, null, null,
+            Described(ULong(Desc.Source), Vector("rb", null, null, null,
+              java.lang.Boolean.FALSE, null, null,
+              amqpWireMap(Sym(FromSeqFilter) -> fromSeq)))))
+          peer.expect(Desc.Attach)
+          peer.send(described(Desc.Flow, UInt(0L), UInt(65535L), UInt(0L),
+            UInt(65535L), UInt(0L), UInt(0L), UInt(1L), UInt(0L),
+            java.lang.Boolean.TRUE))
+          val t = peer.expect(Desc.Transfer)
+          peer.expect(Desc.Flow) // drain echo
+          peer.send(described(Desc.End)); peer.expect(Desc.End)
+          asLong(field(t.performative, 1))
+        }
+        assert(consumeOne(0L) == 0L, "first session: first delivery-id 0")
+        assert(consumeOne(1L) == 0L,
+          "re-begun session numbers from 0 again, matching the begin echo")
+      } finally peer.close()
+    }
+  }
+
   test("wire level: a protocol error answers close(error), not a bare TCP reset") {
     withServer { (_, ep) =>
       val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt

@@ -35,6 +35,11 @@ class AmqpTcpSpec extends SparkSpecBase {
       client.settle("addr", 1)
       assert(client.settledUpTo("addr") == 1L)
       assert(backing.settledUpTo("addr") == 1L, "state lives in the remote broker")
+      // bulk produce: one RPC round-trip for the whole batch
+      val seqs = client.sendMany("bulk-addr",
+        (1 to 5).map(i => (AmqpMessage(body = AmqpValueBody(s"bulk-$i")), i.toLong)))
+      assert(seqs == (1L to 5L))
+      assert(client.latestSeq("bulk-addr") == 5L)
       // transactional staged publish
       client.stage("t#1", 0, Seq(AmqpMessage(body = AmqpValueBody("staged"))))
       assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == 1)
