@@ -153,6 +153,10 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
   private case object StagingLink extends Link
 
   private def serve(sock: Socket): Unit = {
+    // close(error) is only meaningful once the AMQP layer is up — a
+    // failure during the header exchange or SASL must not push AMQP
+    // frames at a peer still in (or never in) an earlier layer
+    var amqpLayerUp = false
     try {
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
@@ -195,6 +199,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       }
       require(java.util.Arrays.equals(header, HeaderAmqp), "bad AMQP header")
       writeAll(out, HeaderAmqp)
+      amqpLayerUp = true
 
       // ---- connection state. Link handles and delivery-ids are scoped
       // to their SESSION (§2.5/§2.6): everything keys on (channel, …) so
@@ -256,7 +261,11 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           amqpOn(ch)(perf, payload)
         descriptorCode(perf) match {
           case Desc.Open =>
-            peerPayloadChunk = negotiatedPayloadChunk(field(perf, 2))
+            field(perf, 2) match {
+              case null => () // absent: keep the current limit (a
+                // duplicate open must not widen an announced cap)
+              case mfs => peerPayloadChunk = negotiatedPayloadChunk(mfs)
+            }
             amqp(described(Desc.Open, "graft-broker", null, UInt(MaxFrameSize.toLong)))
           case Desc.Begin =>
             amqp(described(Desc.Begin, UShort(f.channel), UInt(0L),
@@ -452,10 +461,15 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
               val last = field(perf, 2) match { case null => first; case v => asLong(v) }
               val covered = outgoing.filter { case ((c, did), _) =>
                 c == ch && did >= first && did <= last }
-              covered.values.groupBy(_._1).foreach { case (a, seqs) =>
+              val settledUpTo = covered.values.groupBy(_._1).map { case (a, seqs) =>
                 backing.settle(a, seqs.map(_._2).max)
-                pruneSettled(a) // also clears stale ids from re-fetches
+                a -> backing.settledUpTo(a)
               }
+              // one ledger pass for all touched addresses; also clears
+              // stale ids that re-fetches assigned to old seqs
+              if (settledUpTo.nonEmpty)
+                outgoing.filterInPlace { case (_, (a2, s2)) =>
+                  settledUpTo.get(a2).forall(s2 > _) }
             }
           case Desc.Detach =>
             val handle = asLong(field(perf, 0))
@@ -480,7 +494,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       }
     } catch {
       case _: java.io.IOException => () // peer closed / transport died
-      case e if scala.util.control.NonFatal(e) =>
+      case e if scala.util.control.NonFatal(e) && amqpLayerUp =>
         // Any protocol error from a live peer — unexpected performative
         // (IllegalState), malformed fields (ClassCast/Match), unknown
         // handle (NoSuchElement), bad sizes (IllegalArgument) — answers
@@ -494,6 +508,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
               s"${e.getClass.getSimpleName}: ${e.getMessage}")),
             Array.emptyByteArray)))
         } catch { case _: Throwable => () }
+      case _: Throwable => () // pre-AMQP-layer failure: just close
     }
     finally sock.close()
   }

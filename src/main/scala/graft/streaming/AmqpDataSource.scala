@@ -353,10 +353,24 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String])
 
   override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
 
-  // Column-name → ordinal resolved ONCE per reader; the row loop below
-  // dispatches on a compiled int switch, not per-cell string matching —
-  // this is the scan inner loop the ingest bench times.
-  private val ordinals: Array[Int] = fields.map(AmqpEnvelope.schema.fieldIndex)
+  // Column-name → accessor tag resolved ONCE per reader (by NAME, so
+  // the mapping cannot drift if the schema order changes); the row loop
+  // below dispatches on a compiled int switch, not per-cell string
+  // matching — this is the scan inner loop the ingest bench times.
+  private val ordinals: Array[Int] = fields.map {
+    case "message_id" => 0
+    case "to" => 1
+    case "subject" => 2
+    case "reply_to" => 3
+    case "correlation_id" => 4
+    case "application_properties" => 5
+    case "message_annotations" => 6
+    case "body_type" => 7
+    case "body" => 8
+    case "body_binary" => 9
+    case "ingest_timestamp" => 10
+    case other => throw new IllegalArgumentException(s"unknown envelope column: $other")
+  }
 
   private def utf(o: Option[String]) = o.map(UTF8String.fromString).orNull
   private def smap(entries: Seq[(String, Any)]) =
