@@ -520,6 +520,44 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("wire level: garbage bytes never wedge the server; later clients are unaffected") {
+    // A port-scanner / wrong-protocol client (HTTP, TLS hello, random
+    // noise) must be dropped WITHOUT an AMQP frame reply (it never
+    // entered the AMQP layer) and without affecting other connections.
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val rnd = new scala.util.Random(42)
+      for (attempt <- 1 to 5) {
+        val s = new java.net.Socket("127.0.0.1", port)
+        try {
+          val junk = attempt match {
+            case 1 => "GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(UTF_8)
+            case 2 => Array.fill(64)(rnd.nextInt(256).toByte)
+            case 3 => Array[Byte]('A', 'M', 'Q', 'P', 9, 9, 9, 9) // bad version
+            case 4 => HeaderAmqp ++ Array.fill(16)(rnd.nextInt(256).toByte)
+            case _ => Array.emptyByteArray // connect-and-hangup
+          }
+          s.getOutputStream.write(junk); s.getOutputStream.flush()
+          s.setSoTimeout(2000)
+          // the server closes (EOF) without pushing AMQP frames at a
+          // peer that never completed the header exchange — except
+          // case 4, which DID complete it and may get close(error)
+          try {
+            val first = s.getInputStream.read()
+            if (attempt <= 3) assert(first == -1,
+              s"attempt $attempt: pre-AMQP-layer peer must get EOF, got byte $first")
+          } catch { case _: java.net.SocketTimeoutException => () }
+        } finally s.close()
+      }
+      // a real client still works after the abuse
+      val client = new Amqp10Endpoint("127.0.0.1", port)
+      try {
+        assert(client.send("post-fuzz", AmqpMessage(body = AmqpValueBody("ok")), 1L) == 1L)
+        assert(client.fetch("post-fuzz", 0, 1).head._2.body == AmqpValueBody("ok"))
+      } finally client.close()
+    }
+  }
+
   test("wire level: a protocol error answers close(error), not a bare TCP reset") {
     withServer { (_, ep) =>
       val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
