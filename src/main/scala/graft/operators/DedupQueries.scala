@@ -409,7 +409,8 @@ object DedupQueries {
     * (chain-shaped duplicate drift: A≈B≈C≈… with a long diameter) set
     * `-Dgraft.dedup.cc=star` to switch to alternating large-star /
     * small-star rounds ([[connectedComponentsStar]]), which converge in
-    * O(log diameter); bounded-diameter propagation stays the default
+    * few rounds (O(log² n) worst case, ~log diameter in practice);
+    * bounded-diameter propagation stays the default
     * because on star/pair components it finishes in 1-2 rounds with
     * half the shuffles per round.
     */
@@ -466,7 +467,8 @@ object DedupQueries {
     * formulation: Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14). Each round is two grouped-min shuffles over the
     * edge list; the component collapses to a star around its minimum
-    * node in O(log diameter) rounds, vs O(diameter) for plain label
+    * node in a logarithmic number of rounds (O(log² n) worst case,
+    * ~log diameter in practice), vs O(diameter) for plain label
     * propagation — the difference between 3 and 30 shuffles on a
     * 1000-long duplicate-drift chain at 100 TB.
     *
@@ -489,6 +491,9 @@ object DedupQueries {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .repartition(2, col("u")).localCheckpoint()
+    def signature(df: DataFrame) =
+      df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    var prevSig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -511,15 +516,24 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
         .repartition(2, col("u")).localCheckpoint()
-      // fixpoint when the edge set is stable: one cheap signature job
-      // (count + order-independent hash XOR — sum would overflow under
-      // ANSI; XOR can't, and the set is distinct so nothing cancels)
-      val sig = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-      val prevSig = edges.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      // fixpoint when the edge set is stable: ONE cheap signature job
+      // per round (count + order-independent hash XOR — sum would
+      // overflow under ANSI; XOR can't, and the set is distinct so
+      // nothing cancels); the previous round's signature is carried,
+      // not recomputed
+      val sig = signature(next)
       converged = sig == prevSig
+      prevSig = sig
       edges = next
       iter += 1
     }
+    // An unconverged edge set is NOT a star: labels would point at
+    // intermediate nodes and some docs would get multiple rows. The
+    // alternating rounds converge in O(log² n) worst case (typically
+    // ~log diameter), so 25 rounds covers any graph the dedup domain
+    // can produce — anything else must fail loudly, not label wrongly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $iter rounds")
     // the star edge set is the labeling; centers label themselves
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v"), col("v")).distinct())

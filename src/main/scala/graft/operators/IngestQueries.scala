@@ -99,6 +99,13 @@ object IngestQueries {
       val refusedAt = seqs.indexWhere(_ < 0) // refusals are a suffix (credit contract)
       if (refusedAt < 0) i += slice.length
       else { // credit window exhausted: consuming replenishes it
+        // resuming at the first refusal re-sends everything after it, so
+        // an accepted message there would be enqueued TWICE — fail loudly
+        // if the suffix contract is ever violated (e.g. a concurrent
+        // consumer replenishing credit mid-batch) instead of corrupting
+        // the gate silently
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
         i += refusedAt
         val to = client.latestSeq(address)
         client.fetch(address, fetchedUpTo, to)

@@ -216,7 +216,11 @@ class Amqp10Endpoint(host: String, port: Int,
         val first = asLong(field(disp, 1))
         val last = field(disp, 2) match { case null => first; case v => asLong(v) }
         val state = field(disp, 4).asInstanceOf[Described]
-        (first to last).foreach(d => outcomes(d) = state)
+        // record ONLY this batch's delivery-ids: §2.6.12 lets a broker
+        // coalesce ranges or restate earlier deliveries, and counting
+        // foreign ids would end the drain early (and a hostile range
+        // like [0, 2^32] must not drive a per-id loop)
+        dids.foreach(d => if (d >= first && d <= last) outcomes(d) = state)
       }
       dids.map { d =>
         val state = outcomes(d)
