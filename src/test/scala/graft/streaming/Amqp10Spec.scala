@@ -110,6 +110,58 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("sendMany tolerates a broker that coalesces dispositions and restates foreign ids") {
+    // §2.6.12: a peer may cover several deliveries in one disposition
+    // range and may restate already-settled ids. Script a raw SERVER
+    // that answers a 2-transfer batch with one range [0, 10] (covering
+    // 9 ids that are not in the batch) and assert the client's drain
+    // still resolves exactly its own deliveries.
+    val srv = new java.net.ServerSocket(0)
+    val script = new Thread(() => {
+      val sock = srv.accept()
+      try {
+        val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new BufferedOutputStream(sock.getOutputStream)
+        def reply(perf: Described): Unit =
+          writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0, perf, Array.emptyByteArray)))
+        readHeader(in); writeAll(out, HeaderAmqp)
+        require(descriptorCode(readFrame(in).performative) == Desc.Open)
+        reply(described(Desc.Open, "coalescing-broker"))
+        require(descriptorCode(readFrame(in).performative) == Desc.Begin)
+        reply(described(Desc.Begin, UShort(0), UInt(0L), UInt(100L), UInt(100L)))
+        val attach = readFrame(in).performative
+        require(descriptorCode(attach) == Desc.Attach)
+        reply(described(Desc.Attach, field(attach, 0), field(attach, 1),
+          java.lang.Boolean.TRUE))
+        // two transfers arrive (dids 0 and 1), then ONE coalesced
+        // disposition [0,10] carrying per-batch outcome... the graft
+        // outcome carries the seq, so restate each id's state via two
+        // overlapping ranges that BOTH cover foreign ids
+        require(descriptorCode(readFrame(in).performative) == Desc.Transfer)
+        require(descriptorCode(readFrame(in).performative) == Desc.Transfer)
+        reply(described(Desc.Disposition, java.lang.Boolean.TRUE,
+          UInt(0L), UInt(0L), java.lang.Boolean.TRUE,
+          Described(Sym(EnqueuedOutcome), Vector(1L))))
+        // range [1,10]: did 1 plus nine ids the client never sent
+        reply(described(Desc.Disposition, java.lang.Boolean.TRUE,
+          UInt(1L), UInt(10L), java.lang.Boolean.TRUE,
+          Described(Sym(EnqueuedOutcome), Vector(2L))))
+        // keep the connection alive until the client is done
+        try readFrame(in) catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+      finally sock.close()
+    })
+    script.setDaemon(true); script.start()
+    val client = new Amqp10Endpoint("127.0.0.1", srv.getLocalPort)
+    try {
+      val seqs = client.sendMany("x", Seq(
+        (AmqpMessage(body = AmqpValueBody("a")), 1L),
+        (AmqpMessage(body = AmqpValueBody("b")), 2L)))
+      assert(seqs == Seq(1L, 2L),
+        "foreign ids in the disposition range must not end the drain early")
+    } finally { client.close(); srv.close() }
+  }
+
   test("multi-frame transfers: messages larger than one frame survive both directions") {
     withServer { (backing, ep) =>
       val client = AmqpEndpointRegistry.endpoint(ep)
