@@ -5,6 +5,7 @@ import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
 
@@ -107,6 +108,48 @@ class Amqp10Spec extends SparkSpecBase {
         "accepted prefix keeps contiguous seqs")
       assert(more.drop(refusedAt).forall(_ == -1L), "refusals form a suffix")
       assert(backing.latestSeq("bulk") == 300L + refusedAt)
+    }
+  }
+
+  test("concurrent clients: parallel producers and a consumer lose nothing") {
+    // Thread-per-connection server + synchronized broker: 4 producer
+    // connections blast one address concurrently while a consumer
+    // drains; every accepted send must surface exactly once.
+    withServer { (backing, ep) =>
+      val port = ep.stripPrefix("amqp10://127.0.0.1:").toInt
+      val perProducer = 300
+      val accepted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (0 until 4).map { p =>
+        new Thread(() => {
+          val c = new Amqp10Endpoint("127.0.0.1", port)
+          try {
+            var i = 0
+            while (i < perProducer) {
+              val body = s"p$p-$i"
+              if (c.send("conc", AmqpMessage(body = AmqpValueBody(body)), i.toLong) >= 0) {
+                accepted.add(body); i += 1
+              } else {
+                // window full: a fetch (any connection) replenishes
+                c.fetch("conc", 0, c.latestSeq("conc")); ()
+              }
+            }
+          } finally c.close()
+        }, s"producer-$p")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(threads.forall(!_.isAlive), "producers finished")
+      val consumer = new Amqp10Endpoint("127.0.0.1", port)
+      try {
+        val latest = consumer.latestSeq("conc")
+        assert(latest == accepted.size.toLong,
+          s"broker holds exactly the accepted sends: $latest vs ${accepted.size}")
+        val bodies = consumer.fetch("conc", 0, latest).map(_._2.body).collect {
+          case AmqpValueBody(s: String) => s
+        }
+        assert(bodies.length == bodies.distinct.length, "no duplicates")
+        assert(bodies.toSet == accepted.asScala.toSet, "no loss, no invention")
+      } finally consumer.close()
     }
   }
 
