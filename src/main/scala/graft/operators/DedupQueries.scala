@@ -415,15 +415,11 @@ object DedupQueries {
     * half the shuffles per round.
     */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    if (sys.props.get("graft.dedup.cc").contains("star"))
+      return dedupClusterStar(s, d)
     // cache() before the union: its two branches share no CSE, so an
     // uncached pairs frame would run the whole shingle self-join twice.
     val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
-    if (sys.props.get("graft.dedup.cc").contains("star")) {
-      val labels = connectedComponentsStar(pairs)
-      pairs.unpersist()
-      return labels.withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast(LongType))
-    }
     // The dup-pair graph is a vanishing fraction of the corpus (its size
     // tracks true duplicates), so the fixpoint loop runs on a handful of
     // partitions — at 100 TB this would be sized to the edge count, not
@@ -458,6 +454,18 @@ object DedupQueries {
       iter += 1
     }
     pairs.unpersist(); edges.unpersist()
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast(LongType))
+  }
+
+  /** The star-rounds clustering as a first-class gated query: same
+    * output contract as [[dedupCluster]] (the oracle is the same
+    * recursive-CTE SQL), different fixpoint algorithm — so BOTH CC
+    * algorithms sit under the hash gate, not just the default. */
+  def dedupClusterStar(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val labels = connectedComponentsStar(pairs)
+    pairs.unpersist()
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast(LongType))
   }
@@ -659,6 +667,7 @@ object DedupQueries {
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
+    "dedup_cluster_star"     -> (dedupClusterStar _),
     "dedup_contamination"    -> (dedupContamination _),
     "dedup_contamination_bloom" -> (dedupContaminationBloom _),
     "dedup_exact"            -> (dedupExact _),
@@ -670,6 +679,8 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster"          -> dedupClusterSql,
+    // different fixpoint algorithm, same labeling: same oracle
+    "dedup_cluster_star"     -> dedupClusterSql,
     "dedup_contamination"    -> dedupContaminationSql,
     // bloom prefilter + exact verify = bit-equal to the exact screen
     "dedup_contamination_bloom" -> dedupContaminationSql,
