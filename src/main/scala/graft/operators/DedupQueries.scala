@@ -463,10 +463,11 @@ object DedupQueries {
     * recursive-CTE SQL), different fixpoint algorithm — so BOTH CC
     * algorithms sit under the hash gate, not just the default. */
   def dedupClusterStar(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
-    val labels = connectedComponentsStar(pairs)
-    pairs.unpersist()
-    labels.withColumn("cluster_size",
+    // no cache: connectedComponentsStar materializes its input exactly
+    // once (localCheckpoint before the fixpoint loop), unlike the
+    // propagation path whose self-union reads pairs twice
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    connectedComponentsStar(pairs).withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast(LongType))
   }
 
