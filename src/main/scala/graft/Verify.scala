@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query names — local dev
+    // subset runs (the driver always runs the full surface).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     // Default to the machine's cores: the driver's gate may not set
     // SPARK_GRAFT_CPUS, and local[4] nearly triples the wall-clock of a
     // 50-query dump — needless hard-timeout exposure.
@@ -51,13 +55,16 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
     val pool = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "verify-query"); t.setDaemon(true); t
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val fut = pool.submit(new Runnable {
         def run(): Unit = {

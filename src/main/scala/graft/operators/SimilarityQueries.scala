@@ -55,7 +55,8 @@ object SimilarityQueries {
   /** Bounded per-group top-k (see [[graft.functions.TopKAggregator]]):
     * map-side partial top-k, k·|groups| rows through the shuffle, no
     * Sort+Window over candidate×query rows carrying embedding arrays. */
-  private def topKAgg = udaf(new TopKAggregator(TopK), Encoders.product[ScoredId])
+  private def topKAgg = topKAggK(TopK)
+  private def topKAggK(k: Int) = udaf(new TopKAggregator(k), Encoders.product[ScoredId])
 
   /** Explode a top-k buffer back to (query_id, vec_id, cos, rn) rows. */
   private def explodeTopK(df: DataFrame): DataFrame =
@@ -221,18 +222,26 @@ object SimilarityQueries {
         .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
   }
 
-  /** Shared LSH front half: banded bucket join (query vs corpus) plus
-    * exact cosine on the surviving candidates — consumed by the top-k
-    * (bounded agg) and range (threshold filter) tails. */
-  private def lshScoredCandidates(e: DataFrame): DataFrame = {
+  /** 16-bit hyperplane signatures exploded to 4 bands of 4 bits:
+    * (vec_id, band, bkey) — the LSH index frame shared by the query
+    * searches (sim_topk_lsh / sim_range_search) and the all-pairs
+    * k-NN graph. */
+  private def lshBands(e: DataFrame): DataFrame = {
     val NBits = 16
     val sig = e.select(col("vec_id"),
       expr(s"hyperplane_sig(emb, $NBits)").as("sig"))
     val bandArr = array((0 until 4).map(t =>
       struct(lit(t).as("band"),
         shiftright(col("sig"), 4 * t).bitwiseAND(lit(15L)).as("bkey"))): _*)
-    val bands = sig.select(col("vec_id"), explode(bandArr).as("bs"))
+    sig.select(col("vec_id"), explode(bandArr).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Shared LSH front half: banded bucket join (query vs corpus) plus
+    * exact cosine on the surviving candidates — consumed by the top-k
+    * (bounded agg) and range (threshold filter) tails. */
+  private def lshScoredCandidates(e: DataFrame): DataFrame = {
+    val bands = lshBands(e)
     val qb = bands.filter(col("vec_id") < NumQueries)
       .select(col("band"), col("bkey"), col("vec_id").as("query_id"))
     val cand = bands.join(qb, Seq("band", "bkey"))
@@ -264,8 +273,12 @@ object SimilarityQueries {
   }
 
   /** Shared SQL front half of the LSH queries: banding + exact cosine,
-    * ending in a `scored(query_id, vec_id, cos)` CTE. */
-  private lazy val lshScoredCteSql: String = {
+    * ending in a `scored(query_id, vec_id, cos)` CTE. `queryPred`
+    * restricts which vectors act as query/source vertices (empty =
+    * all-pairs, for the k-NN graph). */
+  private lazy val lshScoredCteSql: String = lshCteSql(s"q.vec_id < $NumQueries AND ")
+  private lazy val lshScoredAllCteSql: String = lshCteSql("")
+  private def lshCteSql(queryPred: String): String = {
     // hyperplane weights: the same LCG as VectorExpressions.hyperplaneSig
     def w(i: Int) =
       s"CAST(($i * 73856093 + d * 19349663) % 1000003 AS DOUBLE) / 500001.5 - 1.0"
@@ -292,7 +305,7 @@ object SimilarityQueries {
        |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
        |  FROM bands b JOIN bands q
        |    ON b.band = q.band AND b.bkey = q.bkey
-       |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+       |  WHERE ${queryPred}b.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT c.query_id, c.vec_id,
        |    list_dot_product(v.emb, q.emb) / (v.nrm * q.nrm) AS cos
@@ -312,6 +325,51 @@ object SimilarityQueries {
     s"""$lshScoredCteSql
        |SELECT query_id, vec_id, cos FROM scored
        |WHERE cos >= $RangeThreshold""".stripMargin
+
+  // ------------------------------------------------------ sim_knn_graph
+  private val GraphK = 3 // neighbors per vertex in the k-NN graph
+
+  /** All-pairs k-NN graph: every corpus vector's top-[[GraphK]] cosine
+    * neighbors among its LSH band-mates — the graph that semantic-dedup
+    * clustering, graph-based diversity sampling, and kNN-LM retrieval
+    * all start from. Unlike the query-set searches (sim_topk_*), BOTH
+    * sides are the full corpus, so the banded bucket join is what keeps
+    * this off the O(n²) cliff: a pair is scored iff it shares one of 4
+    * signature bands, then a bounded top-k aggregate ranks per source
+    * vertex. The oracle replicates the banding, so the approximation
+    * itself is gated, not a brute-force stand-in.
+    *
+    * Scale shape: bucket self-join shuffles on (band, bkey) — candidate
+    * volume tracks bucket occupancy (tunable via band width), never
+    * n²; the embedding re-join is an equi-join on vec_id; the final
+    * shuffle carries k rows per vertex. At 100 TB the signature/band
+    * frame is the stored index (bucketed on bkey), and band width grows
+    * with corpus size to hold bucket occupancy flat. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val bands = lshBands(e)
+    val cand = bands.join(
+        bands.select(col("band"), col("bkey"), col("vec_id").as("src_id")),
+        Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id")).distinct()
+    val src = e.select(col("vec_id").as("src_id"), col("emb").as("semb"), col("nrm").as("snrm"))
+    val scored = cand.join(e, Seq("vec_id")).join(src, Seq("src_id"))
+      .withColumn("cos", cosine(expr("vec_dot(emb, semb)"), col("nrm"), col("snrm")))
+    scored.groupBy(col("src_id"))
+      .agg(topKAggK(GraphK)(col("cos"), col("vec_id")).as("top"))
+      .select(col("src_id"), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col("src_id"), col("t.vec_id").as("nbr_id"), col("t.cos").as("cos"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+  }
+
+  val simKnnGraphSql: String =
+    s"""$lshScoredAllCteSql
+       |SELECT src_id, nbr_id, cos, rn FROM (
+       |  SELECT query_id AS src_id, vec_id AS nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $GraphK""".stripMargin
 
   // ---------------------------------------------------------- sim_kmeans
   private val KmK = 8      // clusters: centroids seeded from vec_id < 8
@@ -416,6 +474,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
+    "sim_knn_graph"       -> (simKnnGraph _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
   )
@@ -425,6 +484,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,
+    "sim_knn_graph"       -> simKnnGraphSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
   )

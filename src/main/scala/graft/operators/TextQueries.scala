@@ -500,6 +500,114 @@ object TextQueries {
        |GROUP BY lang,
        |  coalesce(bl_reason, CASE WHEN n_tokens < 25 THEN 'too_short' END, 'kept')""".stripMargin
 
+  // ------------------------------------------- corpus_pack_sequences
+  private val PackBudget = 256 // tokens per training sequence
+  private val PackShards = 8   // independent pack shards
+
+  /** GPT-style sequence packing: concatenate documents into fixed
+    * token-budget training sequences (budget = [[PackBudget]] tokens),
+    * concat-then-chunk — a document's sequence is decided by its
+    * starting offset in the shard's running token stream, so sequences
+    * are full to the budget and a document may straddle a boundary
+    * (exactly how pretraining packs; the straddler is split at tokenize
+    * time). Documents concatenate in doc_id order WITHIN one of
+    * [[PackShards]] hash shards; global order is irrelevant to training,
+    * determinism is not, so the shard key is the portable char-fold hash
+    * of a salted id ('pk' prefix — independent of the split/fold
+    * bucketing).
+    *
+    * Scale shape: one shuffle by shard, then a per-shard running sum
+    * (one WindowExec) and a (shard, seq) hash aggregate. Shard count
+    * scales with the cluster, shards pack independently — the
+    * embarrassingly-parallel layout that survives 100 TB, where a
+    * single global cumsum would serialize on one task. */
+  def corpusPackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CharFoldHash.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"char_fold_hash(CONCAT('pk', CAST(doc_id AS STRING))) % $PackShards")
+          .cast(IntegerType).as("shard"),
+        tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integer div, not floor(double /): shard cumsums at 100 TB pass
+      // 2^53 and a double quotient would misplace boundary documents
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val corpusPackSequencesSql: String = {
+    val shard = s"${graft.functions.HashFunctions.charFoldHashSql("'pk' || CAST(doc_id AS VARCHAR)")} % $PackShards"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST($shard AS INT) AS shard,
+       |    CAST(len($DTokens) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY shard, seq_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- corpus_mix
+  /** Per-mille mixing weights by source. >1000 up-samples (extra
+    * copies), <1000 down-samples (hash-gated keep), 0 excludes; unlisted
+    * sources pass through at 1.0×. */
+  private val MixWeightsPm: Seq[(String, Int)] = Seq(
+    "src0" -> 2250, "src1" -> 1500, "src4" -> 500, "src7" -> 250, "src3" -> 0)
+
+  /** Domain mixing / reweighting: materialize a training corpus where
+    * each source contributes according to a target weight (the
+    * Pile-style "epochs per dataset" knob). A weight w emits floor(w)
+    * copies of every document plus one more for the deterministic
+    * frac(w) fraction of ids — the fractional gate is the portable
+    * char-fold hash of a salted id ('mix' prefix), so the SAME documents
+    * are up/down-sampled on every engine and every run, no RNG state.
+    * Output is the expanded (doc_id, source, copy) stream a tokenizer
+    * job would consume; copy indexes 0..n-1 so downstream shuffling can
+    * salt on it.
+    *
+    * Scale shape: broadcast the (tiny, curated) weight table onto the
+    * corpus scan, compute copies map-side, posexplode — a pure map-side
+    * expansion with zero shuffles; output volume tracks sum(w)·corpus,
+    * which is the job's intrinsic size. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val wtab = s.createDataFrame(MixWeightsPm).toDF("source", "pm")
+    Tables.documents(s, d)
+      .join(broadcast(wtab), Seq("source"), "left")
+      .withColumn("pm", coalesce(col("pm"), lit(1000)))
+      .withColumn("copies",
+        expr("pm div 1000 + IF(char_fold_hash(CONCAT('mix', CAST(doc_id AS STRING))) % 1000 < pm % 1000, 1, 0)")
+          .cast(IntegerType))
+      .select(col("doc_id"), col("source"),
+        posexplode(array_repeat(lit(1), col("copies"))).as(Seq("copy", "one")))
+      .select(col("doc_id"), col("source"), col("copy").cast(IntegerType).as("copy"))
+  }
+
+  val corpusMixSql: String = {
+    val h = graft.functions.HashFunctions.charFoldHashSql("'mix' || CAST(doc_id AS VARCHAR)")
+    val weights = MixWeightsPm.map { case (s, pm) => s"('$s', $pm)" }.mkString(", ")
+    s"""WITH w AS (SELECT * FROM (VALUES $weights) AS t(source, pm)),
+       |d AS (
+       |  SELECT doc_id, documents.source, coalesce(pm, 1000) AS pm,
+       |    $h % 1000 AS frac_h
+       |  FROM documents LEFT JOIN w ON documents.source = w.source)
+       |SELECT doc_id, source,
+       |  CAST(unnest(range(pm // 1000 + CASE WHEN frac_h < pm % 1000 THEN 1 ELSE 0 END)) AS INT) AS copy
+       |FROM d""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -514,6 +622,8 @@ object TextQueries {
     "split_kfold"      -> (splitKfold _),
     "txt_hash_features" -> (txtHashFeatures _),
     "corpus_blocklist" -> (corpusBlocklist _),
+    "corpus_pack_sequences" -> (corpusPackSequences _),
+    "corpus_mix"       -> (corpusMix _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -529,5 +639,7 @@ object TextQueries {
     "split_kfold"      -> splitKfoldSql,
     "txt_hash_features" -> txtHashFeaturesSql,
     "corpus_blocklist" -> corpusBlocklistSql,
+    "corpus_pack_sequences" -> corpusPackSequencesSql,
+    "corpus_mix"       -> corpusMixSql,
   )
 }

@@ -93,6 +93,39 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("knn graph: bounded degree, no self-loops, ranked by cosine") {
+    val rows = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, c, _) =>
+      assert(s != n, "self-loop in knn graph")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    val bySrc = rows.groupBy(_._1)
+    // most vertices should find band-mates on random 64-dim vectors
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(bySrc.size.toDouble / nVecs > 0.9,
+      s"only ${bySrc.size} of $nVecs vertices have neighbors")
+    bySrc.values.foreach { g =>
+      assert(g.length <= 3, s"degree ${g.length} exceeds k")
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to g.length).toSeq, "ranks not dense")
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }, "cosine not non-increasing in rank")
+    }
+  }
+
+  test("knn graph plans as bounded hash aggregate, not Sort+Window") {
+    val plan = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"knn graph plans a Window:\n$plan")
+    assert(!plan.contains("Sort "), s"knn graph plans a Sort:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), s"knn graph went all-pairs:\n$plan")
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

@@ -117,4 +117,54 @@ class TextQueriesSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("sequence packing conserves tokens and chunks each shard contiguously") {
+    val rows = TextQueries.corpusPackSequences(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // shard, seq, n_docs, tokens, first, last
+    val tokenTotal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_._4).sum == tokenTotal, "packing must conserve every token")
+    rows.groupBy(_._1).values.foreach { shard =>
+      val seqs = shard.sortBy(_._2)
+      // seq ids are the contiguous chunk numbers of the shard's stream
+      assert(seqs.map(_._2).toSeq == (0L until seqs.length).toSeq,
+        s"seq ids not contiguous: ${seqs.map(_._2).mkString(",")}")
+      // concat order: doc ranges of consecutive sequences never overlap
+      seqs.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5,
+          s"doc ranges overlap across sequences: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus mix up/down-samples deterministically with zero shuffles") {
+    val df = TextQueries.corpusMix(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = rows.groupBy(_._1)
+    // copy indices are dense 0..n-1 per doc
+    byDoc.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0 until g.length).toSeq)
+    }
+    val perSource = rows.groupBy(_._2)
+    assert(!perSource.contains("src3"), "weight-0 source must vanish")
+    // src0 at 2.25x: every doc 2 or 3 copies; src4 at 0.5x: at most 1
+    perSource("src0").groupBy(_._1).values.foreach(g => assert(g.length == 2 || g.length == 3))
+    perSource("src4").groupBy(_._1).values.foreach(g => assert(g.length == 1))
+    assert(perSource("src4").map(_._1).distinct.length < 25, "0.5x must drop some docs")
+    // unlisted sources pass through exactly once
+    perSource("src9").groupBy(_._1).values.foreach(g => assert(g.length == 1))
+    assert(perSource("src9").map(_._1).distinct.length == 25)
+    // map-side expansion: broadcast weight join + explode — the corpus
+    // is never shuffled (broadcast exchange of the weight table is fine)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"corpus_mix must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // determinism
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq ==
+      rows.map(r => (r._1, r._3)).sorted.toSeq)
+  }
 }
