@@ -371,6 +371,103 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $GraphK""".stripMargin
 
+  // ------------------------------------------------------- sim_pq_topk
+  private val PqM = 8       // subspaces (64 dims / 8 per subvector)
+  private val PqSub = 8     // dims per subvector
+  private val PqCodes = 16  // codewords per subspace (seeds: vec_id < 16)
+
+  /** Product-quantization ANN (ADC): the byte-code compression path real
+    * 100 TB vector search runs on. Each 64-dim vector is encoded as
+    * [[PqM]] 4-bit codes — the id of the nearest codeword per subvector
+    * (codebooks seeded from the first [[PqCodes]] corpus vectors,
+    * deterministic like sim_topk_ivf's centroids) — cutting 256 bytes of
+    * floats to 4 bytes per vector. A query ranks the WHOLE encoded
+    * corpus without touching a float vector: it precomputes a
+    * [[PqM]]×[[PqCodes]] lookup table of subspace distances, and a
+    * candidate's approximate distance is the s-ordered left-to-right sum
+    * of 8 LUT entries (asymmetric distance computation). Top-k by
+    * (adist asc, vec_id asc); the oracle replicates encode + LUT + fold
+    * exactly, so the quantization itself is gated.
+    *
+    * Scale shape: encoding is a pure map over the corpus against one
+    * broadcast 128-entry codebook array (corpus never shuffles; at
+    * 100 TB the code column is the stored index — 64× smaller than the
+    * embeddings it replaces). Search is broadcast-LUT × encoded-corpus,
+    * also a pure map, and the only shuffle is the bounded top-k
+    * aggregate carrying k rows per query. */
+  def simPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    // codebook: 128 structs (s, c, csub, cn2), sorted so slice(cb,
+    // s*16+1, 16) is subspace s's codewords in codeword order
+    val cbArr = e.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").cast(IntegerType).as("c"),
+        explode(expr(s"""transform(sequence(0, ${PqM - 1}),
+          |  s -> named_struct('s', s, 'csub', slice(emb, s * $PqSub + 1, $PqSub)))""".stripMargin)).as("sc"))
+      .select(col("sc.s").as("s"), col("c"), col("sc.csub").as("csub"),
+        expr("vec_dot(sc.csub, sc.csub)").as("cn2"))
+      .agg(array_sort(collect_list(struct(col("s"), col("c"), col("csub"), col("cn2")))).as("cb"))
+    // encode: per subspace, argmin_{c} (cn2 - 2·sub·csub) over the
+    // broadcast codebook — the sub·sub term is constant per (row, s)
+    val encoded = e.crossJoin(broadcast(cbArr))
+      .withColumn("codes", expr(s"""transform(sequence(0, ${PqM - 1}),
+        |  s -> array_min(transform(slice(cb, s * $PqCodes + 1, $PqCodes),
+        |    cc -> named_struct(
+        |      'key', cc.cn2 - 2 * vec_dot(slice(emb, s * $PqSub + 1, $PqSub), cc.csub),
+        |      'c', cc.c))).c)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+    // query LUTs: full subspace distance per codebook entry, in
+    // codebook order, so lut[s·16 + code + 1] is the ADC term
+    val luts = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id").as("query_id"), expr(s"""transform(cb,
+        |  cc -> vec_dot(slice(emb, cc.s * $PqSub + 1, $PqSub), slice(emb, cc.s * $PqSub + 1, $PqSub))
+        |    - 2 * vec_dot(slice(emb, cc.s * $PqSub + 1, $PqSub), cc.csub) + cc.cn2)""".stripMargin).as("lut"))
+    // ADC: s-ordered fold of LUT entries (order fixed so the double sum
+    // is bit-reproducible against the oracle's list_reduce)
+    explodeTopK(
+      encoded.crossJoin(broadcast(luts))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("negadist", expr(s"""-aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
+          |  (a, s) -> a + element_at(lut, s * $PqCodes + element_at(codes, s + 1) + 1))""".stripMargin))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("negadist"), col("vec_id")).as("top")))
+      .select(col("query_id"), col("vec_id"), negate(col("cos")).as("adist"), col("rn"))
+  }
+
+  val simPqTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(s AS INT) AS s,
+       |    emb[($PqSub*s+1):($PqSub*s+$PqSub)] AS sub
+       |  FROM e, (SELECT unnest(range($PqM)) AS s)),
+       |cb AS (
+       |  SELECT s, CAST(vec_id AS INT) AS c, sub AS csub FROM sv WHERE vec_id < $PqCodes),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT sv.vec_id, sv.s, cb.c,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+       |        ORDER BY list_dot_product(cb.csub, cb.csub)
+       |          - 2 * list_dot_product(sv.sub, cb.csub) ASC, cb.c ASC) AS rnc
+       |    FROM sv JOIN cb ON sv.s = cb.s) t
+       |  WHERE rnc = 1),
+       |lut AS (
+       |  SELECT sv.vec_id AS query_id, sv.s, cb.c,
+       |    list_dot_product(sv.sub, sv.sub) - 2 * list_dot_product(sv.sub, cb.csub)
+       |      + list_dot_product(cb.csub, cb.csub) AS qd2
+       |  FROM sv JOIN cb ON sv.s = cb.s
+       |  WHERE sv.vec_id < $NumQueries),
+       |ad AS (
+       |  SELECT query_id, vec_id, list_reduce(list(qd2 ORDER BY l.s), (a, b) -> a + b) AS adist
+       |  FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id, adist, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM ad) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // ---------------------------------------------------------- sim_kmeans
   private val KmK = 8      // clusters: centroids seeded from vec_id < 8
   private val KmIters = 2  // Lloyd update rounds before the final assign
@@ -475,6 +572,7 @@ object SimilarityQueries {
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
     "sim_knn_graph"       -> (simKnnGraph _),
+    "sim_pq_topk"         -> (simPqTopK _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
   )
@@ -485,6 +583,7 @@ object SimilarityQueries {
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,
     "sim_knn_graph"       -> simKnnGraphSql,
+    "sim_pq_topk"         -> simPqTopKSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
   )

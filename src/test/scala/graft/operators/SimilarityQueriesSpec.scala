@@ -126,6 +126,44 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"knn graph went all-pairs:\n$plan")
   }
 
+  test("PQ top-k: k ranked candidates per query, distances non-decreasing") {
+    val rows = SimilarityQueries.simPqTopK(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 5L), "ranks not dense")
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }, "ADC distance must be non-decreasing in rank")
+    }
+    rows.foreach { case (q, v, d, _) =>
+      assert(q != v, "self-match in PQ top-k")
+      assert(d >= -1e-9, s"squared-distance surrogate went negative: $d")
+    }
+  }
+
+  test("PQ encode + ADC search is deterministic across runs") {
+    // Codebooks are seeded (vec_id < 16) and the ADC fold is s-ordered,
+    // so two runs must agree bit-for-bit — the property the oracle
+    // comparison depends on.
+    val a = SimilarityQueries.simPqTopK(spark, sfDir).collect().toSeq
+    val b = SimilarityQueries.simPqTopK(spark, sfDir).collect().toSeq
+    assert(a.toSet == b.toSet, "PQ encode/search must be deterministic")
+  }
+
+  test("PQ plan: pure-map encode + broadcast LUT, bounded top-k aggregate") {
+    val plan = SimilarityQueries.simPqTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"PQ plans a Window:\n$plan")
+    assert(!plan.contains("Sort "), s"PQ plans a Sort:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), s"PQ went all-pairs:\n$plan")
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
