@@ -608,6 +608,51 @@ object TextQueries {
        |FROM d""".stripMargin
   }
 
+  // ------------------------------------------------------- txt_pii_scrub
+  /** Regex classes shared by Spark (java.util.regex) and the DuckDB
+    * oracle (RE2): only the common-dialect subset — no lookaround, no
+    * backreferences — so both engines match identically. The NAME class
+    * is a gazetteer stand-in: real pipelines redact from curated name
+    * lists; this corpus's vocabulary makes `customer`/`supplier` the
+    * terms that actually occur. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiName  = "\\b(customer|supplier)\\b"
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before release (emails, IP addresses, gazetteer names).
+    * Emits per-document per-class match counts plus the scrubbed text
+    * after a fixed email→ip→name replacement cascade, so re-running
+    * the scrub downstream is idempotent and auditable.
+    *
+    * Scale shape: a pure per-row map on a single scan — no join, no
+    * shuffle, no state; at 100 TB this is I/O-bound and trivially
+    * parallel. Counts are computed on the ORIGINAL text per class
+    * (order-independent), the cascade only orders the rewrites. */
+  def txtPiiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmail)).cast(LongType).as("n_email"),
+        regexp_count(col("text"), lit(PiiIp)).cast(LongType).as("n_ip"),
+        regexp_count(col("text"), lit(PiiName)).cast(LongType).as("n_name"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
+            PiiIp, "[IP]"),
+          PiiName, "[NAME]").as("scrubbed"))
+
+  val txtPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$PiiIp')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$PiiName')) AS BIGINT) AS n_name,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$PiiEmail', '[EMAIL]', 'g'),
+       |    '$PiiIp', '[IP]', 'g'),
+       |    '$PiiName', '[NAME]', 'g') AS scrubbed
+       |FROM documents""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -624,6 +669,7 @@ object TextQueries {
     "corpus_blocklist" -> (corpusBlocklist _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix"       -> (corpusMix _),
+    "txt_pii_scrub"    -> (txtPiiScrub _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,5 +687,6 @@ object TextQueries {
     "corpus_blocklist" -> corpusBlocklistSql,
     "corpus_pack_sequences" -> corpusPackSequencesSql,
     "corpus_mix"       -> corpusMixSql,
+    "txt_pii_scrub"    -> txtPiiScrubSql,
   )
 }

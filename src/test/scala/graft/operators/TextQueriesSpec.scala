@@ -167,4 +167,31 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(df.collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq ==
       rows.map(r => (r._1, r._3)).sorted.toSeq)
   }
+
+  test("pii scrub redacts every class occurrence and is idempotent") {
+    val df = TextQueries.txtPiiScrub(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.map(_._4).sum > 0, "gazetteer class must fire on this corpus")
+    val namePat = "\\b(customer|supplier)\\b".r
+    rows.foreach { case (_, _, _, nName, scrubbed) =>
+      // no residual matches of any class survive the cascade
+      assert(namePat.findFirstIn(scrubbed).isEmpty, s"unredacted name in: $scrubbed")
+      assert(!scrubbed.contains("@"))
+      // count on the original equals redaction markers inserted
+      assert(Iterator.iterate(scrubbed.indexOf("[NAME]"))(i =>
+        scrubbed.indexOf("[NAME]", i + 1)).takeWhile(_ >= 0).size == nName)
+    }
+    // idempotent: scrubbing scrubbed output changes nothing
+    import spark.implicits._
+    val again = TextQueries.txtPiiScrub(spark, sfDir)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\b(customer|supplier)\\b")).as("n"))
+      .filter(col("n") > 0).count()
+    assert(again == 0L, "scrub must be idempotent")
+    // single-scan map: no exchange of any kind
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pii scrub must not shuffle:\n$plan")
+  }
 }
