@@ -665,6 +665,47 @@ object DedupQueries {
        |FROM bench b LEFT JOIN train t USING (shingle)
        |GROUP BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------- dedup_substring
+  /** Exact-substring duplicate detection: pairs of documents sharing at
+    * least one verbatim run of [[SubstrRun]] tokens, with the count of
+    * distinct shared runs. This is the containment-style screen (public
+    * "deduplicating training data" line of work) that the set-overlap
+    * family cannot express: a document quoting one paragraph of another
+    * has low global Jaccard but a long exact run.
+    *
+    * Scale shape: the inverted index explodes distinct 8-token runs
+    * with zero shuffles (native `word_shingle_set`), then each run is
+    * folded to a portable int64 BEFORE the self-join — the shuffle key
+    * is 8 bytes, not a ~60-char string, an ~8× narrower exchange at
+    * 100 TB. Join output tracks true shared runs, never all pairs;
+    * hash collisions are engine-identical (the oracle folds the same
+    * hash), and at P≈2^61 vanishingly rare. */
+  private val SubstrRun = 8
+
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val inv = shingleStream(s, d, SubstrRun)
+      .select(col("doc_id"), expr("char_fold_hash(shingle)").as("run_h"))
+    val ia = inv.select(col("run_h"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("run_h"), col("doc_id").as("doc_b"))
+    ia.join(ib, Seq("run_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_runs"))
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shingleSetSql(SubstrRun)}) AS shingle
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |inv AS (
+       |  SELECT doc_id, ${graft.functions.HashFunctions.charFoldHashSql("shingle")} AS run_h
+       |  FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_runs
+       |FROM inv a JOIN inv b ON a.run_h = b.run_h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
@@ -676,6 +717,7 @@ object DedupQueries {
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_substring"        -> (dedupSubstring _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,5 +732,6 @@ object DedupQueries {
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,
     "dedup_simhash"          -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_substring"        -> dedupSubstringSql,
   )
 }

@@ -191,4 +191,29 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)),
       "orthogonal-ish vector must not pair with the planted dup")
   }
+
+  test("substring dedup is exactly sound: every pair shares a verbatim 8-token run") {
+    val pairs = DedupQueries.dedupSubstring(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus carries near-dups; the screen must fire")
+    pairs.foreach { case (a, b, n) => assert(a < b); assert(n >= 1) }
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def runs(t: String): Set[String] =
+      t.trim.split(" +").filter(_.nonEmpty).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    pairs.foreach { case (a, b, n) =>
+      val shared = runs(text(a)) intersect runs(text(b))
+      assert(shared.size == n,
+        s"pair ($a,$b) reports $n shared runs, truth is ${shared.size}")
+    }
+    // completeness on a sample: any doc pair sharing a run must be reported
+    val reported = pairs.map(p => (p._1, p._2)).toSet
+    val ids = text.keys.toSeq.sorted.take(40)
+    for (a <- ids; b <- ids if a < b) {
+      val share = (runs(text(a)) intersect runs(text(b))).nonEmpty
+      assert(share == reported.contains((a, b)),
+        s"pair ($a,$b): truth=$share reported=${reported.contains((a, b))}")
+    }
+  }
 }
