@@ -653,6 +653,93 @@ object TextQueries {
        |    '$PiiName', '[NAME]', 'g') AS scrubbed
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------- corpus_funnel
+  /** The pipeline-run audit table: one row per filter stage with
+    * in/dropped/kept counts, the artifact every production corpus build
+    * logs per batch. Stages (precedence order): blocklisted source →
+    * too-short → low-quality (< 0.5) → repetitive (Gopher flags) →
+    * near-duplicate (non-canonical member of a [[DedupQueries.dedupCluster]]
+    * cluster). Flags are computed corpus-wide and precedence assigns
+    * each document to exactly ONE stage, so the funnel telescopes:
+    * n_in(k) = n_in(k-1) - n_dropped(k-1), and the last n_kept is the
+    * released corpus size.
+    *
+    * Scale shape: each flag is an already-scale-shaped gated operator
+    * (broadcast blocklist, single-scan quality, one windowed token
+    * shuffle, candidate-sized CC); the funnel adds only doc-keyed joins
+    * of doc-sized flag frames and a 5-row final aggregate. The stage
+    * dimension and running totals live on a 5-row frame — the single-
+    * partition window is over stages, never data. */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val bl = s.createDataFrame(Seq(
+      ("src3", true), ("src7", true), ("src11", true))).toDF("source", "blocked")
+    val near = DedupQueries.dedupCluster(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("near_dup"))
+    val flags = docs
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .join(broadcast(bl), Seq("source"), "left")
+      .join(txtQuality(s, d).select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .join(txtRepetition(s, d).select(col("doc_id"), col("repetitive")), Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(col("blocked").isNotNull, "blocked_source")
+          .when(col("n_tokens") < 25, "too_short")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(col("repetitive"), "repetitive")
+          .when(col("near_dup").isNotNull, "near_dup")
+          .otherwise("kept"))
+    val stageDim = s.createDataFrame(Seq(
+      (1, "blocked_source"), (2, "too_short"), (3, "low_quality"),
+      (4, "repetitive"), (5, "near_dup"))).toDF("stage_order", "stage")
+    val drops = flags.groupBy(col("disposition")).agg(count(lit(1)).as("nd"))
+    val total = flags.agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.orderBy(col("stage_order"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stageDim
+      .join(drops, stageDim("stage") === drops("disposition"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_dropped", coalesce(col("nd"), lit(0L)))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(wPrev), lit(0L)))
+      .select(col("stage_order"), col("stage"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_kept"))
+  }
+
+  val corpusFunnelSql: String =
+    s"""WITH bl AS (SELECT * FROM (VALUES ('src3'), ('src7'), ('src11')) AS t(source)),
+       |q AS (SELECT doc_id, quality FROM (${txtQualitySql.replace("\n", "\n       ")})),
+       |rep AS (SELECT doc_id, repetitive FROM (${txtRepetitionSql.replace("\n", "\n       ")})),
+       |near AS (SELECT doc_id FROM (${DedupQueries.dedupClusterSql.replace("\n", "\n       ")})
+       |         WHERE doc_id <> cluster_id),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN bl.source IS NOT NULL THEN 'blocked_source'
+       |         WHEN len($DTokens) < 25 THEN 'too_short'
+       |         WHEN q.quality < 0.5 THEN 'low_quality'
+       |         WHEN rep.repetitive THEN 'repetitive'
+       |         WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS disposition
+       |  FROM documents d
+       |  LEFT JOIN bl ON d.source = bl.source
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN rep ON d.doc_id = rep.doc_id
+       |  LEFT JOIN near ON d.doc_id = near.doc_id),
+       |stages AS (SELECT * FROM (VALUES (1, 'blocked_source'), (2, 'too_short'),
+       |  (3, 'low_quality'), (4, 'repetitive'), (5, 'near_dup')) AS t(stage_order, stage)),
+       |drops AS (SELECT disposition, CAST(count(*) AS BIGINT) AS nd FROM flags GROUP BY 1),
+       |funnel AS (
+       |  SELECT s.stage_order, s.stage, coalesce(d.nd, 0) AS n_dropped,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM flags)
+       |      - coalesce(CAST(sum(coalesce(d.nd, 0)) OVER (ORDER BY s.stage_order
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_in
+       |  FROM stages s LEFT JOIN drops d ON s.stage = d.disposition)
+       |SELECT stage_order, stage, n_in, CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  n_in - n_dropped AS n_kept
+       |FROM funnel""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -670,6 +757,7 @@ object TextQueries {
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix"       -> (corpusMix _),
     "txt_pii_scrub"    -> (txtPiiScrub _),
+    "corpus_funnel"    -> (corpusFunnel _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -688,5 +776,6 @@ object TextQueries {
     "corpus_pack_sequences" -> corpusPackSequencesSql,
     "corpus_mix"       -> corpusMixSql,
     "txt_pii_scrub"    -> txtPiiScrubSql,
+    "corpus_funnel"    -> corpusFunnelSql,
   )
 }

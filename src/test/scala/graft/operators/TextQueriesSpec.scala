@@ -194,4 +194,25 @@ class TextQueriesSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"pii scrub must not shuffle:\n$plan")
   }
+
+  test("corpus funnel telescopes: stage n_in chains and totals reconcile") {
+    val rows = TextQueries.corpusFunnel(spark, sfDir)
+      .orderBy(col("stage_order"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("blocked_source", "too_short", "low_quality", "repetitive", "near_dup"))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.head._3 == total, "stage 1 must see the whole corpus")
+    rows.foreach { case (_, _, nIn, nDrop, nKept) =>
+      assert(nDrop >= 0 && nKept == nIn - nDrop)
+    }
+    rows.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next._3 == prev._5, s"funnel breaks between $prev and $next")
+      case _ =>
+    }
+    assert(rows.map(_._4).sum > 0, "the cascade must drop something on this corpus")
+    assert(rows.last._5 > 0, "the cascade must keep something on this corpus")
+  }
 }
