@@ -853,6 +853,104 @@ object RelationalQueries {
        |UNION ALL
        |SELECT l_returnflag, 'qty_finished' AS status, qty_finished AS qty FROM wide""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Sequential event funnel (the ClickHouse-windowFunnel-style op):
+    * how deep do users get through view → click → purchase within 24
+    * hours of the first step? Semantics are min-first-match, so the
+    * result is deterministic: step 1 is the user's EARLIEST view; step
+    * k+1 is the earliest qualifying event strictly after step k and
+    * within the window of step 1. Output is the funnel histogram
+    * (level 0 = active users with no view at all).
+    *
+    * Scale shape: three conditional min-aggregates, each one user_id
+    * shuffle over an events subset that shrinks with funnel depth (the
+    * step-2 scan only joins users who completed step 1, via a user-
+    * keyed equi-join — no windows, no per-user sort, and the final
+    * histogram is a 4-row aggregate. At 100 TB each pass is a filtered
+    * scan + hash agg; AQE collapses the later tiny joins to broadcast. */
+  def q35EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val winUs = 86400L * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t1") + winUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val levels = ev.select(col("user_id")).distinct()
+      .join(s1.select(col("user_id"), lit(1).as("r1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1).as("r2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("r3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("r1"), lit(0)) + coalesce(col("r2"), lit(0)) +
+          coalesce(col("r3"), lit(0))).as("funnel_level"))
+    levels.groupBy(col("funnel_level")).agg(count(lit(1)).as("n_users"))
+  }
+
+  val q35Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts_us) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id, min(t1) AS t1, min(ts_us) AS t2
+      |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND ts_us > t1 AND ts_us <= t1 + 86400000000
+      |  GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t3
+      |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t1 + 86400000000
+      |  GROUP BY ev.user_id),
+      |levels AS (
+      |  SELECT u.user_id,
+      |    (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS funnel_level
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN s1 ON u.user_id = s1.user_id
+      |  LEFT JOIN s2 ON u.user_id = s2.user_id
+      |  LEFT JOIN s3 ON u.user_id = s3.user_id)
+      |SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users
+      |FROM levels GROUP BY funnel_level""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Cohort retention triangle: users are cohorted by the day of their
+    * first event; for each (cohort day, day offset) the count of users
+    * active that many days later. Day arithmetic stays integral (µs div
+    * 86.4e9) so both engines bucket identically.
+    *
+    * Scale shape: one user_id shuffle derives first-day cohorts, the
+    * (user, day) activity set dedups map-side before its shuffle, and
+    * the triangle is a (cohort, offset)-keyed count whose output is
+    * bounded by days², independent of event volume. */
+  def q36RetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val act = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts_ns div 1000) div $dayUs").as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q36Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM act JOIN cohort ON act.user_id = cohort.user_id
+      |GROUP BY cohort_day, day - cohort_day""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -889,6 +987,8 @@ object RelationalQueries {
     "q32_pivot"           -> (q32Pivot _),
     "q33_quantile_sketch" -> (q33QuantileSketch _),
     "q34_unpivot"         -> (q34Unpivot _),
+    "q35_event_funnel"    -> (q35EventFunnel _),
+    "q36_retention_cohort" -> (q36RetentionCohort _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -926,5 +1026,7 @@ object RelationalQueries {
     "q32_pivot"           -> q32Sql,
     "q33_quantile_sketch" -> q33Sql,
     "q34_unpivot"         -> q34Sql,
+    "q35_event_funnel"    -> q35Sql,
+    "q36_retention_cohort" -> q36Sql,
   )
 }

@@ -85,4 +85,35 @@ class RelationalQueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("l_partkey"), "column pruning failed:\n" + plan)
   }
+
+  test("q35 funnel histogram partitions the user base; depth only shrinks") {
+    val rows = RelationalQueries.q35EventFunnel(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.values.sum == users, "every active user lands in exactly one level")
+    assert(rows.keys.forall(l => l >= 0 && l <= 3))
+    // completion counts (users at level >= k) must be non-increasing in k
+    val atLeast = (0 to 3).map(k => rows.filter(_._1 >= k).values.sum)
+    assert(atLeast.sliding(2).forall { case Seq(a, b) => a >= b case _ => true })
+    assert(rows.getOrElse(2, 0L) + rows.getOrElse(3, 0L) > 0,
+      "funnel window must let some users past step 1 on this data")
+  }
+
+  test("q36 retention triangle: offset-0 row equals each cohort's size") {
+    val rows = RelationalQueries.q36RetentionCohort(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0); assert(n > 0) }
+    // every user is active on their own cohort day, so sum of offset-0
+    // counts = total distinct users; and no offset row can exceed its
+    // cohort's day-0 population
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    val day0 = rows.filter(_._2 == 0L).map(p => p._1 -> p._3).toMap
+    assert(day0.values.sum == users)
+    rows.foreach { case (cohort, _, n) =>
+      assert(n <= day0(cohort), s"cohort $cohort retention exceeds its size")
+    }
+  }
 }
