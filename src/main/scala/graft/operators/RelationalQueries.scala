@@ -951,6 +951,64 @@ object RelationalQueries {
       |FROM act JOIN cohort ON act.user_id = cohort.user_id
       |GROUP BY cohort_day, day - cohort_day""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Top user-journey paths: the 10 most frequent event-type trigrams
+    * occurring INSIDE a session (2-hour inactivity gap — path analysis
+    * wants coarser sessions than q28's 30-minute activity windows).
+    * Deterministic top-10 by (count desc, path asc).
+    *
+    * Scale shape: the q28 trick extended — ONE user_id exchange serves
+    * the lag flag, the running-sum session id, AND the trigram leads
+    * (lead of both event_type and sess_id over the same window), so
+    * path extraction adds zero shuffles; the histogram is a path-keyed
+    * count whose cardinality is |event_types|³, and the final top-10 is
+    * TakeOrdered over that bounded set. */
+  def q37SessionPaths(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 2L * 3600 * 1000000
+    val w     = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessed = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("s1", lead(col("sess_id"), 1).over(w))
+      .withColumn("s2", lead(col("sess_id"), 2).over(w))
+    sessed
+      .filter(col("s1") === col("sess_id") && col("s2") === col("sess_id"))
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
+  val q37Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) <= 7200000000
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |sessed AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flags),
+      |tri AS (
+      |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+      |           || '>' || lead(event_type, 2) OVER w AS path,
+      |    sess_id, lead(sess_id, 1) OVER w AS s1, lead(sess_id, 2) OVER w AS s2
+      |  FROM sessed
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT path, count(*) AS n
+      |FROM tri WHERE s1 = sess_id AND s2 = sess_id
+      |GROUP BY path
+      |ORDER BY n DESC, path ASC
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -989,6 +1047,7 @@ object RelationalQueries {
     "q34_unpivot"         -> (q34Unpivot _),
     "q35_event_funnel"    -> (q35EventFunnel _),
     "q36_retention_cohort" -> (q36RetentionCohort _),
+    "q37_session_paths"   -> (q37SessionPaths _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1028,5 +1087,6 @@ object RelationalQueries {
     "q34_unpivot"         -> q34Sql,
     "q35_event_funnel"    -> q35Sql,
     "q36_retention_cohort" -> q36Sql,
+    "q37_session_paths"   -> q37Sql,
   )
 }

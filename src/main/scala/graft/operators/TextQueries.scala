@@ -740,6 +740,51 @@ object TextQueries {
        |  n_in - n_dropped AS n_kept
        |FROM funnel""".stripMargin
 
+  // ------------------------------------------------------- corpus_sample
+  private val SampleK = 5 // docs kept per source stratum
+
+  /** Deterministic uniform sampling by order statistics: keep each
+    * source's [[SampleK]] documents with the smallest salted portable
+    * hash. Statistically a uniform without-replacement sample (the
+    * hash is effectively a random permutation rank), but reproducible
+    * on any engine with zero RNG state — the standard trick for
+    * auditable corpus samples / eval-set carving.
+    *
+    * Scale shape: the bounded [[graft.functions.TopKAggregator]] keeps
+    * k candidates per stratum map-side, so the shuffle carries
+    * k·|sources| (double, long) pairs regardless of corpus size — the
+    * Window/row_number formulation would sort-shuffle the whole corpus
+    * into one reducer per source. Hash is folded mod 1e9 so its double
+    * image in the aggregator stays exact (< 2^53). */
+  def corpusSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    graft.expressions.CharFoldHash.register(s)
+    val top = udaf(new graft.functions.TopKAggregator(SampleK),
+      Encoders.product[graft.functions.ScoredId])
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("char_fold_hash(CONCAT('smp', CAST(doc_id AS STRING))) % 1000000000")
+          .as("hs"))
+      .groupBy(col("source"))
+      // negate: the aggregator keeps LARGEST scores; smallest hash wins
+      .agg(top((-col("hs")).cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.vec_id").as("doc_id"),
+        (-col("t.cos")).cast(LongType).as("hs"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val corpusSampleSql: String = {
+    val h = graft.functions.HashFunctions.charFoldHashSql("'smp' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $h % 1000000000 AS hs FROM documents)
+       |SELECT source, doc_id, hs, rank FROM (
+       |  SELECT source, doc_id, hs,
+       |    row_number() OVER (PARTITION BY source ORDER BY hs ASC, doc_id ASC) AS rank
+       |  FROM d) t
+       |WHERE rank <= $SampleK""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -758,6 +803,7 @@ object TextQueries {
     "corpus_mix"       -> (corpusMix _),
     "txt_pii_scrub"    -> (txtPiiScrub _),
     "corpus_funnel"    -> (corpusFunnel _),
+    "corpus_sample"    -> (corpusSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -777,5 +823,6 @@ object TextQueries {
     "corpus_mix"       -> corpusMixSql,
     "txt_pii_scrub"    -> txtPiiScrubSql,
     "corpus_funnel"    -> corpusFunnelSql,
+    "corpus_sample"    -> corpusSampleSql,
   )
 }

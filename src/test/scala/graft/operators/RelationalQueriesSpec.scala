@@ -116,4 +116,23 @@ class RelationalQueriesSpec extends SparkSpecBase {
       assert(n <= day0(cohort), s"cohort $cohort retention exceeds its size")
     }
   }
+
+  test("q37 session paths: valid trigrams, counts ranked, one user exchange") {
+    val df = RelationalQueries.q37SessionPaths(spark, sfDir)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 10)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (path, n) =>
+      val steps = path.split(">")
+      assert(steps.length == 3 && steps.forall(types), s"bad path $path")
+      assert(n >= 1)
+    }
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b case _ => true },
+      "top-10 must be count-descending")
+    // session flag, running session id, and both trigram leads must all
+    // ride ONE user_id exchange (the q28 shuffle-reuse pattern); strip
+    // AQE's echoed "Initial Plan" section so exchanges aren't double-counted
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+  }
 }

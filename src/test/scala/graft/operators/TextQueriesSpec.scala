@@ -215,4 +215,31 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(rows.map(_._4).sum > 0, "the cascade must drop something on this corpus")
     assert(rows.last._5 > 0, "the cascade must keep something on this corpus")
   }
+
+  test("corpus sample keeps exactly the k smallest hashes per stratum, no sort") {
+    val df = TextQueries.corpusSample(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    val nSources = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count()
+    assert(bySrc.size == nSources, "every stratum must be sampled")
+    bySrc.values.foreach { g =>
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to g.length), "ranks not dense")
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }, "hash must ascend with rank")
+    }
+    // bounded aggregate, not a per-stratum sort funnel
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sample plans a Window:\n$plan")
+    assert(!plan.contains("Sort "), s"sample plans a Sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"), plan)
+    // determinism across runs
+    assert(TextQueries.corpusSample(spark, sfDir).collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+  }
 }
