@@ -630,17 +630,21 @@ object TextQueries {
     * parallel. Counts are computed on the ORIGINAL text per class
     * (order-independent), the cascade only orders the rewrites. */
   def txtPiiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        regexp_count(col("text"), lit(PiiEmail)).cast(LongType).as("n_email"),
-        regexp_count(col("text"), lit(PiiIp)).cast(LongType).as("n_ip"),
-        regexp_count(col("text"), lit(PiiName)).cast(LongType).as("n_name"),
+    txtPiiScrubCore(Tables.documents(s, d))
+
+  /** Core scrub over any (doc_id, text) frame — split out so specs can
+    * plant emails/IPs that this corpus's vocabulary never produces. */
+  private[operators] def txtPiiScrubCore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmail)).cast(LongType).as("n_email"),
+      regexp_count(col("text"), lit(PiiIp)).cast(LongType).as("n_ip"),
+      regexp_count(col("text"), lit(PiiName)).cast(LongType).as("n_name"),
+      regexp_replace(
         regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
-            PiiIp, "[IP]"),
-          PiiName, "[NAME]").as("scrubbed"))
+          regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
+          PiiIp, "[IP]"),
+        PiiName, "[NAME]").as("scrubbed"))
 
   val txtPiiScrubSql: String =
     s"""SELECT doc_id,

@@ -216,6 +216,30 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(rows.last._5 > 0, "the cascade must keep something on this corpus")
   }
 
+  test("pii scrub FIRES on planted emails and IPs (classes the corpus lacks)") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact alice.smith+spam@example-mail.co.uk for the report"),
+      (2L, "server at 10.0.255.3 and backup at 192.168.1.17 went down"),
+      (3L, "customer bob@corp.io pinged from 127.0.0.1 twice: bob@corp.io"),
+      (4L, "no sensitive content here at all"),
+      (5L, "almost-an-ip 1.2.3 and almost@an email @ bare.at")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.txtPiiScrubCore(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 0L, 0L,
+      "contact [EMAIL] for the report")))
+    assert(out(2L) == ((0L, 2L, 0L,
+      "server at [IP] and backup at [IP] went down")))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 1L && out(3L)._3 == 1L)
+    assert(out(3L)._4 == "[NAME] [EMAIL] pinged from [IP] twice: [EMAIL]")
+    assert(out(4L) == ((0L, 0L, 0L, "no sensitive content here at all")))
+    // near-misses must NOT match: 3-octet ip, user-less at, bare domain
+    assert(out(5L)._2 == 0L, "1.2.3 is not an IPv4")
+    assert(out(5L)._1 == 0L, s"no valid email in doc 5: ${out(5L)._4}")
+  }
+
   test("corpus sample keeps exactly the k smallest hashes per stratum, no sort") {
     val df = TextQueries.corpusSample(spark, sfDir)
     val rows = df.collect().map(r =>
