@@ -215,5 +215,11 @@ class DedupQueriesSpec extends SparkSpecBase {
       assert(share == reported.contains((a, b)),
         s"pair ($a,$b): truth=$share reported=${reported.contains((a, b))}")
     }
+    // the self-join must be an equi-join on the folded int64 run key,
+    // never an all-pairs product
+    val plan = DedupQueries.dedupSubstring(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"substring dedup went all-pairs:\n$plan")
+    assert(plan.contains("run_h"), plan)
   }
 }

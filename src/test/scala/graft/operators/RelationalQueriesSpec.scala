@@ -98,6 +98,11 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(atLeast.sliding(2).forall { case Seq(a, b) => a >= b case _ => true })
     assert(rows.getOrElse(2, 0L) + rows.getOrElse(3, 0L) > 0,
       "funnel window must let some users past step 1 on this data")
+    // all step joins are user_id equi-joins — no product, no window
+    val plan = RelationalQueries.q35EventFunnel(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"funnel went all-pairs:\n$plan")
+    assert(!plan.contains("Window"), s"funnel needs no window:\n$plan")
   }
 
   test("q36 retention triangle: offset-0 row equals each cohort's size") {
