@@ -57,4 +57,32 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val got = run(2, Seq(ScoredId(-0.0, 2), ScoredId(0.0, 1), ScoredId(-0.5, 3)))
     assert(got.map(_.vec_id) == Seq(1L, 2L))
   }
+
+  test("property: any input under any partitioning equals the reference sort") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // reference: full NaN-total sort (cos desc, NaN first, id asc), take k —
+    // exactly what row_number() OVER (ORDER BY cos DESC, id ASC) keeps
+    def ref(xs: Seq[ScoredId], k: Int): Seq[ScoredId] =
+      xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(
+          if (a.cos == 0.0) 0.0 else a.cos, if (b.cos == 0.0) 0.0 else b.cos)
+        c > 0 || (c == 0 && a.vec_id < b.vec_id)
+      }.take(k)
+    val genScore = Gen.frequency(
+      (8, Gen.chooseNum(-1.0, 1.0)),
+      (1, Gen.oneOf(Double.NaN, 0.0, -0.0, 1.0, -1.0)))
+    val genItems = for {
+      n   <- Gen.chooseNum(0, 60)
+      ids <- Gen.pick(n, 0L until 200L)
+      ss  <- Gen.listOfN(n, genScore)
+    } yield ids.toSeq.zip(ss).map { case (id, sc) => ScoredId(sc, id) }
+    val prop = Prop.forAll(genItems, Gen.chooseNum(1, 8),
+        Gen.chooseNum(1, 6)) { (xs, k, nParts) =>
+      val parts = if (xs.isEmpty) Seq(Seq.empty[ScoredId])
+        else xs.grouped(math.max(1, xs.length / nParts)).toSeq
+      mergeAll(k, parts) == ref(xs, k) && run(k, xs) == ref(xs, k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
