@@ -371,6 +371,81 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $GraphK""".stripMargin
 
+  // ----------------------------------------------------- sim_graph_rank
+  private val PrIters = 2        // power-iteration rounds
+  private val PrDamp = 0.85      // damping factor
+  private val FpScale = 1e15     // fixed-point scale for exact summation
+
+  /** PageRank-style importance over the k-NN graph (two damped power
+    * iterations) — graph centrality as a diversity/quality signal for
+    * corpus curation. Each round: every vertex splits its rank across
+    * its out-edges, incoming shares are summed, and rank becomes
+    * (1-d)/N + d·sum (dangling mass dropped, the standard sparse
+    * simplification).
+    *
+    * Cross-engine determinism WITHOUT decimal-cast coupling: per-edge
+    * shares are floored to int64 fixed-point (×1e15) before the sum, so
+    * the aggregation is exact integer addition — shuffle-order- and
+    * engine-independent — and every remaining op is a single IEEE
+    * double op with identical operands on both engines. Per-vertex
+    * sums are bounded by total rank mass (≈1e15), so the int64 never
+    * overflows at ANY corpus size.
+    *
+    * Scale shape: the edge list is the k-NN output (≤k·N edges); each
+    * iteration is one vec_id equi-join + one dst-keyed integer sum —
+    * the classic iterate-until-k rounds sparse-matvec, each round a
+    * bounded shuffle, no global state. */
+  def simGraphRank(s: SparkSession, d: String): DataFrame = {
+    val edges = simKnnGraph(s, d)
+      .select(col("src_id"), col("nbr_id").as("dst")).cache()
+    val verts = embedded(s, d).select(col("vec_id"))
+    val n = verts.agg(count(lit(1)).cast(DoubleType).as("nv"))
+    val outdeg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("od"))
+    var rank = verts.crossJoin(broadcast(n))
+      .select(col("vec_id"), (lit(1.0) / col("nv")).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(rank.select(col("vec_id").as("src_id"), col("rank")), Seq("src_id"))
+        .join(outdeg, Seq("src_id"))
+        .select(col("dst"),
+          expr(s"CAST(floor(rank / od * $FpScale) AS BIGINT)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("fp"))
+      rank = verts.crossJoin(broadcast(n))
+        .join(sums, verts("vec_id") === sums("dst"), "left")
+        .select(col("vec_id"),
+          (lit(1.0 - PrDamp) / col("nv") +
+            lit(PrDamp) * (coalesce(col("fp"), lit(0L)).cast(DoubleType) / lit(FpScale)))
+            .as("rank"))
+    }
+    rank
+  }
+
+  val simGraphRankSql: String = {
+    // one inlined iteration step as a CTE pair (contributions -> rank)
+    def step(prev: String, out: String): String =
+      s"""c_$out AS (
+         |  SELECT e.nbr_id AS dst,
+         |    CAST(floor(r.rank / od.od * $FpScale) AS BIGINT) AS c
+         |  FROM edges e
+         |  JOIN $prev r ON e.src_id = r.vec_id
+         |  JOIN od ON e.src_id = od.src_id),
+         |$out AS (
+         |  SELECT v.vec_id,
+         |    ${1.0 - PrDamp} / nv + $PrDamp * (CAST(coalesce(s.fp, 0) AS DOUBLE) / $FpScale) AS rank
+         |  FROM verts v CROSS JOIN n
+         |  LEFT JOIN (SELECT dst, CAST(sum(c) AS BIGINT) AS fp FROM c_$out GROUP BY dst) s
+         |    ON v.vec_id = s.dst)""".stripMargin
+    s"""WITH knn AS ($simKnnGraphSql),
+       |edges AS (SELECT src_id, nbr_id FROM knn),
+       |verts AS (SELECT vec_id FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings),
+       |od AS (SELECT src_id, count(*) AS od FROM edges GROUP BY src_id),
+       |r0 AS (SELECT vec_id, 1.0 / nv AS rank FROM verts CROSS JOIN n),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")}
+       |SELECT vec_id, rank FROM r2""".stripMargin
+  }
+
   // ------------------------------------------------------- sim_pq_topk
   private val PqM = 8       // subspaces (64 dims / 8 per subvector)
   private val PqSub = 8     // dims per subvector
@@ -572,6 +647,7 @@ object SimilarityQueries {
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
     "sim_knn_graph"       -> (simKnnGraph _),
+    "sim_graph_rank"      -> (simGraphRank _),
     "sim_pq_topk"         -> (simPqTopK _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
@@ -583,6 +659,7 @@ object SimilarityQueries {
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,
     "sim_knn_graph"       -> simKnnGraphSql,
+    "sim_graph_rank"      -> simGraphRankSql,
     "sim_pq_topk"         -> simPqTopKSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,

@@ -164,6 +164,24 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"PQ went all-pairs:\n$plan")
   }
 
+  test("graph rank: covers every vertex, conserves bounded mass, rewards in-links") {
+    val rows = SimilarityQueries.simGraphRank(spark, sfDir)
+      .as[(Long, Double)].collect()
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.length == nVecs, "every vertex gets a rank")
+    rows.foreach { case (_, r) => assert(r > 0.0 && r < 1.0) }
+    // total mass <= 1 (dangling mass is dropped, never invented)
+    val total = rows.map(_._2).sum
+    assert(total <= 1.0 + 1e-9, s"rank mass exceeds 1: $total")
+    assert(total >= 0.15, s"implausibly low mass: $total")
+    // a vertex with no in-links sits at the teleport floor; linked
+    // vertices must rise above it
+    val floor = 0.15 / nVecs
+    assert(rows.exists(_._2 > floor * 2), "no vertex accumulated in-link mass")
+    assert(rows.filter(_._2 >= floor * 0.99).length == nVecs,
+      "teleport term must lower-bound every vertex")
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
