@@ -543,6 +543,150 @@ object SimilarityQueries {
        |  FROM ad) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // ------------------------------------------------------- sim_ivf_pq
+  /** IVF-PQ ANN (coarse cells + PQ-encoded residuals + ADC) — the
+    * composed index layout production 100 TB vector search actually
+    * deploys (FAISS's IVFPQ): sim_topk_ivf's cell pruning and
+    * sim_pq_topk's byte codes are each half of it. Every corpus vector
+    * is (1) assigned to its nearest of [[NumCells]] coarse centroids by
+    * L2 (ties: lowest cid, as sim_kmeans), (2) its RESIDUAL against
+    * that centroid is PQ-encoded as [[PqM]] 4-bit codes (residual
+    * codebooks seeded from the first [[PqCodes]] vectors' own
+    * residuals). A query probes its [[NumProbes]] nearest cells, builds
+    * one [[PqM]]×[[PqCodes]] LUT of subspace distances per probed cell
+    * (the query residual differs per cell — that is what distinguishes
+    * IVF-PQ from flat PQ), and ranks only the probed cells' candidates
+    * by the s-ordered ADC fold. The oracle replicates assign + residual
+    * encode + per-cell LUT + fold, so the full index pipeline is gated.
+    *
+    * Scale shape: assignment and encoding are pure maps over broadcast
+    * arrays (16 centroids / 128 codewords) — the corpus never shuffles,
+    * and the stored index is (cid, 4-byte code) per vector, 64× smaller
+    * than the embeddings. Search touches only probed cells (the
+    * LUT join is an equi-join on cid against |Q|·nprobe broadcast
+    * rows), and the only shuffle is the bounded top-k aggregate
+    * carrying k rows per query. */
+  def simIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        expr("vec_dot(emb, emb)").as("cn2"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cn2")))).as("cents"))
+    // coarse assign (L2 argmin, tie lowest cid) + residual, one pure map
+    val assigned = e.crossJoin(broadcast(centsArr))
+      .withColumn("best", expr(
+        """array_min(transform(cents,
+          |  c -> named_struct(
+          |    'd2', vec_dot(emb, emb) - 2 * vec_dot(emb, c.cemb) + c.cn2,
+          |    'cid', c.cid)))""".stripMargin))
+      .withColumn("cemb", expr("filter(cents, c -> c.cid = best.cid)[0].cemb"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        expr("zip_with(emb, cemb, (x, y) -> x - y)").as("resid"))
+    // residual codebooks: 128 structs (s, c, csub, cn2) from the seed
+    // vectors' OWN residuals, sorted so slice(cb, s*16+1, 16) is
+    // subspace s in codeword order
+    val cbArr = assigned.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").cast(IntegerType).as("c"),
+        explode(expr(s"""transform(sequence(0, ${PqM - 1}),
+          |  s -> named_struct('s', s, 'csub', slice(resid, s * $PqSub + 1, $PqSub)))""".stripMargin)).as("sc"))
+      .select(col("sc.s").as("s"), col("c"), col("sc.csub").as("csub"),
+        expr("vec_dot(sc.csub, sc.csub)").as("cn2"))
+      .agg(array_sort(collect_list(struct(col("s"), col("c"), col("csub"), col("cn2")))).as("cb"))
+    // encode residuals: per-subspace L2 argmin over the broadcast
+    // codebook (sub·sub constant per (row, s), so rank by cn2 - 2·sub·csub)
+    val encoded = assigned.crossJoin(broadcast(cbArr))
+      .withColumn("codes", expr(s"""transform(sequence(0, ${PqM - 1}),
+        |  s -> array_min(transform(slice(cb, s * $PqCodes + 1, $PqCodes),
+        |    cc -> named_struct(
+        |      'key', cc.cn2 - 2 * vec_dot(slice(resid, s * $PqSub + 1, $PqSub), cc.csub),
+        |      'c', cc.c))).c)""".stripMargin))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    // probes: top-nprobe cells per query by L2, query residual per cell
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(centsArr))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> named_struct(
+             |    'd2', vec_dot(emb, emb) - 2 * vec_dot(emb, c.cemb) + c.cn2,
+             |    'cid', c.cid,
+             |    'cemb', c.cemb))), 1, $NumProbes)""".stripMargin)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cid"),
+        expr("zip_with(qemb, p.cemb, (x, y) -> x - y)").as("qresid"))
+    // per-cell LUTs: full subspace distance per codebook entry, cb order
+    val luts = probes.crossJoin(broadcast(cbArr))
+      .select(col("query_id"), col("cid"), expr(s"""transform(cb,
+        |  cc -> vec_dot(slice(qresid, cc.s * $PqSub + 1, $PqSub), slice(qresid, cc.s * $PqSub + 1, $PqSub))
+        |    - 2 * vec_dot(slice(qresid, cc.s * $PqSub + 1, $PqSub), cc.csub) + cc.cn2)""".stripMargin).as("lut"))
+    // ADC over probed cells only: equi-join on cid, s-ordered fold
+    explodeTopK(
+      encoded.join(broadcast(luts), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("negadist", expr(s"""-aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
+          |  (a, s) -> a + element_at(lut, s * $PqCodes + element_at(codes, s + 1) + 1))""".stripMargin))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("negadist"), col("vec_id")).as("top")))
+      .select(col("query_id"), col("vec_id"), negate(col("cos")).as("adist"), col("rn"))
+  }
+
+  val simIvfPqSql: String = {
+    val d2 = (e: String, c: String) =>
+      s"list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + list_dot_product($c, $c)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCells),
+       |assigned AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(range(1, len(emb) + 1), i -> emb[i] - cemb[i]) AS resid
+       |  FROM (
+       |    SELECT e.vec_id, c.cid, e.emb, c.cemb,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.emb", "c.cemb")} ASC, c.cid ASC) AS rnc
+       |    FROM e CROSS JOIN cents c) t
+       |  WHERE rnc = 1),
+       |rsv AS (
+       |  SELECT vec_id, cid, CAST(s AS INT) AS s,
+       |    resid[($PqSub*s+1):($PqSub*s+$PqSub)] AS sub
+       |  FROM assigned, (SELECT unnest(range($PqM)) AS s)),
+       |cb AS (
+       |  SELECT s, CAST(vec_id AS INT) AS c, sub AS csub FROM rsv WHERE vec_id < $PqCodes),
+       |codes AS (
+       |  SELECT vec_id, cid, s, c AS code FROM (
+       |    SELECT rsv.vec_id, rsv.cid, rsv.s, cb.c,
+       |      row_number() OVER (PARTITION BY rsv.vec_id, rsv.s
+       |        ORDER BY list_dot_product(cb.csub, cb.csub)
+       |          - 2 * list_dot_product(rsv.sub, cb.csub) ASC, cb.c ASC) AS rnq
+       |    FROM rsv JOIN cb ON rsv.s = cb.s) t
+       |  WHERE rnq = 1),
+       |probes AS (
+       |  SELECT query_id, cid,
+       |    list_transform(range(1, len(qemb) + 1), i -> qemb[i] - cemb[i]) AS qresid
+       |  FROM (
+       |    SELECT e.vec_id AS query_id, c.cid, e.emb AS qemb, c.cemb,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.emb", "c.cemb")} ASC, c.cid ASC) AS rnp
+       |    FROM e CROSS JOIN cents c WHERE e.vec_id < $NumQueries) t
+       |  WHERE rnp <= $NumProbes),
+       |lut AS (
+       |  SELECT p.query_id, p.cid, cb.s, cb.c,
+       |    list_dot_product(p.qresid[($PqSub*cb.s+1):($PqSub*cb.s+$PqSub)],
+       |                     p.qresid[($PqSub*cb.s+1):($PqSub*cb.s+$PqSub)])
+       |      - 2 * list_dot_product(p.qresid[($PqSub*cb.s+1):($PqSub*cb.s+$PqSub)], cb.csub)
+       |      + list_dot_product(cb.csub, cb.csub) AS qd2
+       |  FROM probes p JOIN cb ON true),
+       |ad AS (
+       |  SELECT l.query_id, co.vec_id,
+       |    list_reduce(list(l.qd2 ORDER BY l.s), (a, b) -> a + b) AS adist
+       |  FROM codes co JOIN lut l ON l.cid = co.cid AND l.s = co.s AND l.c = co.code
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY l.query_id, co.vec_id)
+       |SELECT query_id, vec_id, adist, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM ad) t
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
   // ---------------------------------------------------------- sim_kmeans
   private val KmK = 8      // clusters: centroids seeded from vec_id < 8
   private val KmIters = 2  // Lloyd update rounds before the final assign
@@ -649,6 +793,7 @@ object SimilarityQueries {
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_graph_rank"      -> (simGraphRank _),
     "sim_pq_topk"         -> (simPqTopK _),
+    "sim_ivf_pq"          -> (simIvfPq _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
   )
@@ -661,6 +806,7 @@ object SimilarityQueries {
     "sim_knn_graph"       -> simKnnGraphSql,
     "sim_graph_rank"      -> simGraphRankSql,
     "sim_pq_topk"         -> simPqTopKSql,
+    "sim_ivf_pq"          -> simIvfPqSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
   )

@@ -182,6 +182,62 @@ class SimilarityQueriesSpec extends SparkSpecBase {
       "teleport term must lower-bound every vertex")
   }
 
+  test("IVF-PQ: k ranked candidates per query, ADC distance non-decreasing") {
+    val rows = SimilarityQueries.simIvfPq(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 5L), "ranks not dense")
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }, "ADC distance must be non-decreasing in rank")
+    }
+    rows.foreach { case (q, v, dd, _) =>
+      assert(q != v, "self-match in IVF-PQ top-k")
+      assert(dd >= -1e-9, s"squared-distance surrogate went negative: $dd")
+    }
+  }
+
+  test("IVF-PQ candidates come only from probed cells") {
+    // Re-derive the coarse assignment and each query's probe set with
+    // plain Spark SQL; every returned neighbor must live in one of its
+    // query's nprobe cells — the invariant that makes IVF-PQ prune I/O.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val d2 = expr("aggregate(zip_with(emb, cemb, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
+    val ranked = e.crossJoin(cents).withColumn("d2", d2)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("cid").asc)))
+    val cellOf = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val probesOf = ranked.where(col("vec_id") < 10 && col("rn") <= 3)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    SimilarityQueries.simIvfPq(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .foreach { case (q, v) =>
+        assert(probesOf(q).contains(cellOf(v)),
+          s"neighbor $v of query $q sits in unprobed cell ${cellOf(v)}")
+      }
+  }
+
+  test("IVF-PQ plan: pure-map encode, probed-cell equi-join, bounded top-k") {
+    val plan = SimilarityQueries.simIvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"IVF-PQ plans a Window:\n$plan")
+    assert(!plan.contains("Sort "), s"IVF-PQ plans a Sort:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), s"IVF-PQ went all-pairs:\n$plan")
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
