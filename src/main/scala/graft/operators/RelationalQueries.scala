@@ -1009,6 +1009,39 @@ object RelationalQueries {
       |ORDER BY n DESC, path ASC
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Event-time RANGE window frames: per-user trailing-10-minute event
+    * count and exact spend at every event — the "activity in the last N
+    * minutes" feature window (fraud velocity checks, rate features).
+    * q27's ROWS frames count physical rows; RANGE frames bound the
+    * frame by the ORDER-BY value itself, so tied timestamps enter as
+    * peers and gaps shrink the frame — semantics ROWS cannot express.
+    *
+    * Determinism: the frame is keyed on integral µs (int64 — see q15),
+    * so frame membership is exact on both engines regardless of tie
+    * order, and the windowed sum is decimal. Scale shape: ONE shuffle
+    * on user_id; both aggregates share the window spec, so Spark plans
+    * a single Window operator over the one sort. */
+  def q38TimeRangeFrames(s: SparkSession, d: String): DataFrame = {
+    val trailUs = 10L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-trailUs, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("trail_n"),
+        outd(sum(dec(col("value"))).over(w)).as("trail_spend"))
+  }
+
+  val q38Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_spend
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1048,6 +1081,7 @@ object RelationalQueries {
     "q35_event_funnel"    -> (q35EventFunnel _),
     "q36_retention_cohort" -> (q36RetentionCohort _),
     "q37_session_paths"   -> (q37SessionPaths _),
+    "q38_time_range_frames" -> (q38TimeRangeFrames _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1088,5 +1122,6 @@ object RelationalQueries {
     "q35_event_funnel"    -> q35Sql,
     "q36_retention_cohort" -> q36Sql,
     "q37_session_paths"   -> q37Sql,
+    "q38_time_range_frames" -> q38Sql,
   )
 }

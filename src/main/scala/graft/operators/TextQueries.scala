@@ -789,6 +789,123 @@ object TextQueries {
        |WHERE rank <= $SampleK""".stripMargin
   }
 
+  // ------------------------------------------------------- corpus_chunk
+  private val ChunkSize = 64   // tokens per chunk (the "context window")
+  private val ChunkStride = 48 // tokens between chunk starts (16 overlap)
+
+  /** Sliding-window document chunking: every document split into
+    * [[ChunkSize]]-token windows advancing by [[ChunkStride]] tokens
+    * (overlap = size - stride) — the retrieval-chunking / training-
+    * sequence prep step every RAG index and context-window pipeline
+    * runs. Chunk count is exact integer math (`1 + ceil((n-W)/S)` via
+    * int division, one chunk for docs at or under W tokens), so the
+    * layout is reproducible on any engine with no float in sight.
+    *
+    * Scale shape: a pure map + explode on a single scan — zero
+    * shuffles; output volume is Σ chunks, the job's intrinsic size.
+    * The slice re-materializes only the window's tokens, so peak memory
+    * per row is one document regardless of corpus size. */
+  def corpusChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= ChunkSize, lit(1L))
+          .otherwise(expr(s"(n_tokens - ${ChunkSize - ChunkStride + 1}) div $ChunkStride") + 1L))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk",
+        expr(s"slice(toks, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride + 1).as("start_tok"),
+        size(col("chunk")).cast(LongType).as("n_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+
+  val corpusChunkSql: String =
+    s"""WITH toks AS (SELECT doc_id, $DTokens AS l FROM documents),
+       |n AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens FROM toks),
+       |c AS (
+       |  SELECT doc_id, l,
+       |    CASE WHEN n_tokens <= $ChunkSize THEN 1
+       |         ELSE (n_tokens - ${ChunkSize - ChunkStride + 1}) // $ChunkStride + 1 END AS n_chunks
+       |  FROM n),
+       |x AS (SELECT doc_id, l, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id FROM c)
+       |SELECT doc_id, chunk_id,
+       |  CAST(chunk_id * $ChunkStride + 1 AS BIGINT) AS start_tok,
+       |  CAST(len(l[(chunk_id * $ChunkStride + 1):(chunk_id * $ChunkStride + $ChunkSize)]) AS BIGINT) AS n_tok,
+       |  array_to_string(l[(chunk_id * $ChunkStride + 1):(chunk_id * $ChunkStride + $ChunkSize)], ' ') AS chunk_text
+       |FROM x""".stripMargin
+
+  // ------------------------------------------------------ txt_diversity
+  private val DivFpScale = 1e15 // fixed-point scale for the Simpson sum
+
+  /** Token-distribution concentration metrics per document: Simpson
+    * index (probability two random tokens coincide — order-2 Rényi
+    * concentration), effective vocabulary size (1/Simpson), and
+    * type-token ratio. Low diversity flags boilerplate/spam documents
+    * that length and stopword heuristics (txt_quality) miss.
+    *
+    * Cross-engine determinism without libm: entropy's log is replaced
+    * by the rational Simpson family (division and multiplication are
+    * correctly-rounded IEEE ops, where log() flakes in the last ulp —
+    * see txt_tfidf), and the per-type (c/n)² terms are floored to int64
+    * fixed-point before summation, so the per-document reduction is
+    * exact integer addition — shuffle-order- and engine-independent.
+    * Terms sum to ≤ 1e15, so int64 never overflows.
+    *
+    * Scale shape: one (doc_id, token) shuffle builds counts; doc
+    * totals ride a partition-frame window over that same frame (no
+    * second corpus scan); final metrics are a doc-keyed aggregate. */
+  def txtDiversity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val r = col("c").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+    val per = tc
+      .withColumn("n_tokens", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("term", floor(r * r * lit(DivFpScale)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("term")).as("fp"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(col("n_tokens") > 0,
+          col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("ttr"),
+        when(col("n_tokens") > 0,
+          col("fp").cast(DoubleType) / lit(DivFpScale)).as("simpson"),
+        when(col("fp") > 0, lit(DivFpScale) / col("fp").cast(DoubleType)).as("eff_vocab"))
+  }
+
+  val txtDiversitySql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($DTokens) AS tok FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+       |n AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types
+       |  FROM tc GROUP BY doc_id),
+       |fp AS (
+       |  SELECT tc.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |        * (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * $DivFpScale) AS BIGINT)) AS BIGINT) AS fp
+       |  FROM tc JOIN n USING (doc_id) GROUP BY tc.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n.n_tokens, 0) AS n_tokens,
+       |  coalesce(n.n_types, 0) AS n_types,
+       |  CASE WHEN n.n_tokens > 0
+       |    THEN CAST(n.n_types AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) END AS ttr,
+       |  CASE WHEN n.n_tokens > 0
+       |    THEN CAST(fp.fp AS DOUBLE) / $DivFpScale END AS simpson,
+       |  CASE WHEN fp.fp > 0 THEN $DivFpScale / CAST(fp.fp AS DOUBLE) END AS eff_vocab
+       |FROM documents d
+       |LEFT JOIN n ON d.doc_id = n.doc_id
+       |LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -808,6 +925,8 @@ object TextQueries {
     "txt_pii_scrub"    -> (txtPiiScrub _),
     "corpus_funnel"    -> (corpusFunnel _),
     "corpus_sample"    -> (corpusSample _),
+    "corpus_chunk"     -> (corpusChunk _),
+    "txt_diversity"    -> (txtDiversity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -828,5 +947,7 @@ object TextQueries {
     "txt_pii_scrub"    -> txtPiiScrubSql,
     "corpus_funnel"    -> corpusFunnelSql,
     "corpus_sample"    -> corpusSampleSql,
+    "corpus_chunk"     -> corpusChunkSql,
+    "txt_diversity"    -> txtDiversitySql,
   )
 }

@@ -140,4 +140,27 @@ class RelationalQueriesSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("q38 range frames: trailing window matches a brute-force recount") {
+    import spark.implicits._
+    val df = RelationalQueries.q38TimeRangeFrames(spark, sfDir)
+    val rows = df.select("event_id", "user_id", "ts_us", "trail_n")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every frame includes at least the current row
+    rows.foreach { case (_, _, _, n) => assert(n >= 1) }
+    // brute-force recount for the busiest user: |{e' : same user,
+    // ts-600s <= ts' <= ts}| must equal trail_n for every event
+    val busiest = rows.groupBy(_._2).maxBy(_._2.length)._1
+    val times = rows.filter(_._2 == busiest).map(_._3).sorted
+    rows.filter(_._2 == busiest).foreach { case (_, _, t, n) =>
+      val expect = times.count(t2 => t2 >= t - 600000000L && t2 <= t)
+      assert(n == expect, s"user $busiest @ $t: trail_n $n != $expect")
+    }
+    // both aggregates share one window spec: a single user_id exchange
+    // and a single Window node
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+    assert("Window".r.findAllIn(plan).size <= 2, s"expected one Window node:\n$plan")
+  }
 }

@@ -266,4 +266,70 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(TextQueries.corpusSample(spark, sfDir).collect().map(_.toSeq).toSet ==
       df.collect().map(_.toSeq).toSet)
   }
+
+  test("corpus_chunk: chunks tile every document exactly") {
+    import spark.implicits._
+    val chunks = TextQueries.corpusChunk(spark, sfDir)
+      .select("doc_id", "chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    val nTokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), " +"), t => t =!= "")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == nTokens.keySet, "every document is chunked")
+    byDoc.foreach { case (doc, g) =>
+      val n = nTokens(doc)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until g.length).toSeq, "chunk ids dense")
+      // strides are fixed, the first chunk starts at token 1, and the
+      // last chunk reaches exactly the end of the document — no token
+      // is dropped and no chunk dangles past the end
+      sorted.foreach { case (_, cid, start, len) =>
+        assert(start == cid * 48 + 1)
+        assert(len == math.min(64L, n - start + 1), s"doc $doc chunk $cid len $len")
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == n, s"doc $doc not tiled to the end")
+      // every non-final chunk is full-width
+      sorted.init.foreach { case (_, cid, _, len) => assert(len == 64L, s"doc $doc chunk $cid short") }
+    }
+  }
+
+  test("corpus_chunk reconstructs the document from stride prefixes") {
+    // concatenating each chunk's first 48 tokens (all of the last chunk)
+    // must reproduce the original token stream — the no-loss/no-dup
+    // property retrieval chunking relies on
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val byDoc = TextQueries.corpusChunk(spark, sfDir)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    for ((doc, g) <- byDoc.take(50)) {
+      val chunks = g.sortBy(_._2).map(_._3.split(" ").toSeq)
+      val rebuilt = (chunks.init.map(_.take(48)).flatten ++ chunks.last).toSeq
+      val orig = docs(doc).trim.split(" +").filter(_.nonEmpty).toSeq
+      assert(rebuilt == orig, s"doc $doc does not reconstruct")
+    }
+  }
+
+  test("txt_diversity: metrics bounded and consistent with type counts") {
+    import spark.implicits._
+    val rows = TextQueries.txtDiversity(spark, sfDir)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, types, ttr, simpson, eff) =>
+      assert(types <= n, s"doc $doc: more types than tokens")
+      if (n > 0) {
+        assert(ttr.get > 0 && ttr.get <= 1.0)
+        // Simpson is at least 1/types (uniform) and at most 1 (degenerate);
+        // fixed-point flooring can undershoot by at most types ulps
+        assert(simpson.get <= 1.0 + 1e-9, s"doc $doc simpson ${simpson.get}")
+        assert(simpson.get >= 1.0 / types - 1e-9, s"doc $doc simpson below uniform floor")
+        // effective vocabulary never exceeds observed richness
+        assert(eff.get <= types + 1e-6, s"doc $doc eff_vocab ${eff.get} > $types")
+        assert(eff.get >= 1.0 - 1e-9)
+      }
+    }
+  }
 }
