@@ -1042,6 +1042,55 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Event-time interval join — "purchase within 24h after a view" —
+    * the batch analog of a stream-stream interval join and the classic
+    * attribution/conversion query. Naive form is an inequality-only
+    * self-join (nested loop). Here each view's timestamp is bucketed to
+    * the window width W and exploded to buckets {b, b+1}; purchases
+    * carry their single bucket. The join becomes an EQUI-join on
+    * (user_id, bucket) — hashable, AQE-plannable — and a purchase at
+    * lag ≤ W lands in exactly one of the view's two buckets, so the
+    * exact interval filter afterwards loses nothing and each true pair
+    * appears exactly once (the purchase's bucket is unique; q26 applies
+    * the same trick to value ranges).
+    *
+    * Scale shape: shuffle keys are (user, time-bucket) so a hot user's
+    * history spreads across time instead of hammering one reducer, and
+    * candidate size tracks events within ≤2W of each other — not
+    * views×purchases per user. Output is a per-user aggregate (pair
+    * count, distinct converting views, exact integer µs lag bounds). */
+  def q39IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val W = 24L * 3600 * 1000000 // µs
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      col("event_id"), expr("ts_ns div 1000").as("t"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("t").as("vt"),
+        explode(array(expr(s"t div $W"), expr(s"t div $W") + 1L)).as("b"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("pt"), expr(s"t div $W").as("b"))
+    views.join(purchases, Seq("user_id", "b"))
+      .filter(col("pt") >= col("vt") && col("pt") <= col("vt") + W)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("view_id")).as("n_converted_views"),
+        min(col("pt") - col("vt")).as("min_lag_us"),
+        max(col("pt") - col("vt")).as("max_lag_us"))
+  }
+
+  val q39Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events)
+      |SELECT v.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_converted_views,
+      |  CAST(min(p.t - v.t) AS BIGINT) AS min_lag_us,
+      |  CAST(max(p.t - v.t) AS BIGINT) AS max_lag_us
+      |FROM e v JOIN e p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.t >= v.t AND p.t <= v.t + 86400000000
+      |GROUP BY v.user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1082,6 +1131,7 @@ object RelationalQueries {
     "q36_retention_cohort" -> (q36RetentionCohort _),
     "q37_session_paths"   -> (q37SessionPaths _),
     "q38_time_range_frames" -> (q38TimeRangeFrames _),
+    "q39_interval_join"   -> (q39IntervalJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1123,5 +1173,6 @@ object RelationalQueries {
     "q36_retention_cohort" -> q36Sql,
     "q37_session_paths"   -> q37Sql,
     "q38_time_range_frames" -> q38Sql,
+    "q39_interval_join"   -> q39Sql,
   )
 }

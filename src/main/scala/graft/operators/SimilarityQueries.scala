@@ -446,6 +446,49 @@ object SimilarityQueries {
        |SELECT vec_id, rank FROM r2""".stripMargin
   }
 
+  // ------------------------------------------------- sim_graph_triangles
+  /** Triangle census over the k-NN graph: per-vertex triangle counts —
+    * the local-clustering signal that separates dense near-duplicate
+    * neighborhoods (their k-NN edges close into triangles) from chains
+    * of merely-sequential neighbors. All-integer output.
+    *
+    * Scale shape: the classic id-ordered wedge formulation. The graph
+    * is symmetrized into canonical a<b edges (≤2kN rows); wedges are
+    * built by ONE self-equi-join on the middle vertex so every triangle
+    * a<b<c is generated exactly once (no 3!-fold duplication to dedupe),
+    * then closed by ONE more equi-join probing the (a,c) edge. Both
+    * joins are hash joins on vertex ids — no inequality nested loop —
+    * and the wedge count is bounded by Σ_b deg(b)², with deg bounded by
+    * the k-NN fan-in, not corpus size. */
+  def simGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = simKnnGraph(s, d)
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(least(col("src_id"), col("nbr_id")).as("a"),
+        greatest(col("src_id"), col("nbr_id")).as("b"))
+      .distinct()
+    val wedges = und.join(
+      und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(
+      und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  val simGraphTrianglesSql: String =
+    s"""WITH knn AS ($simKnnGraphSql),
+       |und AS (
+       |  SELECT DISTINCT least(src_id, nbr_id) AS a, greatest(src_id, nbr_id) AS b
+       |  FROM knn WHERE src_id <> nbr_id),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |v AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM v GROUP BY vec_id""".stripMargin
+
   // ------------------------------------------------------- sim_pq_topk
   private val PqM = 8       // subspaces (64 dims / 8 per subvector)
   private val PqSub = 8     // dims per subvector
@@ -792,6 +835,7 @@ object SimilarityQueries {
     "sim_range_search"    -> (simRangeSearch _),
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_graph_rank"      -> (simGraphRank _),
+    "sim_graph_triangles" -> (simGraphTriangles _),
     "sim_pq_topk"         -> (simPqTopK _),
     "sim_ivf_pq"          -> (simIvfPq _),
     "sim_centroids"       -> (simCentroids _),
@@ -805,6 +849,7 @@ object SimilarityQueries {
     "sim_range_search"    -> simRangeSearchSql,
     "sim_knn_graph"       -> simKnnGraphSql,
     "sim_graph_rank"      -> simGraphRankSql,
+    "sim_graph_triangles" -> simGraphTrianglesSql,
     "sim_pq_topk"         -> simPqTopKSql,
     "sim_ivf_pq"          -> simIvfPqSql,
     "sim_centroids"       -> simCentroidsSql,

@@ -906,6 +906,77 @@ object TextQueries {
        |LEFT JOIN n ON d.doc_id = n.doc_id
        |LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin
 
+  // -------------------------------------------------------- txt_colloc
+  private val CollocMinCount = 5 // min bigram support
+  private val CollocK = 20       // collocations reported
+  private val CollocFpScale = 1000000L // fixed-point scale for the lift
+
+  /** Statistical collocation mining: the corpus's top bigrams by lift
+    * — P(xy) / (P(x)·P(y)), the exponential of PMI — with a minimum
+    * support floor. High-lift pairs are multi-word expressions
+    * ("machine learning"-style units) that tokenizers and dedup
+    * shingles should treat as one term.
+    *
+    * PMI's log is monotone, so ranking by the RATIONAL lift gives the
+    * identical order with zero libm: lift·1e6 is computed as one
+    * integer expression floor(c_xy·N²·1e6 / (B·c_x·c_y)) in DECIMAL(38)
+    * (≤1e29 at any realistic corpus, no overflow, scale-0 so the
+    * arithmetic is exact integer math on both engines), and `div`
+    * returns an exact int64 — engine- and shuffle-order-independent,
+    * like txt_diversity's fixed-point Simpson terms.
+    *
+    * Scale shape: unigram and bigram counting are one explode +
+    * vocabulary-sized hash aggregates with map-side partials; the count
+    * joins are vocab-keyed equi-joins (broadcast while the vocabulary
+    * fits, shuffle-on-token beyond); corpus totals ride a broadcast
+    * 1-row frame (no driver collect); the final top-k is
+    * TakeOrderedAndProject over the vocab²-bounded candidate set. */
+  def txtColloc(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        expr("slice(toks, 1, size(toks) - 1)"),
+        expr("slice(toks, 2, size(toks) - 1)")).cast(
+        "array<struct<x:string,y:string>>")).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(sum(col("c")).as("n"))
+      .crossJoin(bi.agg(sum(col("c_xy")).as("b")))
+    bi.filter(col("c_xy") >= CollocMinCount)
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("c_xy"),
+        expr(s"""CAST(c_xy AS DECIMAL(38,0)) * n * n * $CollocFpScale
+                 div (CAST(b AS DECIMAL(38,0)) * c_x * c_y)""").as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("x"), col("y"))
+      .limit(CollocK)
+  }
+
+  val txtCollocSql: String =
+    s"""WITH toks AS (SELECT $DTokens AS l FROM documents),
+       |uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok),
+       |bi AS (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM (SELECT unnest(l[1:len(l)-1]) AS x, unnest(l[2:len(l)]) AS y
+       |        FROM toks WHERE len(l) >= 2) GROUP BY x, y),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       |btot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM bi)
+       |SELECT x, y, c_xy,
+       |  CAST((CAST(c_xy AS HUGEINT) * n * n * $CollocFpScale)
+       |       // (CAST(b AS HUGEINT) * cx.c * cy.c) AS BIGINT) AS lift_fp
+       |FROM bi, tot, btot
+       |JOIN uni cx ON bi.x = cx.tok
+       |JOIN uni cy ON bi.y = cy.tok
+       |WHERE c_xy >= $CollocMinCount
+       |ORDER BY lift_fp DESC, x ASC, y ASC
+       |LIMIT $CollocK""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -927,6 +998,7 @@ object TextQueries {
     "corpus_sample"    -> (corpusSample _),
     "corpus_chunk"     -> (corpusChunk _),
     "txt_diversity"    -> (txtDiversity _),
+    "txt_colloc"       -> (txtColloc _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -949,5 +1021,6 @@ object TextQueries {
     "corpus_sample"    -> corpusSampleSql,
     "corpus_chunk"     -> corpusChunkSql,
     "txt_diversity"    -> txtDiversitySql,
+    "txt_colloc"       -> txtCollocSql,
   )
 }

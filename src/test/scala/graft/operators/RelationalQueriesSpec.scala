@@ -163,4 +163,35 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
     assert("Window".r.findAllIn(plan).size <= 2, s"expected one Window node:\n$plan")
   }
+
+  test("q39 interval join: bucketed equi-join matches brute-force pairing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val W = 24L * 3600 * 1000000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000"))
+      .as[(Long, String, Long)].collect()
+    val views = ev.filter(_._2 == "view").groupBy(_._1)
+    val purch = ev.filter(_._2 == "purchase").groupBy(_._1)
+    val expected = views.keySet.intersect(purch.keySet).flatMap { u =>
+      val lags = for {
+        v <- views(u).map(_._3); p <- purch(u).map(_._3)
+        if p >= v && p <= v + W
+      } yield p - v
+      if (lags.isEmpty) None
+      else Some(u -> (lags.size.toLong, lags.min, lags.max))
+    }.toMap
+    val got = RelationalQueries.q39IntervalJoin(spark, sfDir)
+      .select("user_id", "n_pairs", "min_lag_us", "max_lag_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, n, mn, mx) => u -> (n, mn, mx) }.toMap
+    assert(got == expected, "interval pairing mismatch")
+    assert(got.nonEmpty)
+    // the time-bucket trick must keep the join an equi hash join — the
+    // whole point is avoiding the inequality nested loop
+    val plan = RelationalQueries.q39IntervalJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
 }

@@ -238,6 +238,31 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"IVF-PQ went all-pairs:\n$plan")
   }
 
+  test("graph triangles: per-vertex counts match a brute-force census") {
+    import org.apache.spark.sql.functions._
+    val edges = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .where(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = (edges.toSeq.map { case (a, b) => (a, b) } ++
+      edges.toSeq.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).toSet }
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b) if c > b) {
+      expected(a) += 1; expected(b) += 1; expected(c) += 1
+    }
+    val got = SimilarityQueries.simGraphTriangles(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected.toMap, "triangle census mismatch")
+  }
+
+  test("graph triangles plan: hash equi-joins only, no nested loop") {
+    val plan = SimilarityQueries.simGraphTriangles(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"triangles went all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

@@ -313,6 +313,33 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("txt_colloc: reported lifts match brute-force bigram statistics") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).as[String].collect()
+      .map(_.trim.split(" +").filter(_.nonEmpty).toSeq)
+    val uni = texts.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val bi = texts.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }
+    val n = BigInt(uni.values.sum); val b = BigInt(bi.values.sum)
+    def lift(x: String, y: String): Long =
+      (BigInt(bi((x, y))) * n * n * 1000000L / (b * BigInt(uni(x)) * BigInt(uni(y)))).toLong
+    val rows = TextQueries.txtColloc(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (x, y, cxy, fp) =>
+      assert(cxy == bi((x, y)), s"support mismatch for ($x,$y)")
+      assert(cxy >= 5)
+      assert(fp == lift(x, y), s"lift mismatch for ($x,$y)")
+    }
+    // rows arrive rank-ordered; the cut is the global top-20 by lift
+    val fps = rows.map(_._4)
+    assert(fps.sameElements(fps.sorted(Ordering[Long].reverse)))
+    val allLifts = bi.keys.filter(p => bi(p) >= 5).map { case (x, y) => lift(x, y) }
+    assert(fps.min >= allLifts.toSeq.sorted(Ordering[Long].reverse).take(20).min)
+  }
+
   test("txt_diversity: metrics bounded and consistent with type counts") {
     import spark.implicits._
     val rows = TextQueries.txtDiversity(spark, sfDir)
