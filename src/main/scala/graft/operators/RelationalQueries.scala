@@ -1091,6 +1091,95 @@ object RelationalQueries {
       | AND p.t >= v.t AND p.t <= v.t + 86400000000
       |GROUP BY v.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Gaps-and-islands: per-user consecutive-active-day streaks — the
+    * classic engagement/retention shape (longest streak, streak count,
+    * largest inactivity gap). The island id is `day - row_number()`:
+    * constant exactly across consecutive days, so streaks fall out of
+    * one hash aggregate, no iterative logic.
+    *
+    * Scale shape: the day-distinct aggregate FIRST shrinks the stream
+    * to ≤|days| rows per user, so the window sort ranks tiny per-user
+    * day lists, not raw events; `row_number` and `lag` share one window
+    * spec → a single user_id exchange and one sort serve both. All math
+    * is integral epoch-days — exact on both engines. */
+  def q40Streaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+    islands.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("gap")).as("maxg"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        coalesce(max(col("maxg")) - 1, lit(0L)).as("max_gap_days"))
+  }
+
+  val q40Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER w AS grp,
+      |    day - lag(day) OVER w AS gap
+      |  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |st AS (
+      |  SELECT user_id, grp, count(*) AS len, max(gap) AS maxg
+      |  FROM g GROUP BY user_id, grp)
+      |SELECT user_id,
+      |  CAST(sum(len) AS BIGINT) AS active_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(coalesce(max(maxg) - 1, 0) AS BIGINT) AS max_gap_days
+      |FROM st GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Time-series resampling with gap filling: per-user hourly event
+    * count + exact spend, densified to EVERY hour between the user's
+    * first and last event (zero rows for silent hours) — the
+    * densification step every downstream time-series model (forecasts,
+    * anomaly baselines) needs, which a plain GROUP BY cannot produce.
+    *
+    * Scale shape: the raw stream is hour-aggregated FIRST (one
+    * (user, hr) shuffle with map-side partial aggregation); the span
+    * aggregate and the final left join both ride that already-tiny
+    * hourly frame, and the dense grid is built by `sequence`+`explode`
+    * per user — its volume is the output's intrinsic size, and no
+    * global calendar table is materialized or shuffled. Hours are
+    * integral epoch-hours, spend sums are decimal-exact. */
+  def q41GapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 3600000000000").as("hr"), col("value"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), outd(sum(dec(col("value")))).as("spend"))
+    val dense = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    dense.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+  }
+
+  val q41Sql: String =
+    """WITH a AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM events GROUP BY user_id, hr),
+      |span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM a GROUP BY user_id),
+      |dense AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM span)
+      |SELECT d.user_id, d.hr,
+      |  coalesce(a.n_events, 0) AS n_events,
+      |  coalesce(a.spend, 0.0) AS spend
+      |FROM dense d LEFT JOIN a ON d.user_id = a.user_id AND d.hr = a.hr""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1132,6 +1221,8 @@ object RelationalQueries {
     "q37_session_paths"   -> (q37SessionPaths _),
     "q38_time_range_frames" -> (q38TimeRangeFrames _),
     "q39_interval_join"   -> (q39IntervalJoin _),
+    "q40_streaks"         -> (q40Streaks _),
+    "q41_gap_fill"        -> (q41GapFill _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1174,5 +1265,7 @@ object RelationalQueries {
     "q37_session_paths"   -> q37Sql,
     "q38_time_range_frames" -> q38Sql,
     "q39_interval_join"   -> q39Sql,
+    "q40_streaks"         -> q40Sql,
+    "q41_gap_fill"        -> q41Sql,
   )
 }

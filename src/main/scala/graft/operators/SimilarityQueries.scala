@@ -828,6 +828,131 @@ object SimilarityQueries {
        |FROM af GROUP BY cid""".stripMargin
   }
 
+  // ------------------------------------------------------ sim_graph_bfs
+  private val BfsSeeds = 3 // seed set: vec_id < BfsSeeds
+  private val BfsHops = 4  // bounded traversal depth
+
+  /** Multi-source BFS over the k-NN graph: minimum hop distance (≤
+    * [[BfsHops]]) from a seed set to every reachable vertex — the
+    * "semantic neighborhood expansion" primitive (seed a few curated
+    * examples, harvest everything within h hops for targeted curation
+    * or contamination blast-radius analysis). The oracle is a DuckDB
+    * `WITH RECURSIVE` — the traversal itself is cross-checked, not just
+    * a reachability count.
+    *
+    * Scale shape: textbook iterative frontier expansion — each of the
+    * (bounded) rounds is ONE equi-join of the previous frontier against
+    * the edge list plus ONE min-hop aggregate keyed on vertex id; the
+    * frontier never exceeds the reachable vertex set, and
+    * `localCheckpoint` truncates lineage so plans stay flat across
+    * rounds (same discipline as dedup_cluster's label propagation). */
+  def simGraphBfs(s: SparkSession, d: String): DataFrame = {
+    val knn = simKnnGraph(s, d).filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = embedded(s, d).select(col("vec_id"))
+      .filter(col("vec_id") < BfsSeeds)
+      .withColumn("hop", lit(0L))
+    for (h <- 1 to BfsHops) {
+      val next = dist.filter(col("hop") === (h - 1))
+        .join(edges, dist("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id"), lit(h.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy(col("vec_id")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  val simGraphBfsSql: String =
+    s"""WITH RECURSIVE knn AS ($simKnnGraphSql),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src_id AS src, nbr_id AS dst FROM knn WHERE src_id <> nbr_id
+       |    UNION ALL
+       |    SELECT nbr_id AS src, src_id AS dst FROM knn WHERE src_id <> nbr_id)),
+       |walk(vec_id, hop) AS (
+       |  SELECT vec_id, 0 FROM embeddings WHERE vec_id < $BfsSeeds
+       |  UNION
+       |  SELECT u.dst, w.hop + 1
+       |  FROM walk w JOIN und u ON w.vec_id = u.src
+       |  WHERE w.hop < $BfsHops)
+       |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY vec_id""".stripMargin
+
+  // ------------------------------------------------------- sim_sq8_topk
+  /** Scalar-quantized (SQ8) ANN: every dimension linearly quantized to
+    * an 8-bit code against per-dimension corpus min/max, queries ranked
+    * by asymmetric cosine (full-precision query × decoded corpus) — the
+    * third production vector-compression layout next to PQ
+    * (sim_pq_topk) and IVF-PQ: 4× smaller than floats with near-exact
+    * recall, and unlike PQ the decode is a pure per-dimension affine
+    * map. The oracle replicates train (min/max), encode, decode, and
+    * scoring, so the quantizer itself is gated.
+    *
+    * Determinism: code = clamp(floor((x-mn)/step), 0, 255) and
+    * decode = mn + code·step are each single IEEE double ops with
+    * identical operands on both engines; constant dimensions (mx = mn)
+    * decode to mn exactly. Scale shape: the stats aggregate is
+    * map-side-partial over (dim) — the shuffle carries 64 rows per
+    * task; encode/decode/score are pure maps over the broadcast
+    * 64-entry stats array (the corpus never shuffles; the stored index
+    * is 64 bytes/vector); the only shuffle is the bounded top-k
+    * aggregate carrying k rows per query. */
+  def simSq8TopK(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("st"))
+    val decoded = e.crossJoin(broadcast(stats))
+      .withColumn("demb", expr(
+        """transform(emb, (x, i) ->
+          |  CASE WHEN element_at(st, i + 1).mx > element_at(st, i + 1).mn THEN
+          |    element_at(st, i + 1).mn
+          |      + least(greatest(floor((x - element_at(st, i + 1).mn)
+          |          / ((element_at(st, i + 1).mx - element_at(st, i + 1).mn) / 255D)), 0D), 255D)
+          |        * ((element_at(st, i + 1).mx - element_at(st, i + 1).mn) / 255D)
+          |  ELSE element_at(st, i + 1).mn END)""".stripMargin))
+      .withColumn("dnrm", expr("sqrt(vec_dot(demb, demb))"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    explodeTopK(
+      decoded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(demb, qemb)"), col("dnrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+  }
+
+  val simSq8TopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT e.vec_id, u.i, e.emb[u.i] AS x
+       |  FROM e, (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) u),
+       |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM sv GROUP BY i),
+       |dv AS (
+       |  SELECT sv.vec_id, sv.i,
+       |    CASE WHEN st.mx > st.mn THEN
+       |      st.mn + least(greatest(floor((sv.x - st.mn) / ((st.mx - st.mn) / 255.0)),
+       |        CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) * ((st.mx - st.mn) / 255.0)
+       |    ELSE st.mn END AS dval
+       |  FROM sv JOIN st ON sv.i = st.i),
+       |dec AS (SELECT vec_id, list(dval ORDER BY i) AS demb FROM dv GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, dec.vec_id,
+       |    list_dot_product(demb, qemb)
+       |      / (sqrt(list_dot_product(demb, demb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
+       |  FROM dec CROSS JOIN q WHERE dec.vec_id <> query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
@@ -840,6 +965,8 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> (simIvfPq _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
+    "sim_graph_bfs"       -> (simGraphBfs _),
+    "sim_sq8_topk"        -> (simSq8TopK _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -854,5 +981,7 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> simIvfPqSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
+    "sim_graph_bfs"       -> simGraphBfsSql,
+    "sim_sq8_topk"        -> simSq8TopKSql,
   )
 }

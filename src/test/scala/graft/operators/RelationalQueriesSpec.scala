@@ -194,4 +194,52 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
   }
+
+  test("q40 streaks: islands match a brute-force day-scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val days = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000"))
+      .as[(Long, Long)].collect().toSet
+    // brute-force per user: sort distinct days, split on gaps > 1
+    val expected = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).toSeq.sorted
+      val streaks = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, d) =>
+        if (d == acc.head.head + 1) (d :: acc.head) :: acc.tail
+        else List(d) :: acc
+      }
+      val gaps = sorted.sliding(2).collect { case Seq(a, b) => b - a - 1 }.toSeq
+      u -> (sorted.size.toLong, streaks.size.toLong,
+        streaks.map(_.size).max.toLong, if (gaps.isEmpty) 0L else gaps.max)
+    }
+    val got = RelationalQueries.q40Streaks(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (u, a, n, l, g) => u -> (a, n, l, g) }.toMap
+    assert(got == expected, "streak mismatch")
+    // row_number and lag share one window spec: a single user_id exchange
+    val plan = RelationalQueries.q40Streaks(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size <= 2, plan)
+    assert("Window".r.findAllIn(plan).size <= 2, s"expected one Window node:\n$plan")
+  }
+
+  test("q41 gap fill: dense grid covers every hour in each user's span") {
+    import spark.implicits._
+    val rows = RelationalQueries.q41GapFill(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val hrs = rs.map(_._2).sorted
+      // contiguous: exactly every hour between min and max, once
+      assert(hrs.length == (hrs.last - hrs.head + 1).toInt, s"user $u grid has holes")
+      assert(hrs.distinct.length == hrs.length, s"user $u grid has dupes")
+      // endpoints are real activity, zero-filled rows carry (0, 0.0)
+      assert(rs.find(_._2 == hrs.head).get._3 > 0)
+      assert(rs.find(_._2 == hrs.last).get._3 > 0)
+      rs.filter(_._3 == 0).foreach { r => assert(r._4 == 0.0) }
+    }
+    // silent hours exist at this sf (otherwise the query degenerates)
+    assert(rows.exists(_._3 == 0L), "expected at least one gap-filled row")
+  }
 }

@@ -263,6 +263,38 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
   }
 
+  test("graph BFS: hop distances match a brute-force traversal") {
+    import org.apache.spark.sql.functions._
+    val knn = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .where(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id").as[(Long, Long)].collect()
+    val adj = (knn ++ knn.map(_.swap)).groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2).toSet }.withDefaultValue(Set.empty[Long])
+    // textbook BFS from seeds {0,1,2}, depth <= 4
+    val expected = scala.collection.mutable.Map[Long, Long](0L -> 0L, 1L -> 0L, 2L -> 0L)
+    var frontier = Set(0L, 1L, 2L)
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(adj).filterNot(expected.contains)
+      frontier.foreach(v => expected(v) = h)
+    }
+    val got = SimilarityQueries.simGraphBfs(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected.toMap, "BFS hop distances mismatch")
+    assert(got.values.exists(_ > 1), "traversal never left the seeds' direct neighbors")
+  }
+
+  test("SQ8 quantization keeps near-exact recall vs the float top-k") {
+    val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq8 = SimilarityQueries.simSq8TopK(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    // 255 levels per dimension barely perturbs cosines — recall should
+    // be near-perfect, far above the coarse-index variants
+    assert(recall >= 0.8, s"SQ8 recall $recall too low for 8-bit codes")
+    assert(sq8.size == exact.size)
+  }
+
   test("IVF finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
