@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharFoldHash, HyperplaneSig, SimhashPack, SimhashSig, VectorDot, WordShingleSet}
+import graft.expressions.{CharFoldHash, HyperplaneSig, SimhashPack, SimhashSig, VectorDot, WinnowFingerprints, WordShingleSet}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * first-class SQL functions in any session, via
@@ -51,5 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_shingle_set(text, n) needs a literal n, got $other")
       })))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(text, k, w) - winnowing (fp, pos) fingerprint selection"),
+      (exprs: Seq[Expression]) => {
+        def litInt(e: Expression): Int = e match {
+          case Literal(n: Int, IntegerType) => n
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps(text, k, w) needs literal ints, got $other")
+        }
+        WinnowFingerprints(exprs.head, litInt(exprs(1)), litInt(exprs(2)))
+      }))
   }
 }

@@ -1180,6 +1180,76 @@ object RelationalQueries {
       |  coalesce(a.spend, 0.0) AS spend
       |FROM dense d LEFT JOIN a ON d.user_id = a.user_id AND d.hr = a.hr""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Last-touch attribution: every purchase is attributed to the same
+    * user's most recent PRIOR view or click — the marketing-attribution
+    * join, expressed as a conditional `last(..., ignoreNulls) OVER
+    * (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)` window instead of a
+    * self-join: the frame scans back past intervening purchases/errors
+    * to the newest non-null source event, which an as-of join (q18)
+    * against a pre-filtered side would need an extra shuffle to do.
+    *
+    * Determinism: the window orders by (ts_us, event_id) — a unique
+    * total order — so the "most recent prior" pick is exact on both
+    * engines, and lags are integral µs. Scale shape: ONE user_id
+    * exchange serves the whole query; no join, no second pass. */
+  def q42Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("attr_t_us",
+        last(when(col("event_type").isin("view", "click"), col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("attr_t_us"), (col("ts_us") - col("attr_t_us")).as("lag_us"))
+  }
+
+  val q42Sql: String =
+    """SELECT event_id, user_id, ts_us, attr_t_us, ts_us - attr_t_us AS lag_us
+      |FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |                    THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_t_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** New-user growth curve: daily first-time users and the cumulative
+    * distinct-user count. The naive form — COUNT(DISTINCT user) over an
+    * expanding day window — rescans every prior day per output row
+    * (quadratic, and un-mergeable state at scale). The first-seen
+    * transform makes it linear: min(day) per user collapses the stream
+    * to one row per user, daily news are a |days|-sized aggregate, and
+    * the running total is a window over |days| rows.
+    *
+    * Scale shape: one user_id-keyed min aggregate (map-side partial) +
+    * one day-keyed count; the unpartitioned cumulative window touches
+    * only |days| rows — bounded by calendar time, not data volume. */
+  def q43NewUsers(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  val q43Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+      |  FROM events GROUP BY user_id),
+      |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY day)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1223,6 +1293,8 @@ object RelationalQueries {
     "q39_interval_join"   -> (q39IntervalJoin _),
     "q40_streaks"         -> (q40Streaks _),
     "q41_gap_fill"        -> (q41GapFill _),
+    "q42_attribution"     -> (q42Attribution _),
+    "q43_new_users"       -> (q43NewUsers _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1267,5 +1339,7 @@ object RelationalQueries {
     "q39_interval_join"   -> q39Sql,
     "q40_streaks"         -> q40Sql,
     "q41_gap_fill"        -> q41Sql,
+    "q42_attribution"     -> q42Sql,
+    "q43_new_users"       -> q43Sql,
   )
 }

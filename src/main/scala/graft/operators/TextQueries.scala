@@ -977,6 +977,59 @@ object TextQueries {
        |ORDER BY lift_fp DESC, x ASC, y ASC
        |LIMIT $CollocK""".stripMargin
 
+  // ------------------------------------------------------ txt_winnowing
+  private val WinK = 4 // gram width (tokens)
+  private val WinW = 4 // winnowing window (grams)
+
+  /** Winnowing fingerprint selection (the MOSS algorithm): hash every
+    * word 4-gram, slide a 4-gram window, keep the leftmost minimum per
+    * window — emitting each document's distinct (fingerprint, position)
+    * pairs. Winnowing's guarantee: any shared token run of length ≥
+    * w+k-1 (= 7) between two documents shares a selected fingerprint,
+    * at a bounded ~2/(w+1) selection density — the screening index for
+    * near-verbatim overlap at a fraction of dedup_substring's full
+    * run-key volume.
+    *
+    * Scale shape: the entire select runs inside one native codegen
+    * expression per document ([[graft.expressions.WinnowExpressions]]),
+    * so the plan is scan → project → explode — ZERO shuffles; output
+    * volume is the selected-fingerprint count (~2/(w+1) of the gram
+    * stream). The oracle replicates tokenize/hash/window/tiebreak
+    * exactly in SQL, so the algorithm is gated, not just row counts. */
+  def txtWinnowing(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.WinnowExpressions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"winnow_fps(text, $WinK, $WinW)")).as("sel"))
+      .select(col("doc_id"), col("sel.fp").as("fp"), col("sel.pos").as("pos"))
+  }
+
+  val txtWinnowingSql: String = {
+    val M = graft.expressions.WinnowExpressions.Mod
+    // atom of token t: length(t)*17 + codepoint of first char
+    def atom(t: String) = s"(CAST(length($t) AS BIGINT) * 17 + CAST(ascii($t) AS BIGINT))"
+    // left-to-right fold of the k=4 gram starting at 1-based index j
+    val gram = (1 to WinK).foldLeft("CAST(0 AS BIGINT)") { (h, i) =>
+      s"(($h * 31 + ${atom(s"toks[j + ${i - 1}]")}) % $M)"
+    }
+    s"""WITH d AS (SELECT doc_id, $DTokens AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${WinK - 2})) AS j, toks
+       |  FROM d),
+       |gh AS (SELECT doc_id, j, $gram AS h FROM g),
+       |gl AS (SELECT doc_id, list(h ORDER BY j) AS ghs FROM gh GROUP BY doc_id),
+       |win AS (
+       |  SELECT doc_id, unnest(range(1, len(ghs) - ${WinW - 2})) AS p, ghs
+       |  FROM gl),
+       |sel AS (
+       |  SELECT doc_id, p, ghs,
+       |    least(${(0 until WinW).map(i => s"ghs[p + $i]").mkString(", ")}) AS fp
+       |  FROM win)
+       |SELECT DISTINCT doc_id, fp,
+       |  CASE ${(0 until WinW).map(i => s"WHEN ghs[p + $i] = fp THEN CAST(p + $i - 1 AS INTEGER)").mkString(" ")}
+       |  END AS pos
+       |FROM sel""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -999,6 +1052,7 @@ object TextQueries {
     "corpus_chunk"     -> (corpusChunk _),
     "txt_diversity"    -> (txtDiversity _),
     "txt_colloc"       -> (txtColloc _),
+    "txt_winnowing"    -> (txtWinnowing _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1022,5 +1076,6 @@ object TextQueries {
     "corpus_chunk"     -> corpusChunkSql,
     "txt_diversity"    -> txtDiversitySql,
     "txt_colloc"       -> txtCollocSql,
+    "txt_winnowing"    -> txtWinnowingSql,
   )
 }

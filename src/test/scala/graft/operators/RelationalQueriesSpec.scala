@@ -223,6 +223,38 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert("Window".r.findAllIn(plan).size <= 2, s"expected one Window node:\n$plan")
   }
 
+  test("q42 attribution: window pick matches a brute-force backward scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts_ns div 1000"))
+      .as[(Long, Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._2).map { case (u, g) =>
+      u -> g.sortBy(e => (e._4, e._1))
+    }
+    val expected = byUser.values.flatten.filter(_._3 == "purchase").map { p =>
+      val prior = byUser(p._2).takeWhile(e => (e._4, e._1) != ((p._4, p._1)))
+        .filter(e => e._3 == "view" || e._3 == "click")
+      p._1 -> prior.lastOption.map(_._4)
+    }.toMap
+    val got = RelationalQueries.q42Attribution(spark, sfDir)
+      .select("event_id", "attr_t_us").as[(Long, Option[Long])].collect().toMap
+    assert(got == expected, "attribution mismatch")
+    assert(got.values.exists(_.isDefined) && got.nonEmpty)
+  }
+
+  test("q43 new users: cumulative curve is monotone and ends at |users|") {
+    import spark.implicits._
+    val rows = RelationalQueries.q43NewUsers(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == rows.last._3, "cum must equal sum of news")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 == a._3 + b._2 case _ => true })
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.last._3 == nUsers, "curve must end at total distinct users")
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

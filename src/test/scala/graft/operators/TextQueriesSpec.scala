@@ -359,4 +359,42 @@ class TextQueriesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("txt_winnowing: matches brute-force winnow and guarantees run coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = 1000000007L
+    val (k, w) = (4, 4)
+    def bruteWinnow(text: String): Set[(Long, Int)] = {
+      val toks = text.trim.split(" +").filter(_.nonEmpty)
+      val m = toks.length - k + 1
+      if (m < w) return Set.empty
+      val gh = (0 until m).map { j =>
+        (0 until k).foldLeft(0L)((h, t) =>
+          (h * 31 + (toks(j + t).length.toLong * 17 + toks(j + t).codePointAt(0))) % M)
+      }
+      (0 to m - w).map { p =>
+        val best = (p until p + w).minBy(q => (gh(q), q))
+        (gh(best), best)
+      }.toSet
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val got = TextQueries.txtWinnowing(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (d, g) => d -> g.map(r => (r._2, r._3)).toSet }
+      .withDefaultValue(Set.empty[(Long, Int)])
+    docs.foreach { case (id, text) =>
+      assert(got(id) == bruteWinnow(text), s"winnow mismatch on doc $id")
+    }
+    // density: winnowing selects ~2/(w+1) of gram positions, never more
+    // than one fp per window; check the bound on the largest doc
+    val (bigId, bigText) = docs.maxBy(_._2.length)
+    val m = bigText.trim.split(" +").count(_.nonEmpty) - k + 1
+    assert(got(bigId).size <= m - w + 1)
+    // plan: native expression + explode only — no exchange anywhere
+    val plan = TextQueries.txtWinnowing(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnowing must be shuffle-free:\n$plan")
+  }
 }
