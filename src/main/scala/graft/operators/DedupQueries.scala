@@ -706,6 +706,60 @@ object DedupQueries {
        |FROM inv a JOIN inv b ON a.run_h = b.run_h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ dedup_winnow
+  /** Winnowing-fingerprint duplicate screen (MOSS-style): pairs of
+    * documents sharing at least [[WinnowMinShared]] selected winnowing
+    * fingerprints, after dropping fingerprints that occur in more than
+    * [[WinnowDfCap]] documents (boilerplate exclusion — the published
+    * MOSS practice for shared-template noise). Winnowing's guarantee
+    * makes this a principled substring screen: any shared run of
+    * ≥ w+k-1 tokens is caught, at ~2/(w+1) of dedup_substring's
+    * inverted-index volume.
+    *
+    * Scale shape: per-document fingerprint SETS come out of the native
+    * `winnow_fps` expression + `array_distinct` with zero shuffles; the
+    * document-frequency cap is a fingerprint-keyed count whose input is
+    * already density-reduced; df ∈ [2, cap] prunes both unpairable
+    * singletons and the skew-heavy boilerplate keys BEFORE the
+    * self-join, so join fan-out per fingerprint is bounded by cap². */
+  private val WinnowDfCap = 10
+  private val WinnowMinShared = 2
+
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.WinnowExpressions.register(s)
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(winnow_fps(text, ${TextQueries.WinK}, ${TextQueries.WinW}), x -> x.fp)")))
+        .as("fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowDfCap))
+      .select(col("fp"))
+    val inv = fps.join(keep, Seq("fp"))
+    val ia = inv.select(col("fp"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("fp"), col("doc_id").as("doc_b"))
+    ia.join(ib, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+  }
+
+  // lazy: TextQueries ↔ DedupQueries reference each other (corpus_funnel
+  // pulls dedupClusterSql; this pulls txtWinnowingSql) — a strict val
+  // here would read a still-null TextQueries field when TextQueries'
+  // object init triggers this object's init.
+  lazy val dedupWinnowSql: String =
+    s"""WITH wf AS (${TextQueries.txtWinnowingSql}),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wf),
+       |keep AS (SELECT fp FROM fps GROUP BY fp
+       |         HAVING count(*) BETWEEN 2 AND $WinnowDfCap),
+       |inv AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON f.fp = k.fp)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $WinnowMinShared""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
@@ -718,9 +772,11 @@ object DedupQueries {
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_substring"        -> (dedupSubstring _),
+    "dedup_winnow"           -> (dedupWinnow _),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy for the same init-order reason as dedupWinnowSql
+  lazy val oracleSql: Map[String, String] = Map(
     "dedup_cluster"          -> dedupClusterSql,
     // different fixpoint algorithm, same labeling: same oracle
     "dedup_cluster_star"     -> dedupClusterSql,
@@ -733,5 +789,6 @@ object DedupQueries {
     "dedup_simhash"          -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_substring"        -> dedupSubstringSql,
+    "dedup_winnow"           -> dedupWinnowSql,
   )
 }

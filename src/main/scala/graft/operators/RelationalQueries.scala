@@ -1250,6 +1250,105 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM daily""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Market-basket affinity: the top part pairs co-purchased within an
+    * order, ranked by rational lift (support·N² over the marginal
+    * frequencies, the exponential of PMI — same zero-libm fixed-point
+    * trick as txt_colloc) with a minimum-support floor.
+    *
+    * Scale shape: baskets are bounded (TPC-H orders hold ≤7 lines), so
+    * the per-order pair self-join fans out Σ basket² — linear in
+    * orders, never corpus². The marginals are part-keyed counts joined
+    * back on the part key (broadcast while the part dimension fits,
+    * shuffle beyond); totals ride a broadcast 1-row frame; the final
+    * ranking is TakeOrderedAndProject over support-floored pairs. */
+  private val BasketMinSupport = 2
+  private val BasketK = 20
+  private val BasketFpScale = 1000000L
+
+  def q44MarketBasket(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct() // set semantics: a part repeated within an order counts once
+    val df = li.groupBy(col("pkey")).agg(count(lit(1)).as("df"))
+    val totals = li.select(countDistinct(col("okey")).as("n_orders"))
+    val pairs = li.select(col("okey"), col("pkey").as("part_a"))
+      .join(li.select(col("okey"), col("pkey").as("part_b")), Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+    pairs
+      .join(df.select(col("pkey").as("part_a"), col("df").as("df_a")), Seq("part_a"))
+      .join(df.select(col("pkey").as("part_b"), col("df").as("df_b")), Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("support"),
+        expr(s"""CAST(support AS DECIMAL(38,0)) * n_orders * $BasketFpScale
+                 div (CAST(df_a AS DECIMAL(38,0)) * df_b)""").as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("part_a"), col("part_b"))
+      .limit(BasketK)
+  }
+
+  val q44Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+       |df AS (SELECT pkey, CAST(count(*) AS BIGINT) AS df FROM li GROUP BY pkey),
+       |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li),
+       |pairs AS (
+       |  SELECT a.pkey AS part_a, b.pkey AS part_b, CAST(count(*) AS BIGINT) AS support
+       |  FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+       |SELECT part_a, part_b, support,
+       |  CAST((CAST(support AS HUGEINT) * n_orders * $BasketFpScale)
+       |       // (CAST(da.df AS HUGEINT) * db.df) AS BIGINT) AS lift_fp
+       |FROM pairs, tot
+       |JOIN df da ON pairs.part_a = da.pkey
+       |JOIN df db ON pairs.part_b = db.pkey
+       |ORDER BY lift_fp DESC, part_a ASC, part_b ASC
+       |LIMIT $BasketK""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Revenue-concentration head (the Pareto report): the top 20
+    * customers by lifetime order revenue, each with its rank and the
+    * cumulative share of TOTAL corpus revenue its prefix captures.
+    *
+    * Scale shape: revenue collapses to one row per customer in a
+    * map-side-partial hash aggregate; the head is TakeOrderedAndProject
+    * (k rows cross the wire per partition, no global sort); the total
+    * is a broadcast 1-row frame. The only unpartitioned window runs
+    * over the 20-row head — constant, not data-sized. Sums are exact
+    * DECIMAL; the share is a single terminal double division. */
+  private val ParetoK = 20
+
+  def q45Pareto(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val totals = rev.agg(sum(col("rev")).as("total"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    rev.orderBy(col("rev").desc, col("o_custkey")).limit(ParetoK)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        outd(sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          / outd(col("total")))
+      .select(col("o_custkey"), col("rank"), outd(col("rev")).as("rev"),
+        col("cum_share"))
+  }
+
+  val q45Sql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY o_custkey),
+       |tot AS (SELECT sum(rev) AS total FROM rev),
+       |head AS (SELECT * FROM rev ORDER BY rev DESC, o_custkey LIMIT $ParetoK)
+       |SELECT o_custkey,
+       |  CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS INTEGER) AS rank,
+       |  CAST(rev AS DOUBLE) AS rev,
+       |  CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(total AS DOUBLE) AS cum_share
+       |FROM head, tot""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1295,6 +1394,8 @@ object RelationalQueries {
     "q41_gap_fill"        -> (q41GapFill _),
     "q42_attribution"     -> (q42Attribution _),
     "q43_new_users"       -> (q43NewUsers _),
+    "q44_market_basket"   -> (q44MarketBasket _),
+    "q45_pareto_head"     -> (q45Pareto _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1341,5 +1442,7 @@ object RelationalQueries {
     "q41_gap_fill"        -> q41Sql,
     "q42_attribution"     -> q42Sql,
     "q43_new_users"       -> q43Sql,
+    "q44_market_basket"   -> q44Sql,
+    "q45_pareto_head"     -> q45Sql,
   )
 }

@@ -978,8 +978,8 @@ object TextQueries {
        |LIMIT $CollocK""".stripMargin
 
   // ------------------------------------------------------ txt_winnowing
-  private val WinK = 4 // gram width (tokens)
-  private val WinW = 4 // winnowing window (grams)
+  private[operators] val WinK = 4 // gram width (tokens)
+  private[operators] val WinW = 4 // winnowing window (grams)
 
   /** Winnowing fingerprint selection (the MOSS algorithm): hash every
     * word 4-gram, slide a 4-gram window, keep the leftmost minimum per
@@ -1030,6 +1030,46 @@ object TextQueries {
        |FROM sel""".stripMargin
   }
 
+  // --------------------------------------------------- txt_readability
+  /** FORCAST-style readability scoring: per document, the token count,
+    * total vowel-run "syllables", monosyllabic-token count, and the
+    * FORCAST grade level in fixed point — `20 − 15·mono/words`, the
+    * published formula's scale-free form (FORCAST is the readability
+    * family member that needs NO sentence boundaries, which this corpus
+    * does not have). Monosyllabic density is the signal: technical /
+    * fragmentary text scores low, simple prose high.
+    *
+    * Portability: "syllables" are maximal `[aeiouy]+` runs — the same
+    * regex on both engines; the grade is scaled-integer division
+    * (`(15000·mono) div words`), exact and engine-independent.
+    *
+    * Scale shape: one scan, per-row map, vocabulary-free — zero
+    * shuffles, I/O-bound at 100 TB like txt_stats. */
+  def txtReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        expr("transform(toks, t -> size(regexp_extract_all(t, '[aeiouy]+', 0)))").as("sylls"))
+      .select(col("doc_id"),
+        size(col("sylls")).cast("long").as("n_tokens"),
+        expr("aggregate(sylls, 0L, (a, x) -> a + x)").as("n_sylls"),
+        expr("size(filter(sylls, x -> x = 1))").cast("long").as("n_mono"))
+      .withColumn("forcast_fp",
+        expr("20000L - (15000L * n_mono) div greatest(n_tokens, 1L)"))
+
+  val txtReadabilitySql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_transform($DTokens, t -> len(regexp_extract_all(t, '[aeiouy]+'))) AS sylls
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(sylls) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_sum(sylls), 0) AS BIGINT) AS n_sylls,
+       |  CAST(len(list_filter(sylls, x -> x = 1)) AS BIGINT) AS n_mono,
+       |  20000 - (15000 * CAST(len(list_filter(sylls, x -> x = 1)) AS BIGINT))
+       |          // greatest(CAST(len(sylls) AS BIGINT), 1) AS forcast_fp
+       |FROM s""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -1053,6 +1093,7 @@ object TextQueries {
     "txt_diversity"    -> (txtDiversity _),
     "txt_colloc"       -> (txtColloc _),
     "txt_winnowing"    -> (txtWinnowing _),
+    "txt_readability"  -> (txtReadability _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1077,5 +1118,6 @@ object TextQueries {
     "txt_diversity"    -> txtDiversitySql,
     "txt_colloc"       -> txtCollocSql,
     "txt_winnowing"    -> txtWinnowingSql,
+    "txt_readability"  -> txtReadabilitySql,
   )
 }

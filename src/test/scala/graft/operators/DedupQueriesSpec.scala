@@ -222,4 +222,40 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"substring dedup went all-pairs:\n$plan")
     assert(plan.contains("run_h"), plan)
   }
+
+  test("winnow dedup equals brute-force winnowing + df cap exactly") {
+    val M = 1000000007L
+    val (k, w) = (4, 4)
+    def winnowFps(text: String): Set[Long] = {
+      val toks = text.trim.split(" +").filter(_.nonEmpty)
+      val m = toks.length - k + 1
+      if (m < w) return Set.empty
+      val gh = (0 until m).map { j =>
+        (0 until k).foldLeft(0L)((h, t) =>
+          (h * 31 + (toks(j + t).length.toLong * 17 + toks(j + t).codePointAt(0))) % M)
+      }
+      (0 to m - w).map { p => (p until p + w).minBy(q => (gh(q), q)) }.map(gh).toSet
+    }
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val fps = text.map { case (id, t) => id -> winnowFps(t) }
+    val df = fps.values.flatten.groupBy(identity).map { case (fp, g) => fp -> g.size }
+    val kept = df.filter { case (_, n) => n >= 2 && n <= 10 }.keySet
+    val ids = text.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fps(a) intersect fps(b)) intersect kept
+      if shared.size >= 2
+    } yield (a, b) -> shared.size.toLong).toMap
+    val got = DedupQueries.dedupWinnow(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got == expected, s"winnow screen drifted from brute force " +
+      s"(got ${got.size} pairs, expected ${expected.size})")
+    assert(got.nonEmpty, "corpus carries near-dups; the screen must fire")
+    // banding join must stay an equi-join on fp, never all-pairs
+    val plan = DedupQueries.dedupWinnow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"winnow dedup went all-pairs:\n$plan")
+  }
 }

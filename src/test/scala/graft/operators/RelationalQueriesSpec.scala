@@ -255,6 +255,49 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(rows.last._3 == nUsers, "curve must end at total distinct users")
   }
 
+  test("q44 market basket: top-20 matches brute-force lift ranking") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val df = li.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val support = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (pr, g) => pr -> g.size.toLong }
+      .filter(_._2 >= 2)
+    val expected = support.toSeq.map { case ((a, b), sup) =>
+      val lift = BigInt(sup) * nOrders * 1000000L / (BigInt(df(a)) * df(b))
+      (a, b, sup, lift.toLong)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    val got = RelationalQueries.q44MarketBasket(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"basket ranking drifted:\ngot $got\nexp $expected")
+  }
+
+  test("q45 pareto head: ranks, monotone shares, exact revenue recompute") {
+    import spark.implicits._
+    val rows = RelationalQueries.q45Pareto(spark, sfDir)
+      .as[(Long, Int, Double, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._2).sorted.toSeq == (1 to 20))
+    val byRank = rows.sortBy(_._2)
+    assert(byRank.sliding(2).forall { case Array(a, b) =>
+      a._3 >= b._3 && b._4 > a._4 case _ => true },
+      "revenue must be non-increasing and cumulative share strictly rising")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    val o = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+    val rev = o.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum }
+    val expectedHead = rev.toSeq.sortBy { case (c, r) => (-r, c) }.take(20)
+    assert(byRank.map(_._1).toSeq == expectedHead.map(_._1),
+      "head membership/order must match the exact decimal recompute")
+    byRank.zip(expectedHead).foreach { case (g, (_, r)) =>
+      assert(math.abs(g._3 - r.toDouble) < 1e-6, s"revenue drift: ${g._3} vs $r")
+    }
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -360,6 +360,30 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("txt_readability: FORCAST components match a brute-force recompute") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val vowelRun = "[aeiouy]+".r
+    val expected = docs.map { case (id, text) =>
+      val toks = text.trim.split(" +").filter(_.nonEmpty)
+      val sylls = toks.map(t => vowelRun.findAllIn(t).size.toLong)
+      val mono = sylls.count(_ == 1L).toLong
+      val grade = 20000L - (15000L * mono) / math.max(toks.length.toLong, 1L)
+      id -> ((toks.length.toLong, sylls.sum, mono, grade))
+    }.toMap
+    val got = TextQueries.txtReadability(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, n, s, m, g) => id -> ((n, s, m, g)) }.toMap
+    assert(got == expected, "readability components drifted from brute force")
+    // sanity: monosyllabic corpus words pull the grade below the 20.0 cap
+    assert(got.values.exists(_._4 < 20000L))
+    // zero-shuffle plan: per-row map only
+    val plan = TextQueries.txtReadability(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must be shuffle-free:\n$plan")
+  }
+
   test("txt_winnowing: matches brute-force winnow and guarantees run coverage") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
