@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.{ScoredId, TopKAggregator}
 
 /** Relational query surface.
   *
@@ -1349,6 +1350,103 @@ object RelationalQueries {
        |    / CAST(total AS DOUBLE) AS cum_share
        |FROM head, tot""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Daily active users with an exact 7-day rolling distinct count.
+    * The naive form — COUNT(DISTINCT user) over a 7-day RANGE window —
+    * rescans a week of raw events per output day and cannot merge
+    * partial state. The cover-set transform makes it one aggregate:
+    * each (user, active-day) pair covers the 7 window-end days it
+    * contributes to, and the rolling distinct count is a plain
+    * count(*) per covered day after a (user, day)-level distinct.
+    *
+    * Scale shape: the raw stream first collapses to distinct
+    * (user, day) — the fundamental reduction, map-side partial — then
+    * fans out exactly 7× before the second distinct; every aggregate
+    * merges. No RANGE re-scan, no per-day window state. */
+  def q46RollingDau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val bounds = ud.agg(max(col("day")).as("dmax"))
+    val roll = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("cday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("cday") <= col("dmax"))
+      .groupBy(col("cday")).agg(count(lit(1)).as("dau7"))
+    daily.join(roll, col("day") === col("cday"))
+      .select(col("day"), col("dau"), col("dau7"))
+  }
+
+  val q46Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |b AS (SELECT max(day) AS dmax FROM ud),
+      |cover AS (
+      |  SELECT DISTINCT user_id, day + g.x AS cday
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS x) g),
+      |roll AS (
+      |  SELECT cday, CAST(count(*) AS BIGINT) AS dau7
+      |  FROM cover, b WHERE cday <= dmax GROUP BY cday)
+      |SELECT d.day, d.dau, r.dau7
+      |FROM daily d JOIN roll r ON d.day = r.cday""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Grouped top-k: the 3 highest-revenue parts per region (lineitem →
+    * supplier → nation → region star join). The textbook form —
+    * `row_number() OVER (PARTITION BY region ORDER BY rev)` — funnels
+    * every (region, part) row through one reducer per region: with a
+    * handful of regions that is a handful of tasks sorting the whole
+    * aggregate at 100 TB. The bounded [[TopKAggregator]] keeps ≤3
+    * candidates per map task instead, so the final shuffle carries
+    * 3·|regions| pairs and plans as HashAggregate, never Sort+Window.
+    *
+    * Determinism: revenue rides the aggregator as scale-4 fixed-point
+    * int64 (exact while < 2^53 ≈ $9·10^11 per part-region — far above
+    * any real aggregate; the oracle ranks the same integers), ties
+    * break on part key ascending. */
+  private val TopPerGroupK = 3
+
+  def q47TopPerGroup(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+    val topk = udaf(new TopKAggregator(TopPerGroupK), Encoders.product[ScoredId])
+    rev.select(col("r_name"), col("l_partkey"),
+        (col("rev") * 10000).cast(LongType).as("rev_fp"))
+      .groupBy(col("r_name"))
+      .agg(topk(col("rev_fp").cast(DoubleType), col("l_partkey")).as("top"))
+      .select(col("r_name"), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col("r_name"), (col("pos") + 1).cast(LongType).as("rn"),
+        col("t.vec_id").as("partkey"),
+        (col("t.cos") / lit(10000.0)).as("rev"))
+  }
+
+  val q47Sql: String =
+    s"""WITH rev AS (
+       |  SELECT r.r_name, l.l_partkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_fp
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY 1, 2)
+       |SELECT r_name, CAST(rn AS BIGINT) AS rn, l_partkey AS partkey,
+       |  CAST(rev_fp AS DOUBLE) / 10000 AS rev
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY r_name ORDER BY rev_fp DESC, l_partkey ASC) AS rn
+       |      FROM rev)
+       |WHERE rn <= $TopPerGroupK""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1396,6 +1494,8 @@ object RelationalQueries {
     "q43_new_users"       -> (q43NewUsers _),
     "q44_market_basket"   -> (q44MarketBasket _),
     "q45_pareto_head"     -> (q45Pareto _),
+    "q46_rolling_dau"     -> (q46RollingDau _),
+    "q47_top_per_group"   -> (q47TopPerGroup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1444,5 +1544,7 @@ object RelationalQueries {
     "q43_new_users"       -> q43Sql,
     "q44_market_basket"   -> q44Sql,
     "q45_pareto_head"     -> q45Sql,
+    "q46_rolling_dau"     -> q46Sql,
+    "q47_top_per_group"   -> q47Sql,
   )
 }

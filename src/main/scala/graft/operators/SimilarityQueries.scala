@@ -953,6 +953,40 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // --------------------------------------------------- sim_recall_audit
+  /** ANN quality audit: per-query recall@k of the IVF index against the
+    * exact brute-force ground truth — the monitoring query every
+    * production vector index ships with (index drift, probe-count
+    * tuning, cell-balance regressions all surface here first).
+    *
+    * Scale shape: both inputs are already k-rows-per-query frames, so
+    * the audit joins |Q|·k pairs — independent of corpus size. The
+    * recall is fixed-point integer math (hits·1e6 div k), exact on both
+    * engines; queries the index misses entirely still appear (left
+    * join, 0 hits). */
+  def simRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val bf = simTopKBruteForce(s, d).select(col("query_id"), col("vec_id"))
+    val ivf = simTopKIvf(s, d).select(col("query_id"), col("vec_id"))
+    val hits = bf.join(ivf, Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"))
+      .withColumn("recall_fp", expr(s"hits * 1000000L div ${TopK}L"))
+  }
+
+  val simRecallAuditSql: String =
+    s"""WITH bf AS (${simTopKBruteForceSql.replace("\n", "\n       ")}),
+       |ivf AS (${simTopKIvfSql.replace("\n", "\n       ")}),
+       |h AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, coalesce(h.h, 0) AS hits,
+       |  coalesce(h.h, 0) * 1000000 // $TopK AS recall_fp
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
@@ -967,6 +1001,7 @@ object SimilarityQueries {
     "sim_kmeans"          -> (simKmeans _),
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
+    "sim_recall_audit"    -> (simRecallAudit _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -983,5 +1018,6 @@ object SimilarityQueries {
     "sim_kmeans"          -> simKmeansSql,
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,
+    "sim_recall_audit"    -> simRecallAuditSql,
   )
 }

@@ -298,6 +298,44 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q46 rolling dau: cover-set transform equals a brute-force window") {
+    import spark.implicits._
+    val ud = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts_ns div 86400000000000 AS day")
+      .as[(Long, Long)].collect().distinct
+    val byDay = ud.groupBy(_._2)
+    val days = byDay.keys.toSeq.sorted
+    val expected = days.map { d =>
+      val dau = byDay(d).length.toLong
+      val dau7 = ud.filter { case (_, ad) => ad >= d - 6 && ad <= d }
+        .map(_._1).distinct.length.toLong
+      (d, dau, dau7)
+    }.toSet
+    val got = RelationalQueries.q46RollingDau(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, "rolling DAU drifted from the brute-force window")
+    assert(got.forall { case (_, dau, dau7) => dau7 >= dau })
+  }
+
+  test("q47 grouped top-k: matches brute force and never plans Sort+Window") {
+    import spark.implicits._
+    val got = RelationalQueries.q47TopPerGroup(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val regions = got.map(_._1).distinct
+    assert(regions.length == 5 && got.length == 15)
+    got.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      assert(byRank.sliding(2).forall { case Array(a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) case _ => true },
+        "rank order must follow (rev desc, partkey asc)")
+    }
+    // scale path: bounded aggregator, not a per-region window sort
+    val plan = RelationalQueries.q47TopPerGroup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"grouped top-k must not plan a Window:\n$plan")
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -305,4 +305,22 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
     assert(ivf.size == exact.size)
   }
+
+  test("recall audit reports the exact per-query IVF∩exact intersection") {
+    val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityQueries.simTopKIvf(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val audit = SimilarityQueries.simRecallAudit(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.length == exact.size, "every query must appear in the audit")
+    audit.foreach { case (q, hits, recallFp) =>
+      val truth = (exact(q) intersect ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == truth, s"query $q: audit says $hits hits, truth $truth")
+      assert(recallFp == hits * 1000000L / 5L)
+      assert(hits >= 0L && hits <= 5L)
+    }
+  }
 }
