@@ -127,9 +127,82 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------- amqp_stream_window
+  /** The reference's FLAGSHIP semantics under the oracle gate: a real
+    * Structured STREAMING query (readStream → tumbling event-time
+    * window → aggregate → memory sink) fed through the AMQP wire, with
+    * the window boundaries and per-window aggregates hash-compared to
+    * DuckDB computing the same buckets straight from parquet. This is
+    * the windowed-aggregation path `AMQPTemperature.scala:84-102`
+    * demonstrates (5s tumbling max over temperatures), gated rather
+    * than demoed: a disjoint events slice is pumped with each event's
+    * REAL timestamp as the AMQP message timestamp, the micro-batch
+    * reader replays it, and `window(ingest_timestamp, "1 hour")`
+    * buckets must land every message in exactly the right window.
+    *
+    * Determinism: Trigger.AvailableNow drains the whole backlog and
+    * self-terminates; complete-mode windows close when the query does;
+    * epoch-aligned tumbling windows make `window.start` (cast to epoch
+    * seconds) equal DuckDB's integer hour bucket × 3600; the value sum
+    * rides DECIMAL with one terminal double cast. */
+  def amqpStreamWindow(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 1) // disjoint from the ingest gate's slice
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    var i = 0
+    var fetchedUpTo = 0L
+    while (i < rows.length) {
+      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      }
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0)
+      if (refusedAt < 0) i += slice.length
+      else {
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
+        i += refusedAt
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+    val qname = s"gate_stream_window_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .groupBy(window(col("ingest_timestamp"), "1 hour").as("w"), col("subject"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-window gate query hung")
+    finally q.stop()
+    s.table(qname)
+      .select(col("w.start").cast(LongType).as("wstart_s"),
+        col("subject").as("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamWindowSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS wstart_s, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 10 = 1
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _))
+    "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
+    "amqp_stream_window"    -> (amqpStreamWindow _))
 
   val oracleSql: Map[String, String] = Map(
-    "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql)
+    "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
+    "amqp_stream_window"    -> amqpStreamWindowSql)
 }

@@ -31,4 +31,22 @@ class IngestQueriesSpec extends SparkSpecBase {
       assert(n == expectedCount)
     } finally System.clearProperty("graft.gate.transport")
   }
+
+  test("stream-window gate equals the batch windowed aggregate bit-for-bit") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamWindow(spark, sfDir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 1)
+      .selectExpr("(ts_ns div 3600000000000) * 3600 AS wstart_s", "event_type", "value")
+      .groupBy(col("wstart_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"streaming windows drifted from batch (got ${got.size}, expected ${expected.size})")
+    assert(got.nonEmpty)
+    // every window boundary is hour-aligned epoch seconds
+    assert(got.forall(_._1 % 3600 == 0))
+  }
 }
