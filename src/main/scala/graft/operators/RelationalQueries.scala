@@ -1447,6 +1447,48 @@ object RelationalQueries {
        |      FROM rev)
        |WHERE rn <= $TopPerGroupK""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Conversion-latency report: one row summarizing the first-view →
+    * first-purchase funnel — how many users viewed, how many converted
+    * after a view, and the min/max/mean conversion lag. The per-user
+    * stage is two conditional `min` aggregates (no sort, no window);
+    * the corpus stage reduces |users| rows to one. Mean lag is integral
+    * µs via `div` — exact integer division on both engines.
+    *
+    * Scale shape: ONE user_id-keyed aggregate with map-side partials,
+    * then a single-row total — the same shape as q35's funnel, scoped
+    * to the latency-distribution summary. */
+  def q48ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("fp"))
+    perUser.agg(
+      count(when(col("fv").isNotNull, 1)).as("n_viewers"),
+      count(when(col("fp") > col("fv"), 1)).as("n_converted"),
+      min(when(col("fp") > col("fv"), col("fp") - col("fv"))).as("min_lag_us"),
+      max(when(col("fp") > col("fv"), col("fp") - col("fv"))).as("max_lag_us"),
+      expr("""sum(CASE WHEN fp > fv THEN fp - fv END)
+              div count(CASE WHEN fp > fv THEN 1 END)""").as("avg_lag_us"))
+  }
+
+  val q48Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  CAST(count(CASE WHEN fv IS NOT NULL THEN 1 END) AS BIGINT) AS n_viewers,
+      |  CAST(count(CASE WHEN fp > fv THEN 1 END) AS BIGINT) AS n_converted,
+      |  min(CASE WHEN fp > fv THEN fp - fv END) AS min_lag_us,
+      |  max(CASE WHEN fp > fv THEN fp - fv END) AS max_lag_us,
+      |  CAST(sum(CASE WHEN fp > fv THEN fp - fv END) AS BIGINT)
+      |    // count(CASE WHEN fp > fv THEN 1 END) AS avg_lag_us
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1496,6 +1538,7 @@ object RelationalQueries {
     "q45_pareto_head"     -> (q45Pareto _),
     "q46_rolling_dau"     -> (q46RollingDau _),
     "q47_top_per_group"   -> (q47TopPerGroup _),
+    "q48_conversion_latency" -> (q48ConversionLatency _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1546,5 +1589,6 @@ object RelationalQueries {
     "q45_pareto_head"     -> q45Sql,
     "q46_rolling_dau"     -> q46Sql,
     "q47_top_per_group"   -> q47Sql,
+    "q48_conversion_latency" -> q48Sql,
   )
 }

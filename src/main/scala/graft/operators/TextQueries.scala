@@ -1070,6 +1070,71 @@ object TextQueries {
        |          // greatest(CAST(len(sylls) AS BIGINT), 1) AS forcast_fp
        |FROM s""".stripMargin
 
+  // ------------------------------------------------------ txt_drift_chi2
+  /** Train/test distribution-drift detection: the tokens whose frequency
+    * differs most between the stratified TRAIN and TEST splits (the same
+    * deterministic buckets as `split_stratified`), ranked by the exact
+    * two-sample chi-square statistic. The standing data-quality check
+    * before training: a token with high chi-square marks leakage,
+    * bucketing bias, or temporal drift between the splits.
+    *
+    * The 2×2 chi-square collapses algebraically to D² / (t·N_tr·N_te)
+    * with D = o_tr·N_te − o_te·N_tr and t = o_tr+o_te — one rational
+    * term, computed in scale-0 DECIMAL(38) fixed point (×1e6): exact,
+    * shuffle-order- and engine-independent, zero libm. (D² fits
+    * DECIMAL(38) through corpus sizes ~1e13 tokens; beyond that the
+    * ranking would move to doubles and out of the bit-exact gate.)
+    *
+    * Scale shape: one explode + vocabulary-sized count aggregate with
+    * map-side partials; totals ride a broadcast 1-row frame; final
+    * ranking is TakeOrderedAndProject over the vocabulary. */
+  private val DriftK = 20
+  private val DriftFpScale = 1000000L
+
+  def txtDriftChi2(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val counts = Tables.documents(s, d)
+      .withColumn("bkt", expr("char_fold_hash(CAST(doc_id AS STRING)) % 100"))
+      .filter(col("bkt") < 80 || col("bkt") >= 90) // train ∪ test, val excluded
+      .select((col("bkt") < 80).cast(IntegerType).as("is_tr"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(col("is_tr")).cast(LongType).as("o_tr"),
+        sum(lit(1) - col("is_tr")).cast(LongType).as("o_te"))
+    val totals = counts.agg(sum(col("o_tr")).as("n_tr"), sum(col("o_te")).as("n_te"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("o_tr"), col("o_te"),
+        expr(s"""CAST((CAST(o_tr AS DECIMAL(38,0)) * n_te - CAST(o_te AS DECIMAL(38,0)) * n_tr)
+                 * (CAST(o_tr AS DECIMAL(38,0)) * n_te - CAST(o_te AS DECIMAL(38,0)) * n_tr)
+                 * $DriftFpScale
+                 div ((o_tr + o_te) * CAST(n_tr AS DECIMAL(38,0)) * n_te) AS BIGINT)""")
+          .as("chi2_fp"))
+      .orderBy(col("chi2_fp").desc, col("tok"))
+      .limit(DriftK)
+  }
+
+  val txtDriftChi2Sql: String = {
+    val bucket = s"${graft.functions.HashFunctions.charFoldHashSql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH t AS (
+       |  SELECT CASE WHEN bkt < 80 THEN 1 ELSE 0 END AS is_tr, unnest($DTokens) AS tok
+       |  FROM (SELECT text, $bucket AS bkt FROM documents)
+       |  WHERE bkt < 80 OR bkt >= 90),
+       |c AS (
+       |  SELECT tok, CAST(sum(is_tr) AS BIGINT) AS o_tr,
+       |    CAST(sum(1 - is_tr) AS BIGINT) AS o_te
+       |  FROM t GROUP BY tok),
+       |n AS (SELECT CAST(sum(o_tr) AS BIGINT) AS n_tr,
+       |             CAST(sum(o_te) AS BIGINT) AS n_te FROM c)
+       |SELECT tok, o_tr, o_te,
+       |  CAST((CAST(o_tr AS HUGEINT) * n_te - CAST(o_te AS HUGEINT) * n_tr)
+       |     * (CAST(o_tr AS HUGEINT) * n_te - CAST(o_te AS HUGEINT) * n_tr)
+       |     * $DriftFpScale
+       |     // ((o_tr + o_te) * CAST(n_tr AS HUGEINT) * n_te) AS BIGINT) AS chi2_fp
+       |FROM c, n
+       |ORDER BY chi2_fp DESC, tok ASC
+       |LIMIT $DriftK""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -1094,6 +1159,7 @@ object TextQueries {
     "txt_colloc"       -> (txtColloc _),
     "txt_winnowing"    -> (txtWinnowing _),
     "txt_readability"  -> (txtReadability _),
+    "txt_drift_chi2"   -> (txtDriftChi2 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1119,5 +1185,6 @@ object TextQueries {
     "txt_colloc"       -> txtCollocSql,
     "txt_winnowing"    -> txtWinnowingSql,
     "txt_readability"  -> txtReadabilitySql,
+    "txt_drift_chi2"   -> txtDriftChi2Sql,
   )
 }

@@ -336,6 +336,27 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"grouped top-k must not plan a Window:\n$plan")
   }
 
+  test("q48 conversion latency: summary matches a brute-force funnel") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "ts_ns div 1000 AS ts_us")
+      .as[(Long, String, Long)].collect()
+    val perUser = ev.groupBy(_._1).map { case (_, g) =>
+      val fv = g.filter(_._2 == "view").map(_._3).minOption
+      val fp = g.filter(_._2 == "purchase").map(_._3).minOption
+      (fv, fp)
+    }.toSeq
+    val lags = perUser.collect {
+      case (Some(v), Some(p)) if p > v => p - v
+    }
+    val (row :: Nil) = RelationalQueries.q48ConversionLatency(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList: @unchecked
+    assert(row._1 == perUser.count(_._1.isDefined))
+    assert(row._2 == lags.length)
+    assert(row._3 == lags.min && row._4 == lags.max)
+    assert(row._5 == lags.sum / lags.length)
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -360,6 +360,35 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("txt_drift_chi2: top tokens match a BigInt brute-force recompute") {
+    import spark.implicits._
+    def foldHash(s: String): Long = s.foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    docs.foreach { case (id, text) =>
+      val bkt = foldHash(id.toString) % 100
+      if (bkt < 80 || bkt >= 90) {
+        val isTr = bkt < 80
+        text.trim.split(" +").filter(_.nonEmpty).foreach { t =>
+          val (a, b) = counts(t)
+          counts(t) = if (isTr) (a + 1, b) else (a, b + 1)
+        }
+      }
+    }
+    val nTr = counts.values.map(_._1).sum
+    val nTe = counts.values.map(_._2).sum
+    val expected = counts.toSeq.map { case (tok, (oTr, oTe)) =>
+      val dd = BigInt(oTr) * nTe - BigInt(oTe) * nTr
+      val chi2 = dd * dd * 1000000L / (BigInt(oTr + oTe) * nTr * nTe)
+      (tok, oTr, oTe, chi2.toLong)
+    }.sortBy { case (tok, _, _, c) => (-c, tok) }.take(20)
+    val got = TextQueries.txtDriftChi2(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"drift ranking drifted:\ngot $got\nexp $expected")
+    assert(got.head._4 > 0L, "corpus splits differ somewhere; top chi2 must be positive")
+  }
+
   test("txt_readability: FORCAST components match a brute-force recompute") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
