@@ -117,16 +117,58 @@ object MultimodalQueries {
        |  (($FramesSql + 1) // 2) * (length(text) // $FramesSql) AS sampled_bytes
        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  // ---------------------------------------------------- mm_dup_groups
+  /** Duplicate screening over OPAQUE BINARY payloads by HEAD-BLOCK
+    * fingerprint: fold the first [[HeadBytes]] payload bytes into a
+    * portable int64 hash on the executor (bytes never leave it), then
+    * group — collision groups report copy count and canonical (min)
+    * doc. This is the standard cheap first pass of binary dedup (file
+    * stores and image pipelines screen on a head block before any
+    * full-content compare); identical-prefix payloads collide
+    * regardless of metadata, catching both exact copies and
+    * truncated/re-encoded-tail variants.
+    *
+    * The byte fold is the same recurrence as `char_fold_hash`
+    * (h·131 + byte mod HashFunctions.P); payloads here are ASCII, so
+    * the oracle reuses the char-level SQL fold on the same prefix —
+    * bit-identical.
+    *
+    * Scale shape: per-row map over a CONSTANT 64-byte prefix (a scan
+    * that never touches the payload tail), then a hash-keyed count —
+    * the shuffle carries (hash, id) pairs only, never payload bytes. */
+  private val HeadBytes = 64
+
+  def mmDupGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .map(b => (b.doc_id,
+        b.data.take(HeadBytes)
+          .foldLeft(0L)((h, x) => (h * 131 + (x & 0xff)) % graft.functions.HashFunctions.P)))
+      .toDF("doc_id", "payload_h")
+      .groupBy(col("payload_h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_copies") >= 2)
+  }
+
+  val mmDupGroupsSql: String =
+    s"""SELECT ${graft.functions.HashFunctions.charFoldHashSql(s"substr(text, 1, $HeadBytes)")} AS payload_h,
+       |  CAST(count(*) AS BIGINT) AS n_copies,
+       |  min(doc_id) AS canonical_doc
+       |FROM documents
+       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_dup_groups"   -> (mmDupGroups _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_dup_groups"   -> mmDupGroupsSql,
   )
 }

@@ -1489,6 +1489,45 @@ object RelationalQueries {
       |    // count(CASE WHEN fp > fv THEN 1 END) AS avg_lag_us
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Month-over-month revenue growth: monthly revenue totals with the
+    * growth rate vs the previous month in ppm fixed point — the
+    * standing BI trend query. Growth is cents·1e6 div prev_cents − 1e6
+    * with both revenues first shifted to integral CENTS: decimal `//`
+    * in DuckDB is not exact integer division (observed ±1 vs Spark's
+    * decimal `div` in either direction — it appears to route through
+    * doubles), so the ratio must be computed on integers, where both
+    * engines divide exactly. First month reports NULL growth.
+    *
+    * Scale shape: revenue collapses to |months| rows in one map-side-
+    * partial aggregate; the lag window runs unpartitioned over a
+    * calendar-bounded frame (same argument as q43's cumulative
+    * window) — bounded by time, not data volume. */
+  def q49MomGrowth(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("mkey"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy(col("mkey")).agg(sum(col("p")).as("rev"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy(col("mkey"))))
+      .select(col("mkey"), outd(col("rev")).as("rev"),
+        expr("""CAST(CAST(rev * 100 AS DECIMAL(38,0)) * 1000000
+                div CAST(prev * 100 AS DECIMAL(38,0)) - 1000000 AS BIGINT)""")
+          .as("growth_fp"))
+  }
+
+  val q49Sql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT mkey, CAST(rev AS DOUBLE) AS rev,
+      |  CAST(CAST(rev * 100 AS HUGEINT) * 1000000
+      |       // CAST(lag(rev, 1) OVER (ORDER BY mkey) * 100 AS HUGEINT)
+      |       - 1000000 AS BIGINT) AS growth_fp
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1539,6 +1578,7 @@ object RelationalQueries {
     "q46_rolling_dau"     -> (q46RollingDau _),
     "q47_top_per_group"   -> (q47TopPerGroup _),
     "q48_conversion_latency" -> (q48ConversionLatency _),
+    "q49_mom_growth"      -> (q49MomGrowth _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1590,5 +1630,6 @@ object RelationalQueries {
     "q46_rolling_dau"     -> q46Sql,
     "q47_top_per_group"   -> q47Sql,
     "q48_conversion_latency" -> q48Sql,
+    "q49_mom_growth"      -> q49Sql,
   )
 }

@@ -51,4 +51,23 @@ class MultimodalQueriesSpec extends SparkSpecBase {
       assert(Set("image", "audio", "video").contains(b.media_type))
     }
   }
+
+  test("mm_dup_groups equals a brute-force head-block fingerprint grouping") {
+    import spark.implicits._
+    val P = graft.functions.HashFunctions.P
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs
+      .map { case (id, t) =>
+        val head = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(64)
+        (id, head.foldLeft(0L)((h, x) => (h * 131 + (x & 0xff)) % P))
+      }
+      .groupBy(_._2).collect { case (h, g) if g.length >= 2 =>
+        (h, g.length.toLong, g.map(_._1).min)
+      }.toSet
+    val got = MultimodalQueries.mmDupGroups(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"dup groups drifted (got ${got.size}, exp ${expected.size})")
+    assert(got.nonEmpty, "planted near-dups share heads; the screen must fire")
+  }
 }

@@ -357,6 +357,23 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(row._5 == lags.sum / lags.length)
   }
 
+  test("q49 MoM growth: rates match a BigInt cents recompute") {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS mkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .as[(Long, Long)].collect()
+    val monthly = o.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val expected = monthly.zipWithIndex.map { case ((mk, cents), i) =>
+      val growth = if (i == 0) None
+        else Some((BigInt(cents) * 1000000L / monthly(i - 1)._2 - 1000000L).toLong)
+      (mk, cents / 100.0, growth)
+    }.toSet
+    val got = RelationalQueries.q49MomGrowth(spark, sfDir)
+      .as[(Long, Double, Option[Long])].collect().toSet
+    assert(got == expected, "growth curve drifted from cents recompute")
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)
