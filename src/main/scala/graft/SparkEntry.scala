@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, IngestQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{DedupQueries, FormatQueries, IngestQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries ++ IngestQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++ IngestQueries.queries ++ FormatQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++ IngestQueries.oracleSql
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++ IngestQueries.oracleSql ++ FormatQueries.oracleSql
 }

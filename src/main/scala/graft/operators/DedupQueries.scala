@@ -760,6 +760,70 @@ object DedupQueries {
        |GROUP BY 1, 2
        |HAVING count(*) >= $WinnowMinShared""".stripMargin
 
+  // --------------------------------------------------- dedup_lsh_audit
+  /** MinHash-LSH recall audit: compares the banded pipeline's output
+    * against the EXACT 3-gram Jaccard truth at the same θ=0.8 threshold
+    * and reports one row — true pairs, found pairs, missed (banding
+    * recall loss), extra (must be 0: the verify stage re-checks exact
+    * Jaccard), and fixed-point recall. The dedup twin of
+    * `sim_recall_audit`: the standing monitoring query for a
+    * probabilistic dedup index (k/r/b mistuning surfaces here first).
+    *
+    * Scale shape: the truth side is the same inverted-index self-join
+    * as dedup_ngram_jaccard (cost tracks true collisions); the compare
+    * is a full-outer join on pair keys — sized by true+found pairs,
+    * not the corpus. */
+  def dedupLshAudit(s: SparkSession, d: String): DataFrame = {
+    val inv = shingleStream(s, d, 3)
+    val sizes = shingleSizes(inv)
+    val ia = inv.select(col("shingle"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("shingle"), col("doc_id").as("doc_b"))
+    val truth = ia.join(ib, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("shared").cast(DoubleType)
+        / (col("n_a") + col("n_b") - col("shared")).cast(DoubleType) >= 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_true"))
+    val found = dedupMinhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_found"))
+    truth.join(found, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_true"), lit(0))).cast(LongType).as("n_true"),
+        sum(coalesce(col("is_found"), lit(0))).cast(LongType).as("n_found"),
+        sum(when(col("is_true").isNotNull && col("is_found").isNull, 1).otherwise(0))
+          .cast(LongType).as("n_missed"),
+        sum(when(col("is_true").isNull && col("is_found").isNotNull, 1).otherwise(0))
+          .cast(LongType).as("n_extra"))
+      .withColumn("recall_fp",
+        expr("(n_true - n_missed) * 1000000L div n_true"))
+  }
+
+  lazy val dedupLshAuditSql: String =
+    s"""WITH mh AS (${dedupMinhashLshSql.replace("\n", "\n       ")}),
+       |docs3 AS (
+       |  SELECT doc_id, ${shingleSetSql(3)} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM docs3 a JOIN docs3 b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        >= 0.8),
+       |j AS (
+       |  SELECT t.doc_a AS ta, f.doc_a AS fa
+       |  FROM truth t FULL OUTER JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) f
+       |    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+       |SELECT CAST(count(ta) AS BIGINT) AS n_true,
+       |  CAST(count(fa) AS BIGINT) AS n_found,
+       |  CAST(count(CASE WHEN fa IS NULL THEN ta END) AS BIGINT) AS n_missed,
+       |  CAST(count(CASE WHEN ta IS NULL THEN fa END) AS BIGINT) AS n_extra,
+       |  (CAST(count(ta) AS BIGINT) - count(CASE WHEN fa IS NULL THEN ta END)) * 1000000
+       |    // count(ta) AS recall_fp
+       |FROM j""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster"          -> (dedupCluster _),
@@ -773,6 +837,7 @@ object DedupQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_substring"        -> (dedupSubstring _),
     "dedup_winnow"           -> (dedupWinnow _),
+    "dedup_lsh_audit"        -> (dedupLshAudit _),
   )
 
   // lazy for the same init-order reason as dedupWinnowSql
@@ -790,5 +855,6 @@ object DedupQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_substring"        -> dedupSubstringSql,
     "dedup_winnow"           -> dedupWinnowSql,
+    "dedup_lsh_audit"        -> dedupLshAuditSql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source/sink format coverage under the ORACLE GATE: parquet in,
+  * CSV/JSON out-and-back-in, aggregate, hash-compare against DuckDB
+  * computing the same aggregate straight from the parquet table. Any
+  * quoting, escaping, type-inference, or null-handling defect in the
+  * round-tripped format corrupts the aggregate and breaks the hash —
+  * the format readers are gated as executable behavior, not just
+  * unit-tested.
+  *
+  * Scale shape: both queries are scan → (distributed) write → scan →
+  * hash aggregate. The interchange files are written once per run into
+  * a per-scale scratch dir and partitioned like any table — nothing is
+  * driver-side. Explicit schemas on re-read (schema inference is a
+  * full extra pass at 100 TB, and inference-drift would show up as a
+  * gate failure, so neither engine infers).
+  */
+object FormatQueries {
+
+  private def scratch(d: String, fmt: String): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fmt_${fmt}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(dir.getParent)
+    dir.toString
+  }
+
+  private val sliceSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** The lineitem slice that round-trips: ints, doubles, a string, and
+    * a TIMESTAMP — the column most likely to drift through a text
+    * format (serialization format, timezone, precision). */
+  private def slice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+
+  private def gateAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        max(col("l_shipdate")).cast(LongType).as("max_ship_s"))
+
+  private val gateAggSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  def fmtCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "csv")
+    slice(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    gateAgg(s.read.schema(sliceSchema).option("header", "true").csv(out))
+  }
+
+  def fmtJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "json")
+    slice(s, d).write.mode("overwrite").json(out)
+    gateAgg(s.read.schema(sliceSchema).json(out))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
+    "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fmt_csv_roundtrip"  -> gateAggSql,
+    "fmt_json_roundtrip" -> gateAggSql,
+  )
+}

@@ -223,6 +223,18 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(plan.contains("run_h"), plan)
   }
 
+  test("lsh audit: counts reconcile, verify stage admits zero extras") {
+    val Seq((nTrue, nFound, nMissed, nExtra, recallFp)) =
+      DedupQueries.dedupLshAudit(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nExtra == 0L, "exact-verify stage must never admit a false pair")
+    assert(nTrue == nFound + nMissed, "found + missed must partition the truth")
+    assert(recallFp == (nTrue - nMissed) * 1000000L / nTrue)
+    assert(nTrue > 0L, "corpus carries planted near-dups at J >= 0.8")
+    // k=16 r=2 b=8 banding at the planted J levels: recall far above half
+    assert(recallFp >= 500000L, s"LSH recall collapsed: $recallFp ppm")
+  }
+
   test("winnow dedup equals brute-force winnowing + df cap exactly") {
     val M = 1000000007L
     val (k, w) = (4, 4)

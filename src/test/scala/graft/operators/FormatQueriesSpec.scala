@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class FormatQueriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def direct = {
+    // the same gate aggregate computed straight from parquet
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        // parquet stores NTZ; hop through TimestampType (UTC session)
+        max(col("l_shipdate")).cast(TimestampType).cast(LongType).as("max_ship_s"))
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+  }
+
+  test("csv round-trip preserves the gate aggregate bit-for-bit") {
+    val got = FormatQueries.fmtCsvRoundtrip(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct, "CSV round-trip corrupted values")
+    assert(got.nonEmpty)
+  }
+
+  test("json round-trip preserves the gate aggregate bit-for-bit") {
+    val got = FormatQueries.fmtJsonRoundtrip(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct, "JSON round-trip corrupted values")
+    assert(got.nonEmpty)
+  }
+}
