@@ -1528,6 +1528,31 @@ object RelationalQueries {
       |       - 1000000 AS BIGINT) AS growth_fp
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Session-shape histogram: sessions bucketed by event count (capped
+    * at a 10+ bucket) with per-bucket session counts and mean/max
+    * duration — the engagement-distribution readout on top of q28's
+    * sessionization. Mean duration is integral-µs `div`.
+    *
+    * Scale shape: rides q28's single user_id exchange end-to-end; the
+    * histogram is a ≤10-row aggregate with map-side partials. */
+  def q50SessionHistogram(s: SparkSession, d: String): DataFrame =
+    q28Sessionize(s, d)
+      .select(least(col("n_events"), lit(10L)).as("ev_bucket"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+      .groupBy(col("ev_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("sum(dur_us) div count(1)").as("mean_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+
+  val q50Sql: String =
+    s"""WITH sess AS (${q28Sql.replace("\n", "\n       ")})
+       |SELECT least(n_events, 10) AS ev_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(end_us - start_us) AS BIGINT) // count(*) AS mean_dur_us,
+       |  max(end_us - start_us) AS max_dur_us
+       |FROM sess GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1579,6 +1604,7 @@ object RelationalQueries {
     "q47_top_per_group"   -> (q47TopPerGroup _),
     "q48_conversion_latency" -> (q48ConversionLatency _),
     "q49_mom_growth"      -> (q49MomGrowth _),
+    "q50_session_histogram" -> (q50SessionHistogram _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1631,5 +1657,6 @@ object RelationalQueries {
     "q47_top_per_group"   -> q47Sql,
     "q48_conversion_latency" -> q48Sql,
     "q49_mom_growth"      -> q49Sql,
+    "q50_session_histogram" -> q50Sql,
   )
 }

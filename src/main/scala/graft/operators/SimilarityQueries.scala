@@ -987,6 +987,51 @@ object SimilarityQueries {
        |FROM (SELECT DISTINCT query_id FROM bf) q
        |LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
 
+  // ----------------------------------------------------- sim_norm_stats
+  /** Embedding-corpus health stats in one row: vector count, zero-norm
+    * count (degenerate vectors that poison cosine math), dimension
+    * check, and the min/max/mean of the squared norm. The standing
+    * pre-index sanity query of any vector pipeline.
+    *
+    * Determinism: the per-row squared norm is one compiled `vec_dot`
+    * fold (fixed evaluation order inside the row); the cross-row MEAN
+    * floors norm²·1e6 to int64 first — double multiply and floor are
+    * IEEE-identical on both engines, and the int64 sum is
+    * shuffle-order-independent. min/max of doubles are order-free.
+    *
+    * Scale shape: pure map + a single-row aggregate with map-side
+    * partials; the corpus never shuffles. */
+  def simNormStats(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), size(col("emb")).cast(LongType).as("dim"),
+        expr("vec_dot(emb, emb)").as("norm2"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims_distinct"),
+        sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        expr("sum(CAST(floor(norm2 * 1000000) AS BIGINT)) div count(1)")
+          .as("mean_norm2_fp"))
+  }
+
+  val simNormStatsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, len(embedding) AS dim,
+      |    list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                     list_transform(embedding, x -> CAST(x AS DOUBLE))) AS norm2
+      |  FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+      |  CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+      |  min(norm2) AS min_norm2,
+      |  max(norm2) AS max_norm2,
+      |  CAST(sum(CAST(floor(norm2 * 1000000) AS BIGINT)) AS BIGINT)
+      |    // count(*) AS mean_norm2_fp
+      |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
@@ -1002,6 +1047,7 @@ object SimilarityQueries {
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
     "sim_recall_audit"    -> (simRecallAudit _),
+    "sim_norm_stats"      -> (simNormStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1019,5 +1065,6 @@ object SimilarityQueries {
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,
     "sim_recall_audit"    -> simRecallAuditSql,
+    "sim_norm_stats"      -> simNormStatsSql,
   )
 }

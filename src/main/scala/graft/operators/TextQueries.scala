@@ -1135,6 +1135,42 @@ object TextQueries {
        |LIMIT $DriftK""".stripMargin
   }
 
+  // ------------------------------------------------------ corpus_report
+  /** Per-source corpus dashboard: document count, token volume, mean
+    * document length (centitokens fixed point), language spread, and
+    * the short-document rate (per mille) — the standing health report a
+    * data-curation team keeps on every ingestion source. All-integer
+    * outputs: exact on both engines with zero float paths.
+    *
+    * Scale shape: one scan → per-row token count (native map) → a
+    * \|sources\|-sized hash aggregate with map-side partials; no joins,
+    * no windows. */
+  private val ReportShortTokens = 32
+
+  def corpusReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        expr("sum(n_toks) * 100 div count(1)").as("mean_toks_fp"),
+        countDistinct(col("lang")).as("n_langs"),
+        expr(s"sum(CASE WHEN n_toks < $ReportShortTokens THEN 1 ELSE 0 END) * 1000 div count(1)")
+          .as("short_rate_pm"))
+
+  val corpusReportSql: String =
+    s"""WITH t AS (SELECT source, lang, CAST(len($DTokens) AS BIGINT) AS n_toks
+       |           FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_toks) AS BIGINT) * 100 // count(*) AS mean_toks_fp,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(CASE WHEN n_toks < $ReportShortTokens THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // count(*) AS short_rate_pm
+       |FROM t GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -1160,6 +1196,7 @@ object TextQueries {
     "txt_winnowing"    -> (txtWinnowing _),
     "txt_readability"  -> (txtReadability _),
     "txt_drift_chi2"   -> (txtDriftChi2 _),
+    "corpus_report"    -> (corpusReport _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1186,5 +1223,6 @@ object TextQueries {
     "txt_winnowing"    -> txtWinnowingSql,
     "txt_readability"  -> txtReadabilitySql,
     "txt_drift_chi2"   -> txtDriftChi2Sql,
+    "corpus_report"    -> corpusReportSql,
   )
 }

@@ -374,6 +374,20 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(got == expected, "growth curve drifted from cents recompute")
   }
 
+  test("q50 session histogram: buckets reconcile with q28's sessions") {
+    import spark.implicits._
+    val sessions = RelationalQueries.q28Sessionize(spark, sfDir)
+      .selectExpr("n_events", "end_us - start_us AS dur_us")
+      .as[(Long, Long)].collect()
+    val expected = sessions.groupBy(s => math.min(s._1, 10L)).map { case (b, g) =>
+      (b, g.length.toLong, g.map(_._2).sum / g.length, g.map(_._2).max)
+    }.toSet
+    val got = RelationalQueries.q50SessionHistogram(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "histogram drifted from per-session recompute")
+    assert(got.map(_._2).sum == sessions.length.toLong)
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -306,6 +306,19 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(ivf.size == exact.size)
   }
 
+  test("norm stats: one healthy row matching a driver-side recompute") {
+    val Seq((nVecs, nDims, nZero, minN2, maxN2, meanFp)) =
+      SimilarityQueries.simNormStats(spark, sfDir)
+        .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    val norms = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble).foldLeft(0.0)((a, x) => a + x * x))
+    assert(nVecs == norms.length && nDims == 1L)
+    assert(nZero == norms.count(_ == 0.0))
+    assert(minN2 == norms.min && maxN2 == norms.max)
+    assert(meanFp == norms.map(n => math.floor(n * 1e6).toLong).sum / norms.length)
+  }
+
   test("recall audit reports the exact per-query IVF∩exact intersection") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect()

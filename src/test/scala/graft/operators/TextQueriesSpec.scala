@@ -360,6 +360,22 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_report: per-source rows reconcile with raw recounts") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "lang", "text").as[(String, String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val toks = g.map(_._3.trim.split(" +").count(_.nonEmpty).toLong)
+      (src, g.length.toLong, toks.sum, toks.sum * 100 / g.length,
+        g.map(_._2).distinct.length.toLong,
+        toks.count(_ < 32).toLong * 1000 / g.length)
+    }.toSet
+    val got = TextQueries.corpusReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "report drifted from raw recounts")
+    assert(got.nonEmpty)
+  }
+
   test("txt_drift_chi2: top tokens match a BigInt brute-force recompute") {
     import spark.implicits._
     def foldHash(s: String): Long = s.foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
