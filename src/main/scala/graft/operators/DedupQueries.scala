@@ -727,10 +727,16 @@ object DedupQueries {
 
   def dedupWinnow(s: SparkSession, d: String): DataFrame = {
     graft.expressions.WinnowExpressions.register(s)
+    // cache(): the fingerprint frame feeds the df-cap aggregate AND both
+    // sides of the self-join (no cross-branch CSE in Spark) — uncached,
+    // the winnow expression would re-scan and re-fingerprint the corpus
+    // five times. The cached frame is (doc_id, fp) pairs at winnowing
+    // density (~2/(w+1) of the gram stream), tiny next to the corpus.
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(winnow_fps(text, ${TextQueries.WinK}, ${TextQueries.WinW}), x -> x.fp)")))
         .as("fp"))
+      .cache()
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, WinnowDfCap))
       .select(col("fp"))
@@ -774,7 +780,9 @@ object DedupQueries {
     * is a full-outer join on pair keys — sized by true+found pairs,
     * not the corpus. */
   def dedupLshAudit(s: SparkSession, d: String): DataFrame = {
-    val inv = shingleStream(s, d, 3)
+    // cache(): the truth side reads the inverted index three ways (both
+    // join sides + sizes); same rationale as dedupMinhashLsh's cache.
+    val inv = shingleStream(s, d, 3).cache()
     val sizes = shingleSizes(inv)
     val ia = inv.select(col("shingle"), col("doc_id").as("doc_a"))
     val ib = inv.select(col("shingle"), col("doc_id").as("doc_b"))

@@ -1364,9 +1364,14 @@ object RelationalQueries {
     * fans out exactly 7× before the second distinct; every aggregate
     * merges. No RANGE re-scan, no per-day window state. */
   def q46RollingDau(s: SparkSession, d: String): DataFrame = {
+    // cache(): the distinct (user, day) frame feeds the daily counts,
+    // the bounds row, and the cover-set fan-out — three consumers with
+    // no cross-branch CSE; cached it is the fundamental reduction of
+    // the stream (tiny next to raw events).
     val ud = Tables.events(s, d)
       .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
       .distinct()
+      .cache()
     val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val bounds = ud.agg(max(col("day")).as("dmax"))
     val roll = ud

@@ -965,7 +965,9 @@ object SimilarityQueries {
     * engines; queries the index misses entirely still appear (left
     * join, 0 hits). */
   def simRecallAudit(s: SparkSession, d: String): DataFrame = {
-    val bf = simTopKBruteForce(s, d).select(col("query_id"), col("vec_id"))
+    // cache(): bf feeds both the hit join and the query-id spine; it is
+    // k·|Q| rows, and uncached the brute-force scoring would run twice.
+    val bf = simTopKBruteForce(s, d).select(col("query_id"), col("vec_id")).cache()
     val ivf = simTopKIvf(s, d).select(col("query_id"), col("vec_id"))
     val hits = bf.join(ivf, Seq("query_id", "vec_id"), "leftsemi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
