@@ -1558,6 +1558,33 @@ object RelationalQueries {
        |  max(end_us - start_us) AS max_dur_us
        |FROM sess GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Weekday×hour activity profile: event count and spend for each of
+    * the 7×24 calendar cells — the seasonality heat-map behind load
+    * forecasting and anomaly baselines. Day-of-week is PURE integer
+    * math on epoch days ((days+4) mod 7, epoch day 0 = Thursday) so
+    * both engines agree without touching locale/timezone-dependent
+    * dayofweek() built-ins.
+    *
+    * Scale shape: one scan → per-row integral bucketing → a 168-row
+    * hash aggregate with map-side partials. */
+  def q51WeekdayProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        outd(sum(dec(col("value")))).as("sum_value"))
+
+  val q51Sql: String =
+    """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1610,6 +1637,7 @@ object RelationalQueries {
     "q48_conversion_latency" -> (q48ConversionLatency _),
     "q49_mom_growth"      -> (q49MomGrowth _),
     "q50_session_histogram" -> (q50SessionHistogram _),
+    "q51_weekday_profile" -> (q51WeekdayProfile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1663,5 +1691,6 @@ object RelationalQueries {
     "q48_conversion_latency" -> q48Sql,
     "q49_mom_growth"      -> q49Sql,
     "q50_session_histogram" -> q50Sql,
+    "q51_weekday_profile" -> q51Sql,
   )
 }

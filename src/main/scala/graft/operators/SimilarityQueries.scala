@@ -1034,6 +1034,50 @@ object SimilarityQueries {
       |    // count(*) AS mean_norm2_fp
       |FROM e""".stripMargin
 
+  // -------------------------------------------------------- sim_ood_hist
+  /** Out-of-distribution score histogram: every vector's best cosine
+    * against the seed-centroid set (the IVF coarse space), bucketed at
+    * 0.1 granularity — the curation readout that surfaces outlier /
+    * junk embeddings (low-affinity tail) before they pollute an index
+    * or a training mix.
+    *
+    * Determinism: best-cos = −min(−cos) over one broadcast centroid
+    * array (IEEE negation is exact, so it equals the oracle's max);
+    * buckets are floor(cos·10) int64. Scale shape: pure broadcast-map
+    * over the corpus (never shuffles) + a ≤21-row aggregate. */
+  def simOodHist(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("best_cos", expr(
+        """-array_min(transform(cents,
+          |  c -> -(vec_dot(emb, c.cemb) / (nrm * c.cnrm))))""".stripMargin))
+      .select(expr("CAST(floor(best_cos * 10) AS BIGINT)").as("bucket"),
+        col("best_cos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("best_cos")).as("min_cos"),
+        max(col("best_cos")).as("max_cos"))
+  }
+
+  val simOodHistSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCells),
+       |best AS (
+       |  SELECT e.vec_id,
+       |    max(list_dot_product(e.emb, c.cemb)
+       |        / (sqrt(list_dot_product(e.emb, e.emb))
+       |           * sqrt(list_dot_product(c.cemb, c.cemb)))) AS best_cos
+       |  FROM e CROSS JOIN c GROUP BY e.vec_id)
+       |SELECT CAST(floor(best_cos * 10) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(best_cos) AS min_cos, max(best_cos) AS max_cos
+       |FROM best GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
@@ -1050,6 +1094,7 @@ object SimilarityQueries {
     "sim_sq8_topk"        -> (simSq8TopK _),
     "sim_recall_audit"    -> (simRecallAudit _),
     "sim_norm_stats"      -> (simNormStats _),
+    "sim_ood_hist"        -> (simOodHist _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1068,5 +1113,6 @@ object SimilarityQueries {
     "sim_sq8_topk"        -> simSq8TopKSql,
     "sim_recall_audit"    -> simRecallAuditSql,
     "sim_norm_stats"      -> simNormStatsSql,
+    "sim_ood_hist"        -> simOodHistSql,
   )
 }

@@ -388,6 +388,24 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(got.map(_._2).sum == sessions.length.toLong)
   }
 
+  test("q51 weekday profile: integer dow/hour math matches java.time") {
+    import spark.implicits._
+    val rows = RelationalQueries.q51WeekdayProfile(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 7 && r._2 >= 0 && r._2 < 24))
+    assert(rows.map(_._3).sum == graft.Tables.events(spark, sfDir).count())
+    // spot-check the integer dow against java.time on real timestamps
+    val sample = graft.Tables.events(spark, sfDir)
+      .selectExpr("ts_ns div 1000 AS ts_us").as[Long].take(50)
+    sample.foreach { us =>
+      val ld = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+      val dow = ((us / 86400000000L) + 4) % 7 // epoch day 0 = Thu → Sun=0..Sat=6
+      val expected = ld.getDayOfWeek.getValue % 7 // java.time Mon=1..Sun=7 → Sun=0
+      assert(dow == expected, s"dow drift at $us: $dow vs $expected (${ld.getDayOfWeek})")
+    }
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -319,6 +319,21 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(meanFp == norms.map(n => math.floor(n * 1e6).toLong).sum / norms.length)
   }
 
+  test("ood histogram: buckets partition the corpus and bound the cosines") {
+    val rows = SimilarityQueries.simOodHist(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    rows.foreach { case (bucket, n, lo, hi) =>
+      assert(n > 0)
+      assert(lo <= hi)
+      assert(math.floor(lo * 10).toLong == bucket && math.floor(hi * 10).toLong == bucket,
+        s"bucket $bucket holds cosines outside its range [$lo, $hi]")
+    }
+    // the 16 seed vectors see themselves: a full-affinity bucket exists
+    assert(rows.exists(_._1 == 10L), "seed self-match bucket missing")
+  }
+
   test("recall audit reports the exact per-query IVF∩exact intersection") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
