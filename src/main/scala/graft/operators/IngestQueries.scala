@@ -198,11 +198,80 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 1
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- amqp_stream_dedup
+  /** STATEFUL streaming dedup under the oracle gate: a disjoint events
+    * slice is pumped TWICE (every message delivered two times — the
+    * at-least-once redelivery a real broker produces on reconnect), and
+    * a streaming `dropDuplicates(message_id)` must collapse the stream
+    * back to exactly-once before aggregation. The oracle aggregates the
+    * slice ONCE from parquet: any under- or over-deduplication breaks
+    * the hash. This gates Structured Streaming's keyed dedup state — the
+    * semantics the reference's WAL-reliable receiver mode exists for.
+    *
+    * Determinism: Trigger.AvailableNow + unwatermarked dedup state (all
+    * ids retained for the run) + complete-mode aggregate. */
+  def amqpStreamDedup(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 2) // disjoint from the other gates' slices
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    var pass = 0
+    while (pass < 2) { // duplicate delivery: each message pumped twice
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < rows.length) {
+        val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getString(1)),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+        }
+        val seqs = client.sendMany(address, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(address)
+          client.fetch(address, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+      pass += 1
+    }
+    val qname = s"gate_stream_dedup_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .dropDuplicates("message_id")
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-dedup gate query hung")
+    finally q.stop()
+    s.table(qname).select(col("subject").as("event_type"),
+      col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamDedupSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 10 = 2
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
-    "amqp_stream_window"    -> (amqpStreamWindow _))
+    "amqp_stream_window"    -> (amqpStreamWindow _),
+    "amqp_stream_dedup"     -> (amqpStreamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
-    "amqp_stream_window"    -> amqpStreamWindowSql)
+    "amqp_stream_window"    -> amqpStreamWindowSql,
+    "amqp_stream_dedup"     -> amqpStreamDedupSql)
 }

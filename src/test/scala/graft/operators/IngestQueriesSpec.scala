@@ -32,6 +32,24 @@ class IngestQueriesSpec extends SparkSpecBase {
     } finally System.clearProperty("graft.gate.transport")
   }
 
+  test("stream-dedup gate collapses double delivery to exactly-once") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamDedup(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 2)
+      .groupBy(col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected,
+      "dedup must reduce the double-pumped stream to the once-only aggregate")
+    // the duplication is real: the broker holds 2x the slice
+    val n = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 2).count()
+    assert(got.map(_._2).sum == n)
+  }
+
   test("stream-window gate equals the batch windowed aggregate bit-for-bit") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamWindow(spark, sfDir)
