@@ -1585,6 +1585,38 @@ object RelationalQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Order-size distribution: orders histogrammed by line count, with
+    * per-bucket distinct-part diversity and revenue — the basket-shape
+    * readout behind q44's affinity mining.
+    *
+    * Scale shape: one orderkey-keyed aggregate collapses lineitem (the
+    * fundamental reduction, map-side partial), then a ≤7-row histogram
+    * (TPC-H orders hold 1-7 lines); exact DECIMAL revenue with one
+    * terminal double cast. */
+  def q52OrderSizeDist(s: SparkSession, d: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(dec(col("l_extendedprice"))).as("rev"))
+    perOrder.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_parts")).as("total_parts"),
+        outd(sum(col("rev"))).as("total_rev"))
+  }
+
+  val q52Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_parts) AS BIGINT) AS total_parts,
+      |  CAST(sum(rev) AS DOUBLE) AS total_rev
+      |FROM po GROUP BY n_lines""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1638,6 +1670,7 @@ object RelationalQueries {
     "q49_mom_growth"      -> (q49MomGrowth _),
     "q50_session_histogram" -> (q50SessionHistogram _),
     "q51_weekday_profile" -> (q51WeekdayProfile _),
+    "q52_order_size_dist" -> (q52OrderSizeDist _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1692,5 +1725,6 @@ object RelationalQueries {
     "q49_mom_growth"      -> q49Sql,
     "q50_session_histogram" -> q50Sql,
     "q51_weekday_profile" -> q51Sql,
+    "q52_order_size_dist" -> q52Sql,
   )
 }

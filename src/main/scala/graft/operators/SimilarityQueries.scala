@@ -1078,6 +1078,33 @@ object SimilarityQueries {
        |  min(best_cos) AS min_cos, max(best_cos) AS max_cos
        |FROM best GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- sim_edge_hist
+  /** k-NN graph edge-quality histogram: the distribution of neighbor
+    * cosines (0.1 buckets) plus per-bucket rank-1 share — the one-look
+    * readout of whether the graph's edges are tight (retrieval-quality
+    * neighbors) or noise. Complements sim_ood_hist (vector-level) with
+    * the edge-level view.
+    *
+    * Scale shape: input is the already-bounded k·n edge list; the
+    * histogram is a ≤21-row mergeable aggregate on top. */
+  def simEdgeHist(s: SparkSession, d: String): DataFrame =
+    simKnnGraph(s, d)
+      .select(expr("CAST(floor(cos * 10) AS BIGINT)").as("bucket"),
+        col("cos"), col("rn"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("rn") === 1L, 1L).otherwise(0L)).as("n_rank1"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+
+  val simEdgeHistSql: String =
+    s"""WITH knn AS (${simKnnGraphSql.replace("\n", "\n       ")})
+       |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank1,
+       |  min(cos) AS min_cos, max(cos) AS max_cos
+       |FROM knn GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
@@ -1095,6 +1122,7 @@ object SimilarityQueries {
     "sim_recall_audit"    -> (simRecallAudit _),
     "sim_norm_stats"      -> (simNormStats _),
     "sim_ood_hist"        -> (simOodHist _),
+    "sim_edge_hist"       -> (simEdgeHist _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1114,5 +1142,6 @@ object SimilarityQueries {
     "sim_recall_audit"    -> simRecallAuditSql,
     "sim_norm_stats"      -> simNormStatsSql,
     "sim_ood_hist"        -> simOodHistSql,
+    "sim_edge_hist"       -> simEdgeHistSql,
   )
 }

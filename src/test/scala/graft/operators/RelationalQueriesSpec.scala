@@ -406,6 +406,21 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q52 order-size distribution: buckets partition all orders") {
+    import spark.implicits._
+    val rows = RelationalQueries.q52OrderSizeDist(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum == li.map(_._1).distinct.length.toLong,
+      "bucket order counts must partition the order set")
+    assert(rows.map(r => r._1 * r._2).sum == li.length.toLong,
+      "n_lines x n_orders must reconstruct the lineitem row count")
+    rows.foreach { case (nLines, _, totalParts, _) =>
+      assert(totalParts > 0 && nLines > 0)
+    }
+  }
+
   test("q41 gap fill: dense grid covers every hour in each user's span") {
     import spark.implicits._
     val rows = RelationalQueries.q41GapFill(spark, sfDir)

@@ -334,6 +334,18 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(rows.exists(_._1 == 10L), "seed self-match bucket missing")
   }
 
+  test("edge histogram reconciles with the k-NN graph it summarizes") {
+    val edges = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .select("cos", "rn").as[(Double, Long)].collect()
+    val hist = SimilarityQueries.simEdgeHist(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(hist.map(_._2).sum == edges.length.toLong)
+    assert(hist.map(_._3).sum == edges.count(_._2 == 1L).toLong)
+    hist.foreach { case (bucket, _, _, lo, hi) =>
+      assert(math.floor(lo * 10).toLong == bucket && math.floor(hi * 10).toLong == bucket)
+    }
+  }
+
   test("recall audit reports the exact per-query IVF∩exact intersection") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
