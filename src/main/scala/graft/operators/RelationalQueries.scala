@@ -1617,6 +1617,140 @@ object RelationalQueries {
       |  CAST(sum(rev) AS DOUBLE) AS total_rev
       |FROM po GROUP BY n_lines""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** RFM customer segmentation: recency / frequency / monetary scores
+    * from fixed business thresholds, rolled up to segment-level counts
+    * and value. Threshold scoring (not ntile) on purpose: quantile
+    * scoring needs a global sort and is tie-unstable across engines,
+    * while fixed cutoffs are a pure map — and at 100 TB the cutoffs
+    * would come from a previous profiling run anyway.
+    *
+    * Scale shape: one custkey-keyed aggregate collapses orders
+    * (map-side partial), then per-row scoring and a ≤27-row segment
+    * aggregate. Recency is integral day arithmetic against a fixed
+    * anchor; monetary stays exact DECIMAL until the terminal cast. */
+  def q53Rfm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(lit(java.sql.Date.valueOf("2001-08-01")), max(col("o_orderdate"))).cast(LongType).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).as("monetary"))
+    per.select(
+        when(col("recency_days") <= 90, 3L).when(col("recency_days") <= 270, 2L).otherwise(1L).as("r_score"),
+        when(col("frequency") >= 12, 3L).when(col("frequency") >= 9, 2L).otherwise(1L).as("f_score"),
+        when(col("monetary") >= 3000000, 3L).when(col("monetary") >= 2200000, 2L).otherwise(1L).as("m_score"),
+        col("frequency"), col("monetary"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("frequency")).as("total_orders"),
+        outd(sum(col("monetary"))).as("total_monetary"))
+  }
+
+  val q53Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-08-01') AS BIGINT) AS recency_days,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT CASE WHEN recency_days <= 90 THEN 3 WHEN recency_days <= 270 THEN 2 ELSE 1 END AS r_score,
+      |         CASE WHEN frequency >= 12 THEN 3 WHEN frequency >= 9 THEN 2 ELSE 1 END AS f_score,
+      |         CASE WHEN monetary >= 3000000 THEN 3 WHEN monetary >= 2200000 THEN 2 ELSE 1 END AS m_score,
+      |         frequency, monetary
+      |  FROM per)
+      |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(frequency) AS BIGINT) AS total_orders,
+      |  CAST(sum(monetary) AS DOUBLE) AS total_monetary
+      |FROM scored GROUP BY r_score, f_score, m_score""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Daily-volume anomaly detection: flags days whose event count
+    * deviates from the mean daily count by more than 2σ — with the test
+    * multiplied through by n² so it runs in exact integer arithmetic:
+    * (n·x − S)² > 4·(n·Q − S²). No float mean or stddev ever exists,
+    * so the flag is bit-identical on any engine and any shuffle order.
+    *
+    * Scale shape: a day-keyed count (map-side partial, |days| rows),
+    * one single-row stats reduce, and the 1-row frame broadcast back
+    * over the dailies. Squares run in DECIMAL(38,0): the test survives
+    * per-day counts in the billions, where the int64 square overflows. */
+  def q54AnomalyDays(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val daily = Tables.events(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("s"),
+      sum(d38(col("n_events")) * d38(col("n_events"))).as("q"))
+    val dev = d38(col("n_days")) * d38(col("n_events")) - d38(col("s"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_events"),
+        (dev * dev > d38(lit(4)) * (d38(col("n_days")) * col("q") - d38(col("s")) * d38(col("s")))).as("is_anomaly"))
+  }
+
+  val q54Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n_events) AS BIGINT) AS s,
+      |    sum(CAST(n_events AS HUGEINT) * n_events) AS q
+      |  FROM daily)
+      |SELECT day, n_events,
+      |  (CAST(n_days AS HUGEINT) * n_events - s)
+      |    * (CAST(n_days AS HUGEINT) * n_events - s)
+      |    > 4 * (CAST(n_days AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS is_anomaly
+      |FROM daily CROSS JOIN stats""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** TPC-H Q7-style trade matrix: line revenue volume between supplier
+    * nation and customer nation for 1996-97 shipments — the classic
+    * two-dimension fact rollup.
+    *
+    * Scale shape: nation (25 rows) folds into supplier and customer via
+    * broadcast; the supplier map is small enough to broadcast onto
+    * lineitem at any scale (10k rows/SF), so the supp_nation tag is a
+    * map-side lookup. The two real shuffles are lineitem ⋈ orders on
+    * orderkey and ⋈ customer on custkey — customer is deliberately NOT
+    * force-broadcast (it grows with SF; AQE picks broadcast while it
+    * fits). Output is ≤|nations|² rows; exact DECIMAL revenue. */
+  def q55TradeMatrix(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        outd(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("volume"))
+  }
+
+  val q55Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY sn.n_name, cn.n_name""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1671,6 +1805,9 @@ object RelationalQueries {
     "q50_session_histogram" -> (q50SessionHistogram _),
     "q51_weekday_profile" -> (q51WeekdayProfile _),
     "q52_order_size_dist" -> (q52OrderSizeDist _),
+    "q53_rfm"             -> (q53Rfm _),
+    "q54_anomaly_days"    -> (q54AnomalyDays _),
+    "q55_trade_matrix"    -> (q55TradeMatrix _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1726,5 +1863,8 @@ object RelationalQueries {
     "q50_session_histogram" -> q50Sql,
     "q51_weekday_profile" -> q51Sql,
     "q52_order_size_dist" -> q52Sql,
+    "q53_rfm"             -> q53Sql,
+    "q54_anomaly_days"    -> q54Sql,
+    "q55_trade_matrix"    -> q55Sql,
   )
 }

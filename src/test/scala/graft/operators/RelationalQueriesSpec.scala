@@ -440,4 +440,46 @@ class RelationalQueriesSpec extends SparkSpecBase {
     // silent hours exist at this sf (otherwise the query degenerates)
     assert(rows.exists(_._3 == 0L), "expected at least one gap-filled row")
   }
+
+  test("q53 rfm: segments partition the customer base; scores in range") {
+    import spark.implicits._
+    val rows = RelationalQueries.q53Rfm(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val nCust = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust,
+      "segment customer counts must partition the customer base")
+    rows.foreach { case (r, f, m, n, orders, monetary) =>
+      assert(r >= 1 && r <= 3 && f >= 1 && f <= 3 && m >= 1 && m <= 3)
+      assert(n > 0 && orders >= n && monetary > 0)
+    }
+  }
+
+  test("q54 anomaly days: integer 2-sigma test matches a BigInt recompute") {
+    import spark.implicits._
+    val rows = RelationalQueries.q54AnomalyDays(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val n = BigInt(rows.length)
+    val sum = rows.map(r => BigInt(r._2)).sum
+    val q = rows.map(r => BigInt(r._2) * r._2).sum
+    rows.foreach { case (_, x, flagged) =>
+      val dev = n * x - sum
+      assert(flagged == (dev * dev > 4 * (n * q - sum * sum)))
+    }
+  }
+
+  test("q55 trade matrix: supplier map broadcasts; totals reconcile") {
+    import spark.implicits._
+    val df = RelationalQueries.q55TradeMatrix(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rows = df.as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val expected = graft.Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate >= '1996-01-01' and l_shipdate < '1998-01-01'")
+      .count()
+    assert(rows.map(_._3).sum == expected,
+      "per-cell line counts must partition the filtered lineitem rows")
+  }
 }
