@@ -52,7 +52,11 @@ object FormatQueries {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_orderkey")).as("sum_okey"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-        max(col("l_shipdate")).cast(LongType).as("max_ship_s"))
+        // hop NTZ -> TIMESTAMP -> LONG: the parquet read-back preserves
+        // TIMESTAMP_NTZ (no direct BIGINT cast); under the UTC session
+        // the hop is exact, and it is a no-op on the csv/json paths
+        // whose explicit schema already reads TimestampType
+        max(col("l_shipdate")).cast(TimestampType).cast(LongType).as("max_ship_s"))
 
   private val gateAggSql =
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
@@ -73,13 +77,42 @@ object FormatQueries {
     gateAgg(s.read.schema(sliceSchema).json(out))
   }
 
+  /** Hive-style partitioned parquet layout under the gate: write the
+    * slice partitioned BY the gate's group key, read it back with a
+    * partition-column filter, and aggregate only the surviving
+    * partition. The filter must be answered from directory names alone
+    * — if partition pruning mis-lays or mis-reads a partition (value
+    * escaping, null dir, type round-trip through the path string), the
+    * single-flag aggregate diverges from DuckDB computing the same
+    * filter straight off the source table.
+    *
+    * Scale shape: this IS the 100 TB layout pattern — low-cardinality
+    * key in the directory tree, so a one-partition query opens 1/|keys|
+    * of the files and zero footers outside it. The spec asserts the
+    * plan prunes (PartitionFilters, no data-filter residue). */
+  def fmtPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "part")
+    slice(s, d).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(out)
+    gateAgg(s.read.parquet(out).filter(col("l_returnflag") === "R"))
+  }
+
+  private val gateAggFilteredSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
+      |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+    "fmt_partition_prune" -> (fmtPartitionPrune _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
+    "fmt_partition_prune" -> gateAggFilteredSql,
   )
 }

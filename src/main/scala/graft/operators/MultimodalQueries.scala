@@ -157,12 +157,67 @@ object MultimodalQueries {
        |FROM documents
        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ----------------------------------------------------- mm_shard_layout
+  /** Training-shard layout: pack media payloads into fixed-byte-budget
+    * shards — the step that turns a row-per-blob table into the
+    * sequential shard files a training loader streams. Packing is
+    * BLOCK-LOCAL by design: docs are first cut into fixed doc_id blocks,
+    * and the running-byte-sum window that assigns shard numbers runs
+    * within (media_type, block) — thousands of independent bounded
+    * groups, so no global sort exists anywhere. (A corpus-wide running
+    * sum would serialize the layout through one partition at 100 TB;
+    * block-local packing is what real shard writers do, at the cost of
+    * one under-filled trailing shard per block.)
+    *
+    * Shard id = exclusive-prefix bytes div budget: integral arithmetic
+    * on both engines, so boundaries are bit-portable. */
+  def mmShardLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = mediaTable(s, d).select(
+      col("doc_id"), col("media_type"),
+      expr(s"doc_id div $ShardBlockDocs").as("block"),
+      length(col("data")).cast("long").as("nbytes"))
+    val w = Window.partitionBy(col("media_type"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.withColumn("prefix", coalesce(sum(col("nbytes")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"prefix div $ShardBytes"))
+      .groupBy(col("media_type"), col("block"), col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("nbytes")).as("total_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private val ShardBlockDocs = 1024
+  private val ShardBytes = 4096
+
+  val mmShardLayoutSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $TypeSql AS media_type,
+       |    doc_id // $ShardBlockDocs AS block,
+       |    CAST(strlen(text) AS BIGINT) AS nbytes
+       |  FROM documents),
+       |x AS (
+       |  SELECT media_type, block, doc_id, nbytes,
+       |    CAST(coalesce(sum(nbytes) OVER (
+       |      PARTITION BY media_type, block ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // $ShardBytes AS shard
+       |  FROM m)
+       |SELECT media_type, block, shard,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM x GROUP BY media_type, block, shard""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_dup_groups"   -> (mmDupGroups _),
+    "mm_shard_layout" -> (mmShardLayout _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -170,5 +225,6 @@ object MultimodalQueries {
     "mm_resize"       -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_dup_groups"   -> mmDupGroupsSql,
+    "mm_shard_layout" -> mmShardLayoutSql,
   )
 }

@@ -1171,6 +1171,55 @@ object TextQueries {
        |    * 1000 // count(*) AS short_rate_pm
        |FROM t GROUP BY source""".stripMargin
 
+  // ---------------------------------------------- corpus_dedup_priority
+  /** Canonical-representative selection — the step AFTER clustering in
+    * a real dedup pipeline: within each near-duplicate cluster keep the
+    * single highest-quality document (ties → lowest doc_id) and report
+    * what gets dropped. Pair lists over-delete when dups chain; the
+    * usual keep-lowest-id heuristic throws away the best copy. Quality
+    * is the same IEEE expression on both engines evaluated on the same
+    * bytes, so the (quality DESC, doc_id) rank order is portable.
+    *
+    * Scale shape: cluster labels track true duplicates — a vanishing
+    * fraction of the corpus — so the labels side broadcasts onto the
+    * quality scan, and the ranking window partitions by cluster_id with
+    * duplicate-cluster-sized groups (single digits), never corpus-sized
+    * sorts. One narrow shuffle of the labeled docs only. */
+  def corpusDedupPriority(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every vertex of the pair graph has degree >= 1, so all clusters
+    // have >= 2 members — no singleton filter needed
+    val labels = DedupQueries.dedupCluster(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val q = txtQuality(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    broadcast(labels).join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("cluster_size").as("n_docs"),
+        (col("cluster_size") - lit(1L)).as("n_dropped"),
+        col("quality").cast(DoubleType).as("kept_quality"))
+  }
+
+  // lazy: pulls DedupQueries.dedupClusterSql across the object cycle
+  // (see the note on DedupQueries.dedupWinnowSql)
+  lazy val corpusDedupPrioritySql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_id, cluster_size
+       |  FROM (${DedupQueries.dedupClusterSql.replace("\n", "\n       ")}) c),
+       |q AS (SELECT doc_id, quality FROM (${txtQualitySql.replace("\n", "\n       ")}) t),
+       |r AS (
+       |  SELECT cl.cluster_id, cl.doc_id, cl.cluster_size, q.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |                       ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS kept_doc,
+       |  CAST(cluster_size AS BIGINT) AS n_docs,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped,
+       |  CAST(quality AS DOUBLE) AS kept_quality
+       |FROM r WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -1197,6 +1246,7 @@ object TextQueries {
     "txt_readability"  -> (txtReadability _),
     "txt_drift_chi2"   -> (txtDriftChi2 _),
     "corpus_report"    -> (corpusReport _),
+    "corpus_dedup_priority" -> (corpusDedupPriority _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1224,5 +1274,6 @@ object TextQueries {
     "txt_readability"  -> txtReadabilitySql,
     "txt_drift_chi2"   -> txtDriftChi2Sql,
     "corpus_report"    -> corpusReportSql,
+    "corpus_dedup_priority" -> corpusDedupPrioritySql,
   )
 }

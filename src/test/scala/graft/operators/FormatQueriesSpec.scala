@@ -32,4 +32,15 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(got == direct, "JSON round-trip corrupted values")
     assert(got.nonEmpty)
   }
+
+  test("partitioned layout: filter is answered by partition pruning") {
+    val df = FormatQueries.fmtPartitionPrune(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the returnflag predicate must sit in PartitionFilters (directory
+    // pruning), not as a row-level data filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    val got = df.as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct.filter(_._1 == "R"),
+      "partition-pruned aggregate diverged from the direct scan")
+  }
 }

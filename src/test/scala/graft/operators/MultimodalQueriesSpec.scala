@@ -70,4 +70,30 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     assert(got == expected, s"dup groups drifted (got ${got.size}, exp ${expected.size})")
     assert(got.nonEmpty, "planted near-dups share heads; the screen must fire")
   }
+
+  test("mm_shard_layout: shards partition the corpus under the byte budget") {
+    import spark.implicits._
+    val rows = MultimodalQueries.mmShardLayout(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val nMedia = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._4).sum == nMedia, "shard item counts must partition the corpus")
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((mt, blk), shards) =>
+      val byShard = shards.sortBy(_._3)
+      // dense shard numbering from 0 within each (type, block) group
+      assert(byShard.map(_._3).toSeq == byShard.indices.map(_.toLong),
+        s"non-dense shards in ($mt, $blk)")
+      // exclusive-prefix packing: every shard STARTS under the budget,
+      // so its size can exceed 4096 by at most one straggling item --
+      // total bytes through shard k-1 must stay below k * budget
+      byShard.map(_._5).scanLeft(0L)(_ + _).zipWithIndex.drop(1).dropRight(1)
+        .foreach { case (cum, k) =>
+          assert(cum >= k * 4096L, s"shard $k in ($mt, $blk) opened early")
+        }
+      // doc ranges of consecutive shards must not overlap (order kept)
+      byShard.sliding(2).foreach {
+        case Array(a, b) => assert(a._7 < b._6, s"overlapping shards in ($mt, $blk)")
+        case _ =>
+      }
+    }
+  }
 }

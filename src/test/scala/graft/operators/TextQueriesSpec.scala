@@ -466,4 +466,25 @@ class TextQueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"winnowing must be shuffle-free:\n$plan")
   }
+
+  test("corpus_dedup_priority keeps the best-quality member of every cluster") {
+    import spark.implicits._
+    val labels = graft.operators.DedupQueries.dedupCluster(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (c, g) => c -> g.map(_._1).toSet }
+    val quality = TextQueries.txtQuality(spark, sfDir)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val got = TextQueries.corpusDedupPriority(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == labels.keySet, "one row per cluster")
+    got.foreach { case (cid, kept, nDocs, nDropped, keptQ) =>
+      val members = labels(cid)
+      assert(members.contains(kept) && nDocs == members.size &&
+        nDropped == nDocs - 1)
+      val best = members.maxBy(m => (quality(m), -m))
+      assert(kept == best && keptQ == quality(kept),
+        s"cluster $cid kept $kept, expected $best")
+    }
+    assert(got.nonEmpty, "planted near-dups must yield clusters")
+  }
 }
