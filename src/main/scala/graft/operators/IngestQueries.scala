@@ -265,13 +265,86 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 2
       |GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------- amqp_stream_join
+  /** Stream-STATIC broadcast join under the oracle gate: streamed
+    * messages are enriched against a dimension table read from parquet
+    * (nation, broadcast — the canonical streaming-enrichment shape) and
+    * aggregated per dimension attribute. The join key rides in the
+    * message's APPLICATION PROPERTIES, so this also gates the
+    * properties map end-to-end through the broker/wire path — send-side
+    * encoding, envelope map materialization, and keyed extraction in a
+    * streaming plan. Any corruption of the property value, the map, or
+    * the join path moves rows between nations and breaks the hash.
+    *
+    * Scale shape: the static side is broadcast once per run (Spark
+    * re-broadcasts per micro-batch only if the plan changes); state is
+    * the complete-mode aggregate only — the join itself is stateless.
+    * This is the pattern the reference's users hand-roll with foreachRDD
+    * + driver-side lookups; here it is one declarative join. */
+  def amqpStreamJoin(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 3) // disjoint from the other gates' slices
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .collect()
+    var i = 0
+    var fetchedUpTo = 0L
+    while (i < rows.length) {
+      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          applicationProperties = Seq("user_id" -> r.getLong(3).toString),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      }
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0)
+      if (refusedAt < 0) i += slice.length
+      else {
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
+        i += refusedAt
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+    val dim = broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
+    val qname = s"gate_stream_join_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .select(col("body"),
+        (col("application_properties")("user_id").cast(LongType) % 25).as("nkey"))
+      .join(dim, col("nkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-join gate query hung")
+    finally q.stop()
+    s.table(qname).select(col("n_name"), col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamJoinSql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN nation ON n_nationkey = user_id % 25
+      |WHERE event_id % 10 = 3
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
-    "amqp_stream_dedup"     -> (amqpStreamDedup _))
+    "amqp_stream_dedup"     -> (amqpStreamDedup _),
+    "amqp_stream_join"      -> (amqpStreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
-    "amqp_stream_dedup"     -> amqpStreamDedupSql)
+    "amqp_stream_dedup"     -> amqpStreamDedupSql,
+    "amqp_stream_join"      -> amqpStreamJoinSql)
 }

@@ -1751,6 +1751,57 @@ object RelationalQueries {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY sn.n_name, cn.n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Pearson correlation (quantity vs extended price per return flag)
+    * with EXACT integral accumulators: both measures are fixed-pointed
+    * to cents per row (IEEE multiply+floor — identical on any engine),
+    * the five moment sums run in int64/DECIMAL(38,0), and floating
+    * point appears only in the final single-expression combine. Spark's
+    * built-in `corr` is a running double accumulator whose value
+    * depends on partitioning and merge order — useless under a
+    * cross-engine hash gate and irreproducible across cluster sizes;
+    * this form gives the same bits at 1 or 1000 executors.
+    *
+    * Scale shape: one scan, map-side partial aggregation to 6 numbers
+    * per group, |flags| output rows. The 38-digit sums survive ~10^12
+    * rows of cent-squared magnitudes. */
+  def q56CorrExact(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val t = Tables.lineitem(s, d).select(col("l_returnflag"),
+      floor(col("l_quantity") * 100).cast(LongType).as("x"),
+      floor(col("l_extendedprice") * 100).cast(LongType).as("y"))
+    t.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast(DoubleType)
+          / sqrt((d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast(DoubleType)
+               * (d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy"))).cast(DoubleType)))
+          .as("corr_qty_price"))
+  }
+
+  val q56Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM t GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS corr_qty_price
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1808,6 +1859,7 @@ object RelationalQueries {
     "q53_rfm"             -> (q53Rfm _),
     "q54_anomaly_days"    -> (q54AnomalyDays _),
     "q55_trade_matrix"    -> (q55TradeMatrix _),
+    "q56_corr_exact"      -> (q56CorrExact _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1866,5 +1918,6 @@ object RelationalQueries {
     "q53_rfm"             -> q53Sql,
     "q54_anomaly_days"    -> q54Sql,
     "q55_trade_matrix"    -> q55Sql,
+    "q56_corr_exact"      -> q56Sql,
   )
 }

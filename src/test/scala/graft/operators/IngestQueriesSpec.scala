@@ -67,4 +67,21 @@ class IngestQueriesSpec extends SparkSpecBase {
     // every window boundary is hour-aligned epoch seconds
     assert(got.forall(_._1 % 3600 == 0))
   }
+
+  test("stream-join gate enriches via application properties bit-for-bit") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamJoin(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 3)
+      .join(graft.Tables.nation(spark, sfDir),
+        col("n_nationkey") === col("user_id") % 25)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected,
+      "stream-static join drifted from the batch join on the same slice")
+    assert(got.nonEmpty)
+  }
 }

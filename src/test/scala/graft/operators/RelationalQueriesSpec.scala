@@ -469,6 +469,29 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q56 exact corr matches a BigInt moment recompute; |r| <= 1") {
+    import spark.implicits._
+    val got = RelationalQueries.q56CorrExact(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    raw.groupBy(_._1).foreach { case (flag, g) =>
+      val xs = g.map(r => math.floor(r._2 * 100).toLong)
+      val ys = g.map(r => math.floor(r._3 * 100).toLong)
+      val n = BigInt(g.length)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxx = xs.map(v => BigInt(v) * v).sum
+      val syy = ys.map(v => BigInt(v) * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val r = (n * sxy - sx * sy).doubleValue /
+        math.sqrt((n * sxx - sx * sx).doubleValue * (n * syy - sy * sy).doubleValue)
+      val (gn, gr) = got(flag)
+      assert(gn == g.length && gr == r, s"corr drifted for $flag: $gr vs $r")
+      assert(math.abs(gr) <= 1.0)
+    }
+  }
+
   test("q55 trade matrix: supplier map broadcasts; totals reconcile") {
     import spark.implicits._
     val df = RelationalQueries.q55TradeMatrix(spark, sfDir)
