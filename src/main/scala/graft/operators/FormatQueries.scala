@@ -104,15 +104,63 @@ object FormatQueries {
       |  CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin
 
+  /** Bucketed co-located join under the gate: both join sides are
+    * written as parquet tables bucketed (and sorted) by the join key
+    * with the SAME bucket count, so the join plans as a sort-merge with
+    * ZERO shuffle on either side — the bucket layout IS the exchange,
+    * paid once at write time and amortized over every subsequent join.
+    * This is the canonical 100 TB pattern for fact-fact joins that
+    * cannot broadcast: at 1000 executors the alternative re-shuffles
+    * both tables on every query. The spec asserts the no-Exchange plan;
+    * the gate asserts the joined aggregate matches DuckDB joining the
+    * original tables — so bucket routing (hash, pruning, file layout)
+    * is verified as behavior, not just plan text.
+    *
+    * The merge hint pins SMJ so the co-location is actually exercised
+    * (AQE would broadcast the small side at test scale and the bucket
+    * layout would go untested). */
+  def fmtBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "bucket")
+    val nBuckets = 8
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(nBuckets, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/ord")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bucket_ord")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(nBuckets, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/li")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bucket_li")
+    s.table("graft_bucket_li")
+      .join(s.table("graft_bucket_ord").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+  }
+
+  private val bucketJoinSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
+    "fmt_bucket_join"    -> (fmtBucketJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
+    "fmt_bucket_join"    -> bucketJoinSql,
   )
 }

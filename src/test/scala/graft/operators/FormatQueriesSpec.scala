@@ -43,4 +43,28 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(got == direct.filter(_._1 == "R"),
       "partition-pruned aggregate diverged from the direct scan")
   }
+
+  test("bucketed join is co-located: no shuffle on either join side") {
+    val df = FormatQueries.fmtBucketJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // bucket layout replaces the exchange: neither join key may be
+    // re-shuffled (the only allowed Exchange is the final tiny
+    // aggregation on o_orderpriority)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val got = df.as[(String, Long, Double)].collect().toSet
+    val expected = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected, "bucket-routed join diverged from the direct join")
+  }
 }
