@@ -1802,6 +1802,47 @@ object RelationalQueries {
       |    AS corr_qty_price
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Latest-state snapshot (SCD type-1 / "current row" dedup): each
+    * user's most recent event, with (ts, event_id) as the total order —
+    * the tiebreak makes the argmax engine-portable even when two events
+    * share a timestamp. Aggregated to a per-event-type census of
+    * current states so the output is bounded.
+    *
+    * Scale shape: ONE user_id shuffle feeding a partial-aggregable
+    * max-of-struct (max_by over a lexicographic key) — no window sort;
+    * at 100 TB the map side already collapses each partition to one
+    * candidate row per user. The struct-max form is what you want over
+    * the row_number-window form: the window needs a full sort of every
+    * user's history, the max needs one pass. */
+  def q57LatestEvent(s: SparkSession, d: String): DataFrame = {
+    // order on MICROsecond time: DuckDB timestamps are µs, so an
+    // ns-resolution order here could crown a different same-µs winner
+    val snap = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))).as("last"))
+    snap.groupBy(col("last.event_type").as("last_event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        outd(sum(dec(col("last.value")))).as("sum_last_value"),
+        max(col("last.ts_us")).as("max_ts_us"))
+  }
+
+  val q57Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type AS last_event_type,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_last_value,
+      |  CAST(max(ts_us) AS BIGINT) AS max_ts_us
+      |FROM r WHERE rn = 1
+      |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1860,6 +1901,7 @@ object RelationalQueries {
     "q54_anomaly_days"    -> (q54AnomalyDays _),
     "q55_trade_matrix"    -> (q55TradeMatrix _),
     "q56_corr_exact"      -> (q56CorrExact _),
+    "q57_latest_event"    -> (q57LatestEvent _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1919,5 +1961,6 @@ object RelationalQueries {
     "q54_anomaly_days"    -> q54Sql,
     "q55_trade_matrix"    -> q55Sql,
     "q56_corr_exact"      -> q56Sql,
+    "q57_latest_event"    -> q57Sql,
   )
 }

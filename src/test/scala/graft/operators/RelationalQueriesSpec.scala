@@ -469,6 +469,27 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q57 latest snapshot: users partition; no window sort in the plan") {
+    import spark.implicits._
+    val df = RelationalQueries.q57LatestEvent(spark, sfDir)
+    // struct-max aggregation, not a row_number window: the plan must
+    // carry no Window operator (the one-pass shape is the point)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val rows = df.as[(String, Long, Double, Long)].collect()
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers,
+      "every user must contribute exactly one current state")
+    // the brute-force argmax agrees on each user's winner
+    val brute = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "ts_ns div 1000 as ts_us", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._3, r._4))._2)
+      .groupBy(_._2).map { case (et, g) => et -> g.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == brute.toMap)
+  }
+
   test("q56 exact corr matches a BigInt moment recompute; |r| <= 1") {
     import spark.implicits._
     val got = RelationalQueries.q56CorrExact(spark, sfDir)
