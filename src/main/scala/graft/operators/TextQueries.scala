@@ -1171,6 +1171,58 @@ object TextQueries {
        |    * 1000 // count(*) AS short_rate_pm
        |FROM t GROUP BY source""".stripMargin
 
+  // ------------------------------------------------ corpus_token_budget
+  private val BudgetTokens = 1000000L
+
+  /** Token-budget apportionment by the largest-remainder method: split
+    * a global training-token budget across sources proportionally to
+    * their token mass, in EXACT integer arithmetic — floor shares
+    * first, then the leftover units go to the largest fractional
+    * remainders (ties → source name). Allocations sum to the budget
+    * EXACTLY (spec-asserted); float shares would drift and over/under
+    * commit. This is the allocation step a data-mixing plan runs before
+    * [[corpusMix]]-style per-doc sampling.
+    *
+    * Scale shape: one scan collapses to |sources| rows (map-side
+    * partial token sums); everything after — the 1-row total broadcast,
+    * the remainder ranking window, the leftover count — runs on the
+    * |sources|-sized frame. The budget×count products fit int64 here;
+    * at 100 TB token masses the two product columns widen to
+    * DECIMAL(38,0)/HUGEINT with the same floor/mod identities. */
+  def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("toks"))
+    val tot = counts.agg(sum(col("toks")).as("c_total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($BudgetTokens * toks) div c_total"))
+      .withColumn("rem", expr(s"($BudgetTokens * toks) % c_total"))
+    val leftover = based.agg((lit(BudgetTokens) - sum(col("base"))).as("r"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("toks"),
+        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
+  val corpusTokenBudgetSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(sum(len($DTokens)) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS c_total FROM counts),
+       |based AS (
+       |  SELECT source, toks,
+       |    ($BudgetTokens * toks) // c_total AS base,
+       |    ($BudgetTokens * toks) % c_total AS rem
+       |  FROM counts CROSS JOIN tot),
+       |lo AS (SELECT $BudgetTokens - CAST(sum(base) AS BIGINT) AS r FROM based)
+       |SELECT source, toks,
+       |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= r
+       |              THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+       |FROM based CROSS JOIN lo""".stripMargin
+
   // ---------------------------------------------- corpus_dedup_priority
   /** Canonical-representative selection — the step AFTER clustering in
     * a real dedup pipeline: within each near-duplicate cluster keep the
@@ -1247,6 +1299,7 @@ object TextQueries {
     "txt_drift_chi2"   -> (txtDriftChi2 _),
     "corpus_report"    -> (corpusReport _),
     "corpus_dedup_priority" -> (corpusDedupPriority _),
+    "corpus_token_budget" -> (corpusTokenBudget _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1275,5 +1328,6 @@ object TextQueries {
     "txt_drift_chi2"   -> txtDriftChi2Sql,
     "corpus_report"    -> corpusReportSql,
     "corpus_dedup_priority" -> corpusDedupPrioritySql,
+    "corpus_token_budget" -> corpusTokenBudgetSql,
   )
 }

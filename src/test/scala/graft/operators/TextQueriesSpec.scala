@@ -467,6 +467,26 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"winnowing must be shuffle-free:\n$plan")
   }
 
+  test("corpus_token_budget: allocations are exact largest-remainder shares") {
+    import spark.implicits._
+    val rows = TextQueries.corpusTokenBudget(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._3).sum == 1000000L,
+      "allocations must sum to the budget EXACTLY")
+    // every allocation is the floor share or floor+1 (quota property)
+    val total = rows.map(r => BigInt(r._2)).sum
+    rows.foreach { case (src, toks, alloc) =>
+      val base = (BigInt(1000000) * toks / total).toLong
+      assert(alloc == base || alloc == base + 1,
+        s"$src: alloc $alloc outside [$base, ${base + 1}]")
+    }
+    // proportionality: more tokens never means a smaller allocation
+    rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1) // +1: remainder unit may flip
+      case _ =>
+    }
+  }
+
   test("corpus_dedup_priority keeps the best-quality member of every cluster") {
     import spark.implicits._
     val labels = graft.operators.DedupQueries.dedupCluster(spark, sfDir)
