@@ -336,15 +336,102 @@ object IngestQueries {
       |WHERE event_id % 10 = 3
       |GROUP BY n_name""".stripMargin
 
+  // ------------------------------------------------ amqp_stream_session
+  /** SESSION windows over the stream, under the gate: per-user sessions
+    * with a 30-minute inactivity gap, built by Structured Streaming's
+    * `session_window` state merging — the dynamic-window semantics the
+    * fixed `window()` gate cannot cover (session extents depend on the
+    * DATA, so state must merge adjacent windows as messages arrive; with
+    * multi-link sources messages interleave across partitions and the
+    * merge order is exercised for real). The oracle rebuilds the same
+    * sessions relationally (lag + running island sum). Boundary rule:
+    * Spark merges iff the next event lands STRICTLY inside start+gap,
+    * so the oracle's island break is `diff < gap`, not `<=` — an
+    * off-by-one here moves boundary events between sessions and breaks
+    * the hash.
+    *
+    * Scale shape: session state is per-user and bounded by the gap;
+    * the complete-mode output is session-count-sized. */
+  def amqpStreamSession(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 4) // disjoint from the other gates' slices
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    var i = 0
+    var fetchedUpTo = 0L
+    while (i < rows.length) {
+      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getLong(1).toString),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      }
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0)
+      if (refusedAt < 0) i += slice.length
+      else {
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
+        i += refusedAt
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+    val qname = s"gate_stream_session_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .groupBy(session_window(col("ingest_timestamp"), "30 minutes").as("sw"),
+        col("subject"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-session gate query hung")
+    finally q.stop()
+    s.table(qname)
+      .select(col("subject").as("user_key"),
+        col("sw.start").cast(LongType).as("start_s"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamSessionSql: String =
+    """WITH f AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS user_key, value,
+      |    epoch_us(ts) AS ts_us, event_id
+      |  FROM events WHERE event_id % 10 = 4),
+      |flags AS (
+      |  SELECT user_key, value, ts_us, event_id,
+      |    CASE WHEN ts_us - lag(ts_us) OVER
+      |           (PARTITION BY user_key ORDER BY ts_us, event_id) < 1800000000
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM f),
+      |sessed AS (
+      |  SELECT user_key, value, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_key ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flags)
+      |SELECT user_key, CAST(min(ts_us) // 1000000 AS BIGINT) AS start_s,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sessed GROUP BY user_key, sess_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
-    "amqp_stream_join"      -> (amqpStreamJoin _))
+    "amqp_stream_join"      -> (amqpStreamJoin _),
+    "amqp_stream_session"   -> (amqpStreamSession _))
 
   val oracleSql: Map[String, String] = Map(
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
-    "amqp_stream_join"      -> amqpStreamJoinSql)
+    "amqp_stream_join"      -> amqpStreamJoinSql,
+    "amqp_stream_session"   -> amqpStreamSessionSql)
 }

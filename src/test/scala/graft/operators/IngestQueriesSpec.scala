@@ -84,4 +84,33 @@ class IngestQueriesSpec extends SparkSpecBase {
       "stream-static join drifted from the batch join on the same slice")
     assert(got.nonEmpty)
   }
+
+  test("stream-session gate matches batch islands with the strict-gap rule") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamSession(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    // batch recompute: lag + running island sum, STRICT < gap merge
+    val raw = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 4)
+      .selectExpr("user_id", "value", "ts_ns div 1000 AS ts_us", "event_id")
+      .as[(Long, Double, Long, Long)].collect()
+    val expected = raw.groupBy(_._1).flatMap { case (uid, g) =>
+      val sorted = g.sortBy(r => (r._3, r._4))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Double, Long, Long)]]) {
+        case (acc, r) => acc match {
+          case cur :: rest if r._3 - cur.head._3 < 1800000000L => (r :: cur) :: rest
+          case _ => List(r) :: acc
+        }
+      }
+      sessions.map { sess =>
+        val vals = sess.map(_._2)
+        val sum = vals.map(v =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (uid.toString, sess.map(_._3).min / 1000000L, sess.size.toLong, sum)
+      }
+    }.toSet
+    assert(got == expected,
+      s"streaming sessions drifted from batch islands (got ${got.size}, exp ${expected.size})")
+    assert(got.nonEmpty)
+  }
 }
