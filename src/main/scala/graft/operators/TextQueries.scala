@@ -1171,6 +1171,62 @@ object TextQueries {
        |    * 1000 // count(*) AS short_rate_pm
        |FROM t GROUP BY source""".stripMargin
 
+  // --------------------------------------------------- txt_surprisal
+  /** Per-document surprisal under the corpus bigram model — the
+    * perplexity-filter shape (CCNet-style LM quality scoring) made
+    * ENGINE-EXACT: each bigram's -log2 P(next|prefix) is approximated
+    * by floor(log2 c(prefix·)) − floor(log2 c(prefix,next)), an
+    * INTEGER bit count. floor(log2 n) is portable IEEE (exact on powers
+    * of two; elsewhere a 1-ulp libm error cannot cross an integer), so
+    * the whole score pipeline — unlike a true float log-sum — is
+    * bit-identical on any engine and any shuffle order. The mean is
+    * fixed-point milli-bits via integral division.
+    *
+    * Scale shape: same skeleton as [[txtBigramLm]] — one doc-keyed
+    * window for bigram formation, vocab-sized count tables hash-joined
+    * back onto the bigram stream, one per-doc aggregate. At 100 TB the
+    * count tables are the things to bucket; no all-pairs anywhere. */
+  def txtSurprisal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("prefix"), col("nxt"))
+    val c2 = bg.groupBy(col("prefix"), col("nxt")).agg(count(lit(1)).as("bg_c"))
+    val c1 = bg.groupBy(col("prefix")).agg(count(lit(1)).as("pre_c"))
+    bg.join(c2, Seq("prefix", "nxt")).join(c1, Seq("prefix"))
+      .select(col("doc_id"),
+        (floor(log2(col("pre_c"))) - floor(log2(col("bg_c"))))
+          .cast(LongType).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        expr("total_bits * 1000 div n_bigrams").as("mean_mbits"))
+  }
+
+  val txtSurprisalSql: String =
+    s"""WITH toks AS (SELECT doc_id, $DTokens AS l FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+       |  FROM toks),
+       |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bg_c FROM bg GROUP BY bigram),
+       |c1 AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+       |         CAST(count(*) AS BIGINT) AS pre_c FROM bg GROUP BY 1),
+       |j AS (
+       |  SELECT doc_id,
+       |    CAST(floor(log2(pre_c)) AS BIGINT)
+       |      - CAST(floor(log2(bg_c)) AS BIGINT) AS bits
+       |  FROM bg JOIN c2 USING (bigram)
+       |  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.prefix)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS total_bits,
+       |  CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
+       |FROM j GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------ corpus_token_budget
   private val BudgetTokens = 1000000L
 
@@ -1300,6 +1356,7 @@ object TextQueries {
     "corpus_report"    -> (corpusReport _),
     "corpus_dedup_priority" -> (corpusDedupPriority _),
     "corpus_token_budget" -> (corpusTokenBudget _),
+    "txt_surprisal"    -> (txtSurprisal _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1329,5 +1386,6 @@ object TextQueries {
     "corpus_report"    -> corpusReportSql,
     "corpus_dedup_priority" -> corpusDedupPrioritySql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
+    "txt_surprisal"    -> txtSurprisalSql,
   )
 }

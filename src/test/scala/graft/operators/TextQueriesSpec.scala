@@ -467,6 +467,27 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"winnowing must be shuffle-free:\n$plan")
   }
 
+  test("txt_surprisal equals a brute-force bit-count recompute") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      val toks = t.trim.split(" +").filter(_.nonEmpty)
+      toks.zip(toks.drop(1)).map { case (a, b) => (id, a, b) }
+    }
+    val c2 = bigrams.groupBy(r => (r._2, r._3)).view.mapValues(_.length.toLong)
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong)
+    def bits(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = bigrams.groupBy(_._1).map { case (id, g) =>
+      val tot = g.map(r => bits(c1(r._2)) - bits(c2((r._2, r._3)))).sum
+      (id, g.length.toLong, tot, tot * 1000 / g.length)
+    }.toSet
+    val got = TextQueries.txtSurprisal(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "surprisal bits drifted from the integer recompute")
+    assert(got.exists(_._3 > 0), "some document must carry nonzero surprisal")
+  }
+
   test("corpus_token_budget: allocations are exact largest-remainder shares") {
     import spark.implicits._
     val rows = TextQueries.corpusTokenBudget(spark, sfDir)
