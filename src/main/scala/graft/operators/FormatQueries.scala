@@ -150,11 +150,57 @@ object FormatQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** DYNAMIC partition pruning under the gate: the fact side is
+    * Hive-partitioned by the join key, the dim side is a parquet table
+    * with a NON-partition filter — so which fact partitions survive is
+    * only known at RUNTIME, after the dim filter runs. Catalyst plants
+    * a dynamicpruning subquery on the fact scan (spec-asserted): the
+    * dim's surviving keys broadcast to the fact scan, which then opens
+    * only their directories. At 100 TB this is the difference between
+    * scanning 2/7 and 7/7 of a date-partitioned fact table when the
+    * query filters on a dim attribute the layout knows nothing about.
+    * Static pruning (`fmt_partition_prune`) cannot express this — the
+    * predicate is on the DIM, not the partition column.
+    *
+    * The gate hashes the joined aggregate against DuckDB computing the
+    * same join from the source tables: a partition mis-pruned at
+    * runtime drops its group from the output. */
+  def fmtDppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "dpp")
+    Tables.events(s, d)
+      .selectExpr("event_type", "value", "user_id")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/ev")
+    // dim: one row per event_type with a deterministic weight; the
+    // filter is on weight, NOT event_type — pruning must be dynamic
+    Tables.events(s, d)
+      .selectExpr("event_type").distinct()
+      .selectExpr("event_type", "length(event_type) AS wt")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = s.read.parquet(s"$dir/ev")
+    val dim = s.read.parquet(s"$dir/dim").filter(col("wt") >= 5)
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val dppJoinSql =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, length(event_type) AS wt FROM events)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN dim ON e.event_type = dim.event_type
+      |WHERE dim.wt >= 5
+      |GROUP BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
     "fmt_bucket_join"    -> (fmtBucketJoin _),
+    "fmt_dpp_join"       -> (fmtDppJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +208,6 @@ object FormatQueries {
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
     "fmt_bucket_join"    -> bucketJoinSql,
+    "fmt_dpp_join"       -> dppJoinSql,
   )
 }

@@ -44,6 +44,21 @@ class FormatQueriesSpec extends SparkSpecBase {
       "partition-pruned aggregate diverged from the direct scan")
   }
 
+  test("dpp join: fact partitions are pruned at runtime by the dim filter") {
+    val df = FormatQueries.fmtDppJoin(spark, sfDir)
+    // the pruning predicate cannot be static (it lives on the dim's
+    // weight column) — Catalyst must plant a dynamicpruning subquery
+    // on the fact scan
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"), planned)
+    import spark.implicits._
+    val got = df.as[(String, Long, Double, Long)].collect()
+    // 'view' (length 4) is the one dim row the filter drops: its fact
+    // partition must vanish from the output, the other four survive
+    assert(got.map(_._1).toSet ==
+      Set("click", "error", "signup", "purchase"), got.mkString(","))
+  }
+
   test("bucketed join is co-located: no shuffle on either join side") {
     val df = FormatQueries.fmtBucketJoin(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
