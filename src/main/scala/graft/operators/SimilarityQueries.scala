@@ -326,6 +326,38 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, cos FROM scored
        |WHERE cos >= $RangeThreshold""".stripMargin
 
+  // ------------------------------------------------ sim_threshold_sweep
+  /** Threshold-sensitivity sweep — the tuning readout run before fixing
+    * a near-dup / retrieval cosine cutoff: pair counts and query
+    * coverage at every candidate threshold, in ONE pass over the
+    * LSH-gated candidate stream (a per-threshold re-run would re-scan
+    * and re-join once per point). Thresholds are integer percent so the
+    * compare constant `th/100` is the identical IEEE double on both
+    * engines.
+    *
+    * Scale shape: the already-bucket-gated scored pairs fan out ×|sweep
+    * points| (a 7× multiplier on a stream that tracks true candidates,
+    * not the corpus) into a ≤7-row mergeable aggregate. */
+  def simThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    lshScoredCandidates(e)
+      .select(col("query_id"), col("cos"),
+        explode(lit(Array(30L, 40L, 50L, 60L, 70L, 80L, 90L))).as("th_pct"))
+      .filter(col("cos") >= col("th_pct").cast(DoubleType) / 100)
+      .groupBy(col("th_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("query_id")).as("n_queries"))
+  }
+
+  val simThresholdSweepSql: String =
+    s"""$lshScoredCteSql,
+       |sweep AS (SELECT CAST(unnest([30, 40, 50, 60, 70, 80, 90]) AS BIGINT) AS th_pct)
+       |SELECT th_pct, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+       |FROM scored CROSS JOIN sweep
+       |WHERE cos >= CAST(th_pct AS DOUBLE) / 100
+       |GROUP BY th_pct""".stripMargin
+
   // ------------------------------------------------------ sim_knn_graph
   private val GraphK = 3 // neighbors per vertex in the k-NN graph
 
@@ -1110,6 +1142,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
+    "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_graph_rank"      -> (simGraphRank _),
     "sim_graph_triangles" -> (simGraphTriangles _),
@@ -1130,6 +1163,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,
+    "sim_threshold_sweep" -> simThresholdSweepSql,
     "sim_knn_graph"       -> simKnnGraphSql,
     "sim_graph_rank"      -> simGraphRankSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,

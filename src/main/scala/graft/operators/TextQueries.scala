@@ -1328,6 +1328,47 @@ object TextQueries {
        |  CAST(quality AS DOUBLE) AS kept_quality
        |FROM r WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------ corpus_dedup_impact
+  /** Dedup impact accounting: how many documents and TOKENS near-dup
+    * clustering removes under the keep-canonical rule (cluster label =
+    * min member id, the [[DedupQueries.dedupCluster]] convention) — the
+    * one-row report that justifies a dedup stage's cost. Rate is
+    * fixed-point per-mille (integral division; a double ratio of two
+    * big sums would be engine-exact here, but the integer form stays
+    * exact under any future re-aggregation).
+    *
+    * Scale shape: the dropped-doc list tracks true duplicates →
+    * broadcast onto the token scan; one scan, one 1-row aggregate. */
+  def corpusDedupImpact(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n"))
+    val dropped = DedupQueries.dedupCluster(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    toks.join(broadcast(dropped), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("tokens_total"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("cluster_id").isNotNull, col("n")).otherwise(0L)).as("tokens_dropped"))
+      .select(col("n_docs"), col("tokens_total"), col("n_dropped"),
+        col("tokens_dropped"),
+        expr("tokens_dropped * 1000 div tokens_total").as("dropped_pm"))
+  }
+
+  // lazy: pulls DedupQueries.dedupClusterSql across the object cycle
+  lazy val corpusDedupImpactSql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_id
+       |  FROM (${DedupQueries.dedupClusterSql.replace("\n", "\n       ")}) c
+       |  WHERE doc_id <> cluster_id),
+       |t AS (SELECT doc_id, CAST(len($DTokens) AS BIGINT) AS n FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       |  CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN n ELSE 0 END) AS BIGINT) * 1000
+       |    // CAST(sum(n) AS BIGINT) AS dropped_pm
+       |FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"        -> (txtStats _),
@@ -1357,6 +1398,7 @@ object TextQueries {
     "corpus_dedup_priority" -> (corpusDedupPriority _),
     "corpus_token_budget" -> (corpusTokenBudget _),
     "txt_surprisal"    -> (txtSurprisal _),
+    "corpus_dedup_impact" -> (corpusDedupImpact _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1387,5 +1429,6 @@ object TextQueries {
     "corpus_dedup_priority" -> corpusDedupPrioritySql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "txt_surprisal"    -> txtSurprisalSql,
+    "corpus_dedup_impact" -> corpusDedupImpactSql,
   )
 }

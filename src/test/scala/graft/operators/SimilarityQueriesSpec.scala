@@ -363,4 +363,22 @@ class SimilarityQueriesSpec extends SparkSpecBase {
       assert(hits >= 0L && hits <= 5L)
     }
   }
+
+  test("sim_threshold_sweep is monotone and agrees with range search at 0.3") {
+    import spark.implicits._
+    val sweep = SimilarityQueries.simThresholdSweep(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sweep.nonEmpty)
+    // tightening the threshold can only shrink pairs and coverage
+    sweep.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+          s"sweep not monotone: $lo then $hi")
+      case _ =>
+    }
+    val at30 = sweep.find(_._1 == 30L).map(_._2).getOrElse(0L)
+    val range = SimilarityQueries.simRangeSearch(spark, sfDir).count()
+    assert(at30 == range,
+      s"sweep@30 ($at30) must equal the 0.3 range-search pair count ($range)")
+  }
 }

@@ -508,6 +508,25 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_dedup_impact reconciles with cluster labels and token counts") {
+    import spark.implicits._
+    val (nDocs, toksTotal, nDropped, toksDropped, pm) =
+      TextQueries.corpusDedupImpact(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokOf = docs.map { case (id, t) =>
+      id -> t.trim.split(" +").count(_.nonEmpty).toLong
+    }.toMap
+    val droppedIds = graft.operators.DedupQueries.dedupCluster(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .collect { case (d, c) if d != c => d }.toSet
+    assert(nDocs == docs.length && toksTotal == tokOf.values.sum)
+    assert(nDropped == droppedIds.size && nDropped > 0)
+    assert(toksDropped == droppedIds.toSeq.map(tokOf).sum)
+    assert(pm == toksDropped * 1000 / toksTotal)
+  }
+
   test("corpus_dedup_priority keeps the best-quality member of every cluster") {
     import spark.implicits._
     val labels = graft.operators.DedupQueries.dedupCluster(spark, sfDir)
