@@ -211,6 +211,82 @@ object MultimodalQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM x GROUP BY media_type, block, shard""".stripMargin
 
+  // -------------------------------------------------------- mm_av_align
+  /** Audio/video stream alignment: for every video frame (25 fps →
+    * 40 ms ticks), the latest audio chunk that STARTED at or before it
+    * — the as-of join every A/V feature extractor runs before fusing
+    * modalities. Chunk times are ~21 ms with a deterministic per-chunk
+    * hash jitter, so the alignment is a REAL as-of (no closed-form
+    * shortcut exists) and frame 0 can legitimately have no chunk yet
+    * (LEFT semantics + null lag handling are part of the contract).
+    * The oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is
+    * the union + ordered-window carry-forward form (same plan family as
+    * q18) — both sides must agree on the inclusive >= boundary.
+    *
+    * Scale shape: frames and chunks explode from per-doc metadata
+    * (bounded fan-out per row), the carry-forward rides ONE doc_id
+    * window shuffle, and the output is one row per video doc. */
+  def mmAvAlign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    graft.expressions.CharFoldHash.register(s)
+    val vids = mediaTable(s, d).toDF()
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"))
+    val frames = vids
+      .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("fidx"))
+      .select(col("doc_id"), (col("fidx") * 40000L).cast(LongType).as("ts_us"),
+        lit(1).as("is_f"), lit(null).cast(LongType).as("a_ts"))
+    val chunks = vids
+      .select(col("doc_id"),
+        explode(sequence(lit(0), expr("(n_frames * 40000 - 1) div 21000"))).as("c"))
+      .select(col("doc_id"),
+        expr("CAST(c * 21000 + char_fold_hash(CONCAT('av', CAST(doc_id AS STRING), ':', CAST(c AS STRING))) % 1000 AS BIGINT)")
+          .as("ts_us"),
+        lit(0).as("is_f"), lit(null).cast(LongType).as("a_ts"))
+      .withColumn("a_ts", col("ts_us"))
+    // at equal ts the chunk sorts first (is_f asc) → >= is inclusive,
+    // matching ASOF JOIN's `fts >= ats`
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ts_us").asc, col("is_f").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames.unionByName(chunks)
+      .withColumn("aligned", last(col("a_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_f") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("aligned").isNotNull, 1L).otherwise(0L)).as("n_aligned"),
+        sum(when(col("aligned").isNotNull, col("ts_us") - col("aligned"))
+          .otherwise(0L)).as("total_lag_us"),
+        max(when(col("aligned").isNotNull, col("ts_us") - col("aligned")))
+          .as("max_lag_us"))
+  }
+
+  val mmAvAlignSql: String = {
+    val h = graft.functions.HashFunctions.charFoldHashSql(
+      "'av' || CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)")
+    s"""WITH v AS (
+       |  SELECT doc_id, $FramesSql AS n_frames FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT doc_id, CAST(unnest(range(n_frames)) * 40000 AS BIGINT) AS fts
+       |  FROM v),
+       |cn AS (
+       |  SELECT doc_id, unnest(range((n_frames * 40000 - 1) // 21000 + 1)) AS c
+       |  FROM v),
+       |ch AS (
+       |  SELECT doc_id, CAST(c * 21000 + ($h) % 1000 AS BIGINT) AS ats
+       |  FROM cn),
+       |al AS (
+       |  SELECT fr.doc_id, fr.fts, ch.ats
+       |  FROM fr ASOF LEFT JOIN ch ON fr.doc_id = ch.doc_id AND fr.fts >= ch.ats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN ats IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       |  CAST(sum(CASE WHEN ats IS NOT NULL THEN fts - ats ELSE 0 END) AS BIGINT) AS total_lag_us,
+       |  CAST(max(CASE WHEN ats IS NOT NULL THEN fts - ats END) AS BIGINT) AS max_lag_us
+       |FROM al GROUP BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (mmFeatures _),
@@ -218,6 +294,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_dup_groups"   -> (mmDupGroups _),
     "mm_shard_layout" -> (mmShardLayout _),
+    "mm_av_align"     -> (mmAvAlign _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -226,5 +303,6 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_dup_groups"   -> mmDupGroupsSql,
     "mm_shard_layout" -> mmShardLayoutSql,
+    "mm_av_align"     -> mmAvAlignSql,
   )
 }
