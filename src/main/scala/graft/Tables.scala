@@ -22,18 +22,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong). We
-    * surface both the raw nanos (`ts_ns`, exact — int64 nanos do not fit in
-    * a double, so all bucketing math stays integral) and a micros-truncated
-    * proper timestamp (`ts`).
+  /** `events.parquet` has shipped `ts` in two encodings across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (readable only as a
+    * raw long via spark.sql.legacy.parquet.nanosAsLong) and plain µs
+    * TIMESTAMP (surfaced as TIMESTAMP_NTZ). Both are normalized to the
+    * same two columns every query reads: `ts_ns` (exact int64 nanos —
+    * they do not fit a double, so bucketing math stays integral) and
+    * `ts` (a proper µs TimestampType instant; NTZ→instant is exact
+    * under the UTC session timezone all entry points pin).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) generation
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // µs generation (NTZ or instant)
+        raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

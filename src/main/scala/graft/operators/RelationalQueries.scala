@@ -1843,6 +1843,132 @@ object RelationalQueries {
       |FROM r WHERE rn = 1
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Revenue share vs a GLOBAL total (TPC-H Q11/Q14 shape): per-brand
+    * revenue and its parts-per-million share of all-lineitem revenue —
+    * the "group vs grand total" pattern whose naive form re-scans the
+    * fact table twice. Revenue is fixed-pointed to exact int64 cents
+    * per line (decimal multiply + floor — bit-identical on any engine),
+    * summed in DECIMAL(38,0), and the share is an integral division, so
+    * the output is exact integers end to end.
+    *
+    * Scale shape: ONE lineitem scan. The per-brand frame (|brands| rows)
+    * is aggregated once more to the 1-row grand total, which joins back
+    * by broadcast — the second "pass" touches |brands| rows, not the
+    * fact table. part is broadcast onto lineitem. At 100 TB the 38-digit
+    * sums absorb ~10^13 lines of cent-scale revenue without overflow. */
+  def q58RevenueShare(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val brand = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        floor(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * 100)
+          .cast(LongType).as("cents"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(d38(col("cents"))).as("rev"))
+    val total = broadcast(brand.agg(sum(col("rev")).as("tot")))
+    brand.crossJoin(total)
+      .select(col("p_brand"), col("n_lines"),
+        col("rev").cast(LongType).as("rev_cents"),
+        expr("(rev * 1000000) div tot AS share_ppm"))
+  }
+
+  val q58Sql: String =
+    """WITH b AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(1 - l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)) AS HUGEINT) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand),
+      |t AS (SELECT sum(rev) AS tot FROM b)
+      |SELECT p_brand, n_lines, CAST(rev AS BIGINT) AS rev_cents,
+      |  CAST(rev * 1000000 // tot AS BIGINT) AS share_ppm
+      |FROM b CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Above-average dormant customers (TPC-H Q22 shape): customers whose
+    * balance beats the GLOBAL average and who have placed no orders,
+    * rolled up per nation. The average is never materialized as a
+    * float: `bal > avg` is tested as `bal·n > total` in exact integer
+    * cents — cross-multiplication beats a float threshold under a
+    * cross-engine hash gate, where avg's last bit would flip members.
+    *
+    * Scale shape: the 1-row (n, total) aggregate broadcasts back over
+    * the customer scan (second customer pass is map-side); the no-order
+    * test is a LEFT ANTI join on custkey against orders projected to
+    * one column. Output is |nations| rows. */
+  def q59DormantRich(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(dec(col("c_acctbal")) * 100).cast(LongType).as("bal_cents"))
+    val stats = broadcast(cust.agg(count(lit(1)).as("n_all"),
+      sum(d38(col("bal_cents"))).as("tot_cents")))
+    cust.crossJoin(stats)
+      .filter(d38(col("bal_cents")) * col("n_all") > col("tot_cents"))
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_cents")).as("sum_bal_cents"))
+  }
+
+  val q59Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |             CAST(sum(bal_cents) AS HUGEINT) AS tot_cents FROM c)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+      |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+      |FROM c CROSS JOIN s
+      |WHERE CAST(bal_cents AS HUGEINT) * n_all > tot_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Top supplier(s) by quarterly revenue (TPC-H Q15 shape): revenue
+    * per supplier over one ship-date quarter, keeping every supplier
+    * that ties the maximum — the max-of-an-aggregate self-reference
+    * that Q15 expresses as a view joined to its own MAX. Revenue is
+    * exact int64 cents so "ties the maximum" is exact equality, not a
+    * float comparison.
+    *
+    * Scale shape: one filtered lineitem scan → suppkey-keyed partial/
+    * final agg (|suppliers| rows); the 1-row MAX broadcasts back over
+    * that frame, and the supplier name attaches by broadcast. No
+    * window, no second fact scan, no sort. */
+  def q60TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1996-04-01 00:00:00"))
+      .select(col("l_suppkey"),
+        floor(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val best = broadcast(rev.agg(max(col("rev_cents")).as("best")))
+    rev.crossJoin(best)
+      .filter(col("rev_cents") === col("best"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+  }
+
+  val q60Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(1 - l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, rev_cents
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_cents = (SELECT max(rev_cents) FROM r)""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1902,6 +2028,9 @@ object RelationalQueries {
     "q55_trade_matrix"    -> (q55TradeMatrix _),
     "q56_corr_exact"      -> (q56CorrExact _),
     "q57_latest_event"    -> (q57LatestEvent _),
+    "q58_revenue_share"   -> (q58RevenueShare _),
+    "q59_dormant_rich"    -> (q59DormantRich _),
+    "q60_top_supplier"    -> (q60TopSupplier _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1962,5 +2091,8 @@ object RelationalQueries {
     "q55_trade_matrix"    -> q55Sql,
     "q56_corr_exact"      -> q56Sql,
     "q57_latest_event"    -> q57Sql,
+    "q58_revenue_share"   -> q58Sql,
+    "q59_dormant_rich"    -> q59Sql,
+    "q60_top_supplier"    -> q60Sql,
   )
 }
