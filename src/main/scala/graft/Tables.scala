@@ -35,7 +35,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) generation
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -44,6 +44,11 @@ object Tables {
             col("ts").cast(org.apache.spark.sql.types.TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
+    // Canonical column order, identical regardless of which testdata
+    // generation produced the file — positional consumers (select *,
+    // parquet dumps compared positionally) must not depend on the branch.
+    val others = normalized.columns.filterNot(c => c == "ts" || c == "ts_ns")
+    normalized.select((others :+ "ts" :+ "ts_ns").map(col): _*)
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

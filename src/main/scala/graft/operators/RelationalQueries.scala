@@ -1852,11 +1852,15 @@ object RelationalQueries {
     * summed in DECIMAL(38,0), and the share is an integral division, so
     * the output is exact integers end to end.
     *
-    * Scale shape: ONE lineitem scan. The per-brand frame (|brands| rows)
-    * is aggregated once more to the 1-row grand total, which joins back
-    * by broadcast — the second "pass" touches |brands| rows, not the
-    * fact table. part is broadcast onto lineitem. At 100 TB the 38-digit
-    * sums absorb ~10^13 lines of cent-scale revenue without overflow. */
+    * Scale shape: ONE lineitem scan, guaranteed by construction: the
+    * grand total is an unpartitioned window over the PER-BRAND frame
+    * (|brands| rows), so the "second pass" is a single-partition
+    * exchange of ~|brands| rows — never a re-aggregation of the fact
+    * table, and never dependent on ReuseExchange canonicalization
+    * (which silently stops firing when column pruning de-dupes the
+    * twin subtrees; spec-asserted single scan). part is broadcast onto
+    * lineitem. At 100 TB the 38-digit sums absorb ~10^13 lines of
+    * cent-scale revenue without overflow. */
   def q58RevenueShare(s: SparkSession, d: String): DataFrame = {
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
     val brand = Tables.lineitem(s, d)
@@ -1867,8 +1871,11 @@ object RelationalQueries {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"), sum(d38(col("cents"))).as("rev"))
-    val total = broadcast(brand.agg(sum(col("rev")).as("tot")))
-    brand.crossJoin(total)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    brand.withColumn("tot", sum(col("rev")).over(whole))
       .select(col("p_brand"), col("n_lines"),
         col("rev").cast(LongType).as("rev_cents"),
         expr("(rev * 1000000) div tot AS share_ppm"))
@@ -1887,17 +1894,22 @@ object RelationalQueries {
       |FROM b CROSS JOIN t""".stripMargin
 
   // ---------------------------------------------------------------- q59
-  /** Above-average dormant customers (TPC-H Q22 shape): customers whose
-    * balance beats the GLOBAL average and who have placed no orders,
-    * rolled up per nation. The average is never materialized as a
-    * float: `bal > avg` is tested as `bal·n > total` in exact integer
-    * cents — cross-multiplication beats a float threshold under a
-    * cross-engine hash gate, where avg's last bit would flip members.
+  /** Above-average DORMANT customers (TPC-H Q22's real spirit —
+    * recency, not existence): customers whose balance beats the GLOBAL
+    * average and who have placed no orders on/after 2000-01-01, rolled
+    * up per nation. The average is never materialized as a float:
+    * `bal > avg` is tested as `bal·n > total` in exact integer cents —
+    * cross-multiplication beats a float threshold under a cross-engine
+    * hash gate, where avg's last bit would flip members.
     *
     * Scale shape: the 1-row (n, total) aggregate broadcasts back over
-    * the customer scan (second customer pass is map-side); the no-order
-    * test is a LEFT ANTI join on custkey against orders projected to
-    * one column. Output is |nations| rows. */
+    * the customer scan (second customer pass is map-side); dormancy is
+    * a LEFT ANTI join on custkey against orders filtered on the
+    * recency cutoff BEFORE the join (the date predicate pushes to the
+    * parquet scan, shrinking the anti-join build side to only recent
+    * orders) and projected to one column. Output is |nations| rows,
+    * non-empty at every driver SF (7/23/25 nation rows at
+    * sf0.001/0.01/0.1). */
   def q59DormantRich(s: SparkSession, d: String): DataFrame = {
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
     val cust = Tables.customer(s, d)
@@ -1905,10 +1917,12 @@ object RelationalQueries {
         floor(dec(col("c_acctbal")) * 100).cast(LongType).as("bal_cents"))
     val stats = broadcast(cust.agg(count(lit(1)).as("n_all"),
       sum(d38(col("bal_cents"))).as("tot_cents")))
+    val recentOrders = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
     cust.crossJoin(stats)
       .filter(d38(col("bal_cents")) * col("n_all") > col("tot_cents"))
-      .join(Tables.orders(s, d).select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_custs"),
         sum(col("bal_cents")).as("sum_bal_cents"))
@@ -1925,7 +1939,9 @@ object RelationalQueries {
       |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
       |FROM c CROSS JOIN s
       |WHERE CAST(bal_cents AS HUGEINT) * n_all > tot_cents
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------- q60
@@ -1936,19 +1952,28 @@ object RelationalQueries {
     * exact int64 cents so "ties the maximum" is exact equality, not a
     * float comparison.
     *
-    * Scale shape: one filtered lineitem scan → suppkey-keyed partial/
-    * final agg (|suppliers| rows); the 1-row MAX broadcasts back over
-    * that frame, and the supplier name attaches by broadcast. No
-    * window, no second fact scan, no sort. */
+    * Scale shape: one filtered lineitem scan in the executed plan →
+    * suppkey-keyed partial/final agg (|suppliers| rows); the 1-row MAX
+    * broadcasts back over that frame, and the supplier name attaches
+    * by broadcast. The rev frame is referenced twice (MAX + main
+    * branch), so "no second fact scan" relies on ReuseExchange deduping
+    * the identical aggregate subtrees (spec-asserted). No window, no
+    * sort. */
   def q60TopSupplier(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    // The explicit isNotNull matches the constraint the supplier join
+    // infers into the main branch; with it in the SHARED frame both
+    // subtrees canonicalize equal and ReuseExchange dedupes the scan
+    // (keys are non-null in the data, so semantics are unchanged).
     val rev = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+      .filter(col("l_suppkey").isNotNull &&
+              col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
               col("l_shipdate") <  ts("1996-04-01 00:00:00"))
       .select(col("l_suppkey"),
         floor(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * 100)
           .cast(LongType).as("cents"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("cents")).as("rev_cents"))
+      .agg(sum(d38(col("cents"))).cast(LongType).as("rev_cents"))
     val best = broadcast(rev.agg(max(col("rev_cents")).as("best")))
     rev.crossJoin(best)
       .filter(col("rev_cents") === col("best"))

@@ -526,4 +526,32 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(rows.map(_._3).sum == expected,
       "per-cell line counts must partition the filtered lineitem rows")
   }
+
+  /** The AQE plan string appends "== Initial Plan ==" after the final plan;
+    * scan-count assertions must look only at what actually executed. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan and reuse fires
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q58 grand-total never re-scans the fact table (one lineitem scan)") {
+    val plan = finalPlanOf(RelationalQueries.q58RevenueShare(spark, sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"second lineitem scan crept in:\n$plan")
+  }
+
+  test("q59 dormant-rich is NON-empty and pushes the recency cutoff to the orders scan") {
+    val df = RelationalQueries.q59DormantRich(spark, sfDir)
+    assert(df.count() > 0, "q59 must yield rows at every SF — vacuous gate otherwise")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderdate"), s"recency predicate missing from plan:\n$plan")
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("q60 max-of-aggregate reuses the revenue exchange (one lineitem scan)") {
+    val plan = finalPlanOf(RelationalQueries.q60TopSupplier(spark, sfDir))
+    assert(plan.contains("ReusedExchange"), s"exchange reuse did not fire:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"second lineitem scan crept in:\n$plan")
+  }
 }
