@@ -65,10 +65,22 @@ object Bench {
           f""""$label":{"messages":$n,"sec":$sec,"msgs_per_sec":${n / sec}%.0f}"""
       }.mkString(""","stream_ingest":{""", ",", "}")
       val total = results.valuesIterator.filter(_ >= 0).sum
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$stream,"sf":"$sfDir"}"""
       // scalastyle:off println
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$stream,"sf":"$sfDir"}""")
+      println(line)
       // scalastyle:on println
       Console.out.flush()
+      // The driver captures only the TAIL of sbt output (BENCH_r04 lost 77
+      // of 134 per-query times to truncation) — persist the complete map
+      // to a file so the full result always survives.
+      try {
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+        System.err.println(s"[bench] full results written to $out")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write results file: $e")
+      }
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
 

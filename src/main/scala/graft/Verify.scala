@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   *    moves on instead of hanging the whole gate.
   */
 object Verify {
+  /** Gates that may legitimately return 0 rows at the gate's scale factor.
+    * Every entry MUST name the spec that proves the operator on planted
+    * (non-empty) data — an empty-vs-empty hash match verifies only that
+    * both engines parse the query, so an empty gate without a backing
+    * spec is vacuous and gets flagged below.
+    */
+  val legitimatelyEmpty: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      "DedupQueriesSpec: 'embedding cosine detector FIRES on planted near-duplicates'"
+  )
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names — local dev
@@ -62,6 +73,7 @@ object Verify {
     val pool = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "verify-query"); t.setDaemon(true); t
     }
+    val vacuous = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -75,6 +87,21 @@ object Verify {
       })
       try {
         fut.get(qTimeoutS, TimeUnit.SECONDS)
+        // Vacuity audit: a 0-row result makes the downstream hash gate
+        // compare empty-to-empty, which passes no matter what the
+        // operator computes. Reading the freshly-written parquet count
+        // is metadata-only (footer row counts), so this costs ~nothing.
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        if (rows == 0 && !legitimatelyEmpty.contains(name)) {
+          vacuous += name
+          System.err.println(s"[verify] $name WARNING: 0 rows — gate is " +
+            "VACUOUS (empty-vs-empty hash). Make the query non-empty at " +
+            "this SF or register it in Verify.legitimatelyEmpty with a " +
+            "planted-fixture spec.")
+        } else if (rows == 0) {
+          System.err.println(s"[verify] $name is empty by design; backed " +
+            s"by ${legitimatelyEmpty(name)}")
+        }
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch {
         case _: TimeoutException =>
@@ -86,6 +113,9 @@ object Verify {
       }
       spark.catalog.clearCache()
     }
+    if (vacuous.nonEmpty)
+      System.err.println(s"[verify] VACUOUS GATES (0 rows, no backing " +
+        s"spec): ${vacuous.sorted.mkString(", ")}")
     spark.stop()
   }
 }
