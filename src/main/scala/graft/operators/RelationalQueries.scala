@@ -6,7 +6,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.{ScoredId, TopKAggregator}
 
 /** Relational query surface.
   *
@@ -1404,7 +1403,7 @@ object RelationalQueries {
     * `row_number() OVER (PARTITION BY region ORDER BY rev)` — funnels
     * every (region, part) row through one reducer per region: with a
     * handful of regions that is a handful of tasks sorting the whole
-    * aggregate at 100 TB. The bounded [[TopKAggregator]] keeps ≤3
+    * aggregate at 100 TB. The bounded native [[graft.expressions.TopKAgg]] keeps ≤3
     * candidates per map task instead, so the final shuffle carries
     * 3·|regions| pairs and plans as HashAggregate, never Sort+Window.
     *
@@ -1424,11 +1423,11 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
-    val topk = udaf(new TopKAggregator(TopPerGroupK), Encoders.product[ScoredId])
     rev.select(col("r_name"), col("l_partkey"),
         (col("rev") * 10000).cast(LongType).as("rev_fp"))
       .groupBy(col("r_name"))
-      .agg(topk(col("rev_fp").cast(DoubleType), col("l_partkey")).as("top"))
+      .agg(graft.expressions.TopKAgg.topKNative(s, TopPerGroupK,
+        "cast(rev_fp as double)", "l_partkey").as("top"))
       .select(col("r_name"), posexplode(col("top.items")).as(Seq("pos", "t")))
       .select(col("r_name"), (col("pos") + 1).cast(LongType).as("rn"),
         col("t.vec_id").as("partkey"),

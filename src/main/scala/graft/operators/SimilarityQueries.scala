@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.expressions.VectorExpressions
-import graft.functions.{ScoredId, TopKAggregator}
+
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table.
@@ -15,7 +15,7 @@ import graft.functions.VectorFunctions._
   *  - brute-force cosine top-k: the exact baseline. Plan shape: broadcast
   *    the (tiny) query set against the candidate corpus — a broadcast
   *    nested-loop scored map-side, then a bounded top-k hash aggregate
-  *    ([[graft.functions.TopKAggregator]]); at 100 TB the corpus side
+  *    ([[graft.expressions.TopKAgg]]); at 100 TB the corpus side
   *    stays partition-parallel and nothing shuffles but the k·|Q|
   *    result rows.
   *  - IVF (inverted-file) ANN: coarse-quantize candidates into C cells
@@ -52,11 +52,15 @@ object SimilarityQueries {
       .cache()
   }
 
-  /** Bounded per-group top-k (see [[graft.functions.TopKAggregator]]):
-    * map-side partial top-k, k·|groups| rows through the shuffle, no
-    * Sort+Window over candidate×query rows carrying embedding arrays. */
-  private def topKAgg = topKAggK(TopK)
-  private def topKAggK(k: Int) = udaf(new TopKAggregator(k), Encoders.product[ScoredId])
+  /** Bounded per-group top-k, as the native Catalyst aggregate
+    * [[graft.expressions.TopKAgg]]: map-side partial top-k, k·|groups|
+    * rows through the shuffle, no Sort+Window over candidate×query rows
+    * carrying embedding arrays — and no per-row encoder round trip (the
+    * udaf predecessor [[graft.functions.TopKAggregator]] paid ~20µs/row
+    * deserializing InternalRow → case class; the expression reads the
+    * two fields directly). */
+  private def topKAggN(s: SparkSession, k: Int, score: String, id: String) =
+    graft.expressions.TopKAgg.topKNative(s, k, score, id)
 
   /** Explode a top-k buffer back to (query_id, vec_id, cos, rn) rows. */
   private def explodeTopK(df: DataFrame): DataFrame =
@@ -78,7 +82,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
   }
 
   val simTopKBruteForceSql: String =
@@ -137,7 +141,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
   }
 
   val simTopKIvfSql: String =
@@ -219,7 +223,7 @@ object SimilarityQueries {
     explodeTopK(
       lshScoredCandidates(e)
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
   }
 
   /** 16-bit hyperplane signatures exploded to 4 bands of 4 bits:
@@ -389,7 +393,7 @@ object SimilarityQueries {
     val scored = cand.join(e, Seq("vec_id")).join(src, Seq("src_id"))
       .withColumn("cos", cosine(expr("vec_dot(emb, semb)"), col("nrm"), col("snrm")))
     scored.groupBy(col("src_id"))
-      .agg(topKAggK(GraphK)(col("cos"), col("vec_id")).as("top"))
+      .agg(topKAggN(s, GraphK, "cos", "vec_id").as("top"))
       .select(col("src_id"), posexplode(col("top.items")).as(Seq("pos", "t")))
       .select(col("src_id"), col("t.vec_id").as("nbr_id"), col("t.cos").as("cos"),
         (col("pos") + 1).cast(LongType).as("rn"))
@@ -580,7 +584,7 @@ object SimilarityQueries {
         .withColumn("negadist", expr(s"""-aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
           |  (a, s) -> a + element_at(lut, s * $PqCodes + element_at(codes, s + 1) + 1))""".stripMargin))
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("negadist"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "negadist", "vec_id").as("top")))
       .select(col("query_id"), col("vec_id"), negate(col("cos")).as("adist"), col("rn"))
   }
 
@@ -700,7 +704,7 @@ object SimilarityQueries {
         .withColumn("negadist", expr(s"""-aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
           |  (a, s) -> a + element_at(lut, s * $PqCodes + element_at(codes, s + 1) + 1))""".stripMargin))
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("negadist"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "negadist", "vec_id").as("top")))
       .select(col("query_id"), col("vec_id"), negate(col("cos")).as("adist"), col("rn"))
   }
 
@@ -955,7 +959,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(expr("vec_dot(demb, qemb)"), col("dnrm"), col("qnrm")))
         .groupBy(col("query_id"))
-        .agg(topKAgg(col("cos"), col("vec_id")).as("top")))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
   }
 
   val simSq8TopKSql: String =

@@ -85,4 +85,58 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: native TopKState agrees with the udaf aggregator under any partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.expressions.TopKState
+    // the Catalyst expression's buffer must rank identically to the
+    // typed Aggregator it replaced — same NaN-total order, same -0.0
+    // folding, same id tie-break, same merge associativity
+    def runNative(k: Int, parts: Seq[Seq[ScoredId]]): Seq[ScoredId] = {
+      val merged = new TopKState(k)
+      parts.foreach { p =>
+        val b = new TopKState(k)
+        p.foreach(x => b.insert(x.cos, x.vec_id))
+        var i = 0
+        while (i < b.n) { merged.insert(b.cos(i), b.ids(i)); i += 1 }
+      }
+      (0 until merged.n).map(i => ScoredId(merged.cos(i), merged.ids(i)))
+    }
+    def sameAs(a: Seq[ScoredId], b: Seq[ScoredId]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.vec_id == y.vec_id &&
+          (x.cos == y.cos || (x.cos.isNaN && y.cos.isNaN))
+      }
+    val genScore = Gen.frequency(
+      (8, Gen.chooseNum(-1.0, 1.0)),
+      (1, Gen.oneOf(Double.NaN, 0.0, -0.0, 1.0, -1.0)))
+    val genItems = for {
+      n   <- Gen.chooseNum(0, 60)
+      ids <- Gen.pick(n, 0L until 200L)
+      ss  <- Gen.listOfN(n, genScore)
+    } yield ids.toSeq.zip(ss).map { case (id, sc) => ScoredId(sc, id) }
+    val prop = Prop.forAll(genItems, Gen.chooseNum(1, 8),
+        Gen.chooseNum(1, 6)) { (xs, k, nParts) =>
+      val parts = if (xs.isEmpty) Seq(Seq.empty[ScoredId])
+        else xs.grouped(math.max(1, xs.length / nParts)).toSeq
+      sameAs(runNative(k, parts), mergeAll(k, parts))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("native TopKAgg serde round-trips the buffer exactly") {
+    import graft.expressions.{TopKAgg, TopKState}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKAgg(Literal(0.0), Literal(0L), 3)
+    val b = new TopKState(3)
+    Seq((0.9, 2L), (Double.NaN, 99L), (0.9, 4L), (0.1, 1L))
+      .foreach { case (c, i) => b.insert(c, i) }
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.n == b.n)
+    assert((0 until b.n).forall { i =>
+      rt.ids(i) == b.ids(i) &&
+        (rt.cos(i) == b.cos(i) || (rt.cos(i).isNaN && b.cos(i).isNaN))
+    })
+  }
 }
