@@ -13,15 +13,22 @@ case class MediaBlob(
     n_frames: Int,
     data: Array[Byte])
 
-/** Batch-level decoded features (what a real codec would emit). */
+/** Batch-level decoded features. For media the codec can really parse
+  * (BMP images, WAV audio — see [[MediaFiles]]) the stats are over
+  * DECODED content units (pixel channel values / PCM samples) and
+  * `decoded_w`/`decoded_h` carry header fields (image dims; for audio,
+  * sample rate and bits per sample). For everything else the stub path
+  * reports raw-byte stats with decoded_w = decoded_h = 0. */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
-    n_bytes: Long,
-    sum_bytes: Long,
-    min_byte: Int,
-    max_byte: Int,
-    mean_byte: Double)
+    decoded_w: Int,
+    decoded_h: Int,
+    n_units: Long,
+    sum_vals: Long,
+    min_val: Int,
+    max_val: Int,
+    mean_val: Double)
 
 /** Frame-sampling result for video payloads. */
 case class FrameSample(
@@ -31,14 +38,12 @@ case class FrameSample(
     n_sampled: Int,
     sampled_bytes: Long)
 
-/** STUB media codec.
-  *
-  * A production deployment would link an actual image/audio codec here
-  * (not available in this environment); the decode below is a
-  * deterministic fake over the raw bytes. Everything AROUND it — the
-  * typed binary schema, executor-side batching, frame slicing, resize
-  * metadata handling — is the real Spark plumbing a decoder would plug
-  * into: swap `decode` and the pipeline is production-shaped.
+/** Media codec: REAL header-parsing decode for BMP and WAV payloads
+  * ([[MediaFiles]] — pure JVM, zero deps), byte-stat STUB for media
+  * types the sandbox has no decoder for (video containers). The stub
+  * remains clearly disclosed; everything around it — the typed binary
+  * schema, executor-side batching, frame slicing, resize metadata
+  * handling — is the Spark plumbing any further codec would plug into.
   *
   * Batch shape: [[decodeBatch]] takes a whole batch so a real
   * implementation can amortize codec/model initialization per batch
@@ -46,29 +51,54 @@ case class FrameSample(
   */
 object MediaCodec {
 
-  /** Deterministic fake "decode": byte statistics standing in for the
-    * feature vector a codec+model would produce. */
-  def decode(blob: MediaBlob): MediaFeatures = {
-    val bs = blob.data
+  private def stats(doc: Long, mt: String, w: Int, h: Int,
+      vals: Array[Int]): MediaFeatures = {
     var sum = 0L
-    var mn = 256
-    var mx = -1
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
     var i = 0
-    while (i < bs.length) {
-      val v = bs(i) & 0xff
+    while (i < vals.length) {
+      val v = vals(i)
       sum += v
       if (v < mn) mn = v
       if (v > mx) mx = v
       i += 1
     }
-    val n = bs.length.toLong
-    MediaFeatures(blob.doc_id, blob.media_type, n, sum,
+    val n = vals.length.toLong
+    MediaFeatures(doc, mt, w, h, n, sum,
       if (n == 0) 0 else mn, if (n == 0) 0 else mx,
       if (n == 0) 0.0 else sum.toDouble / n.toDouble)
   }
 
+  /** STUB decode for payloads with no parsable container: unsigned
+    * byte statistics standing in for what a codec+model would emit. */
+  def decode(blob: MediaBlob): MediaFeatures = {
+    val bs = blob.data
+    val vals = new Array[Int](bs.length)
+    var i = 0
+    while (i < bs.length) { vals(i) = bs(i) & 0xff; i += 1 }
+    stats(blob.doc_id, blob.media_type, 0, 0, vals)
+  }
+
+  /** REAL decode where the container is parsable: BMP payloads yield
+    * header dims + channel-value stats, WAV payloads yield
+    * (sample_rate, bits) + PCM sample stats (signed). Anything that
+    * fails structural validation falls back to the byte-stat stub — a
+    * corrupt file still produces a row (with decoded_w = 0 marking the
+    * fallback) instead of killing the batch. */
+  def decodeMedia(blob: MediaBlob): MediaFeatures = {
+    val parsed = blob.media_type match {
+      case "image" => MediaFiles.decodeBmp(blob.data).map(b =>
+        stats(blob.doc_id, blob.media_type, b.width, b.height, b.channels))
+      case "audio" => MediaFiles.decodeWav(blob.data).map(w =>
+        stats(blob.doc_id, blob.media_type, w.sampleRate, w.bitsPerSample, w.samples))
+      case _ => None
+    }
+    parsed.getOrElse(decode(blob))
+  }
+
   /** Batch decode: one call per executor-side batch. */
-  def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = batch.map(decode)
+  def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = batch.map(decodeMedia)
 
   /** Stub resize: halves dimensions, truncates payload to the new pixel
     * budget (a real implementation would re-encode). */

@@ -1,0 +1,165 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM encoders/decoders for two REAL media container formats —
+  * BMP (Windows bitmap, BITMAPINFOHEADER, 24 bpp uncompressed) and WAV
+  * (RIFF PCM16 mono) — zero external dependencies, so the sandbox's
+  * lack of codec libraries no longer forces the decode step to be a
+  * stub for these types. Layouts follow the public format specs:
+  * BMP: 14-byte file header ('BM', file size, pixel-data offset) +
+  * 40-byte BITMAPINFOHEADER + bottom-up rows padded to 4 bytes;
+  * WAV: 'RIFF' size 'WAVE' + chunk sequence including 'fmt ' (PCM tag,
+  * channels, rate, block align, bits) and 'data'. The decoders parse
+  * those structures for real — magic + header validation, row-padding
+  * walk, RIFF chunk-walking that skips unknown chunks (so a LIST chunk
+  * ahead of 'data' decodes fine) — and return None on anything
+  * malformed rather than guessing.
+  */
+object MediaFiles {
+
+  /** Decoded 24-bpp image: dimensions from the header, channel values
+    * (B,G,R per pixel, 0-255) in visual top-down row order. */
+  final case class Bmp(width: Int, height: Int, channels: Array[Int])
+
+  /** Decoded PCM16 mono audio: format fields from 'fmt ', samples from
+    * 'data' (signed 16-bit). */
+  final case class Wav(sampleRate: Int, bitsPerSample: Int, samples: Array[Int])
+
+  // ------------------------------------------------------------- BMP
+
+  private def rowStride(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /** Encode a 24-bpp BMP. `channel(x, y)` must return the (b, g, r)
+    * triple for the pixel at visual position (x, y), y = 0 at the TOP
+    * (the encoder handles BMP's bottom-up storage order). */
+  def encodeBmp(w: Int, h: Int, channel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val stride = rowStride(w)
+    val dataSize = stride * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putShort(0).putShort(0) // reserved
+    buf.putInt(54) // pixel data offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(w).putInt(h)
+    buf.putShort(1) // planes
+    buf.putShort(24) // bpp
+    buf.putInt(0) // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835) // 72 dpi in px/metre
+    buf.putInt(0).putInt(0) // palette
+    var row = h - 1 // bottom-up: last visual row first
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val (b, g, r) = channel(x, row)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bpp uncompressed BMP; None on anything malformed. */
+  def decodeBmp(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val offset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (hdrSize < 40 || w <= 0 || h <= 0 || planes != 1 || bpp != 24 ||
+        compression != 0 || offset < 54 || fileSize > bytes.length ||
+        w > (1 << 20) || h > (1 << 20)) return None
+    val stride = rowStride(w)
+    if (offset.toLong + stride.toLong * h > bytes.length) return None
+    val out = new Array[Int](3 * w * h)
+    var row = 0 // visual top-down output
+    while (row < h) {
+      val src = offset + (h - 1 - row) * stride // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val base = 3 * (row * w + x)
+        out(base) = bytes(src + 3 * x) & 0xff
+        out(base + 1) = bytes(src + 3 * x + 1) & 0xff
+        out(base + 2) = bytes(src + 3 * x + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    Some(Bmp(w, h, out))
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  /** Encode a PCM16 mono WAV. Sample values are truncated to 16 bits. */
+  def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = 2 * samples.length
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize) // RIFF payload size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // PCM fmt chunk size
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(1) // channels: mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Parse a PCM16 mono WAV by walking RIFF chunks (unknown chunks are
+    * skipped, word-aligned, so chunk order beyond 'fmt '-before-'data'
+    * does not matter); None on anything malformed. */
+  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes.length < 44) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(pos)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8)
+          val channels = buf.getShort(pos + 10)
+          val rate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          fmt = Some((channels, rate, bits))
+        case "data" =>
+          data = Some((pos + 8, size))
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((_, rate, bits) <- fmt; (off, size) <- data) yield {
+      val n = size / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = buf.getShort(off + 2 * i).toInt; i += 1 }
+      Wav(rate, bits, out)
+    }
+  }
+}

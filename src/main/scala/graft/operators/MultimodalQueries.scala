@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{FrameSample, MediaBlob, MediaCodec, MediaFeatures}
+import graft.multimodal.{FrameSample, MediaBlob, MediaCodec, MediaFeatures, MediaFiles}
 
 /** Multimodal-column pipeline: opaque binary payloads + typed metadata,
   * processed with executor-side batched mapPartitions (the JVM analog of
@@ -58,24 +58,101 @@ object MultimodalQueries {
   private val BytesSql = "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"
 
   // ------------------------------------------------------- mm_features
-  /** Batched decode: fixed-size batches inside each partition, one
+  /** Batched REAL decode: image docs carry an actual 24-bpp BMP file
+    * and audio docs an actual RIFF/PCM16 WAV (encoded executor-side by
+    * [[graft.multimodal.MediaFiles]] from deterministic doc_id-derived
+    * content, so the oracle can recompute the expected stats); video
+    * docs keep the raw-byte payload and exercise the disclosed stub
+    * fallback. [[MediaCodec.decodeMedia]] parses the containers for
+    * real — magic, header fields, BMP row padding, RIFF chunk walk —
+    * so a green gate here checks decoded pixel/sample values, not just
+    * plumbing. Fixed-size batches inside each partition, one
     * decodeBatch call per batch (batch shape is part of the contract —
-    * see MultimodalQueriesSpec). */
+    * see MultimodalQueriesSpec).
+    *
+    * Scale shape: unchanged — an embarrassingly parallel map; bytes
+    * never leave the executor. */
+  def mediaTableEncoded(s: SparkSession, d: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    mediaTable(s, d).map { b =>
+      b.media_type match {
+        case "image" =>
+          val id = b.doc_id
+          val (w, h) = (ImgW(id), ImgH(id))
+          b.copy(width = w, height = h, data = MediaFiles.encodeBmp(w, h,
+            (x, y) => (((id + 2 * x + 3 * y) % 256).toInt,
+                       ((id * 2 + x + 5 * y + 1) % 256).toInt,
+                       ((id * 3 + 4 * x + y + 2) % 256).toInt)))
+        case "audio" =>
+          val id = b.doc_id
+          val n = WavN(id)
+          b.copy(data = MediaFiles.encodeWav(WavRate,
+            Array.tabulate(n)(i => ((id * 31 + i * 17) % 4096).toInt - 2048)))
+        case _ => b // video: raw bytes, stub decode path
+      }
+    }
+  }
+
+  private def ImgW(id: Long): Int = 16 + (id % 8).toInt * 2
+  private def ImgH(id: Long): Int = 8 + (id % 5).toInt * 3
+  private def WavN(id: Long): Int = 256 + (id % 7).toInt * 64
+  private val WavRate = 16000
+
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    mediaTableEncoded(s, d)
       .mapPartitions(_.grouped(BatchSize).flatMap(b => MediaCodec.decodeBatch(b)))
       .toDF()
   }
 
   val mmFeaturesSql: String =
-    s"""SELECT doc_id, $TypeSql AS media_type,
-       |  CAST(length(text) AS BIGINT) AS n_bytes,
-       |  CAST(list_sum($BytesSql) AS BIGINT) AS sum_bytes,
-       |  CAST(list_min($BytesSql) AS INTEGER) AS min_byte,
-       |  CAST(list_max($BytesSql) AS INTEGER) AS max_byte,
-       |  CAST(list_sum($BytesSql) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS mean_byte
-       |FROM documents""".stripMargin
+    s"""WITH img AS (
+       |  SELECT doc_id, (16 + (doc_id % 8) * 2) AS w, (8 + (doc_id % 5) * 3) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ipx AS (
+       |  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM img),
+       |ich AS (
+       |  SELECT doc_id, w, h,
+       |    (doc_id + 2 * (i % w) + 3 * (i // w)) % 256 AS b,
+       |    (doc_id * 2 + (i % w) + 5 * (i // w) + 1) % 256 AS g,
+       |    (doc_id * 3 + 4 * (i % w) + (i // w) + 2) % 256 AS r
+       |  FROM ipx),
+       |image_rows AS (
+       |  SELECT doc_id, 'image' AS media_type,
+       |    CAST(any_value(w) AS INTEGER) AS decoded_w,
+       |    CAST(any_value(h) AS INTEGER) AS decoded_h,
+       |    CAST(3 * count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(b + g + r) AS BIGINT) AS sum_vals,
+       |    CAST(min(least(b, g, r)) AS INTEGER) AS min_val,
+       |    CAST(max(greatest(b, g, r)) AS INTEGER) AS max_val,
+       |    CAST(sum(b + g + r) AS DOUBLE) / CAST(3 * count(*) AS DOUBLE) AS mean_val
+       |  FROM ich GROUP BY doc_id),
+       |aud AS (
+       |  SELECT doc_id, unnest(range(256 + (doc_id % 7) * 64)) AS i
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |asm AS (
+       |  SELECT doc_id, (doc_id * 31 + i * 17) % 4096 - 2048 AS s FROM aud),
+       |audio_rows AS (
+       |  SELECT doc_id, 'audio' AS media_type,
+       |    CAST($WavRate AS INTEGER) AS decoded_w, CAST(16 AS INTEGER) AS decoded_h,
+       |    CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(s) AS BIGINT) AS sum_vals,
+       |    CAST(min(s) AS INTEGER) AS min_val,
+       |    CAST(max(s) AS INTEGER) AS max_val,
+       |    CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_val
+       |  FROM asm GROUP BY doc_id),
+       |video_rows AS (
+       |  SELECT doc_id, 'video' AS media_type,
+       |    CAST(0 AS INTEGER) AS decoded_w, CAST(0 AS INTEGER) AS decoded_h,
+       |    CAST(length(text) AS BIGINT) AS n_units,
+       |    CAST(list_sum($BytesSql) AS BIGINT) AS sum_vals,
+       |    CAST(list_min($BytesSql) AS INTEGER) AS min_val,
+       |    CAST(list_max($BytesSql) AS INTEGER) AS max_val,
+       |    CAST(list_sum($BytesSql) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS mean_val
+       |  FROM documents WHERE doc_id % 3 = 2)
+       |SELECT * FROM image_rows
+       |UNION ALL SELECT * FROM audio_rows
+       |UNION ALL SELECT * FROM video_rows""".stripMargin
 
   // ------------------------------------------------------- mm_resize
   /** Stub resize of image payloads: metadata update + payload truncation

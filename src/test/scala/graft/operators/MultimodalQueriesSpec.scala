@@ -1,24 +1,89 @@
 package graft.operators
 
 import graft.SparkSpecBase
-import graft.multimodal.{MediaBlob, MediaCodec}
+import graft.multimodal.{MediaBlob, MediaCodec, MediaFiles}
 
 class MultimodalQueriesSpec extends SparkSpecBase {
 
   private def blob(id: Long, bytes: Array[Byte], frames: Int = 4) =
     MediaBlob(id, "video", 32, 32, frames, bytes)
 
-  test("decode computes byte stats over the raw payload") {
+  test("stub decode computes byte stats over the raw payload") {
     val f = MediaCodec.decode(blob(1, Array[Byte](10, 20, 30)))
-    assert(f.n_bytes == 3 && f.sum_bytes == 60 && f.min_byte == 10 && f.max_byte == 30)
-    assert(f.mean_byte == 20.0)
+    assert(f.n_units == 3 && f.sum_vals == 60 && f.min_val == 10 && f.max_val == 30)
+    assert(f.mean_val == 20.0 && f.decoded_w == 0 && f.decoded_h == 0)
     val empty = MediaCodec.decode(blob(2, Array.empty[Byte]))
-    assert(empty.n_bytes == 0 && empty.mean_byte == 0.0)
+    assert(empty.n_units == 0 && empty.mean_val == 0.0)
   }
 
-  test("decode treats bytes as unsigned") {
+  test("stub decode treats bytes as unsigned") {
     val f = MediaCodec.decode(blob(1, Array[Byte](-1)))  // 0xFF = 255
-    assert(f.sum_bytes == 255 && f.max_byte == 255)
+    assert(f.sum_vals == 255 && f.max_val == 255)
+  }
+
+  test("BMP round-trip: header dims and every channel value survive encode+decode") {
+    // w=3 → 3w=9 bytes/row → stride 12: 3 padding bytes exercise the
+    // row-padding walk; h=2 exercises the bottom-up row order
+    val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6), (2, 0) -> (7, 8, 9),
+      (0, 1) -> (10, 11, 12), (1, 1) -> (13, 14, 15), (2, 1) -> (255, 0, 128))
+    val bytes = MediaFiles.encodeBmp(3, 2, (x, y) => px((x, y)))
+    val got = MediaFiles.decodeBmp(bytes).get
+    assert(got.width == 3 && got.height == 2)
+    // visual top-down, (b, g, r) per pixel
+    val want = (0 until 2).flatMap(y => (0 until 3).flatMap { x =>
+      val (b, g, r) = px((x, y)); Seq(b, g, r)
+    })
+    assert(got.channels.toSeq == want, "padding or row order mishandled")
+  }
+
+  test("WAV round-trip + chunk walking: an extra LIST chunk before data decodes fine") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = MediaFiles.encodeWav(8000, samples)
+    val got = MediaFiles.decodeWav(bytes).get
+    assert(got.sampleRate == 8000 && got.bitsPerSample == 16)
+    assert(got.samples.toSeq == samples.toSeq)
+    // splice an odd-sized LIST chunk between 'fmt ' and 'data': a real
+    // RIFF walker must skip it (word-aligned) and still find the data
+    val head = bytes.take(36) // RIFF..WAVE..fmt chunk
+    val tail = bytes.drop(36) // data chunk
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0) // size 5 + pad
+    val spliced = head ++ listChunk ++ tail
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    val got2 = MediaFiles.decodeWav(spliced).get
+    assert(got2.samples.toSeq == samples.toSeq, "chunk walk failed on LIST")
+  }
+
+  test("malformed media falls back to the stub, never throws") {
+    val junkImage = MediaBlob(7, "image", 4, 4, 1, Array[Byte]('B', 'M', 1, 2, 3))
+    val f = MediaCodec.decodeMedia(junkImage)
+    assert(f.decoded_w == 0 && f.n_units == 5, "truncated BMP must stub-decode")
+    val junkAudio = MediaBlob(8, "audio", 0, 0, 1, "RIFFxxxxWAVE".getBytes("US-ASCII"))
+    val f2 = MediaCodec.decodeMedia(junkAudio)
+    assert(f2.decoded_w == 0, "chunkless WAV must stub-decode")
+    assert(MediaFiles.decodeBmp("plain text".getBytes).isEmpty)
+    assert(MediaFiles.decodeWav("plain text that is long enough to pass the length gate"
+      .getBytes).isEmpty)
+  }
+
+  test("mm_features decodes REAL container bytes: parsed dims match the encode parameters") {
+    import spark.implicits._
+    val feats = MultimodalQueries.mmFeatures(spark, sfDir)
+      .select("doc_id", "media_type", "decoded_w", "decoded_h")
+      .as[(Long, String, Int, Int)].collect()
+    assert(feats.nonEmpty)
+    feats.foreach {
+      case (id, "image", w, h) =>
+        assert(w == 16 + (id % 8) * 2 && h == 8 + (id % 5) * 3,
+          s"doc $id: BMP header dims not recovered ($w x $h)")
+      case (_, "audio", rate, bits) =>
+        assert(rate == 16000 && bits == 16, "WAV fmt fields not recovered")
+      case (_, "video", w, h) => assert(w == 0 && h == 0) // stub path
+      case other => fail(s"unexpected row $other")
+    }
   }
 
   test("frame sampling slices whole frames and drops the tail remainder") {
@@ -37,9 +102,9 @@ class MultimodalQueriesSpec extends SparkSpecBase {
   test("batched pipeline equals per-row decode regardless of batch boundaries") {
     import spark.implicits._
     val viaPipeline = MultimodalQueries.mmFeatures(spark, sfDir)
-      .select("doc_id", "sum_bytes").as[(Long, Long)].collect().toMap
-    val perRow = MultimodalQueries.mediaTable(spark, sfDir)
-      .collect().map(b => b.doc_id -> MediaCodec.decode(b).sum_bytes).toMap
+      .select("doc_id", "sum_vals").as[(Long, Long)].collect().toMap
+    val perRow = MultimodalQueries.mediaTableEncoded(spark, sfDir)
+      .collect().map(b => b.doc_id -> MediaCodec.decodeMedia(b).sum_vals).toMap
     assert(viaPipeline == perRow)
     assert(viaPipeline.size == 500)
   }
