@@ -421,17 +421,168 @@ object IngestQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM sessed GROUP BY user_key, sess_id""".stripMargin
 
+  // --------------------------------------------------- amqp_stream_late
+  /** LATE-DATA semantics under the oracle gate: watermarked append-mode
+    * windows across TWO streaming runs sharing one checkpoint, with
+    * out-of-order past-watermark messages pumped over the wire in the
+    * second run. Phase 1 drains slice A plus an hour-aligning anchor, so
+    * the persisted watermark lands EXACTLY on an hour boundary HA; phase
+    * 2 restarts from the checkpoint and pumps (a) slice B with two
+    * thirds of its rows shifted +2h (fresh) and one third −48h
+    * (hopelessly late — every one must be dropped), (b) a probe whose
+    * window END equals HA exactly — Spark drops a late row iff its
+    * window end <= watermark (verified against MemoryStream), so this
+    * message sits ON the boundary and a drop-rule off-by-one moves it
+    * between windows/oblivion and breaks the hash — and (c) a second
+    * anchor aligning the FINAL watermark to HB, plus a probe whose
+    * window end equals HB exactly (the emit boundary: windows are
+    * finalized iff end <= watermark). The oracle reproduces the whole
+    * construction arithmetically from parquet: same anchors, same
+    * boundary probes, the drop filter `window_end > HA` applied ONLY to
+    * phase-2 rows, and the final emit filter `window_end <= HB`.
+    *
+    * Determinism: each phase is one data micro-batch (AvailableNow,
+    * no rate limit) + the no-data flush batch; watermarks derive from
+    * anchor timestamps by exact integer arithmetic (anchors are ms- and
+    * hour-aligned, so the engine's ms truncation is a no-op); append
+    * rows are collected via foreachBatch across both runs. Restart
+    * recovery (offset replay + watermark restoration from the commit
+    * log) is part of the gated path. */
+  def amqpStreamLate(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-gate").toString
+    val HourUs = 3600000000L
+
+    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = {
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < msgs.length) {
+        val slice = msgs.slice(i, math.min(i + 500, msgs.length))
+        val seqs = client.sendMany(address, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(address)
+          client.fetch(address, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+    }
+    def msg(id: String, subject: String, body: String, tsUs: Long): (AmqpMessage, Long) =
+      (AmqpMessage(messageId = Some(id), subject = Some(subject),
+        body = AmqpValueBody(body)), tsUs)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
+    def drain(): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address).load()
+        .withWatermark("ingest_timestamp", "2 hours")
+        .groupBy(window(col("ingest_timestamp"), "1 hour").as("w"), col("subject"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").cast(LongType).as("wstart_s"), col("subject"),
+          col("n_events"), col("sum_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val got = b.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "stream-late gate query hung")
+      finally q.stop()
+    }
+
+    // ---- phase 1: slice A at its real event times + hour-aligning anchor
+    val a = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    val maxA = a.map(_.getLong(3)).max
+    val ha = ((maxA + HourUs - 1) / HourUs) * HourUs + HourUs // hour-aligned, > every A row
+    pump(a.toSeq.map(r => msg(r.getLong(0).toString, r.getString(1),
+        r.getDouble(2).toString, r.getLong(3)))
+      :+ msg("anchor-a", "anchor_a", "0.5", ha + 2 * HourUs)) // watermark → exactly HA
+    drain()
+
+    // ---- phase 2: late + fresh slice B, boundary probes, final anchor
+    val b = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 6)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    val bShift = b.toSeq.map { r =>
+      val ts = if (r.getLong(0) % 3 == 0) r.getLong(3) - 48 * HourUs // hopelessly late
+               else r.getLong(3) + 2 * HourUs                       // fresh
+      msg(r.getLong(0).toString, r.getString(1), r.getDouble(2).toString, ts)
+    }
+    val probes = Seq(
+      msg("probe-late-eq", "probe_late_eq", "1.0", ha - HourUs / 2), // window end == HA: dropped
+      msg("probe-kept", "probe_kept", "1.0", ha + HourUs / 2))       // end HA+1h > HA: kept
+    val maxP2 = math.max(maxA, (bShift ++ probes).map(_._2).max)
+    val hb = ((maxP2 + HourUs - 1) / HourUs) * HourUs + HourUs
+    pump(bShift ++ probes ++ Seq(
+      msg("anchor-b", "anchor_b", "0.5", hb + 2 * HourUs),           // final watermark → HB
+      msg("probe-emit-eq", "probe_emit_eq", "1.0", hb - HourUs / 2)))// end == HB: emitted
+    drain()
+
+    buf.toSeq.toDF("wstart_s", "event_type", "n_events", "sum_value")
+  }
+
+  val amqpStreamLateSql: String =
+    """WITH a AS (
+      |  SELECT event_type, value, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_id % 10 = 5),
+      |ha AS (SELECT ((max(ts_us) + 3599999999) // 3600000000) * 3600000000
+      |              + 3600000000 AS h FROM a),
+      |bsh AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id % 3 = 0 THEN epoch_us(ts) - 172800000000
+      |         ELSE epoch_us(ts) + 7200000000 END AS ts_us
+      |  FROM events WHERE event_id % 10 = 6),
+      |p2 AS (
+      |  SELECT * FROM bsh
+      |  UNION ALL SELECT 'probe_late_eq', 1.0, h - 1800000000 FROM ha
+      |  UNION ALL SELECT 'probe_kept', 1.0, h + 1800000000 FROM ha),
+      |hb AS (SELECT ((greatest((SELECT max(ts_us) FROM a), (SELECT max(ts_us) FROM p2))
+      |               + 3599999999) // 3600000000) * 3600000000 + 3600000000 AS h),
+      |kept AS (
+      |  SELECT event_type, value, ts_us FROM a
+      |  UNION ALL SELECT 'anchor_a', 0.5, h + 7200000000 FROM ha
+      |  UNION ALL
+      |  SELECT p2.event_type, p2.value, p2.ts_us FROM p2, ha
+      |  WHERE (p2.ts_us // 3600000000 + 1) * 3600000000 > ha.h
+      |  UNION ALL SELECT 'anchor_b', 0.5, h + 7200000000 FROM hb
+      |  UNION ALL SELECT 'probe_emit_eq', 1.0, h - 1800000000 FROM hb)
+      |SELECT (ts_us // 3600000000) * 3600 AS wstart_s, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM kept, hb
+      |WHERE (ts_us // 3600000000 + 1) * 3600000000 <= hb.h
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
     "amqp_stream_join"      -> (amqpStreamJoin _),
-    "amqp_stream_session"   -> (amqpStreamSession _))
+    "amqp_stream_session"   -> (amqpStreamSession _),
+    "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
     "amqp_stream_join"      -> amqpStreamJoinSql,
-    "amqp_stream_session"   -> amqpStreamSessionSql)
+    "amqp_stream_session"   -> amqpStreamSessionSql,
+    "amqp_stream_late"      -> amqpStreamLateSql)
 }

@@ -113,4 +113,35 @@ class IngestQueriesSpec extends SparkSpecBase {
       s"streaming sessions drifted from batch islands (got ${got.size}, exp ${expected.size})")
     assert(got.nonEmpty)
   }
+
+  test("stream-late gate: boundary probes behave per Spark's <= watermark rules") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamLate(spark, sfDir)
+      .as[(Long, String, Long, Double)].collect()
+    val byType = got.groupBy(_._2)
+    // window end == watermark at arrival → DROPPED (late filter is <=)
+    assert(!byType.contains("probe_late_eq"),
+      "a late row whose window end equals the watermark must be dropped")
+    // ts after the watermark → kept and emitted
+    assert(byType.contains("probe_kept"), "the in-window fresh probe must survive")
+    // window end == final watermark → EMITTED (finalization is <=)
+    assert(byType.contains("probe_emit_eq"),
+      "a window ending exactly at the final watermark must be finalized")
+    // every deep-late slice-B row (−48h) was dropped: slice-B rows present
+    // in the output can only come from the +2h branch
+    val sliceB = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 6)
+      .selectExpr("event_id", "ts_ns div 1000 AS ts_us").as[(Long, Long)].collect()
+    val lateCount = sliceB.count(_._1 % 3 == 0)
+    assert(lateCount > 0, "fixture must contain hopelessly late rows")
+    val totalEmitted = got.map(_._3).sum
+    val sliceA = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") % 10 === 5).count()
+    // emitted = all of A + anchor_a + kept B + 3 probes + maybe anchor_b (never:
+    // its window stays open) − open windows; dropping NO late row would add
+    // lateCount more rows than the budget below allows
+    assert(totalEmitted < sliceA + (sliceB.length - lateCount) + 4,
+      s"late rows leaked into the output ($totalEmitted emitted)")
+    assert(got.forall(_._1 % 3600 == 0))
+  }
 }
