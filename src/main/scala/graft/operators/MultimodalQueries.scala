@@ -364,8 +364,76 @@ object MultimodalQueries {
        |FROM al GROUP BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ mm_wav_energy
+  /** Audio segmentation over DECODED samples: every audio doc's real
+    * WAV payload is parsed back to PCM16 ([[MediaFiles.decodeWav]]) and
+    * split into fixed [[EnergyChunk]]-sample chunks (10 ms at 16 kHz —
+    * the standard frame for VAD/energy gating); per chunk the energy is
+    * the int64 sum of squared samples, rolled up per doc with the
+    * loudest chunk and its index (first chunk wins energy ties, which
+    * the oracle mirrors with min-index-among-max). This is the first
+    * op CONSUMING the real decode — the stats flow from parsed sample
+    * values, not container bytes, so a codec regression (byte order,
+    * chunk walk, sign) breaks the hash.
+    *
+    * Determinism: all-integer math (squares and sums of 12-bit
+    * samples in int64). Scale shape: embarrassingly parallel map over
+    * payloads; per-doc work bounded by clip length; no shuffle beyond
+    * the one-row-per-doc result. */
+  private val EnergyChunk = 160
+
+  def mmWavEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "audio")
+      .map { b =>
+        val w = MediaFiles.decodeWav(b.data).getOrElse(
+          throw new IllegalStateException(s"undecodable WAV for doc ${b.doc_id}"))
+        val n = w.samples.length
+        val nChunks = (n + EnergyChunk - 1) / EnergyChunk
+        var total = 0L
+        var best = Long.MinValue
+        var bestIdx = -1L
+        var c = 0
+        while (c < nChunks) {
+          var e = 0L
+          var i = c * EnergyChunk
+          val end = math.min(n, i + EnergyChunk)
+          while (i < end) { val v = w.samples(i).toLong; e += v * v; i += 1 }
+          total += e
+          if (e > best) { best = e; bestIdx = c }
+          c += 1
+        }
+        (b.doc_id, w.sampleRate, n.toLong, nChunks.toLong, total, best, bestIdx)
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "n_chunks",
+        "total_energy", "max_chunk_energy", "max_chunk_idx")
+  }
+
+  val mmWavEnergySql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, 256 + (doc_id % 7) * 64 AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |sm AS (SELECT doc_id, n, unnest(range(n)) AS i FROM a),
+       |ch AS (
+       |  SELECT doc_id, n, i // $EnergyChunk AS c,
+       |    (doc_id * 31 + i * 17) % 4096 - 2048 AS s
+       |  FROM sm),
+       |ce AS (
+       |  SELECT doc_id, any_value(n) AS n, c, CAST(sum(s * s) AS BIGINT) AS e
+       |  FROM ch GROUP BY doc_id, c),
+       |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id) AS me FROM ce)
+       |SELECT doc_id, CAST($WavRate AS INTEGER) AS sample_rate,
+       |  CAST(any_value(n) AS BIGINT) AS n_samples,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(e) AS BIGINT) AS total_energy,
+       |  CAST(max(e) AS BIGINT) AS max_chunk_energy,
+       |  CAST(min(CASE WHEN e = me THEN c END) AS BIGINT) AS max_chunk_idx
+       |FROM m GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_wav_energy"   -> (mmWavEnergy _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -375,6 +443,7 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_wav_energy"   -> mmWavEnergySql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,

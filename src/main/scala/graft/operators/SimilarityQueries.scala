@@ -1141,7 +1141,89 @@ object SimilarityQueries {
        |  min(cos) AS min_cos, max(cos) AS max_cos
        |FROM knn GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- sim_trunc_audit
+  /** Matryoshka-truncation audit: how much retrieval quality survives
+    * keeping only the first [[TruncDims]] of 64 embedding dimensions —
+    * per-query overlap between top-k under FULL-dim cosine and top-k
+    * under PREFIX-dim cosine. This is the standing pre-rollout check of
+    * MRL-style ("matryoshka") dimension reduction: prefix embeddings
+    * cut index memory ~4×, and this readout is the recall you pay.
+    * Same output contract as [[simRecallAudit]] (hits of k, recall in
+    * integer parts-per-million).
+    *
+    * Determinism: both rankings score with the compiled `vec_dot`
+    * fold (fixed intra-row order), tie-break on vec_id, and a
+    * zero-norm truncated vector yields a NaN cosine that ranks FIRST
+    * under DESC in both engines (the NaN-total order the bounded
+    * aggregator implements).
+    *
+    * Scale shape: ONE broadcast of the (tiny) query set with both
+    * full and prefix columns; the corpus never shuffles; each ranking
+    * moves k·|Q| rows; the audit join is k·|Q| × k·|Q| on (query,
+    * vec). */
+  private val TruncDims = 16
+
+  def simTruncAudit(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = embedded(s, d)
+      .withColumn("embt", slice(col("emb"), 1, TruncDims))
+      .withColumn("nrmt", expr("sqrt(vec_dot(embt, embt))"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("embt").as("qembt"), col("nrmt").as("qnrmt"))
+    val scored = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+    val full = explodeTopK(scored
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id")).cache()
+    val trunc = explodeTopK(scored
+        .withColumn("cos", cosine(expr("vec_dot(embt, qembt)"), col("nrmt"), col("qnrmt")))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id"))
+    val hits = full.join(trunc, Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    full.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"))
+      .withColumn("recall_fp", expr(s"hits * 1000000L div ${TopK}L"))
+  }
+
+  val simTruncAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    list_transform(embedding[1:$TruncDims], x -> CAST(x AS DOUBLE)) AS embt
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb, embt AS qembt
+       |      FROM e WHERE vec_id < $NumQueries),
+       |sc AS (
+       |  SELECT query_id, vec_id,
+       |    list_dot_product(emb, qemb)
+       |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cosf,
+       |    list_dot_product(embt, qembt)
+       |      / (sqrt(list_dot_product(embt, embt)) * sqrt(list_dot_product(qembt, qembt))) AS cost
+       |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+       |f AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosf DESC, vec_id ASC) AS rn FROM sc) z
+       |  WHERE rn <= $TopK),
+       |t AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cost DESC, vec_id ASC) AS rn FROM sc) z
+       |  WHERE rn <= $TopK),
+       |h AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS h
+       |      FROM f JOIN t ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+       |      GROUP BY 1)
+       |SELECT q2.query_id, coalesce(h.h, 0) AS hits,
+       |  coalesce(h.h, 0) * 1000000 // $TopK AS recall_fp
+       |FROM (SELECT DISTINCT query_id FROM f) q2
+       |LEFT JOIN h ON q2.query_id = h.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_trunc_audit"     -> (simTruncAudit _),
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
@@ -1163,6 +1245,7 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_trunc_audit"     -> simTruncAuditSql,
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,

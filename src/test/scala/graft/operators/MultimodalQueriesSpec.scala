@@ -117,6 +117,25 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_wav_energy stats equal a brute-force recompute over decoded samples") {
+    import spark.implicits._
+    val got = MultimodalQueries.mmWavEnergy(spark, sfDir)
+      .as[(Long, Int, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    MultimodalQueries.mediaTableEncoded(spark, sfDir)
+      .filter(_.media_type == "audio").take(20).foreach { b =>
+        val samples = MediaFiles.decodeWav(b.data).get.samples
+        val chunks = samples.grouped(160).toArray
+          .map(_.map(v => v.toLong * v).sum)
+        val (_, rate, n, nc, total, maxE, maxIdx) = byDoc(b.doc_id)
+        assert(rate == 16000 && n == samples.length && nc == chunks.length)
+        assert(total == chunks.sum, s"doc ${b.doc_id}: total energy drifted")
+        assert(maxE == chunks.max)
+        assert(maxIdx == chunks.indexOf(chunks.max).toLong, "first-max tie rule")
+      }
+  }
+
   test("mm_dup_groups equals a brute-force head-block fingerprint grouping") {
     import spark.implicits._
     val P = graft.functions.HashFunctions.P

@@ -381,4 +381,18 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(at30 == range,
       s"sweep@30 ($at30) must equal the 0.3 range-search pair count ($range)")
   }
+
+  test("sim_trunc_audit: one row per query, recall well-formed, prefix dims carry signal") {
+    import spark.implicits._
+    val rows = SimilarityQueries.simTruncAudit(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 10, "one audit row per query vector")
+    rows.foreach { case (_, hits, fp) =>
+      assert(hits >= 0 && hits <= 5, s"hits out of range: $hits")
+      assert(fp == hits * 1000000L / 5, "recall must be the exact integer ppm of hits")
+    }
+    // 16 of 64 dims retain SOME neighborhood structure on real data —
+    // an all-zero overlap would mean one of the two rankings is broken
+    assert(rows.map(_._2).sum > 0, "truncated ranking shares no neighbors with full")
+  }
 }
