@@ -1370,7 +1370,95 @@ object TextQueries {
        |FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------- txt_dup_segments
+  /** Cross-document BOILERPLATE detection: non-overlapping 8-token
+    * segments (the fixed-width analog of the line-level dedup CCNet /
+    * RefinedWeb run — this corpus has no line structure, so fixed
+    * windows stand in for lines), hashed with the portable char fold
+    * and grouped; segments appearing in ≥ 2 DISTINCT docs are the
+    * shared boilerplate, reported with doc frequency, total
+    * occurrences, and the canonical (min) carrier doc.
+    *
+    * Determinism: segments are SLICED from the doc's own token array
+    * (never re-assembled from a shuffled explode, so token order can't
+    * depend on partitioning); trailing partial windows are dropped.
+    *
+    * Scale shape: per-row array slicing (no shuffle) → one hash-keyed
+    * aggregate whose shuffle carries (hash, doc_id) pairs, never text;
+    * the result is inverted-index-shaped like the shingle dedups. */
+  def txtDupSegments(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
+      .filter(size(col("ts")) >= SegTokens)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), expr(s"size(ts) div $SegTokens") - 1)).as("g"))
+      .select(col("doc_id"),
+        expr(s"char_fold_hash(concat_ws(' ', slice(ts, g * $SegTokens + 1, $SegTokens)))")
+          .as("seg_h"))
+      .groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private val SegTokens = 8
+
+  val txtDupSegmentsSql: String = {
+    val segExpr = graft.functions.HashFunctions.charFoldHashSql(
+      s"array_to_string(ts[g * $SegTokens + 1 : g * $SegTokens + $SegTokens], ' ')")
+    s"""WITH t AS (
+       |  SELECT doc_id, $DTokens AS ts FROM documents
+       |  WHERE len($DTokens) >= $SegTokens),
+       |g AS (
+       |  SELECT doc_id, ts, unnest(range(len(ts) // $SegTokens)) AS g FROM t),
+       |h AS (SELECT doc_id, $segExpr AS seg_h FROM g)
+       |SELECT seg_h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  min(doc_id) AS first_doc
+       |FROM h GROUP BY seg_h HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+  }
+
+  // ------------------------------------------------- txt_freq_spectrum
+  /** Zipf frequency spectrum of the corpus vocabulary: distinct words
+    * bucketed by floor(log2(frequency)) — the doubling-bucket readout
+    * that makes the rank-frequency power law visible without a single
+    * float (a least-squares Zipf slope would be order-sensitive; bit
+    * counts are exact). Per bucket: distinct-word count and total
+    * occurrences. The standard corpus-health readout before vocabulary
+    * and tokenizer decisions.
+    *
+    * Determinism: floor(log2 n) over exact int64 counts — portable
+    * IEEE (exact on powers of two, and a count's log2 never lands
+    * within double error of an integer otherwise), the same idiom
+    * txt_surprisal's spec proves bit-for-bit on this data against the
+    * 63−nlz identity.
+    *
+    * Scale shape: token explode → vocab-sized (word, n) aggregate →
+    * log-bucket aggregate of ≤ 64 rows; both aggregates partial
+    * map-side. */
+  def txtFreqSpectrum(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("bucket", expr("CAST(floor(log2(n)) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_occurrences"))
+
+  val txtFreqSpectrumSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest($DTokens) AS word FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word)
+       |SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n) AS BIGINT) AS n_occurrences
+       |FROM v GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_dup_segments" -> (txtDupSegments _),
+    "txt_freq_spectrum" -> (txtFreqSpectrum _),
     "txt_stats"        -> (txtStats _),
     "txt_quality"      -> (txtQuality _),
     "txt_langid"       -> (txtLangId _),
@@ -1402,6 +1490,8 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_dup_segments" -> txtDupSegmentsSql,
+    "txt_freq_spectrum" -> txtFreqSpectrumSql,
     "txt_stats"        -> txtStatsSql,
     "txt_quality"      -> txtQualitySql,
     "txt_langid"       -> txtLangIdSql,

@@ -547,4 +547,44 @@ class TextQueriesSpec extends SparkSpecBase {
     }
     assert(got.nonEmpty, "planted near-dups must yield clusters")
   }
+
+  test("txt_dup_segments equals a brute-force segment recompute; planted dups fire") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val P = graft.functions.HashFunctions.P
+    def fold(s: String): Long =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % P)
+    val segs = docs.flatMap { case (id, t) =>
+      val ts = t.trim.split(" +").filter(_.nonEmpty)
+      ts.grouped(8).filter(_.length == 8).map(g => (id, fold(g.mkString(" "))))
+    }
+    val expected = segs.groupBy(_._2).collect {
+      case (h, g) if g.map(_._1).distinct.length >= 2 =>
+        (h, g.map(_._1).distinct.length.toLong, g.length.toLong, g.map(_._1).min)
+    }.toSet
+    val got = TextQueries.txtDupSegments(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"segment groups drifted (got ${got.size}, exp ${expected.size})")
+    assert(got.nonEmpty, "planted near-dup docs share 8-token segments; the screen must fire")
+  }
+
+  test("txt_freq_spectrum buckets partition the vocabulary exactly") {
+    import spark.implicits._
+    val got = TextQueries.txtFreqSpectrum(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.trim.split(" +").filter(_.nonEmpty))
+    val vocab = words.groupBy(identity).map { case (_, g) => g.length.toLong }
+    assert(got.map(_._2).sum == vocab.size, "bucket word counts must partition the vocab")
+    assert(got.map(_._3).sum == words.length, "bucket occurrences must partition the tokens")
+    got.foreach { case (b, _, _) =>
+      assert(b >= 0 && b < 64)
+    }
+    val expected = vocab.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, g) => (b.toLong, g.size.toLong, g.sum) }.toSet
+    assert(got.toSet == expected, "floor(log2) buckets must match the 63-nlz identity")
+  }
 }
