@@ -570,7 +570,105 @@ object IngestQueries {
       |WHERE (ts_us // 3600000000 + 1) * 3600000000 <= hb.h
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- amqp_stream_state
+  /** CUSTOM keyed state under the oracle gate: `mapGroupsWithState` —
+    * the arbitrary-state API the built-in gates (window / session /
+    * dedup aggregations) never touch — maintains a per-event-type
+    * running (count, cent-sum, max-timestamp) register over the wire
+    * stream and emits the updated register each micro-batch (update
+    * mode). The gate keeps each key's LAST emission, which must equal
+    * DuckDB's batch aggregate of the slice: state initialization,
+    * iterator consumption, update() round-trips through the state
+    * store, and emission order are all on the hash path.
+    *
+    * Determinism: cents via BigDecimal(body).setScale(2, HALF_UP)·100
+    * — the exact integer the oracle's DECIMAL(18,2)·100 cast produces
+    * (the double's shortest string round-trips, same convention every
+    * other gate uses); count/max are order-free.
+    *
+    * Scale shape: state is one 24-byte register per key; each batch
+    * shuffles only (key, row) pairs to the state partitions. */
+  def amqpStreamState(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-gate").toString
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 7) // disjoint from the other gates' slices
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    var i = 0
+    var fetchedUpTo = 0L
+    while (i < rows.length) {
+      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      }
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0)
+      if (refusedAt < 0) i += slice.length
+      else {
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
+        i += refusedAt
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .select(col("subject"), col("body"),
+        unix_micros(col("ingest_timestamp")).as("ts_us"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          var (n, cents, mx) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, body, ts) =>
+            n += 1
+            cents += (BigDecimal(body)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            if (ts > mx) mx = ts
+          }
+          state.update((n, cents, mx))
+          (key, n, cents, mx)
+      }
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long, Long, Long)],
+                       id: Long) =>
+        val got = b.collect().map(r => (id, r._1, r._2, r._3, r._4))
+        emitted.synchronized { emitted ++= got }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-state gate query hung")
+    finally q.stop()
+    // last emission per key = the final state register
+    emitted.groupBy(_._2).values.map(_.maxBy(_._1))
+      .map { case (_, k, n, c, mx) => (k, n, c, mx) }
+      .toSeq.toDF("event_type", "n_events", "sum_cents", "max_ts_us")
+  }
+
+  val amqpStreamStateSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+      |FROM events WHERE event_id % 10 = 7
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
@@ -579,6 +677,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,

@@ -114,6 +114,24 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-state gate: final mapGroupsWithState registers equal the batch aggregate") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamState(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 7)
+      .selectExpr("event_type", "value", "ts_ns div 1000 AS ts_us")
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1).map { case (k, g) =>
+        val cents = g.map(r => (BigDecimal(r._2.toString)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum
+        (k, g.length.toLong, cents, g.map(_._3).max)
+      }.toSet
+    assert(got == expected,
+      s"state registers drifted from batch (got ${got.size}, exp ${expected.size})")
+    assert(got.nonEmpty)
+  }
+
   test("stream-late gate: boundary probes behave per Spark's <= watermark rules") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamLate(spark, sfDir)
