@@ -195,7 +195,50 @@ object FormatQueries {
       |WHERE dim.wt >= 5
       |GROUP BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------- fmt_schema_merge
+  /** SCHEMA EVOLUTION under the gate: two parquet generations of the
+    * same table — an old one without `l_partkey` and a new one with it
+    * — read back together via `mergeSchema`. Old-generation rows must
+    * surface the evolved column as NULL, and the aggregate separates
+    * rows-with-partkey from total rows, so a mis-merged schema (column
+    * misaligned by position, nulls materialized wrong, type widened
+    * differently per file) moves counts between columns and breaks the
+    * hash against DuckDB computing the same split straight from the
+    * source.
+    *
+    * Scale shape: the standing reality of any long-lived 100 TB table —
+    * columns are added over time and no one rewrites history. Footer
+    * merge is metadata-only; the scan stays distributed and pruned. */
+  def fmtSchemaMerge(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val out = scratch(d, "merge")
+    val sl = slice(s, d)
+    sl.filter(col("l_shipdate") < cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").parquet(out + "/v1")
+    sl.filter(col("l_shipdate") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_partkey"))
+      .write.mode("overwrite").parquet(out + "/v2")
+    s.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(col("l_partkey")).as("n_evolved"),
+        sum(col("l_partkey").cast(DecimalType(38, 0))).cast(LongType).as("sum_partkey"))
+  }
+
+  private val schemaMergeSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |                  THEN l_partkey END) AS BIGINT) AS n_evolved,
+      |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |               THEN l_partkey END) AS BIGINT) AS sum_partkey
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
@@ -204,6 +247,7 @@ object FormatQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,

@@ -667,7 +667,46 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 7
       |GROUP BY event_type""".stripMargin
 
+  // -------------------------------------------------- amqp_sink_roundtrip
+  /** The SINK side under the oracle gate: where every other gate's
+    * producer is a driver-side client pump (the reference's test-sender
+    * role), this one publishes DISTRIBUTED — `df.write.format("amqp")`
+    * maps envelope columns to messages on the executors and commits via
+    * the sink's staged transactional publish, over the wire endpoint.
+    * The batch is then read back through the source and aggregated, so
+    * the gate hash covers the full sink encode path: column→envelope
+    * mapping, executor-side publish, transaction declare/discharge,
+    * and the value's string round-trip through an AMQP body.
+    *
+    * Scale shape: the write is one map-shaped pass (no shuffle; each
+    * task publishes its partition and the commit is one coordinator
+    * round); the read-back aggregate is the ingest gate's shape. */
+  def amqpSinkRoundtrip(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    Tables.events(s, d)
+      .filter(col("event_id") % 10 === 8) // disjoint from the other gates' slices
+      .select(col("event_id").cast(StringType).as("message_id"),
+        col("event_type").as("subject"),
+        col("value").cast(StringType).as("body"))
+      .write.format("amqp").option("endpoint", ep).option("address", address)
+      .mode("append").save()
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpSinkRoundtripSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 10 = 8
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
@@ -677,6 +716,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,

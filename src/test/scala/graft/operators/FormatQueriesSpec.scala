@@ -82,4 +82,25 @@ class FormatQueriesSpec extends SparkSpecBase {
       .as[(String, Long, Double)].collect().toSet
     assert(got == expected, "bucket-routed join diverged from the direct join")
   }
+
+  test("fmt_schema_merge: old-generation rows surface the evolved column as NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = FormatQueries.fmtSchemaMerge(spark, sfDir)
+      .as[(String, Long, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val byFlag = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_shipdate") >= lit(cut)).as("evolved"))
+      .as[(String, Boolean)].collect()
+      .groupBy(_._1).map { case (f, g) => f -> (g.length.toLong, g.count(_._2).toLong) }
+    got.foreach { case (flag, nRows, _, nEvolved, _) =>
+      val (total, newGen) = byFlag(flag)
+      assert(nRows == total, s"$flag: merged read lost rows")
+      assert(nEvolved == newGen,
+        s"$flag: evolved-column count must equal new-generation rows only")
+      assert(nEvolved < nRows, s"$flag: old generation must contribute NULLs")
+    }
+  }
 }

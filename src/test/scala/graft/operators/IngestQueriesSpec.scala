@@ -114,6 +114,21 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("sink round-trip: distributed publish through the sink is lossless") {
+    import spark.implicits._
+    val got = IngestQueries.amqpSinkRoundtrip(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected,
+      "sink write → source read must round-trip the slice exactly once")
+    assert(got.nonEmpty)
+  }
+
   test("stream-state gate: final mapGroupsWithState registers equal the batch aggregate") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamState(spark, sfDir)
