@@ -705,7 +705,103 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 8
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------ amqp_stream_join2
+  /** STREAM-STREAM join under the oracle gate — the last streaming API
+    * surface the gates didn't cover (amqp_stream_join is
+    * stream-STATIC). One events slice is split by parity across TWO
+    * links of the same wire endpoint (split on (event_id div 10) % 2 —
+    * the slice's own ids are all ≡9 mod 10, so raw parity would empty
+    * one side); two readStreams join on user key with a 24-hour
+    * event-time band (right side in [left, left+24h]),
+    * exercising dual-source micro-batch planning and the symmetric
+    * state join buffering BOTH sides. Matched pairs are collected in
+    * append mode and aggregated per user; the oracle computes the same
+    * band self-join relationally. Inner stream-stream joins need no
+    * watermark, so the drain is complete and exact regardless of how
+    * the two backlogs interleave across batches.
+    *
+    * Scale shape: join state is keyed by user and bounded by the band
+    * in any watermarked deployment; the gate's complete drain is the
+    * deterministic test form. */
+  def amqpStreamJoin2(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val (aL, aR) = (s"$address-L", s"$address-R")
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 9) // the last unused slice
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    for ((addr, parity) <- Seq((aL, 0L), (aR, 1L))) {
+      val side = rows.filter(r => (r.getLong(0) / 10) % 2 == parity)
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < side.length) {
+        val slice = side.slice(i, math.min(i + 500, side.length)).toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getLong(1).toString),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+        }
+        val seqs = client.sendMany(addr, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(addr)
+          client.fetch(addr, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+    }
+    def side(addr: String, p: String): DataFrame =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", addr).load()
+        .select(col("subject").as(s"${p}_u"),
+          col("body").cast(DecimalType(18, 2)).as(s"${p}_v"),
+          col("ingest_timestamp").as(s"${p}_ts"))
+    val joined = side(aL, "l").join(side(aR, "r"),
+      col("l_u") === col("r_u") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 24 HOURS"))
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-join2-gate").toString
+    val q = joined
+      .select(col("l_u"), ((col("l_v") + col("r_v")) * 100).cast(LongType).as("cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r => (r.getString(0), r.getLong(1)))
+        pairs.synchronized { pairs ++= got }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-stream join gate hung")
+    finally q.stop()
+    pairs.toSeq.toDF("user_key", "cents")
+      .groupBy(col("user_key"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_pair_cents"))
+  }
+
+  val amqpStreamJoin2Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS u,
+      |    CAST(value AS DECIMAL(18,2)) AS v, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_id % 10 = 9),
+      |l AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 0),
+      |r AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 1)
+      |SELECT l.u AS user_key, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CAST((l.v + r.v) * 100 AS BIGINT)) AS BIGINT) AS sum_pair_cents
+      |FROM l JOIN r ON l.u = r.u
+      |  AND r.ts_us >= l.ts_us AND r.ts_us <= l.ts_us + 86400000000
+      |GROUP BY l.u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_stream_join2"     -> (amqpStreamJoin2 _),
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
@@ -716,6 +812,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_stream_join2"     -> amqpStreamJoin2Sql,
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,

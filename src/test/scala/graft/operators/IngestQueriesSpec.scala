@@ -114,6 +114,27 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream join gate equals the batch band join on the same split") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamJoin2(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val e = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 9)
+      .selectExpr("event_id", "CAST(user_id AS STRING) AS u",
+        "CAST(value AS DECIMAL(18,2)) AS v", "ts_ns div 1000 AS ts_us")
+    val l = e.filter(expr("(event_id div 10) % 2 = 0"))
+      .select(col("u").as("l_u"), col("v").as("l_v"), col("ts_us").as("l_ts"))
+    val r = e.filter(expr("(event_id div 10) % 2 = 1"))
+      .select(col("u").as("r_u"), col("v").as("r_v"), col("ts_us").as("r_ts"))
+    val expected = l.join(r, col("l_u") === col("r_u") &&
+        col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + 86400000000L)
+      .select(col("l_u"), ((col("l_v") + col("r_v")) * 100).cast("long").as("cents"))
+      .groupBy("l_u").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"stream-stream join drifted from batch (got ${got.size}, exp ${expected.size})")
+  }
+
   test("sink round-trip: distributed publish through the sink is lossless") {
     import spark.implicits._
     val got = IngestQueries.amqpSinkRoundtrip(spark, sfDir)
