@@ -1993,6 +1993,79 @@ object RelationalQueries {
       |FROM r JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rev_cents = (SELECT max(rev_cents) FROM r)""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Snapshot reconciliation (the nightly "what changed" diff): each
+    * customer's order activity in the 1995 window vs the 1997 window —
+    * FULL OUTER join of the two per-customer snapshots, every customer
+    * classified added / removed / changed / unchanged, rolled up per
+    * category with the net cent delta. The one join flavor the rest of
+    * the surface never exercises end-to-end (full outer fact-fact),
+    * and the operational pattern behind every data-migration /
+    * replication audit.
+    *
+    * Determinism: snapshots aggregate exact int64 cents; "unchanged"
+    * is exact integer equality; deltas coalesce missing sides to 0.
+    *
+    * Scale shape: two date-pruned orders scans (pushdown to parquet) →
+    * custkey-keyed partial/final aggs (each |active customers| rows) →
+    * one full-outer SortMergeJoin on custkey → a 4-row category
+    * aggregate. At 100 TB both snapshot aggregates shuffle on the same
+    * custkey, so the join reuses co-partitioning; bucketed order
+    * tables would remove even that exchange (fmt_bucket_join shows
+    * the layout). */
+  def q61SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def snap(from: String, until: String, tag: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(until))
+        .select(col("o_custkey"),
+          floor(dec(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"${tag}_n"),
+          sum(col("cents")).as(s"${tag}_c"))
+        .withColumnRenamed("o_custkey", s"${tag}_key")
+    val s1 = snap("1995-01-01 00:00:00", "1996-01-01 00:00:00", "a")
+    val s2 = snap("1997-01-01 00:00:00", "1998-01-01 00:00:00", "b")
+    s1.join(s2, col("a_key") === col("b_key"), "full_outer")
+      .select(
+        when(col("a_key").isNull, lit("added"))
+          .when(col("b_key").isNull, lit("removed"))
+          .when(col("a_n") === col("b_n") && col("a_c") === col("b_c"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("category"),
+        (coalesce(col("b_c"), lit(0L)) - coalesce(col("a_c"), lit(0L)))
+          .as("delta_cents"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("delta_cents")).as("net_delta_cents"))
+  }
+
+  val q61Sql: String =
+    """WITH s1 AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY o_custkey),
+      |s2 AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_custkey)
+      |SELECT CASE WHEN s1.o_custkey IS NULL THEN 'added'
+      |            WHEN s2.o_custkey IS NULL THEN 'removed'
+      |            WHEN s1.n = s2.n AND s1.c = s2.c THEN 'unchanged'
+      |            ELSE 'changed' END AS category,
+      |  CAST(count(*) AS BIGINT) AS n_custs,
+      |  CAST(sum(coalesce(s2.c, 0) - coalesce(s1.c, 0)) AS BIGINT)
+      |    AS net_delta_cents
+      |FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2055,6 +2128,7 @@ object RelationalQueries {
     "q58_revenue_share"   -> (q58RevenueShare _),
     "q59_dormant_rich"    -> (q59DormantRich _),
     "q60_top_supplier"    -> (q60TopSupplier _),
+    "q61_snapshot_diff"   -> (q61SnapshotDiff _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2118,5 +2192,6 @@ object RelationalQueries {
     "q58_revenue_share"   -> q58Sql,
     "q59_dormant_rich"    -> q59Sql,
     "q60_top_supplier"    -> q60Sql,
+    "q61_snapshot_diff"   -> q61Sql,
   )
 }

@@ -548,6 +548,18 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters"), plan)
   }
 
+  test("q61 reconciliation plans a FULL OUTER join with both date filters pushed") {
+    val df = RelationalQueries.q61SnapshotDiff(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"full outer join missing:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findAllIn(plan).size == 2,
+      s"both snapshot scans must push their date range:\n$plan")
+    import spark.implicits._
+    val rows = df.as[(String, Long, Long)].collect()
+    assert(rows.map(_._2).sum > 0, "categories must cover active customers")
+    assert(rows.map(_._1).toSet.subsetOf(Set("added", "removed", "changed", "unchanged")))
+  }
+
   test("q60 max-of-aggregate reuses the revenue exchange (one lineitem scan)") {
     val plan = finalPlanOf(RelationalQueries.q60TopSupplier(spark, sfDir))
     assert(plan.contains("ReusedExchange"), s"exchange reuse did not fire:\n$plan")
