@@ -1370,6 +1370,62 @@ object TextQueries {
        |FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // -------------------------------------------------- corpus_refresh
+  /** Incremental crawl refresh: merge an OLD corpus snapshot with a NEW
+    * one, preferring the new copy on doc_id collisions — the
+    * anti-join + union every periodically-recrawled corpus runs
+    * instead of rebuilding from scratch. Snapshots are deterministic
+    * doc_id slices (old = ids ≢0 mod 4, new = even ids, so the overlap,
+    * old-only, and new-only regions are all non-empty at every SF).
+    * Output: per-source counts of carried (old kept), refreshed (old
+    * replaced by new), and discovered (new-only) docs plus the merged
+    * token volume — the refresh report a crawl pipeline publishes.
+    *
+    * Scale shape: the collision test is a LEFT join on doc_id (at
+    * 100 TB: co-partition or bucket both snapshots on doc_id; the
+    * merged write then reuses the exchange); token counting stays a
+    * per-row map; the report is a |sources|-sized aggregate. */
+  def corpusRefresh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n"))
+    val oldSnap = docs.filter(col("doc_id") % 4 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 2 === 0)
+    val newKeys = newSnap.select(col("doc_id").as("new_id"))
+    val merged =
+      oldSnap.join(newKeys, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("source"), col("n"),
+          when(col("new_id").isNull, lit("carried"))
+            .otherwise(lit("refreshed")).as("status"))
+        .filter(col("status") === "carried") // replaced rows come from new
+      .unionByName(
+        newSnap.join(oldSnap.select(col("doc_id").as("old_id")),
+            col("doc_id") === col("old_id"), "left")
+          .select(col("doc_id"), col("source"), col("n"),
+            when(col("old_id").isNull, lit("discovered"))
+              .otherwise(lit("refreshed")).as("status")))
+    merged.groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+  }
+
+  val corpusRefreshSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, CAST(len($DTokens) AS BIGINT) AS n
+       |  FROM documents),
+       |old AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
+       |new AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+       |merged AS (
+       |  SELECT o.doc_id, o.source, o.n, 'carried' AS status
+       |  FROM old o LEFT JOIN new nw ON o.doc_id = nw.doc_id
+       |  WHERE nw.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT nw.doc_id, nw.source, nw.n,
+       |    CASE WHEN o.doc_id IS NULL THEN 'discovered'
+       |         ELSE 'refreshed' END AS status
+       |  FROM new nw LEFT JOIN old o ON nw.doc_id = o.doc_id)
+       |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM merged GROUP BY source, status""".stripMargin
+
   // ------------------------------------------------- txt_dup_segments
   /** Cross-document BOILERPLATE detection: non-overlapping 8-token
     * segments (the fixed-width analog of the line-level dedup CCNet /
@@ -1457,6 +1513,7 @@ object TextQueries {
        |FROM v GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_refresh" -> (corpusRefresh _),
     "txt_dup_segments" -> (txtDupSegments _),
     "txt_freq_spectrum" -> (txtFreqSpectrum _),
     "txt_stats"        -> (txtStats _),
@@ -1490,6 +1547,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_refresh" -> corpusRefreshSql,
     "txt_dup_segments" -> txtDupSegmentsSql,
     "txt_freq_spectrum" -> txtFreqSpectrumSql,
     "txt_stats"        -> txtStatsSql,

@@ -548,6 +548,22 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty, "planted near-dups must yield clusters")
   }
 
+  test("corpus_refresh statuses partition the merged snapshot exactly") {
+    import spark.implicits._
+    val got = TextQueries.corpusRefresh(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    val old = ids.filter(_ % 4 != 0)
+    val nw = ids.filter(_ % 2 == 0)
+    val byStatus = got.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    assert(byStatus("carried") == (old -- nw).size)
+    assert(byStatus("refreshed") == (old intersect nw).size)
+    assert(byStatus("discovered") == (nw -- old).size)
+    assert(byStatus.values.sum == (old union nw).size,
+      "merged corpus must be exactly the union, counted once")
+  }
+
   test("txt_dup_segments equals a brute-force segment recompute; planted dups fire") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
