@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence: the whole point of the engine's
+  * determinism idioms (integer cents, cross-multiplied thresholds,
+  * total-order top-k tiebreaks, fixed-point ratios) is that results are
+  * BIT-IDENTICAL no matter how the cluster splits the work — the same
+  * answer at 1 executor or 1000. This suite re-runs a representative
+  * query from every family under deliberately mismatched
+  * `spark.sql.shuffle.partitions` (a prime, and 1) in cloned sessions
+  * and asserts the canonicalized results are equal.
+  *
+  * A failure here means some aggregate depends on shuffle/merge order
+  * (e.g. a float accumulator or a non-total sort) — exactly the class
+  * of bug the cross-engine oracle can miss when both engines happen to
+  * batch the same way.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private lazy val base = SparkSpecBase.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Canonical form: rows → sorted string lines (column order kept,
+    * values rendered; NaN folded to a stable token). */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case d: Double if d.isNaN => "NaN"
+      case v => String.valueOf(v)
+    }.mkString("")).sorted.toSeq
+
+  private val representatives: Seq[(String, String)] = Seq(
+    "q01_pricing_summary"  -> "relational agg",
+    "q47_top_per_group"    -> "native bounded top-k",
+    "q59_dormant_rich"     -> "anti-join + cross-multiplied threshold",
+    "q61_snapshot_diff"    -> "full-outer reconciliation",
+    "dedup_minhash_lsh"    -> "banded LSH self-join",
+    "sim_topk_bruteforce"  -> "broadcast cosine top-k",
+    "sim_trunc_audit"      -> "double ranking overlap",
+    "txt_surprisal"        -> "integer bit-count LM",
+    "txt_freq_spectrum"    -> "log-bucket vocabulary",
+    "corpus_token_budget"  -> "largest-remainder apportionment",
+    "corpus_refresh"       -> "snapshot merge",
+    "mm_wav_energy"        -> "decoded-sample chunk energy",
+    "fmt_schema_merge"     -> "mergeSchema evolution")
+
+  for ((name, what) <- representatives)
+    test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {
+      val fn = SparkEntry.queries(name)
+      val s1 = base.newSession()
+      s1.conf.set("spark.sql.shuffle.partitions", "1")
+      val s7 = base.newSession()
+      s7.conf.set("spark.sql.shuffle.partitions", "7")
+      val r1 = canon(fn(s1, sfDir))
+      val r7 = canon(fn(s7, sfDir))
+      assert(r1 == r7,
+        s"$name drifted under repartitioning: ${r1.size} vs ${r7.size} rows " +
+          s"or differing values\nfirst diff: ${r1.zipAll(r7, "<none>", "<none>")
+            .find { case (a, b) => a != b }}")
+      assert(r1.nonEmpty, s"$name returned no rows — vacuous determinism check")
+    }
+}
