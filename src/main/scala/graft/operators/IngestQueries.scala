@@ -800,7 +800,108 @@ object IngestQueries {
       |  AND r.ts_us >= l.ts_us AND r.ts_us <= l.ts_us + 86400000000
       |GROUP BY l.u""".stripMargin
 
+  // ------------------------------------------------ amqp_stream_corpus
+  /** The TRAINING-DATA FUNNEL inside Structured Streaming, under the
+    * gate: a documents slice is pumped TWICE over the wire (at-least-
+    * once redelivery), and the stream deduplicates on CONTENT — a
+    * double char-fold of the body and its reverse (two independent
+    * mod-2³¹−1 folds ≈ a 62-bit key, so a single-fold collision cannot
+    * silently merge distinct texts) — then scores each surviving text
+    * with the corpus quality expression and aggregates a quality-decile
+    * histogram with token volume. This runs the text-pipeline Column
+    * expressions (tokenize, quality) INSIDE a streaming plan with
+    * stateful dedup ahead of a streaming aggregate — the shape of a
+    * real streaming ingestion+curation pipeline, where the other gates
+    * each cover one piece.
+    *
+    * Determinism: dedup keys on content, and every aggregated value is
+    * a function of the text alone, so WHICH duplicate survives cannot
+    * matter; quality is the same IEEE expression both engines evaluate
+    * (txt_quality's gate proves it), so floor(q·10) buckets agree.
+    *
+    * Scale shape: dedup state is one (h, h2) pair per distinct text;
+    * the histogram is a ≤11-row complete-mode aggregate. */
+  def amqpStreamCorpus(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    graft.expressions.CharFoldHash.register(s)
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id"), col("text"))
+      .collect()
+    var pass = 0
+    while (pass < 2) { // duplicate delivery: every document pumped twice
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < rows.length) {
+        val slice = rows.slice(i, math.min(i + 200, rows.length)).toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(s"${r.getLong(0)}-p$pass"),
+            body = AmqpValueBody(r.getString(1))), r.getLong(0))
+        }
+        val seqs = client.sendMany(address, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(address)
+          client.fetch(address, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+      pass += 1
+    }
+    val qname = s"gate_stream_corpus_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .select(col("body"),
+        expr("char_fold_hash(body)").as("h"),
+        expr("char_fold_hash(reverse(body))").as("h2"))
+      .dropDuplicates("h", "h2")
+      .select(
+        floor(graft.functions.TextFunctions.qualityScore(col("body")) * 10)
+          .cast(LongType).as("qbucket"),
+        graft.functions.TextFunctions.tokenCount(col("body")).as("n_tokens"))
+      .groupBy(col("qbucket"))
+      .agg(count(lit(1)).as("n_texts"), sum(col("n_tokens")).as("sum_tokens"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-corpus gate query hung")
+    finally q.stop()
+    s.table(qname).select(col("qbucket"), col("n_texts"), col("sum_tokens"))
+  }
+
+  lazy val amqpStreamCorpusSql: String = {
+    val dt = "list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')"
+    val h1 = graft.functions.HashFunctions.charFoldHashSql("text")
+    val h2 = graft.functions.HashFunctions.charFoldHashSql("reverse(text)")
+    s"""WITH d AS (
+       |  SELECT text, $h1 AS h, $h2 AS hh
+       |  FROM documents WHERE doc_id % 5 = 3),
+       |u AS (SELECT any_value(text) AS text FROM d GROUP BY h, hh),
+       |q AS (
+       |  SELECT CAST(floor((
+       |    least(CAST(len($dt) AS DOUBLE) / 64.0, 1.0) * 0.4
+       |    + least((CASE WHEN len($dt) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter($dt, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |             / CAST(len($dt) AS DOUBLE) END) * 4.0, 1.0) * 0.3
+       |    + (CASE WHEN (CASE WHEN len($dt) = 0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform($dt, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |             / CAST(len($dt) AS DOUBLE) END) BETWEEN 3.0 AND 8.0
+       |       THEN 1.0 ELSE 0.5 END) * 0.3) * 10) AS BIGINT) AS qbucket,
+       |    CAST(len($dt) AS BIGINT) AS n_tokens
+       |  FROM u)
+       |SELECT qbucket, CAST(count(*) AS BIGINT) AS n_texts,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM q GROUP BY qbucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
@@ -812,6 +913,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,

@@ -114,6 +114,20 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-corpus gate dedups the double-pumped docs by content and buckets quality") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamCorpus(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 5 === 3)
+      .select("text").as[String].collect()
+    assert(got.map(_._2).sum == docs.distinct.length,
+      "every distinct text exactly once — double delivery must collapse")
+    val totalTokens = docs.distinct.map(_.trim.split(" +").count(_.nonEmpty).toLong).sum
+    assert(got.map(_._3).sum == totalTokens, "token volume drifted through the stream")
+    got.foreach { case (b, _, _) => assert(b >= 0 && b <= 10) }
+  }
+
   test("stream-stream join gate equals the batch band join on the same split") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamJoin2(spark, sfDir)
