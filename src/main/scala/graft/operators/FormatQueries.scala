@@ -237,7 +237,70 @@ object FormatQueries {
       |               THEN l_partkey END) AS BIGINT) AS sum_partkey
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- fmt_zorder_layout
+  /** Z-ORDER (Morton-curve) clustering under the gate: both layout
+    * dimensions — customer and order day — are normalized onto a
+    * 1024-cell grid by exact integer math against a broadcast 1-row
+    * min/max frame (the deterministic analog of the range-bucketing
+    * Delta's `OPTIMIZE ZORDER BY` does by sampling), their bits
+    * interleaved into one z-value, and the table audited per z-range
+    * bucket: row count plus the (x, y) bounding box. A tight bounding
+    * box in BOTH columns for every z-range is exactly the property
+    * that lets parquet min/max stats skip files for predicates on
+    * EITHER dimension after a `repartitionByRange(z)` write — the
+    * layout operation itself, gated as arithmetic DuckDB reproduces
+    * bit-for-bit ([[graft.functions.ZOrder.interleaveSql]]).
+    *
+    * Scale shape: one scan + a broadcast scalar frame + a ≤1024-group
+    * aggregate; the z computation is flat codegen'd bit ops. At 100 TB
+    * the same z expression feeds `repartitionByRange(z)` + per-file
+    * sort at write time (spec-demonstrated: per-file bounding boxes
+    * shrink in both dimensions vs either single-column layout). */
+  def fmtZorderLayout(s: SparkSession, d: String): DataFrame =
+    zorderGrid(s, d)
+      .select(shiftright(graft.functions.ZOrder.interleave(col("gx"), col("gy"), 10), 10)
+        .as("zbucket"), col("gx"), col("gy"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("gx")).as("min_gx"), max(col("gx")).as("max_gx"),
+        min(col("gy")).as("min_gy"), max(col("gy")).as("max_gy"))
+
+  /** Orders projected to exact 0..1023 grid coordinates: gx from
+    * o_custkey, gy from the order's day number, both min/max-scaled by
+    * integer division against a broadcast stats row. */
+  private[operators] def zorderGrid(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_custkey").as("x"),
+      datediff(col("o_orderdate").cast(DateType),
+        lit("1992-01-01").cast(DateType)).cast(LongType).as("y"))
+    val stats = broadcast(base.agg(
+      min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"), max(col("y")).as("max_y")))
+    base.crossJoin(stats).selectExpr(
+      "((x - min_x) * 1024) div (max_x - min_x + 1) AS gx",
+      "((y - min_y) * 1024) div (max_y - min_y + 1) AS gy")
+  }
+
+  private val zorderLayoutSql = {
+    val z = graft.functions.ZOrder.interleaveSql("gx", "gy", 10)
+    """WITH b AS (
+      |  SELECT o_custkey AS x,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
+      |  FROM orders),
+      |st AS (SELECT min(x) AS min_x, max(x) AS max_x,
+      |              min(y) AS min_y, max(y) AS max_y FROM b),
+      |g AS (SELECT ((x - min_x) * 1024) // (max_x - min_x + 1) AS gx,
+      |             ((y - min_y) * 1024) // (max_y - min_y + 1) AS gy
+      |      FROM b CROSS JOIN st)
+      |SELECT (""".stripMargin + z + """) >> 10 AS zbucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(gx) AS BIGINT) AS min_gx, CAST(max(gx) AS BIGINT) AS max_gx,
+      |  CAST(min(gy) AS BIGINT) AS min_gy, CAST(max(gy) AS BIGINT) AS max_gy
+      |FROM g GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
@@ -247,6 +310,7 @@ object FormatQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,

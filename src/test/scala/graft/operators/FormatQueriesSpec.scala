@@ -103,4 +103,72 @@ class FormatQueriesSpec extends SparkSpecBase {
       assert(nEvolved < nRows, s"$flag: old generation must contribute NULLs")
     }
   }
+
+  test("z-order interleave matches the reference bit math") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ZOrder
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (512L, 7L), (341L, 682L), (1L, 1023L))
+    val df = spark.createDataFrame(pairs).toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.interleave(col("x"), col("y"), 10).as("z"))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == ZOrder.interleaveRef(x, y, 10), s"($x,$y)")
+    }
+    // spot anchors: z(1,0)=1 (x takes even bits), z(0,1)=2 (y odd bits),
+    // z(1023,1023) = 2^20-1 (full 10-bit grid saturates 20 bits)
+    val byXy = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byXy((1L, 0L)) == 1L && byXy((0L, 1L)) == 2L)
+    assert(byXy((1023L, 1023L)) == (1L << 20) - 1)
+  }
+
+  test("fmt_zorder_layout gate: buckets tile the grid with tight boxes") {
+    import spark.implicits._
+    val got = FormatQueries.fmtZorderLayout(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val totalRows = got.map(_._2).sum
+    assert(totalRows == graft.Tables.orders(spark, sfDir).count())
+    got.foreach { case (zb, _, minGx, maxGx, minGy, maxGy) =>
+      assert(minGx >= 0 && maxGx <= 1023 && minGy >= 0 && maxGy <= 1023, s"bucket $zb")
+      // a z-range bucket of width 2^10 fixes the top 5 bits of each
+      // dimension: its bounding box can span at most 2^5 = 32 grid
+      // cells per axis — the tiling property file skipping relies on
+      assert(maxGx - minGx < 32, s"bucket $zb gx span ${maxGx - minGx}")
+      assert(maxGy - minGy < 32, s"bucket $zb gy span ${maxGy - minGy}")
+    }
+  }
+
+  test("z-order file layout shrinks per-file bounding boxes in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ZOrder
+    val grid = FormatQueries.zorderGrid(spark, sfDir)
+      .select(col("gx"), col("gy"),
+        ZOrder.interleave(col("gx"), col("gy"), 10).as("z"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // 16 range partitions fix the top 4 z bits — two per dimension —
+    // so every z file's box spans at most 256 grid cells per axis,
+    // while each single-column layout leaves the other axis unclustered
+    grid.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(s"$tmp/byz")
+    grid.repartitionByRange(16, col("gx")).sortWithinPartitions(col("gx"))
+      .write.mode("overwrite").parquet(s"$tmp/byx")
+    grid.repartitionByRange(16, col("gy")).sortWithinPartitions(col("gy"))
+      .write.mode("overwrite").parquet(s"$tmp/byy")
+    def spans(path: String): (Long, Long) = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("gx")) - min(col("gx"))).as("sx"),
+          (max(col("gy")) - min(col("gy"))).as("sy"))
+        .select(sum(col("sx")), sum(col("sy"))).head()
+      (rows.getLong(0), rows.getLong(1))
+    }
+    val (zx, zy) = spans(s"$tmp/byz")
+    val (_, xy) = spans(s"$tmp/byx")  // x-sorted: full gy span per file
+    val (yx, _) = spans(s"$tmp/byy")  // y-sorted: full gx span per file
+    // the z layout must beat EACH single-column layout on the
+    // dimension that layout ignores — that's the file-skipping win
+    assert(zy * 2 < xy, s"z-layout gy spans $zy not < half of x-layout's $xy")
+    assert(zx * 2 < yx, s"z-layout gx spans $zx not < half of y-layout's $yx")
+  }
 }
