@@ -1512,7 +1512,81 @@ object TextQueries {
        |  CAST(sum(n) AS BIGINT) AS n_occurrences
        |FROM v GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ txt_cms_heavy
+  /** Count-min-sketch heavy hitters with an exact audit: the corpus
+    * token stream is folded into a d=4 × w=1024 COUNT-MIN SKETCH
+    * (Cormode & Muthukrishnan 2005) over the portable permutation
+    * hashes, then the exact top-20 words are looked up in the sketch
+    * and reported with their exact count, sketch estimate, and
+    * overcount. CMS only ever overestimates (est = min over 4 rows of
+    * a bucket the word contributes to), so `overcount >= 0` is an
+    * invariant the gate hashes; the error bound is classic —
+    * overcount <= e/w of the total token mass with prob 1 - e^-d.
+    *
+    * Scale shape: this is THE frequency structure for a 100 TB token
+    * stream — the sketch build is a map-side-partial aggregate into at
+    * most d·w = 4096 cells, NO vocabulary-sized shuffle, and merging
+    * executor-local sketches is cell-wise addition. The exact top-20
+    * here exists to AUDIT the sketch (a vocab aggregate the test scale
+    * affords); at 100 TB the sketch answers point queries without it.
+    * Lookups join the 80 (word, row) probes against the broadcast
+    * 4096-cell sketch. */
+  def txtCmsHeavy(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    import graft.functions.HashFunctions.{P, permA, permB}
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("w"), expr("char_fold_hash(w)").as("h"))
+    def cells(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until CmsD).map { j =>
+      struct(lit(j).as("j"),
+        ((h * lit(permA(j)) + lit(permB(j))) % lit(P) % lit(CmsW)).as("cell"))
+    }: _*)
+    val sketch = toks
+      .select(explode(cells(col("h"))).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w"))
+      .limit(20)
+    top.select(col("w"), col("n_exact"), explode(cells(col("h"))).as("jc"))
+      .select(col("w"), col("n_exact"),
+        col("jc.j").as("tj"), col("jc.cell").as("tcell"))
+      .join(broadcast(sketch), col("tj") === col("j") && col("tcell") === col("cell"))
+      .groupBy(col("w").as("word"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("word"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
+  private val CmsD = 4
+  private val CmsW = 1024L
+
+  val txtCmsHeavySql: String = {
+    import graft.functions.HashFunctions.{P, permA, permB}
+    val as = (0 until CmsD).map(permA).mkString("[", ",", "]")
+    val bs = (0 until CmsD).map(permB).mkString("[", ",", "]")
+    def cell(h: String, j: String) =
+      s"(($h * $as[$j+1] + $bs[$j+1]) % $P) % $CmsW"
+    val cfh = graft.functions.HashFunctions.charFoldHashSql("w")
+    s"""WITH tok AS (SELECT unnest($DTokens) AS w FROM documents),
+       |hh AS (SELECT w, $cfh AS h FROM tok),
+       |js AS (SELECT unnest(range($CmsD)) AS j),
+       |sk AS (SELECT j, ${cell("h", "j")} AS cell,
+       |         CAST(count(*) AS BIGINT) AS c
+       |       FROM hh CROSS JOIN js GROUP BY 1, 2),
+       |top AS (SELECT w, any_value(h) AS h, CAST(count(*) AS BIGINT) AS n_exact
+       |        FROM hh GROUP BY w ORDER BY n_exact DESC, w LIMIT 20)
+       |SELECT t.w AS word, t.n_exact, CAST(min(sk.c) AS BIGINT) AS n_est,
+       |  CAST(min(sk.c) - t.n_exact AS BIGINT) AS overcount
+       |FROM top t CROSS JOIN js
+       |JOIN sk ON sk.j = js.j AND sk.cell = ${cell("t.h", "js.j")}
+       |GROUP BY t.w, t.n_exact""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_cms_heavy" -> (txtCmsHeavy _),
     "corpus_refresh" -> (corpusRefresh _),
     "txt_dup_segments" -> (txtDupSegments _),
     "txt_freq_spectrum" -> (txtFreqSpectrum _),
@@ -1547,6 +1621,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_cms_heavy" -> txtCmsHeavySql,
     "corpus_refresh" -> corpusRefreshSql,
     "txt_dup_segments" -> txtDupSegmentsSql,
     "txt_freq_spectrum" -> txtFreqSpectrumSql,

@@ -603,4 +603,29 @@ class TextQueriesSpec extends SparkSpecBase {
       .map { case (b, g) => (b.toLong, g.size.toLong, g.sum) }.toSet
     assert(got.toSet == expected, "floor(log2) buckets must match the 63-nlz identity")
   }
+
+  test("txt_cms_heavy: sketch estimates dominate exact counts and find the top word") {
+    import spark.implicits._
+    val got = TextQueries.txtCmsHeavy(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20, s"expected the exact top-20 audit, got ${got.length}")
+    got.foreach { case (w, exact, est, over) =>
+      assert(est >= exact, s"CMS may only OVERestimate: $w est=$est exact=$exact")
+      assert(over == est - exact, s"overcount must be est - exact for $w")
+    }
+    // the exact counts in the audit must be the true top-20 frequencies
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.trim.split(" +").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val trueTop = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+    assert(got.map(g => g._1 -> g._2).toMap == trueTop.toMap,
+      "audited words/counts must be the exact top-20")
+    // with 4 rows x 1024 cells over a small corpus, the min-row estimate
+    // of the heaviest word should be exact or near-exact — a collision
+    // in ALL 4 rows for the top word would indicate broken bucket math
+    val (_, topExact, topEst, _) = got.maxBy(_._2)
+    assert(topEst - topExact <= counts.values.sum / 100,
+      "top word estimate drifted more than 1% of the token mass")
+  }
 }
