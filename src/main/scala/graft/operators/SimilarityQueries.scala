@@ -525,6 +525,90 @@ object SimilarityQueries {
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
        |FROM v GROUP BY vec_id""".stripMargin
 
+  // -------------------------------------------------------- sim_graph_lpa
+  private val LpaIters = 3
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the k-NN graph — the cheap community signal used to
+    * group near-topic documents before stratified sampling or dedup
+    * prioritization. LPA is normally run asynchronously with random
+    * tie-breaks; this is the DETERMINISTIC synchronous variant: every
+    * round each vertex adopts the most frequent label among its
+    * neighbors, ties broken toward the smallest label, vertices with no
+    * neighbors keep their own. Deterministic tie-breaking is what makes
+    * a community structure reproducible enough to hash cross-engine —
+    * and reproducibility is a curation requirement, not a test crutch.
+    * Distinct from connected components (min-propagation): the MODE
+    * update splits a bridged pair of dense clusters that CC would merge.
+    *
+    * Scale shape: per round, one equi-join of the ≤2kN symmetric edge
+    * list against the label frame and one (dst, lbl)-keyed count — the
+    * per-round argmax uses min(struct(-n, lbl)), a partial-aggregable
+    * fold, NOT a per-group sort/window. Rounds are fixed (3): bounded
+    * shuffles, no driver-side iteration state. */
+  def simGraphLpa(s: SparkSession, d: String): DataFrame = {
+    val und = simKnnGraph(s, d)
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(least(col("src_id"), col("nbr_id")).as("a"),
+        greatest(col("src_id"), col("nbr_id")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"))).cache()
+    val verts = embedded(s, d).select(col("vec_id"))
+    lpaPropagate(edges, verts, LpaIters)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+      .select(col("lbl").as("community"), col("n_members"), col("min_member"))
+  }
+
+  /** The synchronous LPA core: `iters` rounds of
+    * label <- argmax_{(count desc, label asc)} over neighbor labels,
+    * keep-own when isolated. Exposed for planted-graph specs. */
+  private[operators] def lpaPropagate(edges: DataFrame, verts: DataFrame,
+      iters: Int): DataFrame = {
+    var labels = verts.select(col("vec_id"), col("vec_id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val mode = edges
+        .join(labels.select(col("vec_id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("n")).as("neg"), col("lbl").as("l"))).as("m"))
+        .select(col("dst").as("vec_id"), col("m.l").as("newlbl"))
+      labels = labels.join(mode, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
+  val simGraphLpaSql: String = {
+    def step(prev: String, out: String): String =
+      s"""v_$out AS (
+         |  SELECT e.dst, r.lbl, count(*) AS n
+         |  FROM edges e JOIN $prev r ON e.src = r.vec_id GROUP BY 1, 2),
+         |m_$out AS (
+         |  SELECT dst, lbl FROM (
+         |    SELECT dst, lbl,
+         |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, lbl ASC) AS rn
+         |    FROM v_$out) WHERE rn = 1),
+         |$out AS (
+         |  SELECT p.vec_id, coalesce(m.lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN m_$out m ON p.vec_id = m.dst)""".stripMargin
+    s"""WITH knn AS ($simKnnGraphSql),
+       |und AS (
+       |  SELECT DISTINCT least(src_id, nbr_id) AS a, greatest(src_id, nbr_id) AS b
+       |  FROM knn WHERE src_id <> nbr_id),
+       |edges AS (SELECT a AS src, b AS dst FROM und
+       |          UNION ALL SELECT b AS src, a AS dst FROM und),
+       |l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(vec_id) AS min_member
+       |FROM l3 GROUP BY lbl""".stripMargin
+  }
+
   // ------------------------------------------------------- sim_pq_topk
   private val PqM = 8       // subspaces (64 dims / 8 per subvector)
   private val PqSub = 8     // dims per subvector
@@ -1231,6 +1315,7 @@ object SimilarityQueries {
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_graph_rank"      -> (simGraphRank _),
+    "sim_graph_lpa"       -> (simGraphLpa _),
     "sim_graph_triangles" -> (simGraphTriangles _),
     "sim_pq_topk"         -> (simPqTopK _),
     "sim_ivf_pq"          -> (simIvfPq _),
@@ -1253,6 +1338,7 @@ object SimilarityQueries {
     "sim_threshold_sweep" -> simThresholdSweepSql,
     "sim_knn_graph"       -> simKnnGraphSql,
     "sim_graph_rank"      -> simGraphRankSql,
+    "sim_graph_lpa"       -> simGraphLpaSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,
     "sim_pq_topk"         -> simPqTopKSql,
     "sim_ivf_pq"          -> simIvfPqSql,

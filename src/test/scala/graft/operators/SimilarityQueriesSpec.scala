@@ -395,4 +395,34 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     // an all-zero overlap would mean one of the two rankings is broken
     assert(rows.map(_._2).sum > 0, "truncated ranking shares no neighbors with full")
   }
+
+  test("lpa splits bridged dense clusters that connected components would merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two 4-cliques joined by a single bridge (3–10): ONE connected
+    // component, but the mode update confines each clique's label
+    val cliqueA = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L))
+    val cliqueB = Seq((10L,11L),(10L,12L),(10L,13L),(11L,12L),(11L,13L),(12L,13L))
+    val und = (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("a", "b")
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val verts = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L).toDF("vec_id")
+    val labels = SimilarityQueries.lpaPropagate(edges, verts, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(labels).distinct.length == 1, s"clique A split: $labels")
+    assert(Seq(10L, 11L, 12L, 13L).map(labels).distinct.length == 1, s"clique B split: $labels")
+    assert(labels(0L) != labels(10L),
+      s"LPA must keep the bridged cliques in distinct communities: $labels")
+  }
+
+  test("sim_graph_lpa communities partition the corpus") {
+    import spark.implicits._
+    val got = SimilarityQueries.simGraphLpa(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(got.map(_._2).sum == n, "community sizes must sum to the corpus")
+    assert(got.length > 1, "more than one community expected on real data")
+    got.foreach { case (_, size, _) => assert(size >= 1) }
+  }
 }
