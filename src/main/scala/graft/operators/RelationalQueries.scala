@@ -2066,8 +2066,72 @@ object RelationalQueries {
       |FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Calendar gap-fill with forward carry (the time-series densify +
+    * LOCF every reporting/feature pipeline needs): per-nation monthly
+    * order revenue on a DENSE month axis — every (nation, month) cell
+    * from the corpus' first to last month exists, months with no orders
+    * get n_orders = 0, and revenue carries forward from the nation's
+    * last active month (NULL before its first). Months are integer
+    * indexes ((year-1992)·12 + month-1): date arithmetic reduced to
+    * int64, immune to engine date-function drift.
+    *
+    * Scale shape: the dense axis is |nations| × |months| — generated by
+    * exploding a sequence against the distinct-nation frame, NEVER by
+    * driver-side loops — and the left join back to the sparse monthly
+    * aggregate is keyed on (nation, month). The carry-forward is a
+    * running `last(ignoreNulls)` window per nation, ordered by month:
+    * partitions are nation-sized, so the sort is bounded by the month
+    * count, not the fact table. At 100 TB the fact aggregate shrinks
+    * the data to |keys|·|months| rows BEFORE any window runs. */
+  def q62GapFill(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("mi"),
+        floor(dec(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("nationkey"), col("mi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast(DecimalType(38, 0))).cast(LongType).as("rev_cents"))
+    val span = broadcast(monthly.agg(max(col("mi")).as("max_mi")))
+    val axis = monthly.select(col("nationkey")).distinct()
+      .crossJoin(span)
+      .select(col("nationkey"), explode(sequence(lit(0L), col("max_mi"))).as("mi"))
+    val w = Window.partitionBy(col("nationkey")).orderBy(col("mi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(monthly, Seq("nationkey", "mi"), "left")
+      .select(col("nationkey"), col("mi"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        last(col("rev_cents"), ignoreNulls = true).over(w).as("filled_rev_cents"),
+        col("rev_cents").isNull.cast(LongType).as("is_gap"))
+  }
+
+  val q62Sql: String =
+    """WITH m AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |axis AS (
+      |  SELECT nationkey, CAST(unnest(range((SELECT max(mi) + 1 FROM m))) AS BIGINT) AS mi
+      |  FROM (SELECT DISTINCT nationkey FROM m))
+      |SELECT a.nationkey, a.mi,
+      |  CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders,
+      |  last_value(m.rev_cents IGNORE NULLS) OVER (
+      |    PARTITION BY a.nationkey ORDER BY a.mi
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_rev_cents,
+      |  CAST(CASE WHEN m.rev_cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM axis a LEFT JOIN m ON a.nationkey = m.nationkey AND a.mi = m.mi""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_gap_fill"        -> (q62GapFill _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_sum"      -> (q02FilterSum _),
     "q03_join_top_revenue"-> (q03JoinTopRevenue _),
@@ -2193,5 +2257,6 @@ object RelationalQueries {
     "q59_dormant_rich"    -> q59Sql,
     "q60_top_supplier"    -> q60Sql,
     "q61_snapshot_diff"   -> q61Sql,
+    "q62_gap_fill"        -> q62Sql,
   )
 }

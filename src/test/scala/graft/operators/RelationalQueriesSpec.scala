@@ -566,4 +566,26 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
       s"second lineitem scan crept in:\n$plan")
   }
+
+  test("q62 gap-fill densifies the calendar and carries revenue forward") {
+    import spark.implicits._
+    val rows = RelationalQueries.q62GapFill(spark, sfDir)
+      .as[(Long, Long, Long, Option[Long], Long)].collect()
+    val nations = rows.map(_._1).distinct.length
+    val months = rows.map(_._2).max + 1
+    assert(rows.length == nations * months,
+      s"dense axis must be |nations|x|months|: ${rows.length} != $nations*$months")
+    assert(rows.exists(_._5 == 1L), "testdata must contain gap months")
+    // per nation: gaps have 0 orders; filled value equals the last
+    // non-gap revenue at or before the month (NULL before the first)
+    rows.groupBy(_._1).foreach { case (nk, g) =>
+      val byMi = g.sortBy(_._2)
+      var lastSeen: Option[Long] = None
+      byMi.foreach { case (_, mi, n, filled, isGap) =>
+        if (isGap == 1L) assert(n == 0L, s"nation $nk month $mi: gap with orders")
+        else { assert(n > 0L); lastSeen = filled }
+        assert(filled == lastSeen, s"nation $nk month $mi: carry-forward broke")
+      }
+    }
+  }
 }
