@@ -262,7 +262,8 @@ object Amqp10Codec {
     val Accepted = 0x24L; val Rejected = 0x25L; val Released = 0x26L
     val Coordinator = 0x30L; val Declare = 0x31L; val Discharge = 0x32L
     val Declared = 0x33L; val TransactionalState = 0x34L
-    val SaslMechanisms = 0x40L; val SaslInit = 0x41L; val SaslOutcome = 0x44L
+    val SaslMechanisms = 0x40L; val SaslInit = 0x41L
+    val SaslChallenge = 0x42L; val SaslResponse = 0x43L; val SaslOutcome = 0x44L
     val Header = 0x70L; val DeliveryAnnotations = 0x71L
     val MessageAnnotations = 0x72L; val Properties = 0x73L
     val ApplicationProperties = 0x74L; val Data = 0x75L
@@ -296,6 +297,8 @@ object Amqp10Codec {
     "amqp:transactional-state:list" -> Desc.TransactionalState,
     "amqp:sasl-mechanisms:list" -> Desc.SaslMechanisms,
     "amqp:sasl-init:list" -> Desc.SaslInit,
+    "amqp:sasl-challenge:list" -> Desc.SaslChallenge,
+    "amqp:sasl-response:list" -> Desc.SaslResponse,
     "amqp:sasl-outcome:list" -> Desc.SaslOutcome,
     "amqp:header:list" -> Desc.Header,
     "amqp:delivery-annotations:map" -> Desc.DeliveryAnnotations,

@@ -25,7 +25,8 @@ import Amqp10Wire._
   * AMQPReceiver.scala:92).
   */
 class Amqp10Endpoint(host: String, port: Int,
-    username: Option[String] = None, password: Option[String] = None)
+    username: Option[String] = None, password: Option[String] = None,
+    saslMechanism: String = "PLAIN")
     extends AmqpEndpoint with AutoCloseable {
 
   private var sock: Socket = _
@@ -60,19 +61,76 @@ class Amqp10Endpoint(host: String, port: Int,
       require(java.util.Arrays.equals(serverHeader, HeaderSasl), "no SASL layer offered")
       val mechs = readFrame(in) // sasl-mechanisms
       require(descriptorCode(mechs.performative) == Desc.SaslMechanisms)
-      // RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd
-      val response = ("\u0000" + username.getOrElse("") +
-        "\u0000" + password.getOrElse("")).getBytes(UTF_8)
-      writeAll(out, encodeFrame(Frame(FrameTypeSasl, 0,
-        described(Desc.SaslInit, Sym("PLAIN"), response), Array.emptyByteArray)))
-      val outcome = readFrame(in)
-      require(descriptorCode(outcome.performative) == Desc.SaslOutcome)
-      field(outcome.performative, 0) match {
-        case UByte(0) => ()
-        case _ =>
+      if (saslMechanism == Scram.Mechanism) {
+        val offered = field(mechs.performative, 0) match {
+          case v: Vector[_] => v.collect { case Sym(n) => n }
+          case Sym(n) => Vector(n)
+          case _ => Vector.empty[String]
+        }
+        if (!offered.contains(Scram.Mechanism)) {
+          close()
+          throw new SecurityException(
+            s"server does not offer ${Scram.Mechanism} (offered: ${offered.mkString(",")})")
+        }
+        // RFC 5802: client-first -> challenge (server-first) -> response
+        // (client-final with proof) -> outcome (server-final "v=...").
+        // The password never rides the wire, and the client REFUSES a
+        // server that cannot prove it holds ServerKey (mutual auth).
+        val cnonce = Scram.freshNonce()
+        val bare = Scram.clientFirstBare(username.getOrElse(""), cnonce)
+        writeAll(out, encodeFrame(Frame(FrameTypeSasl, 0,
+          described(Desc.SaslInit, Sym(Scram.Mechanism),
+            (Scram.Gs2Header + bare).getBytes(UTF_8)), Array.emptyByteArray)))
+        val chal = readFrame(in)
+        require(descriptorCode(chal.performative) == Desc.SaslChallenge,
+          "expected sasl-challenge")
+        val sf = new String(field(chal.performative, 0).asInstanceOf[Array[Byte]], UTF_8)
+        val attrs = Scram.parseAttrs(sf)
+        val combined = attrs.getOrElse("r", "")
+        require(combined.startsWith(cnonce), "server did not echo the client nonce")
+        val salt = Scram.unb64(attrs.getOrElse("s", ""))
+        val iters = attrs.getOrElse("i", "0").toInt
+        val withoutProof = Scram.clientFinalWithoutProof(combined)
+        val authMsg = Scram.authMessage(bare, sf, withoutProof)
+        val salted = Scram.saltedPassword(password.getOrElse(""), salt, iters)
+        val clientFinal = withoutProof + ",p=" + Scram.b64(Scram.clientProof(salted, authMsg))
+        writeAll(out, encodeFrame(Frame(FrameTypeSasl, 0,
+          described(Desc.SaslResponse, clientFinal.getBytes(UTF_8)), Array.emptyByteArray)))
+        val outcome = readFrame(in)
+        require(descriptorCode(outcome.performative) == Desc.SaslOutcome)
+        val authed = field(outcome.performative, 0) match {
+          case UByte(0) => true
+          case _ => false
+        }
+        val serverFinal = field(outcome.performative, 1) match {
+          case bs: Array[Byte] => new String(bs, UTF_8)
+          case _ => ""
+        }
+        if (!authed) {
           close()
           throw new SecurityException(
             s"AMQP SASL authentication failed for user ${username.getOrElse("<anonymous>")}")
+        }
+        if (serverFinal != "v=" + Scram.b64(Scram.serverSignature(salted, authMsg))) {
+          close()
+          throw new SecurityException(
+            "SCRAM mutual authentication failed: server signature mismatch")
+        }
+      } else {
+        // RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd
+        val response = ("\u0000" + username.getOrElse("") +
+          "\u0000" + password.getOrElse("")).getBytes(UTF_8)
+        writeAll(out, encodeFrame(Frame(FrameTypeSasl, 0,
+          described(Desc.SaslInit, Sym("PLAIN"), response), Array.emptyByteArray)))
+        val outcome = readFrame(in)
+        require(descriptorCode(outcome.performative) == Desc.SaslOutcome)
+        field(outcome.performative, 0) match {
+          case UByte(0) => ()
+          case _ =>
+            close()
+            throw new SecurityException(
+              s"AMQP SASL authentication failed for user ${username.getOrElse("<anonymous>")}")
+        }
       }
     }
     writeAll(out, HeaderAmqp)

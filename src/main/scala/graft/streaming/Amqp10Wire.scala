@@ -171,8 +171,14 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       var header = readHeader(in)
       if (java.util.Arrays.equals(header, HeaderSasl)) {
         writeAll(out, HeaderSasl)
-        send(Frame(FrameTypeSasl, 0, described(Desc.SaslMechanisms,
-          Vector(Sym("PLAIN"), Sym("ANONYMOUS"))), Array.emptyByteArray))
+        // SCRAM needs a password on file, so an anonymous server only
+        // advertises the mechanisms it can actually complete
+        val offered =
+          if (credentials.isDefined)
+            Vector(Sym(Scram.Mechanism), Sym("PLAIN"), Sym("ANONYMOUS"))
+          else Vector(Sym("PLAIN"), Sym("ANONYMOUS"))
+        send(Frame(FrameTypeSasl, 0, described(Desc.SaslMechanisms, offered),
+          Array.emptyByteArray))
         val init = readFrame(in)
         require(descriptorCode(init.performative) == Desc.SaslInit, "expected sasl-init")
         val mech = field(init.performative, 0).asInstanceOf[Sym].name
@@ -180,8 +186,51 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case bs: Array[Byte] => bs
           case null => Array.emptyByteArray
         }
+        // server-final "v=..." for SCRAM rides sasl-outcome's
+        // additional-data field (§5.3.3.5) — absent for PLAIN/ANONYMOUS
+        var outcomeExtra: Array[Byte] = Array.emptyByteArray
         val ok = credentials match {
           case None => true // anonymous server accepts both mechanisms
+          case Some((cu, cp)) if mech == Scram.Mechanism =>
+            // RFC 5802 flow: server-first via sasl-challenge, client-final
+            // via sasl-response. The password never rides the wire; the
+            // proof binds both nonces, the salt, and the iteration count.
+            val clientFirst = new String(response, UTF_8)
+            if (!clientFirst.startsWith(Scram.Gs2Header)) false // no channel binding
+            else {
+              val bare = clientFirst.drop(Scram.Gs2Header.length)
+              val attrs = Scram.parseAttrs(bare)
+              val cnonce = attrs.getOrElse("r", "")
+              val salt = new Array[Byte](16)
+              new java.security.SecureRandom().nextBytes(salt)
+              val combined = cnonce + Scram.freshNonce()
+              val sf = Scram.serverFirst(combined, salt, Scram.Iterations)
+              send(Frame(FrameTypeSasl, 0,
+                described(Desc.SaslChallenge, sf.getBytes(UTF_8)), Array.emptyByteArray))
+              out.flush()
+              val resp = readFrame(in)
+              require(descriptorCode(resp.performative) == Desc.SaslResponse,
+                "expected sasl-response")
+              val clientFinal = new String(
+                field(resp.performative, 0).asInstanceOf[Array[Byte]], UTF_8)
+              val fa = Scram.parseAttrs(clientFinal)
+              val cut = clientFinal.lastIndexOf(",p=")
+              val salted = Scram.saltedPassword(cp, salt, Scram.Iterations)
+              val stored = Scram.storedKey(Scram.clientKey(salted))
+              val authMsg = if (cut > 0)
+                Scram.authMessage(bare, sf, clientFinal.substring(0, cut)) else ""
+              val proofOk = cut > 0 &&
+                attrs.get("n").contains(Scram.saslName(cu)) &&
+                fa.get("c").contains(Scram.Gs2B64) && fa.get("r").contains(combined) &&
+                Scram.verifyClientProof(stored, authMsg,
+                  Scram.unb64(fa.getOrElse("p", "")))
+              if (proofOk) {
+                // mutual auth: prove WE hold ServerKey (client verifies v)
+                outcomeExtra =
+                  ("v=" + Scram.b64(Scram.serverSignature(salted, authMsg))).getBytes(UTF_8)
+              }
+              proofOk
+            }
           case Some((cu, cp)) =>
             mech == "PLAIN" && {
               // RFC 4616 PLAIN: authzid NUL authcid NUL passwd
@@ -190,7 +239,8 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
             }
         }
         send(Frame(FrameTypeSasl, 0,
-          described(Desc.SaslOutcome, UByte(if (ok) 0 else 1)), Array.emptyByteArray))
+          described(Desc.SaslOutcome, UByte(if (ok) 0 else 1),
+            if (outcomeExtra.isEmpty) null else outcomeExtra), Array.emptyByteArray))
         out.flush()
         if (!ok) { sock.close(); return }
         header = readHeader(in) // the AMQP-layer header restart

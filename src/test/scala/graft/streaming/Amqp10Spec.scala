@@ -88,6 +88,69 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("SCRAM-SHA-256 primitives reproduce the RFC 7677 published exchange") {
+    // RFC 7677 §3: user "user", password "pencil", the exact nonces,
+    // salt, proof, and server signature printed in the RFC
+    val user = "user"; val pass = "pencil"
+    val cnonce = "rOprNGfwEbeRWgbNEkqO"
+    val combined = "rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val salt = Scram.unb64("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val bare = Scram.clientFirstBare(user, cnonce)
+    assert(bare == "n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val sf = Scram.serverFirst(combined, salt, 4096)
+    assert(sf == "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    val withoutProof = Scram.clientFinalWithoutProof(combined)
+    assert(withoutProof == "c=biws,r=" + combined)
+    val authMsg = Scram.authMessage(bare, sf, withoutProof)
+    val salted = Scram.saltedPassword(pass, salt, 4096)
+    assert(Scram.b64(Scram.clientProof(salted, authMsg)) ==
+      "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert("v=" + Scram.b64(Scram.serverSignature(salted, authMsg)) ==
+      "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // server-side verification path accepts the RFC proof and rejects a flipped bit
+    val stored = Scram.storedKey(Scram.clientKey(salted))
+    val proof = Scram.clientProof(salted, authMsg)
+    assert(Scram.verifyClientProof(stored, authMsg, proof))
+    val tampered = proof.clone(); tampered(0) = (tampered(0) ^ 1).toByte
+    assert(!Scram.verifyClientProof(stored, authMsg, tampered))
+  }
+
+  test("SASL SCRAM-SHA-256: challenge flow authenticates without the password on the wire") {
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing, credentials = Some(("alice", "s3cret")))
+    try {
+      backing.send("addr", AmqpMessage(body = AmqpValueBody("x")), 1L)
+      val ok = new Amqp10Endpoint("127.0.0.1", server.port,
+        Some("alice"), Some("s3cret"), saslMechanism = Scram.Mechanism)
+      try {
+        assert(ok.latestSeq("addr") == 1L)
+        // full data path over a SCRAM-authenticated connection
+        assert(ok.send("addr", AmqpMessage(body = AmqpValueBody("y")), 2L) == 2L)
+        assert(ok.fetch("addr", 0L, 2L).map(_._2.body) ==
+          Seq(AmqpValueBody("x"), AmqpValueBody("y")))
+      } finally ok.close()
+      val badPw = new Amqp10Endpoint("127.0.0.1", server.port,
+        Some("alice"), Some("wrong"), saslMechanism = Scram.Mechanism)
+      try intercept[SecurityException](badPw.latestSeq("addr")) finally badPw.close()
+      val badUser = new Amqp10Endpoint("127.0.0.1", server.port,
+        Some("mallory"), Some("s3cret"), saslMechanism = Scram.Mechanism)
+      try intercept[SecurityException](badUser.latestSeq("addr")) finally badUser.close()
+    } finally server.close()
+    // an anonymous server does not offer SCRAM: the client refuses to
+    // downgrade rather than silently falling back to PLAIN
+    val anonBacking = new InMemoryAmqpBroker
+    val anonServer = new Amqp10Server(anonBacking)
+    try {
+      val c = new Amqp10Endpoint("127.0.0.1", anonServer.port,
+        Some("alice"), Some("s3cret"), saslMechanism = Scram.Mechanism)
+      try {
+        val e = intercept[SecurityException](c.latestSeq("addr"))
+        assert(e.getMessage.contains("does not offer"))
+      } finally c.close()
+    } finally anonServer.close()
+  }
+
   test("sendMany pipelines transfers: one disposition drain per batch, refusals are a suffix") {
     withServer { (backing, ep) =>
       val client = AmqpEndpointRegistry.endpoint(ep)
