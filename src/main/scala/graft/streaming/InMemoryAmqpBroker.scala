@@ -307,9 +307,16 @@ object AmqpEndpointRegistry {
     *    ([[TcpAmqpEndpoint]]), same semantics, not AMQP on the wire. */
   def endpoint(endpoint: String): AmqpEndpoint =
     if (endpoint.startsWith("amqp10://")) {
-      val (creds, host, port) = parseHostPort(endpoint.stripPrefix("amqp10://"))
+      // optional `?sasl=SCRAM-SHA-256` query selects the challenge
+      // mechanism; default stays PLAIN (RFC 4616) for back-compat
+      val (body, mech) = endpoint.stripPrefix("amqp10://").split('?') match {
+        case Array(b) => (b, "PLAIN")
+        case Array(b, q) if q.startsWith("sasl=") => (b, q.stripPrefix("sasl="))
+        case other => (other.head, "PLAIN")
+      }
+      val (creds, host, port) = parseHostPort(body)
       clients.computeIfAbsent(endpoint,
-        _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2)))
+        _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2), mech))
     } else if (endpoint.startsWith("tcp://")) {
       val (creds, host, port) = parseHostPort(endpoint.stripPrefix("tcp://"))
       clients.computeIfAbsent(endpoint,
