@@ -563,10 +563,17 @@ object SimilarityQueries {
 
   /** The synchronous LPA core: `iters` rounds of
     * label <- argmax_{(count desc, label asc)} over neighbor labels,
-    * keep-own when isolated. Exposed for planted-graph specs. */
+    * keep-own when isolated. Exposed for planted-graph specs.
+    *
+    * Each round references the previous label frame TWICE (neighbor
+    * votes + the keep-own carry), so without materialization the plan
+    * would duplicate the upstream subtree 2^iters times; the per-round
+    * `localCheckpoint` pins the frame once and truncates lineage (the
+    * same discipline as the BFS frontier loop). */
   private[operators] def lpaPropagate(edges: DataFrame, verts: DataFrame,
       iters: Int): DataFrame = {
     var labels = verts.select(col("vec_id"), col("vec_id").as("lbl"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val mode = edges
         .join(labels.select(col("vec_id").as("src"), col("lbl")), Seq("src"))
@@ -577,6 +584,7 @@ object SimilarityQueries {
         .select(col("dst").as("vec_id"), col("m.l").as("newlbl"))
       labels = labels.join(mode, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     labels
   }

@@ -744,6 +744,82 @@ object TextQueries {
        |  n_in - n_dropped AS n_kept
        |FROM funnel""".stripMargin
 
+  // ------------------------------------------------ corpus_filter_overlap
+  /** Filter-ablation overlap matrix: the funnel (`corpus_funnel`)
+    * attributes each drop to its FIRST failing stage; this query keeps
+    * every filter verdict independently and packs them into a per-doc
+    * bitmask (1 blocked-source, 2 too-short, 4 low-quality, 8
+    * repetitive, 16 near-dup), then aggregates docs and token mass per
+    * observed combination. The readout that answers the ablation
+    * questions the funnel can't: how much does each filter catch that
+    * NOTHING else would (its solo-bit row), and which filters are
+    * near-redundant (mass concentrated in multi-bit rows).
+    *
+    * Scale shape: the same broadcast/keyed joins as the funnel feed a
+    * ≤32-group aggregate; the bitmask is one integer expression, so
+    * the combination explosion that makes ablation studies expensive
+    * (2^k re-runs) collapses into a single pass. */
+  def corpusFilterOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bl = s.createDataFrame(Seq(
+      ("src3", true), ("src7", true), ("src11", true))).toDF("source", "blocked")
+    val near = DedupQueries.dedupCluster(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("near_dup"))
+    docs
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .join(broadcast(bl), Seq("source"), "left")
+      .join(txtQuality(s, d).select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .join(txtRepetition(s, d).select(col("doc_id"), col("repetitive")), Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (when(col("blocked").isNotNull, 1L).otherwise(0L)
+          + when(col("n_tokens") < 25, 2L).otherwise(0L)
+          + when(col("quality") < 0.5, 4L).otherwise(0L)
+          + when(col("repetitive"), 8L).otherwise(0L)
+          + when(col("near_dup").isNotNull, 16L).otherwise(0L)).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("example_doc"))
+      .select(col("mask"),
+        (col("mask").bitwiseAND(lit(1L)) > 0).cast(LongType).as("f_blocked"),
+        (col("mask").bitwiseAND(lit(2L)) > 0).cast(LongType).as("f_short"),
+        (col("mask").bitwiseAND(lit(4L)) > 0).cast(LongType).as("f_lowq"),
+        (col("mask").bitwiseAND(lit(8L)) > 0).cast(LongType).as("f_rep"),
+        (col("mask").bitwiseAND(lit(16L)) > 0).cast(LongType).as("f_dup"),
+        col("n_docs"), col("n_tokens"), col("example_doc"))
+  }
+
+  val corpusFilterOverlapSql: String =
+    s"""WITH bl AS (SELECT * FROM (VALUES ('src3'), ('src7'), ('src11')) AS t(source)),
+       |q AS (SELECT doc_id, quality FROM (${txtQualitySql.replace("\n", "\n       ")})),
+       |rep AS (SELECT doc_id, repetitive FROM (${txtRepetitionSql.replace("\n", "\n       ")})),
+       |near AS (SELECT doc_id FROM (${DedupQueries.dedupClusterSql.replace("\n", "\n       ")})
+       |         WHERE doc_id <> cluster_id),
+       |m AS (
+       |  SELECT d.doc_id, CAST(len($DTokens) AS BIGINT) AS n_tokens,
+       |    (CASE WHEN bl.source IS NOT NULL THEN 1 ELSE 0 END
+       |     + CASE WHEN len($DTokens) < 25 THEN 2 ELSE 0 END
+       |     + CASE WHEN q.quality < 0.5 THEN 4 ELSE 0 END
+       |     + CASE WHEN rep.repetitive THEN 8 ELSE 0 END
+       |     + CASE WHEN near.doc_id IS NOT NULL THEN 16 ELSE 0 END) AS mask
+       |  FROM documents d
+       |  LEFT JOIN bl ON d.source = bl.source
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN rep ON d.doc_id = rep.doc_id
+       |  LEFT JOIN near ON d.doc_id = near.doc_id)
+       |SELECT CAST(mask AS BIGINT) AS mask,
+       |  CAST(CASE WHEN mask & 1 > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_blocked,
+       |  CAST(CASE WHEN mask & 2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_short,
+       |  CAST(CASE WHEN mask & 4 > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_lowq,
+       |  CAST(CASE WHEN mask & 8 > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_rep,
+       |  CAST(CASE WHEN mask & 16 > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_dup,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS example_doc
+       |FROM m GROUP BY mask""".stripMargin
+
   // ------------------------------------------------------- corpus_sample
   private val SampleK = 5 // docs kept per source stratum
 
@@ -1587,6 +1663,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_cms_heavy" -> (txtCmsHeavy _),
+    "corpus_filter_overlap" -> (corpusFilterOverlap _),
     "corpus_refresh" -> (corpusRefresh _),
     "txt_dup_segments" -> (txtDupSegments _),
     "txt_freq_spectrum" -> (txtFreqSpectrum _),
@@ -1622,6 +1699,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "txt_cms_heavy" -> txtCmsHeavySql,
+    "corpus_filter_overlap" -> corpusFilterOverlapSql,
     "corpus_refresh" -> corpusRefreshSql,
     "txt_dup_segments" -> txtDupSegmentsSql,
     "txt_freq_spectrum" -> txtFreqSpectrumSql,

@@ -604,6 +604,33 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(got.toSet == expected, "floor(log2) buckets must match the 63-nlz identity")
   }
 
+  test("corpus_filter_overlap reconciles with the sequential funnel") {
+    import spark.implicits._
+    val overlap = TextQueries.corpusFilterOverlap(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (mask, b, sh, lq, rp, dp, n, _, _) =>
+      assert(mask == b + 2 * sh + 4 * lq + 8 * rp + 16 * dp, s"mask $mask flags drifted")
+      assert(n >= 1)
+    }
+    val totalDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(overlap.map(_._7).sum == totalDocs, "masks must partition the corpus")
+    // funnel cross-check: clean docs (mask 0) == the funnel's final kept
+    // count, and each funnel stage's drop count equals the overlap docs
+    // whose LOWEST set bit is that stage (first-failure attribution)
+    val funnel = TextQueries.corpusFunnel(spark, sfDir)
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    val kept = funnel.last._5
+    assert(overlap.filter(_._1 == 0L).map(_._7).sum == kept,
+      "mask-0 docs must equal the funnel's kept count")
+    funnel.zipWithIndex.foreach { case ((_, stage, _, dropped, _), i) =>
+      val lowbit = 1L << i
+      val got = overlap.filter(r => r._1 != 0 && (r._1 & (lowbit * 2 - 1)) == lowbit)
+        .map(_._7).sum
+      assert(got == dropped, s"stage $stage: first-failure mass $got != funnel $dropped")
+    }
+  }
+
   test("txt_cms_heavy: sketch estimates dominate exact counts and find the top word") {
     import spark.implicits._
     val got = TextQueries.txtCmsHeavy(spark, sfDir)
