@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators over the AMQP envelope stream.
   *
@@ -64,5 +65,41 @@ object AmqpStreamOps {
             Iterator(MaxUpdate(key, batchMax))
           } else Iterator.empty
       }
+  }
+
+  /** The same running-max changelog on Spark 4's `transformWithState`
+    * (the successor of [[runningMaxChangelog]]'s flatMapGroupsWithState):
+    * typed state variables via a [[StatefulProcessor]], per-state TTL,
+    * and timer support — the API a long-running 100 TB pipeline should
+    * target, since state lives in the RocksDB store (the only provider
+    * the new API supports) with changelog checkpointing. Semantics are
+    * identical to the old-API operator, which the spec exploits by
+    * running BOTH against the same stream and asserting equal output.
+    */
+  def runningMaxChangelogTws(envelope: DataFrame, keyCol: String,
+      valueCol: String): Dataset[MaxUpdate] = {
+    implicit val re = Encoders.product[Reading]
+    implicit val me = Encoders.product[MaxUpdate]
+    implicit val se = Encoders.STRING
+    envelope
+      .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("int").as("value"))
+      .as[Reading]
+      .groupByKey(_.key)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  private class RunningMaxProcessor extends StatefulProcessor[String, Reading, MaxUpdate] {
+    @transient private var maxState: ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Int]("max", Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Reading],
+        timerValues: TimerValues): Iterator[MaxUpdate] = {
+      val prev = if (maxState.exists()) Some(maxState.get()) else None
+      val batchMax = rows.map(_.value).foldLeft(Int.MinValue)(math.max)
+      if (prev.forall(batchMax > _)) {
+        maxState.update(batchMax)
+        Iterator(MaxUpdate(key, batchMax))
+      } else Iterator.empty
+    }
   }
 }

@@ -281,4 +281,45 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("transformWithState running max matches the flatMapGroupsWithState operator") {
+    // Spark 4's new arbitrary-state API only runs on the RocksDB state
+    // store; scope the provider to this query and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ep, broker) = freshEndpoint("runmaxtws")
+      def send(device: String, temp: Int): Unit =
+        broker.send("my_address", AmqpMessage(subject = Some(device),
+          body = AmqpValueBody(temp.toString)))
+      send("dev-a", 20); send("dev-a", 25); send("dev-b", 30)
+      val q = AmqpStreamOps.runningMaxChangelogTws(stream(ep), "subject", "body")
+        .writeStream.format("memory").queryName("ops_runmax_tws")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        poll {
+          val got = spark.table("ops_runmax_tws").collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSet
+          assert(got == Set("dev-a" -> 25, "dev-b" -> 30))
+        }
+        // identical advance-only semantics as the old-API operator:
+        // stale reading emits nothing, a new high emits exactly one row
+        send("dev-a", 24); send("dev-b", 31)
+        q.processAllAvailable()
+        poll {
+          val got = spark.table("ops_runmax_tws").collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSet
+          assert(got == Set("dev-a" -> 25, "dev-b" -> 30, "dev-b" -> 31))
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
