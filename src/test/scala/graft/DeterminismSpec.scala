@@ -43,7 +43,12 @@ class DeterminismSpec extends AnyFunSuite {
     "corpus_token_budget"  -> "largest-remainder apportionment",
     "corpus_refresh"       -> "snapshot merge",
     "mm_wav_energy"        -> "decoded-sample chunk energy",
-    "fmt_schema_merge"     -> "mergeSchema evolution")
+    "fmt_schema_merge"     -> "mergeSchema evolution",
+    "fmt_zorder_layout"    -> "grid-scaled bit interleave",
+    "txt_cms_heavy"        -> "count-min sketch + exact audit",
+    "sim_graph_lpa"        -> "synchronous label propagation",
+    "q62_gap_fill"         -> "dense calendar + LOCF carry",
+    "corpus_filter_overlap" -> "filter bitmask partition")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {
