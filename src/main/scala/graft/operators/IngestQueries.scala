@@ -127,6 +127,91 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------ amqp_stream_parquet
+  /** The FILE-SINK leg under the oracle gate: wire stream → Structured
+    * Streaming → exactly-once PARQUET sink (`writeStream.format
+    * ("parquet")`) → manifest-aware batch read-back → aggregate. This
+    * is the path every real archival/training-data pipeline ends in,
+    * and the one sink surface no other gate touches: the file sink's
+    * `_spark_metadata` commit manifest is what makes the output
+    * exactly-once, and the batch read honors it (uncommitted/temp
+    * files are invisible).
+    *
+    * The slice is pumped in TWO halves with a drain (same checkpoint,
+    * same output dir) after each, plus a third empty drain: if the
+    * second drain re-processed the first half, or the empty drain
+    * wrote anything, counts double or drift and the hash breaks — so
+    * offset tracking across restarts AND manifest-committed idempotence
+    * are both load-bearing for a green gate.
+    *
+    * Scale shape: the sink writes one file per partition per batch —
+    * at 100 TB the knobs are trigger interval and
+    * `spark.sql.shuffle.partitions` (file count), plus the compaction
+    * pass `corpus_refresh`/`mm_shard_layout` model downstream. */
+  def amqpStreamParquet(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 3) // own address => overlap with %10 slices is fine
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-parquet-gate")
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+
+    def pump(rs: Array[org.apache.spark.sql.Row]): Unit = {
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < rs.length) {
+        val slice = rs.slice(i, math.min(i + 500, rs.length)).toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getString(1)),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+        }
+        val seqs = client.sendMany(address, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(address)
+          client.fetch(address, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+    }
+    def drain(): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address).load()
+        .select(col("message_id"), col("subject"), col("body"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "stream-parquet gate query hung")
+      finally q.stop()
+    }
+
+    val (a, b) = rows.splitAt(rows.length / 2)
+    pump(a); drain()
+    pump(b); drain() // same checkpoint: must process ONLY the second half
+    drain()          // no new data: the manifest must not grow
+    s.read.parquet(outDir)
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpStreamParquetSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 7 = 3
+      |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------- amqp_stream_window
   /** The reference's FLAGSHIP semantics under the oracle gate: a real
     * Structured STREAMING query (readStream → tumbling event-time
@@ -901,6 +986,7 @@ object IngestQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_stream_parquet"   -> (amqpStreamParquet _),
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
@@ -913,6 +999,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_stream_parquet"   -> amqpStreamParquetSql,
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,

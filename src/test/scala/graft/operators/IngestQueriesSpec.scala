@@ -32,6 +32,24 @@ class IngestQueriesSpec extends SparkSpecBase {
     } finally System.clearProperty("graft.gate.transport")
   }
 
+  test("stream-parquet gate: file sink is exactly-once across restarted drains") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val got = IngestQueries.amqpStreamParquet(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    // the gate pumps the slice in two halves across two checkpointed
+    // drains plus one empty drain: any double-processing or uncommitted
+    // file leaking into the manifest read shifts these aggregates
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 7 === 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected, "file-sink read-back diverged from the direct slice aggregate")
+    assert(got.nonEmpty)
+  }
+
   test("stream-dedup gate collapses double delivery to exactly-once") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamDedup(spark, sfDir)
