@@ -299,7 +299,64 @@ object FormatQueries {
       |FROM g GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------- fmt_hilbert_layout
+  /** HILBERT-curve clustering under the gate — the z-order's sibling
+    * with strictly better locality (consecutive curve positions are
+    * always grid NEIGHBORS; Morton's bit-interleave jumps across the
+    * grid at power-of-two boundaries, which is why Hilbert is the
+    * default in modern layout optimizers). Same 1024-grid normalization
+    * as `fmt_zorder_layout`, but the curve index is a native codegen
+    * expression ([[graft.expressions.HilbertIndex]]): the xy2d
+    * transform is a 10-step loop whose every step reads both
+    * coordinates, so as Column arithmetic the tree would double per
+    * step (2^10 blowup) — the loop belongs in generated code. The
+    * oracle replays the identical integer steps as chained MATERIALIZED
+    * CTEs.
+    *
+    * Scale shape: rows collapse to their grid CELLS first (≤2^20
+    * groups), the curve index runs once per cell, and the bucket audit
+    * aggregates cells — at 100 TB the expensive thing (the fact scan)
+    * feeds a map-side cell aggregate, and the curve math never touches
+    * row volume. The spec proves the curve's adjacency/bijectivity and
+    * that its buckets never beat Morton's bounding-box discipline by
+    * less than a documented margin. */
+  def fmtHilbertLayout(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.HilbertIndex.register(s)
+    zorderGrid(s, d)
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+      .select(shiftright(expr("hilbert_d(gx, gy)"), 10).as("hbucket"),
+        col("gx"), col("gy"), col("n"))
+      .groupBy(col("hbucket"))
+      .agg(sum(col("n")).as("n_rows"),
+        min(col("gx")).as("min_gx"), max(col("gx")).as("max_gx"),
+        min(col("gy")).as("min_gy"), max(col("gy")).as("max_gy"))
+  }
+
+  private val hilbertLayoutSql: String = {
+    val (ctes, last) = graft.expressions.HilbertIndex.pipelineSql("src")
+    s"""WITH b AS (
+       |  SELECT o_custkey AS x,
+       |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
+       |  FROM orders),
+       |st AS (SELECT min(x) AS min_x, max(x) AS max_x,
+       |              min(y) AS min_y, max(y) AS max_y FROM b),
+       |g AS (SELECT ((x - min_x) * 1024) // (max_x - min_x + 1) AS gx,
+       |             ((y - min_y) * 1024) // (max_y - min_y + 1) AS gy
+       |      FROM b CROSS JOIN st),
+       |cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+       |src AS (SELECT gx AS x, gy AS y, gx * 1024 + gy AS rid FROM cells),
+       |$ctes
+       |SELECT (h.d >> 10) AS hbucket,
+       |  CAST(sum(c.n) AS BIGINT) AS n_rows,
+       |  CAST(min(c.gx) AS BIGINT) AS min_gx, CAST(max(c.gx) AS BIGINT) AS max_gx,
+       |  CAST(min(c.gy) AS BIGINT) AS min_gy, CAST(max(c.gy) AS BIGINT) AS max_gy
+       |FROM $last h JOIN cells c ON h.rid = c.gx * 1024 + c.gy
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
@@ -310,6 +367,7 @@ object FormatQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,

@@ -139,6 +139,62 @@ class FormatQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("hilbert_d: bijective round-trip and unit-step adjacency over 4096 curve steps") {
+    import graft.expressions.HilbertIndex
+    // test-local inverse (Hamilton's d2xy) — the main code deliberately
+    // ships only the forward map the layout needs
+    def d2xy(d: Long): (Long, Long) = {
+      var t = d; var x = 0L; var y = 0L; var s = 1L
+      while (s < HilbertIndex.Side) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    var prev = d2xy(0L)
+    assert(HilbertIndex.xy2d(prev._1, prev._2) == 0L)
+    for (d <- 1L until 4096L) {
+      val (x, y) = d2xy(d)
+      assert(HilbertIndex.xy2d(x, y) == d, s"round-trip broke at d=$d")
+      // THE Hilbert property Morton lacks: every curve step moves to a
+      // grid NEIGHBOR — no jumps, so contiguous ranges are contiguous tiles
+      assert(math.abs(x - prev._1) + math.abs(y - prev._2) == 1,
+        s"curve jumped at d=$d: $prev -> ($x,$y)")
+      prev = (x, y)
+    }
+    // the Spark expression and the shared static loop agree
+    import org.apache.spark.sql.functions._
+    graft.expressions.HilbertIndex.register(spark)
+    val pts = Seq((0L, 0L), (1023L, 0L), (0L, 1023L), (1023L, 1023L), (511L, 512L))
+    val got = spark.createDataFrame(pts).toDF("x", "y")
+      .select(col("x"), col("y"), expr("hilbert_d(x, y)").as("d")).collect()
+    got.foreach(r => assert(r.getLong(2) == HilbertIndex.xy2d(r.getLong(0), r.getLong(1))))
+  }
+
+  test("fmt_hilbert_layout buckets tile at least as tightly as Morton's") {
+    import spark.implicits._
+    def boxes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      val area = rows.map { case (_, _, x0, x1, y0, y1) => (x1 - x0 + 1) * (y1 - y0 + 1) }.sum
+      (rows.map(_._2).sum, area)
+    }
+    val (hRows, hArea) = boxes(FormatQueries.fmtHilbertLayout(spark, sfDir))
+    val (zRows, zArea) = boxes(FormatQueries.fmtZorderLayout(spark, sfDir))
+    assert(hRows == zRows, "both layouts must account for every order")
+    // a contiguous Hilbert range is a connected tile; Morton ranges can
+    // straddle power-of-two seams. Hilbert's total bucket bounding-box
+    // area must not lose to Morton's by more than 5%
+    assert(hArea <= zArea * 105 / 100,
+      s"Hilbert bucket area $hArea worse than Morton's $zArea")
+  }
+
   test("z-order file layout shrinks per-file bounding boxes in BOTH dimensions") {
     import org.apache.spark.sql.functions._
     import graft.functions.ZOrder
