@@ -195,6 +195,42 @@ class FormatQueriesSpec extends SparkSpecBase {
       s"Hilbert bucket area $hArea worse than Morton's $zArea")
   }
 
+  test("z-order layout MEASURABLY skips row groups for a second-dimension predicate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ZOrder
+    // AQE off so the executed plan exposes the scan leaf's metrics directly
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val grid = FormatQueries.zorderGrid(s2, sfDir)
+      .select(col("gx"), col("gy"),
+        ZOrder.interleave(col("gx"), col("gy"), 10).as("z"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    grid.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(s"$tmp/byz")
+    grid.repartitionByRange(16, col("gx")).sortWithinPartitions(col("gx"))
+      .write.mode("overwrite").parquet(s"$tmp/byx")
+    // rows the scan DELIVERS = rows in row groups whose min/max stats
+    // intersect the pushed predicate; skipped groups never surface
+    def scannedRows(path: String): Long = {
+      val df = s2.read.parquet(path).where(col("gy").between(100, 199))
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      plan.collectLeaves().head.metrics("numOutputRows").value
+    }
+    val matching = s2.read.parquet(s"$tmp/byz")
+      .where(col("gy").between(100, 199)).count()
+    val viaZ = scannedRows(s"$tmp/byz")
+    val viaX = scannedRows(s"$tmp/byx")
+    val total = grid.count()
+    // the gx-sorted layout cannot skip for a gy predicate: every row
+    // group's gy stats span the whole axis, so the scan reads the table
+    assert(viaX == total, s"gx layout unexpectedly skipped: $viaX of $total")
+    // the z layout must skip most non-matching row groups
+    assert(viaZ < total / 2,
+      s"z layout read $viaZ of $total rows for a ${matching}-row predicate")
+    assert(viaZ >= matching, "scan cannot deliver fewer rows than match")
+  }
+
   test("z-order file layout shrinks per-file bounding boxes in BOTH dimensions") {
     import org.apache.spark.sql.functions._
     import graft.functions.ZOrder
