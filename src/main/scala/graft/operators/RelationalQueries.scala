@@ -2129,8 +2129,87 @@ object RelationalQueries {
       |  CAST(CASE WHEN m.rev_cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM axis a LEFT JOIN m ON a.nationkey = m.nationkey AND a.mi = m.mi""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Peak concurrency by SWEEP-LINE (the interval-overlap aggregation
+    * behind "max simultaneous sessions/connections/open orders"): each
+    * order is an interval from its order date to its last lineitem's
+    * ship date; per priority class, the maximum number of
+    * simultaneously-open orders and the FIRST day that peak is reached.
+    * The sweep reduces interval overlap — a quadratic self-join shape —
+    * to +1/-1 boundary events, a day-keyed delta aggregate, and one
+    * running sum: O(n log n), never O(n²).
+    *
+    * Determinism: days are integer indexes; the running sum is exact
+    * int64; "first day at peak" is argmin over (−open, day) — a
+    * partial-aggregable min(struct), no second window.
+    *
+    * Scale shape: the lineitem scan collapses to per-order max-ship
+    * (orderkey-keyed, map-side partial); boundaries explode 2 rows per
+    * order into a (priority, day) delta aggregate — |priorities|×|days|
+    * rows — and the running-sum window partitions by priority with
+    * day-count-bounded sorts. The fact tables never meet a window. */
+  def q63PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1992-01-01").cast(DateType)
+    val lastShip = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("ship_end"))
+    val iv = Tables.orders(s, d)
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast(DateType), epoch).cast(LongType).as("d0"),
+        datediff(col("ship_end").cast(DateType), epoch).cast(LongType).as("draw"))
+      // the testdata has orders whose last shipment predates the order
+      // date; an order is open AT LEAST its order day, so the interval
+      // end clamps to greatest(d0, ship) — without this the -1 boundary
+      // would land BEFORE the +1 and the sweep would undercount
+      .select(col("o_orderpriority"), col("d0"),
+        greatest(col("d0"), col("draw")).as("d1"))
+    val deltas = iv
+      .select(col("o_orderpriority"), explode(array(
+        struct(col("d0").as("day"), lit(1L).as("delta")),
+        struct((col("d1") + 1L).as("day"), lit(-1L).as("delta")))).as("b"))
+      .groupBy(col("o_orderpriority"), col("b.day").as("day"))
+      .agg(sum(col("b.delta")).as("delta"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("open")).as("peak_open"),
+        min(struct((-col("open")).as("neg"), col("day").as("dy"))).as("am"))
+      .select(col("o_orderpriority"), col("peak_open"),
+        col("am.dy").as("peak_day"))
+  }
+
+  val q63Sql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, max(l_shipdate) AS ship_end FROM lineitem GROUP BY 1),
+      |iv AS (
+      |  SELECT o_orderpriority, d0, greatest(d0, draw) AS d1 FROM (
+      |    SELECT o_orderpriority,
+      |      CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d0,
+      |      CAST(date_diff('day', DATE '1992-01-01', CAST(ship_end AS DATE)) AS BIGINT) AS draw
+      |    FROM orders JOIN ls ON o_orderkey = l_orderkey)),
+      |b AS (
+      |  SELECT o_orderpriority, d0 AS day, CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL
+      |  SELECT o_orderpriority, d1 + 1 AS day, CAST(-1 AS BIGINT) AS delta FROM iv),
+      |dl AS (
+      |  SELECT o_orderpriority, day, CAST(sum(delta) AS BIGINT) AS delta
+      |  FROM b GROUP BY 1, 2),
+      |run AS (
+      |  SELECT o_orderpriority, day,
+      |    CAST(sum(delta) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+      |  FROM dl)
+      |SELECT o_orderpriority, max(open) AS peak_open,
+      |  min(CASE WHEN open = m THEN day END) AS peak_day
+      |FROM (SELECT *, max(open) OVER (PARTITION BY o_orderpriority) AS m FROM run)
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_peak_concurrency" -> (q63PeakConcurrency _),
     "q62_gap_fill"        -> (q62GapFill _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_sum"      -> (q02FilterSum _),
@@ -2258,5 +2337,6 @@ object RelationalQueries {
     "q60_top_supplier"    -> q60Sql,
     "q61_snapshot_diff"   -> q61Sql,
     "q62_gap_fill"        -> q62Sql,
+    "q63_peak_concurrency" -> q63Sql,
   )
 }

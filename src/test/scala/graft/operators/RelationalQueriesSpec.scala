@@ -567,6 +567,42 @@ class RelationalQueriesSpec extends SparkSpecBase {
       s"second lineitem scan crept in:\n$plan")
   }
 
+  test("q63 peak concurrency matches a brute-force day expansion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.q63PeakConcurrency(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map { case (p, peak, day) => p -> (peak, day) }.toMap
+    assert(got.nonEmpty)
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val lastShip = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("e"))
+      .select(col("l_orderkey"), col("e").cast("date"))
+      .as[(Long, java.sql.Date)].collect().toMap
+    val ivs = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate").cast("date"))
+      .as[(Long, String, java.sql.Date)].collect()
+      .flatMap { case (k, p, od) =>
+        // lineitem-less orders have no interval — the query's inner join drops them
+        lastShip.get(k).map { e =>
+          val d0 = od.toLocalDate.toEpochDay - epoch.toEpochDay
+          // clamp like the query: an order is open at least its order day
+          (p, d0, math.max(d0, e.toLocalDate.toEpochDay - epoch.toEpochDay))
+        }
+      }
+    ivs.groupBy(_._1).foreach { case (prio, g) =>
+      val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      g.foreach { case (_, d0, d1) =>
+        var day = d0
+        while (day <= d1) { counts(day) += 1; day += 1 }
+      }
+      val peak = counts.values.max
+      val firstDay = counts.filter(_._2 == peak).keys.min
+      assert(got(prio) == (peak, firstDay),
+        s"$prio: sweep-line ${got(prio)} != brute-force ($peak, $firstDay)")
+    }
+  }
+
   test("q62 gap-fill densifies the calendar and carries revenue forward") {
     import spark.implicits._
     val rows = RelationalQueries.q62GapFill(spark, sfDir)
