@@ -48,6 +48,8 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_cms_heavy"        -> "count-min sketch + exact audit",
     "sim_graph_lpa"        -> "synchronous label propagation",
     "q62_gap_fill"         -> "dense calendar + LOCF carry",
+    "q63_peak_concurrency" -> "sweep-line running sum",
+    "fmt_hilbert_layout"   -> "codegen Hilbert curve index",
     "corpus_filter_overlap" -> "filter bitmask partition")
 
   for ((name, what) <- representatives)
