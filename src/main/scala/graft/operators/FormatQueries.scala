@@ -77,6 +77,23 @@ object FormatQueries {
     gateAgg(s.read.schema(sliceSchema).json(out))
   }
 
+  /** ORC round-trip under the gate: the third major columnar format a
+    * 100 TB lakehouse actually stores (Spark ships a native vectorized
+    * ORC reader/writer). Unlike the text formats the schema survives in
+    * the file footer, so the re-read takes no explicit schema — what is
+    * being gated is the binary type mapping (DECIMAL-free doubles,
+    * TIMESTAMP encoding, string dictionaries) and the vectorized read
+    * path, hash-compared to DuckDB aggregating the original parquet.
+    *
+    * Scale shape: identical to the parquet path — scan → distributed
+    * columnar write → scan → hash aggregate; ORC stripes give the same
+    * row-group skipping story as parquet row groups. */
+  def fmtOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "orc")
+    slice(s, d).write.mode("overwrite").orc(out)
+    gateAgg(s.read.orc(out))
+  }
+
   /** Hive-style partitioned parquet layout under the gate: write the
     * slice partitioned BY the gate's group key, read it back with a
     * partition-column filter, and aggregate only the surviving
@@ -361,6 +378,7 @@ object FormatQueries {
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+    "fmt_orc_roundtrip"  -> (fmtOrcRoundtrip _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
     "fmt_bucket_join"    -> (fmtBucketJoin _),
     "fmt_dpp_join"       -> (fmtDppJoin _),
@@ -372,6 +390,7 @@ object FormatQueries {
     "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
+    "fmt_orc_roundtrip"  -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
     "fmt_bucket_join"    -> bucketJoinSql,
     "fmt_dpp_join"       -> dppJoinSql,

@@ -2207,8 +2207,119 @@ object RelationalQueries {
       |FROM (SELECT *, max(open) OVER (PARTITION BY o_orderpriority) AS m FROM run)
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Customer order-count distribution (TPC-H Q13's shape): how many
+    * customers placed 0, 1, 2, … orders inside the 1995 window — the
+    * one aggregation pattern a plain inner join silently corrupts,
+    * because the customers the histogram most needs (the ZEROS) have no
+    * orders row to join to. The window predicate therefore lives in the
+    * JOIN, not a WHERE: filtering after a left join would turn it back
+    * into an inner join and erase the zero bucket.
+    *
+    * Determinism: pure integer counts end to end.
+    *
+    * Scale shape: orders is pre-collapsed to per-customer counts BEFORE
+    * meeting customer (map-side partial agg; the join input is
+    * |active customers| rows, not |orders| wide rows, and the date
+    * predicate pushes to the parquet scan); the LEFT join preserves
+    * zero-order customers via coalesce(cnt, 0); the final histogram is
+    * a ≤|max orders per customer| row mergeable aggregate. Both the
+    * pre-agg and the join key on custkey, so at 100 TB the join reuses
+    * the aggregate's partitioning (one exchange serves both). */
+  def q64OrderCountDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-01-01 00:00:00"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q64Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey
+      |   AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |   AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Sole-late-supplier accounting (TPC-H Q21's shape): on orders that
+    * involve at least two suppliers, count per supplier the orders
+    * where THEY shipped late (>60 days after the order date) and every
+    * other supplier was on time — the blame-assignment query whose
+    * signature plan is a LEFT SEMI and a LEFT ANTI join over the same
+    * key with an inequality residual (`other supplier ≠ this one`),
+    * a shape no equi-join rewrite expresses.
+    *
+    * Determinism: lateness is an exact timestamp compare; everything
+    * after is integer counts.
+    *
+    * Scale shape: lineitem collapses FIRST to one row per
+    * (order, supplier) with a max(late) flag — orderkey-keyed partial
+    * agg off a two-column scan (the orders join brings only
+    * o_orderdate, broadcast-sized keys aside it shuffles once on
+    * orderkey). The semi and anti probes both key on orderkey, so all
+    * three branches share one exchange layout; the cached per-OS frame
+    * is |order×supplier| rows, ~4× smaller than lineitem. Supplier
+    * names attach by broadcast (10k rows/SF). Output ≤|suppliers|. */
+  def q65SoleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    // cache(): the per-(order,supplier) frame is probed three times
+    // (late side, semi exists-side, anti not-exists-side); uncached the
+    // lineitem⋈orders aggregate would run three times.
+    val perOS = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAY")).cast("int")).as("late"))
+      .cache()
+    val l1 = perOS.filter(col("late") === 1)
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+    val others = perOS
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"), col("late"))
+    val sole = l1
+      .join(others, col("okey") === col("o2") && col("skey") =!= col("s2"),
+        "left_semi")
+      .join(others.filter(col("late") === 1).drop("late"),
+        col("okey") === col("o2") && col("skey") =!= col("s2"), "left_anti")
+    sole.groupBy(col("skey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("skey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  val q65Sql: String =
+    """WITH pos AS (
+      |  SELECT l_orderkey AS okey, l_suppkey AS skey,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM pos l1 JOIN supplier ON l1.skey = s_suppkey
+      |WHERE l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM pos l2
+      |              WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+      |  AND NOT EXISTS (SELECT 1 FROM pos l3
+      |                  WHERE l3.okey = l1.okey AND l3.skey <> l1.skey
+      |                    AND l3.late = 1)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_order_count_dist" -> (q64OrderCountDist _),
+    "q65_sole_late_supplier" -> (q65SoleLateSupplier _),
     "q63_peak_concurrency" -> (q63PeakConcurrency _),
     "q62_gap_fill"        -> (q62GapFill _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2338,5 +2449,7 @@ object RelationalQueries {
     "q61_snapshot_diff"   -> q61Sql,
     "q62_gap_fill"        -> q62Sql,
     "q63_peak_concurrency" -> q63Sql,
+    "q64_order_count_dist" -> q64Sql,
+    "q65_sole_late_supplier" -> q65Sql,
   )
 }

@@ -1081,6 +1081,70 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // ------------------------------------------------ sim_binary_hamming
+  /** Binary-quantized ANN: every embedding collapsed to its 64 sign
+    * bits, queries ranked by Hamming distance — the most aggressive
+    * production vector-compression layout (1 bit/dim, 32× smaller than
+    * floats; the re-rank tier above it is sim_sq8_topk / sim_pq_topk).
+    * Random-hyperplane theory makes sign-bit Hamming a cosine proxy,
+    * and at 100 TB the binary index is the only tier that fits RAM.
+    *
+    * Determinism: the signature packs `x > 0` bits MSB-first into TWO
+    * int64 words of ≤32 bits each — a 64-bit fold would need the sign
+    * bit, which Spark wraps silently but an overflow-checked engine
+    * (the oracle) refuses; 32-bit halves keep every intermediate exact
+    * on both. Hamming = popcount(xor) per half, an integer — ties at
+    * the k-boundary (frequent with integer distances) break on vec_id.
+    *
+    * Scale shape: encode is a pure per-row map (the stored index is 16
+    * bytes/vector, no training pass at all — unlike PQ/SQ8 there are no
+    * codebooks to fit or broadcast); scoring is two XOR+popcounts per
+    * candidate; the corpus never shuffles — the only shuffle is the
+    * bounded top-k aggregate carrying k rows per query. */
+  def simBinaryHamming(s: SparkSession, d: String): DataFrame = {
+    val bitFold = "(a, x) -> a * 2L + IF(x > 0D, 1L, 0L)"
+    val e = embedded(s, d)
+      .withColumn("lo", expr(s"aggregate(slice(emb, 1, 32), 0L, $bitFold)"))
+      .withColumn("hi", expr(s"aggregate(slice(emb, 33, 32), 0L, $bitFold)"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    explodeTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", (lit(64L) - bit_count(col("lo").bitwiseXOR(col("qlo")))
+          - bit_count(col("hi").bitwiseXOR(col("qhi")))).cast(DoubleType))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id"),
+        (lit(64L) - col("cos").cast(LongType)).as("hamming"), col("rn"))
+  }
+
+  val simBinaryHammingSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT e.vec_id, u.i, e.emb[u.i] AS x
+       |  FROM e, (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) u),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN i <= 32 AND x > 0 THEN (CAST(1 AS BIGINT) << (32 - i))
+       |             ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN i > 32 AND x > 0 THEN (CAST(1 AS BIGINT) << (64 - i))
+       |             ELSE 0 END) AS BIGINT) AS hi
+       |  FROM sv GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+       |      FROM sig WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, s.vec_id,
+       |    bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS ham
+       |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, CAST(ham AS BIGINT) AS hamming, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ham ASC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // --------------------------------------------------- sim_recall_audit
   /** ANN quality audit: per-query recall@k of the IVF index against the
     * exact brute-force ground truth — the monitoring query every
@@ -1331,6 +1395,7 @@ object SimilarityQueries {
     "sim_kmeans"          -> (simKmeans _),
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
+    "sim_binary_hamming"  -> (simBinaryHamming _),
     "sim_recall_audit"    -> (simRecallAudit _),
     "sim_norm_stats"      -> (simNormStats _),
     "sim_ood_hist"        -> (simOodHist _),
@@ -1354,6 +1419,7 @@ object SimilarityQueries {
     "sim_kmeans"          -> simKmeansSql,
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,
+    "sim_binary_hamming"  -> simBinaryHammingSql,
     "sim_recall_audit"    -> simRecallAuditSql,
     "sim_norm_stats"      -> simNormStatsSql,
     "sim_ood_hist"        -> simOodHistSql,

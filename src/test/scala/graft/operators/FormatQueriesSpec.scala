@@ -33,6 +33,13 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("orc round-trip preserves the gate aggregate bit-for-bit") {
+    val got = FormatQueries.fmtOrcRoundtrip(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct, "ORC round-trip corrupted values")
+    assert(got.nonEmpty)
+  }
+
   test("partitioned layout: filter is answered by partition pruning") {
     val df = FormatQueries.fmtPartitionPrune(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

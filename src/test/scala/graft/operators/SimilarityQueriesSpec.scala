@@ -21,6 +21,34 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("binary-hamming signatures agree with a naive sign-bit count") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityQueries.simBinaryHamming(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      // rank order must agree with ascending hamming distance
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b case _ => true })
+    }
+    rows.foreach { case (q, v, h, _) =>
+      assert(q != v); assert(h >= 0L && h <= 64L)
+    }
+    // cross-check the packed two-word signature against a naive
+    // per-dimension disagreement count computed driver-side
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def bits(v: Array[Float]): Array[Boolean] = v.map(_ > 0f)
+    rows.take(20).foreach { case (q, v, h, _) =>
+      val naive = bits(emb(q)).zip(bits(emb(v))).count { case (a, b) => a != b }
+      assert(naive.toLong == h, s"($q,$v): packed $h vs naive $naive")
+    }
+  }
+
   test("LSH ANN finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
