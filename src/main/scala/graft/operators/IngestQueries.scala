@@ -655,6 +655,121 @@ object IngestQueries {
       |WHERE (ts_us // 3600000000 + 1) * 3600000000 <= hb.h
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- amqp_stream_dedup_wm
+  /** TIME-BOUNDED streaming dedup under the oracle gate:
+    * `dropDuplicatesWithinWatermark` — the form a 100 TB stream
+    * actually runs, because the plain `dropDuplicates` gate
+    * (amqp_stream_dedup) keeps every key it has ever seen and its state
+    * grows without bound. Phase 1 pumps every message TWICE (adjacent)
+    * plus a watermark anchor; phase 2 restarts from the checkpoint and
+    * re-pumps HALF the ids a third time at fresh timestamps — by then
+    * the watermark has passed each phase-1 row's event time + delay, so
+    * their dedup state MUST have been evicted and the third copies MUST
+    * re-emit. The oracle counts each id once plus once more for the
+    * re-pumped half: over-retention (plain-dedup semantics, third copy
+    * suppressed) and under-retention (intra-batch duplicate leaking
+    * through) both break the hash from opposite directions.
+    *
+    * Determinism: each phase is one data micro-batch + the no-data
+    * flush batch that executes eviction; the phase-2 timestamps are a
+    * closed form of the phase-1 maximum (`wm + 1h + (id mod 3600) s`),
+    * so no pumped row is ever late and the oracle reproduces the
+    * construction arithmetically from parquet.
+    *
+    * Scale shape: state is one (key, expiry) register per id bounded
+    * by the watermark horizon — the whole point of the operator. */
+  def amqpStreamDedupWm(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedupwm-gate").toString
+    val HourUs = 3600000000L
+
+    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = {
+      var i = 0
+      var fetchedUpTo = 0L
+      while (i < msgs.length) {
+        val slice = msgs.slice(i, math.min(i + 500, msgs.length))
+        val seqs = client.sendMany(address, slice)
+        val refusedAt = seqs.indexWhere(_ < 0)
+        if (refusedAt < 0) i += slice.length
+        else {
+          require(seqs.drop(refusedAt).forall(_ < 0),
+            s"non-suffix credit refusal at $refusedAt: $seqs")
+          i += refusedAt
+          val to = client.latestSeq(address)
+          client.fetch(address, fetchedUpTo, to)
+          fetchedUpTo = to
+        }
+      }
+    }
+    def msg(id: String, subject: String, body: String, tsUs: Long): (AmqpMessage, Long) =
+      (AmqpMessage(messageId = Some(id), subject = Some(subject),
+        body = AmqpValueBody(body)), tsUs)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def drain(): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address).load()
+        .withWatermark("ingest_timestamp", "2 hours")
+        .dropDuplicatesWithinWatermark("message_id")
+        .select(col("subject"),
+          col("body").cast(DecimalType(18, 2)).cast(DoubleType).as("v"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val got = b.collect().map(r => (r.getString(0), r.getDouble(1)))
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "stream-dedup-wm gate query hung")
+      finally q.stop()
+    }
+
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    val maxTs = rows.map(_.getLong(3)).max
+    // final phase-1 watermark: hour-ceiling + 3h — strictly past every
+    // row's (event time + 2h delay), so ALL phase-1 dedup state evicts
+    val wm = ((maxTs + HourUs - 1) / HourUs) * HourUs + 3 * HourUs
+    val once = rows.toSeq.map(r => msg(r.getLong(0).toString, r.getString(1),
+      r.getDouble(2).toString, r.getLong(3)))
+    pump(once.flatMap(m => Seq(m, m)) // duplicate delivery: adjacent copies
+      :+ msg("anchor-a", "anchor_a", "0.5", wm + 2 * HourUs))
+    drain()
+
+    // phase 2: a third copy of HALF the ids at fresh (never-late) times
+    val third = rows.toSeq.filter(_.getLong(0) % 2 == 0).map { r =>
+      msg(r.getLong(0).toString, r.getString(1), r.getDouble(2).toString,
+        wm + HourUs + (r.getLong(0) % 3600L) * 1000000L)
+    }
+    pump(third)
+    drain()
+
+    buf.toSeq.toDF("event_type", "v")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpStreamDedupWmSql: String =
+    """WITH a AS (
+      |  SELECT event_id, event_type, value
+      |  FROM events WHERE event_id % 7 = 3),
+      |kept AS (
+      |  SELECT event_type, value FROM a
+      |  UNION ALL
+      |  SELECT event_type, value FROM a WHERE event_id % 2 = 0
+      |  UNION ALL SELECT 'anchor_a', 0.5)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM kept GROUP BY event_type""".stripMargin
+
   // -------------------------------------------------- amqp_stream_state
   /** CUSTOM keyed state under the oracle gate: `mapGroupsWithState` —
     * the arbitrary-state API the built-in gates (window / session /
@@ -994,6 +1109,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
+    "amqp_stream_dedup_wm"  -> (amqpStreamDedupWm _),
     "amqp_stream_join"      -> (amqpStreamJoin _),
     "amqp_stream_session"   -> (amqpStreamSession _),
     "amqp_stream_late"      -> (amqpStreamLate _))
@@ -1007,6 +1123,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
+    "amqp_stream_dedup_wm"  -> amqpStreamDedupWmSql,
     "amqp_stream_join"      -> amqpStreamJoinSql,
     "amqp_stream_session"   -> amqpStreamSessionSql,
     "amqp_stream_late"      -> amqpStreamLateSql)

@@ -431,8 +431,77 @@ object MultimodalQueries {
        |  CAST(min(CASE WHEN e = me THEN c END) AS BIGINT) AS max_chunk_idx
        |FROM m GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------- mm_binary_files
+  /** The `binaryFile` SOURCE under the gate: image docs are written out
+    * as individual `.bmp` FILES (one real BMP container per file, named
+    * by doc_id — the layout every scraped-media corpus actually
+    * arrives in), read back through Spark's built-in binaryFile format
+    * (path / length / content schema), keyed by filename, decoded, and
+    * reduced to per-file header dims + per-channel pixel sums. The
+    * oracle recomputes every value from the closed-form pixel formulas
+    * — including the FILE LENGTH, whose 54-byte header + 4-byte row
+    * padding must match the BMP spec exactly — so the source's
+    * content/metadata columns are gated as behavior.
+    *
+    * Scale shape: the write is foreachPartition (embarrassingly
+    * parallel, bytes never visit the driver); binaryFile listing
+    * parallelizes over files and the decode+sum is a pure per-file map
+    * — output is |files| rows, one shuffle nowhere. */
+  def mmBinaryFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_mm_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(dir)
+    val dirStr = dir.toString
+    mediaTableEncoded(s, d).filter(_.media_type == "image")
+      .foreachPartition { it: Iterator[MediaBlob] =>
+        it.foreach { b =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dirStr, s"${b.doc_id}.bmp"), b.data)
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(dirStr)
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (path, len, bytes) =>
+        val id = path.split('/').last.stripSuffix(".bmp").toLong
+        val bmp = MediaFiles.decodeBmp(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable BMP file for doc $id"))
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < bmp.channels.length) {
+          sb += bmp.channels(i); sg += bmp.channels(i + 1); sr += bmp.channels(i + 2)
+          i += 3
+        }
+        (id, bmp.width.toLong, bmp.height.toLong, len, sb, sg, sr)
+      }
+      .toDF("doc_id", "width", "height", "file_len", "sum_b", "sum_g", "sum_r")
+  }
+
+  val mmBinaryFilesSql: String =
+    """WITH img AS (
+      |  SELECT doc_id, (16 + (doc_id % 8) * 2) AS w, (8 + (doc_id % 5) * 3) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ipx AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM img),
+      |ich AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id + 2 * (i % w) + 3 * (i // w)) % 256 AS b,
+      |    (doc_id * 2 + (i % w) + 5 * (i // w) + 1) % 256 AS g,
+      |    (doc_id * 3 + 4 * (i % w) + (i // w) + 2) % 256 AS r
+      |  FROM ipx)
+      |SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width,
+      |  CAST(any_value(h) AS BIGINT) AS height,
+      |  CAST(54 + ((3 * any_value(w) + 3) // 4) * 4 * any_value(h) AS BIGINT)
+      |    AS file_len,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(r) AS BIGINT) AS sum_r
+      |FROM ich GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
@@ -443,6 +512,7 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,

@@ -68,6 +68,22 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(got.map(_._2).sum == n)
   }
 
+  test("stream-dedup-wm gate: state evicts past the watermark, so re-pumped ids re-emit") {
+    import spark.implicits._
+    val got = IngestQueries.amqpStreamDedupWm(spark, sfDir)
+      .filter(col("event_type") =!= "anchor_a")
+      .as[(String, Long, Double)].collect()
+    // each id once (double delivery collapsed) + the even half once more
+    // (third copies pumped AFTER eviction must NOT be suppressed)
+    val base = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 7 === 3)
+    val nOnce = base.count()
+    val nEven = base.filter(col("event_id") % 2 === 0).count()
+    assert(got.map(_._2).sum == nOnce + nEven,
+      s"expected ${nOnce + nEven} emissions (once + evicted-state re-emits), " +
+        s"got ${got.map(_._2).sum} — over-retention or duplicate leak")
+  }
+
   test("stream-window gate equals the batch windowed aggregate bit-for-bit") {
     import spark.implicits._
     val got = IngestQueries.amqpStreamWindow(spark, sfDir)

@@ -86,6 +86,25 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_binary_files: binaryFile source recovers per-file dims, length, and pixel sums") {
+    import spark.implicits._
+    val got = MultimodalQueries.mmBinaryFiles(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val nImages = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count()
+    assert(got.length == nImages, "one row per written .bmp file")
+    got.foreach { case (id, w, h, len, sb, sg, sr) =>
+      assert(w == 16 + (id % 8) * 2 && h == 8 + (id % 5) * 3, s"doc $id dims")
+      // BMP spec: 54-byte headers + rows padded to 4 bytes
+      assert(len == 54 + ((3 * w + 3) / 4) * 4 * h, s"doc $id file length")
+      // spot-check one channel sum against the closed-form pixel values
+      val expB = (for (y <- 0L until h; x <- 0L until w)
+        yield (id + 2 * x + 3 * y) % 256).sum
+      assert(sb == expB, s"doc $id blue-channel sum")
+      assert(sg >= 0 && sr >= 0)
+    }
+  }
+
   test("frame sampling slices whole frames and drops the tail remainder") {
     // 10 bytes, 4 frames -> frame_len 2, frames at 0,2,4,6; stride 2 -> frames 0,2
     val s = MediaCodec.sampleFrames(blob(1, Array.range(0, 10).map(_.toByte), frames = 4), 2)
