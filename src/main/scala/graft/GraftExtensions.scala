@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // declarative window top-k -> bounded TopKAgg aggregate (see
+    // graft.plans.TopKRewrite for the exact guard conditions)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite())
     ext.injectFunction((FunctionIdentifier("char_fold_hash"),
       info("char_fold_hash", "char_fold_hash(str) - portable fold hash mod 2^31-1"),
       (exprs: Seq[Expression]) => CharFoldHash(exprs.head)))

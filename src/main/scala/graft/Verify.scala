@@ -40,6 +40,7 @@ object Verify {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val qTimeoutS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_Q_TIMEOUT_S", "150").toLong
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions) // native functions + TopKRewrite
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -2316,8 +2316,55 @@ object RelationalQueries {
       |                    AND l3.late = 1)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Declarative top-k under the OPTIMIZER-REWRITE path: the query is
+    * written exactly the way every SQL user writes per-group top-k —
+    * `row_number().over(partitionBy(g).orderBy(score desc, id asc))`
+    * then `rn <= 3` — and [[graft.plans.TopKRewrite]] (injected via
+    * GraftExtensions, which Verify/Bench sessions enable) rewrites it
+    * into the bounded [[graft.expressions.TopKAgg]] aggregate: no
+    * Window operator, no per-group sort, k rows per group per map task
+    * on the shuffle. The DuckDB oracle runs the literal window SQL, so
+    * the gate proves the REWRITE preserves window semantics (including
+    * double score ties broken on id) on real data — q47 gates the
+    * aggregate called explicitly; this gates the plan transformation.
+    *
+    * The coalesce wrappers are the rule's nullability contract: window
+    * NULLS-LAST ranking and the aggregate's null-skip diverge when a
+    * group runs out of non-null rows, so the rewrite only fires on
+    * provably non-null score/id. In a session without the extensions
+    * the query still runs (as the window plan) and returns the same
+    * rows. */
+  def q66AutoTopK(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_nationkey"),
+      coalesce(floor(dec(col("c_acctbal")) * 100).cast(DoubleType), lit(0.0))
+        .as("bal_cents"),
+      coalesce(col("c_custkey"), lit(-1L)).as("cust_id"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_cents").desc, col("cust_id").asc)
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("bal_cents"), col("cust_id"),
+        col("rn").cast(LongType).as("rn"))
+  }
+
+  val q66Sql: String =
+    """SELECT c_nationkey, bal_cents, cust_id, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT c_nationkey, bal_cents, cust_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY bal_cents DESC, cust_id ASC) AS rn
+      |  FROM (
+      |    SELECT c_nationkey,
+      |      CAST(coalesce(floor(CAST(c_acctbal AS DECIMAL(18,2)) * 100), 0)
+      |        AS DOUBLE) AS bal_cents,
+      |      coalesce(c_custkey, -1) AS cust_id
+      |    FROM customer))
+      |WHERE rn <= 3""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_auto_topk"       -> (q66AutoTopK _),
     "q64_order_count_dist" -> (q64OrderCountDist _),
     "q65_sole_late_supplier" -> (q65SoleLateSupplier _),
     "q63_peak_concurrency" -> (q63PeakConcurrency _),
@@ -2450,6 +2497,7 @@ object RelationalQueries {
     "q62_gap_fill"        -> q62Sql,
     "q63_peak_concurrency" -> q63Sql,
     "q64_order_count_dist" -> q64Sql,
+    "q66_auto_topk"       -> q66Sql,
     "q65_sole_late_supplier" -> q65Sql,
   )
 }
