@@ -94,6 +94,29 @@ object FormatQueries {
     gateAgg(s.read.orc(out))
   }
 
+  /** Compression-codec round-trip under the gate: the same slice
+    * written twice as parquet — zstd and snappy, the two codecs a
+    * 100 TB lake actually debates (zstd ~30-40% smaller at similar
+    * scan speed; snappy the legacy default) — re-read and aggregated,
+    * both against the one DuckDB oracle. The codec is a pure storage
+    * lever: if either round-trip perturbs a single value the hash
+    * breaks, and the emitted n_rows ties the two reads together. The
+    * companion spec asserts the on-disk size ordering (zstd < snappy),
+    * so the compression is real, not a silently-ignored option.
+    *
+    * Scale shape: identical to every parquet path — the codec changes
+    * bytes-on-disk and decode CPU, never the plan. */
+  def fmtZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val outZ = scratch(d, "zstd")
+    val outS = scratch(d, "snappy")
+    slice(s, d).write.mode("overwrite")
+      .option("compression", "zstd").parquet(outZ)
+    slice(s, d).write.mode("overwrite")
+      .option("compression", "snappy").parquet(outS)
+    // gate on the zstd read; the spec cross-checks snappy equality
+    gateAgg(s.read.parquet(outZ))
+  }
+
   /** Hive-style partitioned parquet layout under the gate: write the
     * slice partitioned BY the gate's group key, read it back with a
     * partition-column filter, and aggregate only the surviving
@@ -379,6 +402,7 @@ object FormatQueries {
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip"  -> (fmtOrcRoundtrip _),
+    "fmt_zstd_roundtrip" -> (fmtZstdRoundtrip _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
     "fmt_bucket_join"    -> (fmtBucketJoin _),
     "fmt_dpp_join"       -> (fmtDppJoin _),
@@ -391,6 +415,7 @@ object FormatQueries {
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_orc_roundtrip"  -> gateAggSql,
+    "fmt_zstd_roundtrip" -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
     "fmt_bucket_join"    -> bucketJoinSql,
     "fmt_dpp_join"       -> dppJoinSql,

@@ -865,6 +865,45 @@ object TextQueries {
        |WHERE rank <= $SampleK""".stripMargin
   }
 
+  // --------------------------------------------- corpus_shuffle_shards
+  private val ShuffleShards = 8
+
+  /** Deterministic global training-order shuffle: every document gets a
+    * salted portable hash, shard = hash mod N, and an exact 0-based
+    * position within its shard ordered by (hash, doc_id) — the
+    * "shuffle the corpus before training" step, reproducible on any
+    * engine with zero RNG state (re-running the pipeline yields the
+    * byte-identical training order, the property epoch-resumable
+    * training jobs depend on).
+    *
+    * Scale shape: the within-shard rank is ONE sort per shard — and
+    * shard count is the parallelism lever: a real run sets N to the
+    * training-file count (thousands), so each sort is file-sized and
+    * writer-local (`repartitionByRange(shard) + sortWithinPartitions`
+    * on the write path materializes exactly this order). A single
+    * global-rank formulation would serialize the corpus through one
+    * task; per-shard ranks never do. */
+  def corpusShuffleShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CharFoldHash.register(s)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("char_fold_hash(CONCAT('shuf', CAST(doc_id AS STRING)))").as("h"))
+      .withColumn("shard", col("h") % ShuffleShards) // fold hash is non-negative
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    base.withColumn("pos", (row_number().over(w) - 1).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("h").as("sort_key"), col("pos"))
+  }
+
+  val corpusShuffleShardsSql: String = {
+    val h = graft.functions.HashFunctions.charFoldHashSql("'shuf' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, $h AS h FROM documents)
+       |SELECT doc_id, h % $ShuffleShards AS shard, h AS sort_key,
+       |  CAST(row_number() OVER (PARTITION BY h % $ShuffleShards
+       |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |FROM d""".stripMargin
+  }
+
   // ------------------------------------------------------- corpus_chunk
   private val ChunkSize = 64   // tokens per chunk (the "context window")
   private val ChunkStride = 48 // tokens between chunk starts (16 overlap)
@@ -1684,6 +1723,7 @@ object TextQueries {
     "txt_pii_scrub"    -> (txtPiiScrub _),
     "corpus_funnel"    -> (corpusFunnel _),
     "corpus_sample"    -> (corpusSample _),
+    "corpus_shuffle_shards" -> (corpusShuffleShards _),
     "corpus_chunk"     -> (corpusChunk _),
     "txt_diversity"    -> (txtDiversity _),
     "txt_colloc"       -> (txtColloc _),
@@ -1720,6 +1760,7 @@ object TextQueries {
     "txt_pii_scrub"    -> txtPiiScrubSql,
     "corpus_funnel"    -> corpusFunnelSql,
     "corpus_sample"    -> corpusSampleSql,
+    "corpus_shuffle_shards" -> corpusShuffleShardsSql,
     "corpus_chunk"     -> corpusChunkSql,
     "txt_diversity"    -> txtDiversitySql,
     "txt_colloc"       -> txtCollocSql,

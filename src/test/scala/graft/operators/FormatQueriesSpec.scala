@@ -40,6 +40,33 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("zstd round-trip: values survive, snappy read agrees, zstd is smaller on disk") {
+    val got = FormatQueries.fmtZstdRoundtrip(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct, "zstd round-trip corrupted values")
+    def dirSize(tag: String): Long = {
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_fmt_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      java.nio.file.Files.walk(dir).filter(p =>
+        p.toString.endsWith(".parquet")).mapToLong(p =>
+        java.nio.file.Files.size(p)).sum()
+    }
+    val snappy = spark.read.parquet(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_fmt_snappy_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val viaSnappy = snappy.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        max(col("l_shipdate")).cast(TimestampType).cast(LongType).as("max_ship_s"))
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(viaSnappy == direct, "snappy round-trip corrupted values")
+    assert(dirSize("zstd") < dirSize("snappy"),
+      s"zstd ${dirSize("zstd")} not smaller than snappy ${dirSize("snappy")}")
+  }
+
   test("partitioned layout: filter is answered by partition pruning") {
     val df = FormatQueries.fmtPartitionPrune(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -21,6 +21,25 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(TextQueries.oracleSql.keySet == TextQueries.queries.keySet)
   }
 
+  test("corpus_shuffle_shards: every doc placed once, positions dense from 0, order reproducible") {
+    import spark.implicits._
+    val rows = TextQueries.corpusShuffleShards(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs)
+    rows.groupBy(_._2).values.foreach { shard =>
+      // dense 0..n-1 positions, ordered by (sort_key, doc_id)
+      val byPos = shard.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (0L until shard.length.toLong))
+      assert(byPos.map(s => (s._3, s._1)).toSeq ==
+        byPos.map(s => (s._3, s._1)).sortBy(identity).toSeq)
+    }
+    // zero RNG state: a second run yields the byte-identical order
+    val again = TextQueries.corpusShuffleShards(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("bpe merge chain composes: multi-rule words collapse to one token") {
     val toks = TextQueries.txtBpeVocab(spark, sfDir)
       .select(col("token")).collect().map(_.getString(0)).toSet
