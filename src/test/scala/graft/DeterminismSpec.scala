@@ -50,7 +50,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q62_gap_fill"         -> "dense calendar + LOCF carry",
     "q63_peak_concurrency" -> "sweep-line running sum",
     "fmt_hilbert_layout"   -> "codegen Hilbert curve index",
-    "corpus_filter_overlap" -> "filter bitmask partition")
+    "corpus_filter_overlap" -> "filter bitmask partition",
+    "sim_binary_hamming"   -> "sign-bit Hamming top-k with integer ties",
+    "q64_order_count_dist" -> "zero-preserving left-join histogram",
+    "q65_sole_late_supplier" -> "semi+anti residual joins",
+    "q66_auto_topk"        -> "window form (TopKRewrite rewrites under extensions)",
+    "corpus_shuffle_shards" -> "salted-hash training order",
+    "mm_binary_files"      -> "binaryFile source + per-file decode")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {
