@@ -215,6 +215,96 @@ object DedupQueries {
        |  AND CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8""".stripMargin
   }
 
+  // ------------------------------------------------- dedup_minhash_oph
+  /** ONE-permutation MinHash with cyclic densification (Li/Owen/Zhang's
+    * OPH — the form MinHash actually ships at 100 TB): instead of K=16
+    * independent permutations (16 hash evaluations per shingle —
+    * dedup_minhash_lsh's cost), ONE permuted hash is split into
+    * (bin = h mod 16, value = h div 16) and the signature is the
+    * per-bin minimum — one hash evaluation per shingle, a 16× cheaper
+    * signature pass over the corpus. Bins a short document leaves
+    * empty are densified by borrowing from the cyclically-nearest
+    * non-empty bin, offset by distance·C so borrowed bins only agree
+    * when source bin AND distance agree.
+    *
+    * The densified value is min over source bins of
+    * `v + dist(j, src)·C`: because every v < C, the expression is
+    * strictly increasing in dist, so a plain integer MIN picks the
+    * nearest source — no argmin structure, identical single-operator
+    * semantics on both engines. Candidates band (r=2, b=8) exactly like
+    * the multi-permutation variant and are exact-Jaccard verified, so
+    * precision stays exact; only candidate recall is probabilistic.
+    *
+    * Scale shape: the signature pass is ONE map over the (doc, shingle)
+    * stream + a (doc, bin)-keyed min (map-side partial); densification
+    * is a ≤16×16 bounded fan-out per doc against a broadcast 16-row bin
+    * spine; banding and verification reuse the LSH plumbing. */
+  def dedupMinhashOph(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val C = P // > any v = hp div 16, keeps borrowed-value spaces disjoint
+    val inv = shingleStream(s, d, 3).cache()
+    val sizes = shingleSizes(inv)
+    val sparse = inv
+      .withColumn("h", CharFoldHash.charFoldHashNative(s, "shingle"))
+      .withColumn("hp", permute(col("h"), 1))
+      .select(col("doc_id"), (col("hp") % K).as("bin"),
+        expr(s"hp div $K").as("v"))
+      .groupBy(col("doc_id"), col("bin")).agg(min(col("v")).as("v"))
+    val bins = broadcast(s.range(K).select(col("id").as("j")))
+    val dense = sparse.crossJoin(bins)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("v") + ((col("j") - col("bin") + K) % K) * C).as("bv"))
+    val bands = dense.withColumn("band", expr("j div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg((max(when(col("j") % 2 === 0, col("bv"))) * lit(1000003L) +
+            max(when(col("j") % 2 === 1, col("bv")))).as("bkey"))
+    val ca = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val cb = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    val cand = ca.join(cb, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(cand, inv, sizes, 0.8)
+  }
+
+  val dedupMinhashOphSql: String = {
+    val hp = permuteSql(charFoldHashSql("shingle"), 1)
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingleSetSql(3)} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |shx AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |shh AS (SELECT doc_id, $hp AS hp FROM shx),
+       |sp AS (
+       |  SELECT doc_id, hp % 16 AS bin, CAST(min(hp // 16) AS BIGINT) AS v
+       |  FROM shh GROUP BY doc_id, hp % 16),
+       |bins AS (SELECT CAST(unnest(range(16)) AS BIGINT) AS j),
+       |dense AS (
+       |  SELECT sp.doc_id, b.j,
+       |    CAST(min(sp.v + ((b.j - sp.bin + 16) % 16) * $P) AS BIGINT) AS bv
+       |  FROM sp CROSS JOIN bins b
+       |  GROUP BY sp.doc_id, b.j),
+       |bands AS (
+       |  SELECT doc_id, j // 2 AS band,
+       |    CAST(max(CASE WHEN j % 2 = 0 THEN bv END) * 1000003
+       |       + max(CASE WHEN j % 2 = 1 THEN bv END) AS BIGINT) AS bkey
+       |  FROM dense GROUP BY doc_id, j // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS shared,
+       |    len(da.sh) AS n_a, len(db.sh) AS n_b
+       |  FROM cand c
+       |  JOIN docs da ON da.doc_id = c.doc_a
+       |  JOIN docs db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE shared > 0
+       |  AND CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8""".stripMargin
+  }
+
   // ----------------------------------------------------- dedup_simhash
   /** 62 bits: with the tiny synthetic vocabulary, 31-bit signatures left
     * random documents within hamming 3 of each other (11k pairs at sf
@@ -841,6 +931,7 @@ object DedupQueries {
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
+    "dedup_minhash_oph"      -> (dedupMinhashOph _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_substring"        -> (dedupSubstring _),
@@ -859,6 +950,7 @@ object DedupQueries {
     "dedup_exact"            -> dedupExactSql,
     "dedup_ngram_jaccard"    -> dedupNgramJaccardSql,
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,
+    "dedup_minhash_oph"      -> dedupMinhashOphSql,
     "dedup_simhash"          -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_substring"        -> dedupSubstringSql,

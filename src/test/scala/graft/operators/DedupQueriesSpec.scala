@@ -49,6 +49,19 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert((mh intersect ng).nonEmpty)
   }
 
+  test("one-permutation minhash finds the planted dups and stays exact-sound") {
+    val mh = DedupQueries.dedupMinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oph = DedupQueries.dedupMinhashOph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(oph.nonEmpty, "expected planted near-duplicates at sf0.001")
+    // exact verify stage: every emitted pair is a TRUE >=0.8 pair
+    oph.foreach { case (a, b, j) => assert(a < b && j >= 0.8, s"($a,$b,$j)") }
+    // the ~0.99 planted pairs band-collide under one permutation too
+    assert((oph.map(p => (p._1, p._2)).toSet intersect mh).nonEmpty,
+      "OPH missed every pair the 16-permutation variant found")
+  }
+
   test("dedup_cluster components are consistent with the pair graph") {
     val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
