@@ -2362,8 +2362,44 @@ object RelationalQueries {
       |    FROM customer))
       |WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** The SQL FRONT-END as the gated surface: one ANSI SQL string —
+    * CTE, decimal/int casts, timestamp literal, join, conditional
+    * aggregate, HAVING — registered-view tables, executed verbatim by
+    * `spark.sql(...)` AND handed verbatim to DuckDB as its own oracle.
+    * Every other gate exercises the DataFrame API; this one proves the
+    * textual dialect both engines share parses AND evaluates
+    * identically (a parser/analysis divergence — implicit cast rules,
+    * HAVING scoping, CASE typing — breaks the hash even though the
+    * physical plan is a plain broadcast-join aggregate).
+    *
+    * Scale shape: date filter pushes to the orders scan; the customer
+    * join broadcasts at any SF where |customer| fits (AQE decides);
+    * output ≤|nations|. */
+  val q67Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |    o_orderpriority
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      |SELECT c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents ELSE 0 END)
+      |    AS BIGINT) AS urgent_cents,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM rev JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |HAVING count(*) > 10""".stripMargin
+
+  def q67SqlText(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q67Sql)
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_sql_text"        -> (q67SqlText _),
     "q66_auto_topk"       -> (q66AutoTopK _),
     "q64_order_count_dist" -> (q64OrderCountDist _),
     "q65_sole_late_supplier" -> (q65SoleLateSupplier _),
@@ -2498,6 +2534,7 @@ object RelationalQueries {
     "q63_peak_concurrency" -> q63Sql,
     "q64_order_count_dist" -> q64Sql,
     "q66_auto_topk"       -> q66Sql,
+    "q67_sql_text"        -> q67Sql,
     "q65_sole_late_supplier" -> q65Sql,
   )
 }

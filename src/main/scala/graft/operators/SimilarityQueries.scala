@@ -407,6 +407,68 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $GraphK""".stripMargin
 
+  // -------------------------------------------------- sim_graph_jaccard
+  /** Neighbor-set Jaccard link prediction over the k-NN graph: for
+    * every 2-hop pair (a, b) sharing at least two graph neighbors,
+    * |N(a)∩N(b)| and the Jaccard of the neighbor sets — the classic
+    * common-neighbors link predictor (recommendation candidates,
+    * missing-edge detection, cluster-boundary scoring) and a different
+    * graph primitive from the triangle census: it scores NON-edges.
+    *
+    * Determinism: neighbor sets are exact (symmetrized, distinct);
+    * counts are integers; the Jaccard is fixed-point
+    * `shared·1e6 div (da + db − shared)` — no float anywhere.
+    *
+    * Scale shape: same id-ordered wedge formulation as the triangle
+    * census — one self-equi-join of the symmetrized adjacency on the
+    * shared neighbor builds each candidate pair once (a < b), volume
+    * bounded by Σ_w deg(w)², never |V|²; degrees are a vertex-keyed
+    * count riding the same frame; the ≥2-shared floor prunes the long
+    * tail of one-wedge pairs before the degree joins. */
+  def simGraphJaccard(s: SparkSession, d: String): DataFrame = {
+    val e = simKnnGraph(s, d).select(col("src_id"), col("nbr_id"))
+    // cache(): the symmetrized adjacency feeds both wedge sides AND the
+    // degree count; uncached the LSH + top-k graph build would re-run.
+    val nbrs = e.select(col("src_id").as("v"), col("nbr_id").as("w"))
+      .union(e.select(col("nbr_id").as("v"), col("src_id").as("w")))
+      .distinct().cache()
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = nbrs.select(col("v").as("a_id"), col("w"))
+      .join(nbrs.select(col("v").as("b_id"), col("w")), Seq("w"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    wedges
+      .join(deg.select(col("v").as("a_id"), col("d").as("da")), Seq("a_id"))
+      .join(deg.select(col("v").as("b_id"), col("d").as("db")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared"),
+        expr("shared * 1000000L div (da + db - shared)").as("jac_fp"))
+  }
+
+  val simGraphJaccardSql: String =
+    s"""$lshScoredAllCteSql,
+       |knn AS (
+       |  SELECT query_id AS src, vec_id AS dst FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM scored) t
+       |  WHERE rn <= $GraphK),
+       |nbrs AS (
+       |  SELECT DISTINCT v, w FROM (
+       |    SELECT src AS v, dst AS w FROM knn
+       |    UNION ALL SELECT dst AS v, src AS w FROM knn)),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY v),
+       |wedges AS (
+       |  SELECT a.v AS a_id, b.v AS b_id, CAST(count(*) AS BIGINT) AS shared
+       |  FROM nbrs a JOIN nbrs b ON a.w = b.w AND a.v < b.v
+       |  GROUP BY a.v, b.v
+       |  HAVING count(*) >= 2)
+       |SELECT a_id, b_id, shared,
+       |  CAST(shared * 1000000 // (da.d + db.d - shared) AS BIGINT) AS jac_fp
+       |FROM wedges
+       |JOIN deg da ON a_id = da.v
+       |JOIN deg db ON b_id = db.v""".stripMargin
+
   // ----------------------------------------------------- sim_graph_rank
   private val PrIters = 2        // power-iteration rounds
   private val PrDamp = 0.85      // damping factor
@@ -1387,6 +1449,7 @@ object SimilarityQueries {
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_graph_rank"      -> (simGraphRank _),
+    "sim_graph_jaccard"   -> (simGraphJaccard _),
     "sim_graph_lpa"       -> (simGraphLpa _),
     "sim_graph_triangles" -> (simGraphTriangles _),
     "sim_pq_topk"         -> (simPqTopK _),
@@ -1411,6 +1474,7 @@ object SimilarityQueries {
     "sim_threshold_sweep" -> simThresholdSweepSql,
     "sim_knn_graph"       -> simKnnGraphSql,
     "sim_graph_rank"      -> simGraphRankSql,
+    "sim_graph_jaccard"   -> simGraphJaccardSql,
     "sim_graph_lpa"       -> simGraphLpaSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,
     "sim_pq_topk"         -> simPqTopKSql,

@@ -49,6 +49,30 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("graph jaccard: scores match a driver-side recompute from the kNN edges") {
+    val edges = SimilarityQueries.simKnnGraph(spark, sfDir)
+      .select("src_id", "nbr_id").as[(Long, Long)].collect()
+    val nbrs: Map[Long, Set[Long]] = (edges.toSet ++ edges.map(e => (e._2, e._1)))
+      .groupBy((p: (Long, Long)) => p._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val rows = SimilarityQueries.simGraphJaccard(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, jacFp) =>
+      assert(a < b)
+      val expShared = (nbrs(a) intersect nbrs(b)).size.toLong
+      assert(shared == expShared && shared >= 2, s"($a,$b)")
+      val union = nbrs(a).size + nbrs(b).size - expShared
+      assert(jacFp == expShared * 1000000L / union, s"($a,$b) jaccard")
+    }
+    // completeness: every >=2-common-neighbor pair is reported
+    val expPairs = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq if a < b
+      if (na intersect nb).size >= 2
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expPairs)
+  }
+
   test("LSH ANN finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
