@@ -499,8 +499,60 @@ object MultimodalQueries {
       |  CAST(sum(r) AS BIGINT) AS sum_r
       |FROM ich GROUP BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- mm_image_hist
+  /** Per-image channel histograms from REAL decoded pixels: every BMP
+    * image's B/G/R values bucketed into 4 intensity quartiles
+    * (0-63 / 64-127 / 128-191 / 192-255) — the brightness/contrast
+    * screening signal an image-curation pipeline computes before any
+    * model sees a pixel (all-dark, all-blown, low-dynamic-range
+    * filters all read off this histogram). The oracle rebuilds every
+    * bucket count from the closed-form pixel formulas, so the decode →
+    * histogram path is gated value-for-value.
+    *
+    * Scale shape: decode + count is a pure per-row map (12 counters per
+    * image); output is 4 rows per image — bytes never shuffle. */
+  def mmImageHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "image")
+      .flatMap { blob =>
+        val bmp = MediaFiles.decodeBmp(blob.data).getOrElse(
+          throw new IllegalStateException(s"undecodable BMP for doc ${blob.doc_id}"))
+        val counts = Array.ofDim[Long](4, 3) // bucket x channel(B,G,R)
+        var i = 0
+        while (i < bmp.channels.length) {
+          counts(bmp.channels(i) >> 6)(i % 3) += 1L
+          i += 1
+        }
+        (0 until 4).map(b =>
+          (blob.doc_id, b.toLong, counts(b)(0), counts(b)(1), counts(b)(2)))
+      }
+      .toDF("doc_id", "bucket", "n_b", "n_g", "n_r")
+  }
+
+  val mmImageHistSql: String =
+    """WITH img AS (
+      |  SELECT doc_id, (16 + (doc_id % 8) * 2) AS w, (8 + (doc_id % 5) * 3) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ipx AS (
+      |  SELECT doc_id, w, unnest(range(w * h)) AS i FROM img),
+      |ich AS (
+      |  SELECT doc_id,
+      |    (doc_id + 2 * (i % w) + 3 * (i // w)) % 256 AS b,
+      |    (doc_id * 2 + (i % w) + 5 * (i // w) + 1) % 256 AS g,
+      |    (doc_id * 3 + 4 * (i % w) + (i // w) + 2) % 256 AS r
+      |  FROM ipx),
+      |buckets AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS bucket)
+      |SELECT c.doc_id, bk.bucket,
+      |  CAST(count(*) FILTER (WHERE c.b // 64 = bk.bucket) AS BIGINT) AS n_b,
+      |  CAST(count(*) FILTER (WHERE c.g // 64 = bk.bucket) AS BIGINT) AS n_g,
+      |  CAST(count(*) FILTER (WHERE c.r // 64 = bk.bucket) AS BIGINT) AS n_r
+      |FROM ich c CROSS JOIN buckets bk
+      |GROUP BY c.doc_id, bk.bucket""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_hist"   -> (mmImageHist _),
     "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
     "mm_features"     -> (mmFeatures _),
@@ -512,6 +564,7 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_image_hist"   -> mmImageHistSql,
     "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,
     "mm_features"     -> mmFeaturesSql,

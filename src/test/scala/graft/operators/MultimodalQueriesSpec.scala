@@ -105,6 +105,19 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_image_hist: bucket counts sum to the pixel count per channel") {
+    import spark.implicits._
+    val rows = MultimodalQueries.mmImageHist(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L), s"doc $id buckets")
+      val px = (16 + (id % 8) * 2) * (8 + (id % 5) * 3)
+      assert(g.map(_._3).sum == px && g.map(_._4).sum == px && g.map(_._5).sum == px,
+        s"doc $id: histogram mass != $px pixels")
+    }
+  }
+
   test("frame sampling slices whole frames and drops the tail remainder") {
     // 10 bytes, 4 frames -> frame_len 2, frames at 0,2,4,6; stride 2 -> frames 0,2
     val s = MediaCodec.sampleFrames(blob(1, Array.range(0, 10).map(_.toByte), frames = 4), 2)
