@@ -755,6 +755,76 @@ object DedupQueries {
        |FROM bench b LEFT JOIN train t USING (shingle)
        |GROUP BY b.doc_id""".stripMargin
 
+  // -------------------------------------------------- dedup_cdc_chunks
+  /** Content-defined chunking (CDC — the storage-dedup primitive behind
+    * rsync/backup/blob dedup, and the byte-level near-dup screen for
+    * corpora whose duplication is insertion-shifted): a boundary falls
+    * wherever the 8-char window hash ≡ 0 (mod 32) — so boundaries move
+    * WITH the content, and an insertion near the front re-aligns after
+    * one chunk instead of shifting every fixed-size block (the failure
+    * mode that makes fixed-window chunk dedup useless). Chunks are
+    * fingerprinted and the screen reports every chunk shared by ≥2
+    * distinct documents.
+    *
+    * Determinism: boundaries/fingerprints are the portable fold hash;
+    * the boundary set, chunk spans, and counts are exact integers.
+    *
+    * Scale shape: boundary selection and chunk fingerprinting run
+    * INSIDE one row (array HOFs over the window-hash sequence — the
+    * prev/end spans come from zipping the boundary array with its
+    * shift, no per-position explode of the text); the only shuffle is
+    * the chunk-fingerprint aggregate, sized by Σ chunks (~n/32). Avg
+    * chunk ≈ 32 chars sets the dedup granularity/index-size trade. */
+  def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    CharFoldHash.register(s)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .withColumn("n", length(col("text")))
+      .withColumn("ends", expr(
+        "filter(sequence(8, n), i -> char_fold_hash(substring(text, i - 7, 8)) % 32 = 0)"))
+      .withColumn("bounds", expr("array_distinct(concat(ends, array(n)))"))
+      .withColumn("prevs", expr(
+        "concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
+      .select(col("doc_id"), col("text"),
+        explode(arrays_zip(col("prevs"), col("bounds"))).as("p"))
+      .select(col("doc_id"),
+        expr("char_fold_hash(substring(text, p.prevs + 1, p.bounds - p.prevs))").as("fp"),
+        (col("p.bounds") - col("p.prevs")).cast(LongType).as("len"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val dedupCdcChunksSql: String = {
+    val wh = charFoldHashSql("substr(text, CAST(i AS INTEGER) - 7, 8)")
+    // list_zip yields unnamed structs: fields address by 1-based index
+    val ch = charFoldHashSql(
+      "substr(text, CAST(p[1] AS INTEGER) + 1, CAST(p[2] - p[1] AS INTEGER))")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n
+       |  FROM documents WHERE length(text) >= 8),
+       |e AS (
+       |  SELECT doc_id, text,
+       |    list_sort(list_distinct(list_append(
+       |      list_filter(range(8, n + 1), i -> $wh % 32 = 0), n))) AS bounds
+       |  FROM d),
+       |z AS (
+       |  SELECT doc_id, text,
+       |    list_zip(list_prepend(0, bounds[1:len(bounds) - 1]), bounds) AS ps
+       |  FROM e),
+       |c AS (SELECT doc_id, text, unnest(ps) AS p FROM z),
+       |ch AS (SELECT doc_id, $ch AS fp,
+       |         CAST(p[2] - p[1] AS BIGINT) AS len
+       |       FROM c)
+       |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(min(len) AS BIGINT) AS chunk_len
+       |FROM ch GROUP BY fp
+       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+  }
+
   // ---------------------------------------------------- dedup_substring
   /** Exact-substring duplicate detection: pairs of documents sharing at
     * least one verbatim run of [[SubstrRun]] tokens, with the count of
@@ -932,6 +1002,7 @@ object DedupQueries {
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_minhash_oph"      -> (dedupMinhashOph _),
+    "dedup_cdc_chunks"       -> (dedupCdcChunks _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_substring"        -> (dedupSubstring _),
@@ -951,6 +1022,7 @@ object DedupQueries {
     "dedup_ngram_jaccard"    -> dedupNgramJaccardSql,
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,
     "dedup_minhash_oph"      -> dedupMinhashOphSql,
+    "dedup_cdc_chunks"       -> dedupCdcChunksSql,
     "dedup_simhash"          -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_substring"        -> dedupSubstringSql,

@@ -62,6 +62,45 @@ class DedupQueriesSpec extends SparkSpecBase {
       "OPH missed every pair the 16-permutation variant found")
   }
 
+  test("cdc chunking: boundaries are content-defined, so an insertion only disturbs one chunk") {
+    // reference implementation of the operator's chunking
+    def chunks(text: String): Seq[Long] = {
+      val n = text.length
+      val ends = (8 to n).filter(i =>
+        graft.expressions.CharFoldHash.hash(text.substring(i - 8, i)) % 32 == 0)
+      val bounds = (ends :+ n).distinct
+      bounds.zip(0 +: bounds.dropRight(1)).map { case (e, p) =>
+        graft.expressions.CharFoldHash.hash(text.substring(p, e))
+      }
+    }
+    // varied content → many distinct chunks (a repetitive string folds
+    // to a handful of chunk values and turns the ratio into noise)
+    val base = (1 to 80).map(i => s"token$i value${i * 37 % 101}").mkString(" ")
+    val shifted = "INSERTED PREFIX " + base
+    val cb = chunks(base).toSet
+    val cs = chunks(shifted).toSet
+    // every chunk after the first content-defined boundary re-aligns:
+    // the shifted doc loses at most the head chunk(s), never the tail
+    val survived = (cb intersect cs).size.toDouble / cb.size
+    assert(survived >= 0.8, s"only ${survived * 100}% of chunks survived an insertion")
+    // a FIXED-window chunking of the same pair shares almost nothing
+    def fixed(text: String): Set[Long] = text.grouped(32).map(
+      graft.expressions.CharFoldHash.hash).toSet
+    val fixedSurvived =
+      (fixed(base) intersect fixed(shifted)).size.toDouble / fixed(base).size
+    assert(fixedSurvived < survived,
+      "content-defined boundaries must beat fixed windows under insertion shift")
+  }
+
+  test("cdc gate output: every reported chunk really appears in >=2 docs") {
+    val rows = DedupQueries.dedupCdcChunks(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, nOcc, len) =>
+      assert(nDocs >= 2 && nOcc >= nDocs && len >= 1)
+    }
+  }
+
   test("dedup_cluster components are consistent with the pair graph") {
     val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
