@@ -2397,8 +2397,40 @@ object RelationalQueries {
     s.sql(q67Sql)
   }
 
+  // ---------------------------------------------------------------- q68
+  /** NOT IN through the NULL-AWARE anti-join path: SQL's `NOT IN
+    * (subquery)` is NOT a plain anti join when the subquery column is
+    * nullable — one NULL in the subquery makes every NOT IN evaluate
+    * UNKNOWN and empties the result, so the engine must plan the
+    * null-aware form (Spark: a LeftAnti whose condition carries an
+    * `isnull` disjunct, because parquet custkeys are statically
+    * nullable). This gate runs the textual NOT IN on both engines: the
+    * subquery happens to contain no NULLs, so the correct answer is the
+    * anti-join result — an engine that either botches the three-valued
+    * logic OR over-applies it diverges.
+    *
+    * Scale shape: the subquery is date-pruned at the scan and
+    * broadcast; at 100 TB one rewrites provably-non-null NOT IN to a
+    * plain anti join (the NAAJ build side must fit in memory) — the
+    * spec pins today's plan so that rewrite, when made, is a conscious
+    * plan change. */
+  val q68Sql: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_lapsed
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+      |GROUP BY c_nationkey""".stripMargin
+
+  def q68NotInNulls(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q68Sql)
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_not_in_nulls"    -> (q68NotInNulls _),
     "q67_sql_text"        -> (q67SqlText _),
     "q66_auto_topk"       -> (q66AutoTopK _),
     "q64_order_count_dist" -> (q64OrderCountDist _),
@@ -2535,6 +2567,7 @@ object RelationalQueries {
     "q64_order_count_dist" -> q64Sql,
     "q66_auto_topk"       -> q66Sql,
     "q67_sql_text"        -> q67Sql,
+    "q68_not_in_nulls"    -> q68Sql,
     "q65_sole_late_supplier" -> q65Sql,
   )
 }

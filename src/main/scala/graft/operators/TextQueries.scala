@@ -865,6 +865,64 @@ object TextQueries {
        |WHERE rank <= $SampleK""".stripMargin
   }
 
+  // ------------------------------------------- corpus_mix_temperature
+  /** Temperature-scaled source mixing (the Pile/Gopher α-sampling,
+    * α = 0.5): effective source weight ∝ √(source share), flattening
+    * head sources and upsampling the tail — THE standard LLM-pretraining
+    * rebalance. Per-doc expected copies are the rational
+    * N·s_i / (S·n_i) carried in exact integer per-mille; the only
+    * float op is ONE correctly-rounded IEEE sqrt per source, floored to
+    * int64 fixed-point before any cross-source arithmetic, so both
+    * engines compute identical targets (a float Σ√n would be
+    * summation-order-dependent).
+    *
+    * Scale shape: source stats are a |sources|-row aggregate; rates
+    * broadcast back over the corpus; realization is the same zero-
+    * shuffle hash-Bernoulli map corpus_mix uses, reported as a
+    * per-source audit. Int64 headroom: N·s_i·1000 needs
+    * N·√n·10⁹ < 2⁶³ — rescale the 1e6 fixed point for corpora past
+    * ~10¹² docs. */
+  def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("sfp",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val tot = counts.agg(sum(col("sfp")).as("ssum"), sum(col("n")).as("ntot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("cpm", expr("ntot * sfp * 1000L div (ssum * n)"))
+      .select(col("source"), col("cpm"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("copies", expr(
+        "cpm div 1000 + IF(char_fold_hash(CONCAT('tmp', CAST(doc_id AS STRING))) % 1000 < cpm % 1000, 1L, 0L)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cpm")).as("cpm"),
+        sum(col("copies")).as("n_out"))
+  }
+
+  val corpusMixTemperatureSql: String = {
+    val h = graft.functions.HashFunctions.charFoldHashSql("'tmp' || CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+       |sc AS (
+       |  SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sfp
+       |  FROM c),
+       |t AS (SELECT CAST(sum(sfp) AS BIGINT) AS ssum,
+       |             CAST(sum(n) AS BIGINT) AS ntot FROM sc),
+       |r AS (SELECT source, ntot * sfp * 1000 // (ssum * n) AS cpm FROM sc, t),
+       |dd AS (
+       |  SELECT documents.source, cpm,
+       |    cpm // 1000 + CASE WHEN $h % 1000 < cpm % 1000 THEN 1 ELSE 0 END AS copies
+       |  FROM documents JOIN r ON documents.source = r.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(cpm) AS BIGINT) AS cpm,
+       |  CAST(sum(copies) AS BIGINT) AS n_out
+       |FROM dd GROUP BY source""".stripMargin
+  }
+
   // --------------------------------------------- corpus_shuffle_shards
   private val ShuffleShards = 8
 
@@ -1724,6 +1782,7 @@ object TextQueries {
     "corpus_funnel"    -> (corpusFunnel _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_shuffle_shards" -> (corpusShuffleShards _),
+    "corpus_mix_temperature" -> (corpusMixTemperature _),
     "corpus_chunk"     -> (corpusChunk _),
     "txt_diversity"    -> (txtDiversity _),
     "txt_colloc"       -> (txtColloc _),
@@ -1761,6 +1820,7 @@ object TextQueries {
     "corpus_funnel"    -> corpusFunnelSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_shuffle_shards" -> corpusShuffleShardsSql,
+    "corpus_mix_temperature" -> corpusMixTemperatureSql,
     "corpus_chunk"     -> corpusChunkSql,
     "txt_diversity"    -> txtDiversitySql,
     "txt_colloc"       -> txtCollocSql,

@@ -37,6 +37,15 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q68 NOT IN plans the null-aware anti join (isnull disjunct in the condition)") {
+    val plan = RelationalQueries.q68NotInNulls(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // the null-aware form: BroadcastHashJoin's trailing flag is
+    // isNullAwareAntiJoin — the three-valued NOT IN machinery
+    assert(plan.contains("LeftAnti, BuildRight, true"), plan)
+  }
+
   test("q04 semi join plans as LeftSemi") {
     val plan = RelationalQueries.q04SemiJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
