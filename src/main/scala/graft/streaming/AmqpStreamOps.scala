@@ -88,6 +88,70 @@ object AmqpStreamOps {
       .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  case class SessionEvent(key: String, value: Int, ts_ms: Long)
+  case class SessionFlush(key: String, n_events: Int, sum_value: Int)
+
+  /** Idle-session flush via EVENT-TIME TIMERS — the capability that
+    * distinguishes `transformWithState` from every prior state API: a
+    * per-key timer re-armed to (last event time + gap) on each arrival,
+    * firing in `handleExpiredTimer` once the watermark passes it. The
+    * session emits exactly when the key goes idle — no per-batch
+    * timeout polling, no GroupStateTimeout coarseness — and state
+    * clears on flush, so live state tracks OPEN sessions only.
+    *
+    * Scale shape: one (count, sum, timer) register per live key in the
+    * RocksDB store; timers are store-managed and fire from the
+    * watermark, so an idle key costs nothing per batch. */
+  def sessionFlushTws(envelope: DataFrame, keyCol: String, valueCol: String,
+      gapMs: Long, watermarkDelay: String = "0 seconds"): Dataset[SessionFlush] = {
+    implicit val ee = Encoders.product[SessionEvent]
+    implicit val fe = Encoders.product[SessionFlush]
+    implicit val se = Encoders.STRING
+    envelope
+      .withWatermark("ingest_timestamp", watermarkDelay)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("int").as("value"),
+        (col("ingest_timestamp").cast("double") * 1000).cast("long").as("ts_ms"))
+      .as[SessionEvent]
+      .groupByKey(_.key)
+      .transformWithState(new SessionFlushProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private class SessionFlushProcessor(gapMs: Long)
+    extends StatefulProcessor[String, SessionEvent, SessionFlush] {
+    // (n_events, sum_value, armed timer ms)
+    @transient private var agg: ValueState[(Int, Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Int, Int, Long)]("sess",
+        Encoders.product[(Int, Int, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionFlush] = {
+      var (n, sum, timer) = if (agg.exists()) agg.get() else (0, 0, 0L)
+      var maxTs = 0L
+      rows.foreach { r => n += 1; sum += r.value; maxTs = math.max(maxTs, r.ts_ms) }
+      if (timer > 0L) getHandle.deleteTimer(timer) // re-arm on activity
+      val newTimer = maxTs + gapMs
+      getHandle.registerTimer(newTimer)
+      agg.update((n, sum, newTimer))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[SessionFlush] = {
+      val out = if (agg.exists()) {
+        val (n, sum, armed) = agg.get()
+        // only the CURRENT timer flushes; a stale one (deleted late by
+        // the store) must not double-emit
+        if (armed == expiredTimerInfo.getExpiryTimeInMs) {
+          agg.clear()
+          Iterator.single(SessionFlush(key, n, sum))
+        } else Iterator.empty
+      } else Iterator.empty
+      out
+    }
+  }
+
   private class RunningMaxProcessor extends StatefulProcessor[String, Reading, MaxUpdate] {
     @transient private var maxState: ValueState[Int] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

@@ -322,4 +322,55 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("event-time timers flush idle sessions exactly once (transformWithState)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ep, broker) = freshEndpoint("sessflush")
+      val base = 1000L * 1000000L // µs epoch anchor
+      def send(k: String, v: Int, atSec: Long): Unit =
+        broker.send("my_address", AmqpMessage(subject = Some(k),
+          body = AmqpValueBody(v.toString)),
+          timestampMicros = base + atSec * 1000000L)
+      // sessions: A gets two events, B one; 60s idle gap flushes
+      send("sess-a", 10, 0); send("sess-a", 15, 10); send("sess-b", 7, 5)
+      val q = AmqpStreamOps.sessionFlushTws(stream(ep), "subject", "body",
+          gapMs = 60000L)
+        .writeStream.format("memory").queryName("ops_sessflush")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // nothing idle yet: watermark sits at t=10s, timers at 70s/65s
+        assert(spark.table("ops_sessflush").count() == 0)
+        // an anchor 10 minutes later pushes the watermark past both
+        // timers: A and B flush; the anchor's own session stays open
+        send("anchor", 1, 600)
+        q.processAllAvailable()
+        q.processAllAvailable() // no-data batch executes expired timers
+        poll {
+          val got = spark.table("ops_sessflush").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+          assert(got == Set(("sess-a", 2, 25), ("sess-b", 1, 7)), got.toString)
+        }
+        // a second far-future anchor flushes the first anchor's session
+        send("anchor2", 1, 1800)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        poll {
+          val got = spark.table("ops_sessflush").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+          assert(got == Set(("sess-a", 2, 25), ("sess-b", 1, 7), ("anchor", 1, 1)),
+            got.toString)
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
