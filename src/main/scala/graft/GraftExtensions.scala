@@ -54,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_shingle_set(text, n) needs a literal n, got $other")
       })))
+    ext.injectFunction((FunctionIdentifier("hilbert_d"),
+      info("hilbert_d", "hilbert_d(x, y) - Hilbert-curve index on the 1024x1024 grid"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.HilbertIndex(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("topk_agg"),
+      info("topk_agg", "topk_agg(score, id, k) - bounded per-group top-k buffer"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.TopKAgg(exprs.head, exprs(1), exprs(2) match {
+          case Literal(kk: Int, IntegerType) => kk
+          case other => throw new IllegalArgumentException(
+            s"topk_agg(score, id, k) needs a literal k, got $other")
+        })))
     ext.injectFunction((FunctionIdentifier("winnow_fps"),
       info("winnow_fps", "winnow_fps(text, k, w) - winnowing (fp, pos) fingerprint selection"),
       (exprs: Seq[Expression]) => {

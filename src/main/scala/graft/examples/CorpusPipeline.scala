@@ -13,6 +13,8 @@ import graft.operators.{DedupQueries, TextQueries}
   *   3. exact dedup (dedup_exact) then near-dup clustering
   *      (dedup_cluster) — keep one doc per cluster
   *   4. deterministic train/val/test split (split_stratified logic)
+  *   5. temperature-scaled source rebalance (corpus_mix_temperature)
+  *   6. deterministic training-order shuffle (corpus_shuffle_shards)
   *
   * Each stage is one of the oracle-gated operators; this main just
   * chains them and prints the funnel. Usage:
@@ -60,6 +62,19 @@ object CorpusPipeline {
       .groupBy(col("split")).agg(sum(col("n_docs")).as("n"))
       .collect().sortBy(_.getString(0))
       .foreach(r => println(f"  split ${r.getString(0)}%-6s ${r.getLong(1)}%6d docs"))
+
+    // 5. temperature-scaled rebalance: head sources down, tail up
+    TextQueries.corpusMixTemperature(spark, sfDir)
+      .collect().sortBy(_.getString(0)).take(5)
+      .foreach(r => println(f"  mix ${r.getString(0)}%-8s ${r.getLong(1)}%5d docs " +
+        f"-> ${r.getLong(3)}%5d copies (${r.getLong(2)}%4d cpm)"))
+
+    // 6. byte-reproducible training order
+    val shards = TextQueries.corpusShuffleShards(spark, sfDir)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .collect().sortBy(_.getLong(0))
+    println(s"shuffle: ${shards.length} shards, sizes " +
+      shards.map(_.getLong(1)).mkString("/"))
     // scalastyle:on println
     spark.stop()
   }

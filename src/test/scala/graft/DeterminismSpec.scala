@@ -56,7 +56,14 @@ class DeterminismSpec extends AnyFunSuite {
     "q65_sole_late_supplier" -> "semi+anti residual joins",
     "q66_auto_topk"        -> "window form (TopKRewrite rewrites under extensions)",
     "corpus_shuffle_shards" -> "salted-hash training order",
-    "mm_binary_files"      -> "binaryFile source + per-file decode")
+    "mm_binary_files"      -> "binaryFile source + per-file decode",
+    "dedup_minhash_oph"    -> "one-permutation minhash + densification",
+    "dedup_cdc_chunks"     -> "content-defined chunk boundaries",
+    "sim_graph_jaccard"    -> "wedge-join common neighbors",
+    "q67_sql_text"         -> "verbatim ANSI SQL surface",
+    "q68_not_in_nulls"     -> "null-aware NOT IN",
+    "corpus_mix_temperature" -> "fixed-point alpha-sampling",
+    "mm_image_hist"        -> "decoded-pixel quartile histogram")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {
