@@ -770,26 +770,20 @@ object DedupQueries {
     * the boundary set, chunk spans, and counts are exact integers.
     *
     * Scale shape: boundary selection and chunk fingerprinting run
-    * INSIDE one row (array HOFs over the window-hash sequence — the
-    * prev/end spans come from zipping the boundary array with its
-    * shift, no per-position explode of the text); the only shuffle is
-    * the chunk-fingerprint aggregate, sized by Σ chunks (~n/32). Avg
-    * chunk ≈ 32 chars sets the dedup granularity/index-size trade. */
+    * INSIDE one row via the native [[graft.expressions.CdcChunks]]
+    * expression — a TRUE rolling hash, O(n) compiled per document
+    * (the HOF formulation it replaced re-folded w chars per position:
+    * O(w·n) interpreted; the two are spec-asserted bit-equal); the
+    * only shuffle is the chunk-fingerprint aggregate, sized by
+    * Σ chunks (~n/32). Avg chunk ≈ 32 chars sets the dedup
+    * granularity/index-size trade. */
   def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
-    CharFoldHash.register(s)
+    graft.expressions.CdcExpressions.register(s)
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
-      .withColumn("n", length(col("text")))
-      .withColumn("ends", expr(
-        "filter(sequence(8, n), i -> char_fold_hash(substring(text, i - 7, 8)) % 32 = 0)"))
-      .withColumn("bounds", expr("array_distinct(concat(ends, array(n)))"))
-      .withColumn("prevs", expr(
-        "concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
-      .select(col("doc_id"), col("text"),
-        explode(arrays_zip(col("prevs"), col("bounds"))).as("p"))
       .select(col("doc_id"),
-        expr("char_fold_hash(substring(text, p.prevs + 1, p.bounds - p.prevs))").as("fp"),
-        (col("p.bounds") - col("p.prevs")).cast(LongType).as("len"))
+        explode(expr("cdc_chunks(text, 8, 32)")).as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("len"))
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),

@@ -92,6 +92,32 @@ class DedupQueriesSpec extends SparkSpecBase {
       "content-defined boundaries must beat fixed windows under insertion shift")
   }
 
+  test("cdc native rolling hash is bit-equal to the from-scratch HOF formulation") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.CdcExpressions.register(spark)
+    graft.expressions.CharFoldHash.register(spark)
+    val native = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(expr("cdc_chunks(text, 8, 32)")).as("c"))
+      .select(col("doc_id"), col("c.fp"), col("c.len"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val hof = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8)
+      .withColumn("n", length(col("text")))
+      .withColumn("ends", expr(
+        "filter(sequence(8, n), i -> char_fold_hash(substring(text, i - 7, 8)) % 32 = 0)"))
+      .withColumn("bounds", expr("array_distinct(concat(ends, array(n)))"))
+      .withColumn("prevs", expr("concat(array(0), slice(bounds, 1, size(bounds) - 1))"))
+      .select(col("doc_id"), col("text"),
+        explode(arrays_zip(col("prevs"), col("bounds"))).as("p"))
+      .select(col("doc_id"),
+        expr("char_fold_hash(substring(text, p.prevs + 1, p.bounds - p.prevs))"),
+        (col("p.bounds") - col("p.prevs")).cast("long"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native == hof, "rolling-hash chunks diverge from the definition")
+    assert(native.nonEmpty)
+  }
+
   test("cdc gate output: every reported chunk really appears in >=2 docs") {
     val rows = DedupQueries.dedupCdcChunks(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()
