@@ -1207,6 +1207,98 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // ------------------------------------------------ sim_rerank_two_stage
+  private val RerankPool = 50 // stage-1 candidates per query
+
+  /** TWO-STAGE retrieval — the pattern production vector search
+    * actually serves: the 16-byte binary index (sim_binary_hamming's
+    * sign signatures) prefilters each query to [[RerankPool]]
+    * candidates by Hamming distance, and only those candidates get the
+    * exact full-precision cosine, re-ranked to the final top-k. The
+    * cheap tier bounds the expensive tier's work: exact scoring cost
+    * is |Q|·pool, independent of corpus size.
+    *
+    * Determinism: stage 1 ranks by (integer Hamming asc, vec_id asc) —
+    * a strict total order, so the candidate POOL is exactly
+    * reproducible (a float-scored prefilter would make pool membership
+    * tie-unstable, which is why the re-rank gate needs the binary
+    * tier); stage 2 re-ranks by (cos desc, vec_id asc).
+    *
+    * Scale shape: signatures are a pure map; stage-1 shuffles only the
+    * bounded top-pool aggregate; the candidate list (|Q|·pool rows)
+    * BROADCASTS back against the corpus for the exact tier, so corpus
+    * vectors never shuffle in either stage. */
+  def simRerankTwoStage(s: SparkSession, d: String): DataFrame = {
+    val bitFold = "(a, x) -> a * 2L + IF(x > 0D, 1L, 0L)"
+    val e = embedded(s, d)
+      .withColumn("lo", expr(s"aggregate(slice(emb, 1, 32), 0L, $bitFold)"))
+      .withColumn("hi", expr(s"aggregate(slice(emb, 33, 32), 0L, $bitFold)"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    // stage 1: binary prefilter to the candidate pool
+    val pool = explodeTopK(
+      e.crossJoin(broadcast(q.select(col("query_id"), col("qlo"), col("qhi"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", (lit(64L) - bit_count(col("lo").bitwiseXOR(col("qlo")))
+          - bit_count(col("hi").bitwiseXOR(col("qhi")))).cast(DoubleType))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, RerankPool, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact cosine over pool members only; the |Q|·pool list
+    // broadcasts, so the corpus never shuffles
+    val exact = e.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qemb"), col("qnrm"))),
+        Seq("query_id"))
+      .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+    explodeTopK(
+      exact.groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+  }
+
+  val simRerankTwoStageSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT e.vec_id, u.i, e.emb[u.i] AS x
+       |  FROM e, (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) u),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN i <= 32 AND x > 0 THEN (CAST(1 AS BIGINT) << (32 - i))
+       |             ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN i > 32 AND x > 0 THEN (CAST(1 AS BIGINT) << (64 - i))
+       |             ELSE 0 END) AS BIGINT) AS hi
+       |  FROM sv GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+       |      FROM sig WHERE vec_id < $NumQueries),
+       |ham AS (
+       |  SELECT query_id, s.vec_id,
+       |    bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS hd
+       |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+       |pool AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hd ASC, vec_id ASC) AS prn
+       |    FROM ham) t
+       |  WHERE prn <= $RerankPool),
+       |qe AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+       |       WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    list_dot_product(e.emb, qe.qemb)
+       |      / (sqrt(list_dot_product(e.emb, e.emb))
+       |         * sqrt(list_dot_product(qe.qemb, qe.qemb))) AS cos
+       |  FROM pool p
+       |  JOIN e ON p.vec_id = e.vec_id
+       |  JOIN qe ON p.query_id = qe.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // --------------------------------------------------- sim_recall_audit
   /** ANN quality audit: per-query recall@k of the IVF index against the
     * exact brute-force ground truth — the monitoring query every
@@ -1459,6 +1551,7 @@ object SimilarityQueries {
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
     "sim_binary_hamming"  -> (simBinaryHamming _),
+    "sim_rerank_two_stage" -> (simRerankTwoStage _),
     "sim_recall_audit"    -> (simRecallAudit _),
     "sim_norm_stats"      -> (simNormStats _),
     "sim_ood_hist"        -> (simOodHist _),
@@ -1484,6 +1577,7 @@ object SimilarityQueries {
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,
     "sim_binary_hamming"  -> simBinaryHammingSql,
+    "sim_rerank_two_stage" -> simRerankTwoStageSql,
     "sim_recall_audit"    -> simRecallAuditSql,
     "sim_norm_stats"      -> simNormStatsSql,
     "sim_ood_hist"        -> simOodHistSql,

@@ -73,6 +73,26 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(rows.map(r => (r._1, r._2)).toSet == expPairs)
   }
 
+  test("two-stage rerank: exact scores, high recall vs brute force, pool-bounded") {
+    val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = SimilarityQueries.simRerankTwoStage(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rr.length == 50) // 10 queries x top-5
+    // stage 2 is EXACT cosine: every returned score must equal the
+    // brute-force score for that pair
+    val bf = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rr.foreach { case (q, v, c, _) =>
+      bf.get((q, v)).foreach(exp => assert(c == exp, s"($q,$v) score drifted"))
+    }
+    // a 50-candidate binary pool over ~1000 vectors recovers most of
+    // the true top-5 (sign-bit Hamming is a faithful cosine proxy)
+    val recall = (exact intersect rr.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"two-stage recall $recall suspiciously low")
+  }
+
   test("LSH ANN finds a reasonable fraction of the exact neighbors") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
