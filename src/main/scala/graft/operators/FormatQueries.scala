@@ -117,6 +117,32 @@ object FormatQueries {
     gateAgg(s.read.parquet(outZ))
   }
 
+  /** Small-file COMPACTION under the gate — the operational pass every
+    * 100 TB lake runs nightly: a streaming/batch producer leaves many
+    * tiny files (here: the slice deliberately scattered across 64
+    * writers), and the compactor rewrites them into few target-sized
+    * files WITHOUT touching a value. The gate aggregates the
+    * compacted layout against DuckDB on the source table — any row
+    * lost, duplicated, or corrupted by the rewrite breaks the hash —
+    * and the spec asserts the file count actually collapsed
+    * (64 → ≤4) and stays sorted for row-group skipping.
+    *
+    * Scale shape: compaction is repartitionByRange on the sort key —
+    * a single full shuffle paid once to buy every later scan fewer
+    * file opens, tighter min/max stats, and fewer tasks; at 100 TB it
+    * runs incrementally per partition, never corpus-wide. */
+  def fmtCompaction(s: SparkSession, d: String): DataFrame = {
+    val small = scratch(d, "small")
+    val packed = scratch(d, "packed")
+    slice(s, d).repartition(64)
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(packed)
+    gateAgg(s.read.parquet(packed))
+  }
+
   /** Hive-style partitioned parquet layout under the gate: write the
     * slice partitioned BY the gate's group key, read it back with a
     * partition-column filter, and aggregate only the surviving
@@ -403,6 +429,7 @@ object FormatQueries {
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip"  -> (fmtOrcRoundtrip _),
     "fmt_zstd_roundtrip" -> (fmtZstdRoundtrip _),
+    "fmt_compaction"     -> (fmtCompaction _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
     "fmt_bucket_join"    -> (fmtBucketJoin _),
     "fmt_dpp_join"       -> (fmtDppJoin _),
@@ -416,6 +443,7 @@ object FormatQueries {
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_orc_roundtrip"  -> gateAggSql,
     "fmt_zstd_roundtrip" -> gateAggSql,
+    "fmt_compaction"     -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
     "fmt_bucket_join"    -> bucketJoinSql,
     "fmt_dpp_join"       -> dppJoinSql,

@@ -2428,8 +2428,54 @@ object RelationalQueries {
     s.sql(q68Sql)
   }
 
+  // ---------------------------------------------------------------- q69
+  /** SCD TYPE-2 interval build: the event stream turned into validity
+    * ranges — each user event opens an interval that closes at the
+    * user's NEXT event (`lead`), the last one staying open — the
+    * history-table construction behind every slowly-changing-dimension
+    * warehouse load (q57 derives the "current row"; this builds the
+    * full history). Rolled up per event type: interval count, open
+    * (current) count, and total closed duration in whole seconds.
+    *
+    * Determinism: (µs ts, event_id) is a strict total order per user,
+    * so every lead() is exact; durations are integer µs sums floored
+    * to seconds once at the end.
+    *
+    * Scale shape: ONE user_id exchange feeds the lead window (per-user
+    * sorts, bounded by a user's history) and the same pass feeds the
+    * |event types|-sized final aggregate — the fact table meets no
+    * second shuffle. */
+  def q69Scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_current"),
+        expr("coalesce(sum(next_us - ts_us), 0L) div 1000000L")
+          .as("closed_seconds"))
+  }
+
+  val q69Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |iv AS (
+      |  SELECT event_type, ts_us,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS next_us
+      |  FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) FILTER (WHERE next_us IS NULL) AS BIGINT) AS n_current,
+      |  CAST(coalesce(sum(next_us - ts_us), 0) // 1000000 AS BIGINT)
+      |    AS closed_seconds
+      |FROM iv GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_scd2_intervals"  -> (q69Scd2Intervals _),
     "q68_not_in_nulls"    -> (q68NotInNulls _),
     "q67_sql_text"        -> (q67SqlText _),
     "q66_auto_topk"       -> (q66AutoTopK _),
@@ -2568,6 +2614,7 @@ object RelationalQueries {
     "q66_auto_topk"       -> q66Sql,
     "q67_sql_text"        -> q67Sql,
     "q68_not_in_nulls"    -> q68Sql,
+    "q69_scd2_intervals"  -> q69Sql,
     "q65_sole_late_supplier" -> q65Sql,
   )
 }

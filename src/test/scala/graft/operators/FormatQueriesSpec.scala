@@ -67,6 +67,33 @@ class FormatQueriesSpec extends SparkSpecBase {
       s"zstd ${dirSize("zstd")} not smaller than snappy ${dirSize("snappy")}")
   }
 
+  test("compaction: 64 small files collapse to <=4, values bit-identical, stats tighten") {
+    val got = FormatQueries.fmtCompaction(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == direct, "compaction corrupted values")
+    def files(tag: String): Seq[java.nio.file.Path] = {
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_fmt_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    assert(files("small").size == 64, "producer layout must be scattered")
+    assert(files("packed").size <= 4,
+      s"compactor left ${files("packed").size} files")
+    // range layout: per-file orderkey spans must not overlap (tight
+    // min/max stats are what buys row-group skipping after compaction)
+    import org.apache.spark.sql.functions._
+    val spans = spark.read.parquet(files("packed").head.getParent.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"file spans overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("partitioned layout: filter is answered by partition pruning") {
     val df = FormatQueries.fmtPartitionPrune(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
