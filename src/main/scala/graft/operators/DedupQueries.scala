@@ -755,6 +755,88 @@ object DedupQueries {
        |FROM bench b LEFT JOIN train t USING (shingle)
        |GROUP BY b.doc_id""".stripMargin
 
+  // ------------------------------------------------- dedup_incremental
+  /** INCREMENTAL dedup — the form a growing 100 TB corpus actually
+    * runs: a NEW ingest batch (doc_id ≡ 0 mod 4 stands in for today's
+    * crawl) screened against the EXISTING corpus's fingerprint index
+    * (everything else), never corpus-vs-corpus. Two tiers in one
+    * disposition report per new doc: exact (content hash hits the
+    * index) and near (any shared winnowing fingerprint after the same
+    * [2,10] document-frequency cap dedup_winnow applies), with
+    * `new_vs_new` exact collisions inside the batch flagged separately
+    * — the three dispositions an ingest pipeline routes on.
+    *
+    * Scale shape: the index side is the artifact you PERSIST (hash +
+    * winnow fingerprint tables keyed for joins); the daily cost is
+    * |batch| map work + batch⋈index equi-joins whose size tracks true
+    * overlap — re-clustering the full corpus never happens. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.WinnowExpressions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val newB = docs.filter(col("doc_id") % 4 === 0)
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    // exact tier: content-hash index
+    val oldHash = old.select(md5(col("text")).as("h")).distinct()
+    val newHash = newB.select(col("doc_id"), md5(col("text")).as("h"))
+    val batchDup = newHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("nb"), min(col("doc_id")).as("first_id"))
+    // near tier: winnowing fingerprints with the df-cap boilerplate guard
+    def fps(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr("winnow_fps(text, 4, 4)")).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+    val allFps = fps(docs)
+    val keptFps = allFps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10).select(col("fp"))
+    val oldFps = fps(old).join(keptFps, Seq("fp"), "left_semi")
+    val newFps = fps(newB).join(keptFps, Seq("fp"), "left_semi")
+    val nearHits = newFps.join(oldFps.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+    newHash
+      .join(oldHash.withColumn("exact_old", lit(1)), Seq("h"), "left")
+      .join(batchDup, Seq("h"))
+      .join(nearHits.withColumn("near_old", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_old") === 1, lit("exact_vs_index"))
+          .when(col("nb") > 1 && col("doc_id") =!= col("first_id"),
+            lit("new_vs_new"))
+          .when(col("near_old") === 1, lit("near_vs_index"))
+          .otherwise(lit("novel")).as("disposition"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |newb AS (SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id % 4 = 0),
+       |old AS (SELECT doc_id, text, md5(text) AS h FROM docs WHERE doc_id % 4 <> 0),
+       |oldhash AS (SELECT DISTINCT h FROM old),
+       |bdup AS (SELECT h, count(*) AS nb, min(doc_id) AS first_id
+       |         FROM newb GROUP BY h),
+       |${TextQueries.winnowFpsCteSql("docs", "allfps")},
+       |kept AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df
+       |                         FROM allfps GROUP BY fp)
+       |         WHERE df BETWEEN 2 AND 10),
+       |oldfps AS (
+       |  SELECT DISTINCT a.fp FROM allfps a
+       |  JOIN kept k ON a.fp = k.fp WHERE a.doc_id % 4 <> 0),
+       |near AS (
+       |  SELECT DISTINCT a.doc_id FROM allfps a
+       |  JOIN kept k ON a.fp = k.fp
+       |  JOIN oldfps o ON a.fp = o.fp
+       |  WHERE a.doc_id % 4 = 0),
+       |disp AS (
+       |  SELECT n.doc_id,
+       |    CASE WHEN oh.h IS NOT NULL THEN 'exact_vs_index'
+       |         WHEN b.nb > 1 AND n.doc_id <> b.first_id THEN 'new_vs_new'
+       |         WHEN nr.doc_id IS NOT NULL THEN 'near_vs_index'
+       |         ELSE 'novel' END AS disposition
+       |  FROM newb n
+       |  LEFT JOIN oldhash oh ON n.h = oh.h
+       |  JOIN bdup b ON n.h = b.h
+       |  LEFT JOIN near nr ON n.doc_id = nr.doc_id)
+       |SELECT disposition, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM disp GROUP BY disposition""".stripMargin
+
   // -------------------------------------------------- dedup_cdc_chunks
   /** Content-defined chunking (CDC — the storage-dedup primitive behind
     * rsync/backup/blob dedup, and the byte-level near-dup screen for
@@ -997,6 +1079,7 @@ object DedupQueries {
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_minhash_oph"      -> (dedupMinhashOph _),
     "dedup_cdc_chunks"       -> (dedupCdcChunks _),
+    "dedup_incremental"      -> (dedupIncremental _),
     "dedup_simhash"          -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_substring"        -> (dedupSubstring _),
@@ -1017,6 +1100,7 @@ object DedupQueries {
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,
     "dedup_minhash_oph"      -> dedupMinhashOphSql,
     "dedup_cdc_chunks"       -> dedupCdcChunksSql,
+    "dedup_incremental"      -> dedupIncrementalSql,
     "dedup_simhash"          -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_substring"        -> dedupSubstringSql,

@@ -18,7 +18,7 @@ object TextQueries {
 
   /** Common DuckDB lambda for whitespace tokens (mirrors
     * TextFunctions.tokens: split on runs of spaces, drop empties). */
-  private val DTokens = "list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')"
+  private[operators] val DTokens = "list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')"
 
   // ---------------------------------------------------------- txt_stats
   /** Corpus statistics per language: document counts and exact token /
@@ -1151,8 +1151,8 @@ object TextQueries {
        |LIMIT $CollocK""".stripMargin
 
   // ------------------------------------------------------ txt_winnowing
-  private[operators] val WinK = 4 // gram width (tokens)
-  private[operators] val WinW = 4 // winnowing window (grams)
+  private[operators] final val WinK = 4 // gram width (tokens)
+  private[operators] final val WinW = 4 // winnowing window (grams)
 
   /** Winnowing fingerprint selection (the MOSS algorithm): hash every
     * word 4-gram, slide a 4-gram window, keep the leftmost minimum per
@@ -1174,6 +1174,32 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(s"winnow_fps(text, $WinK, $WinW)")).as("sel"))
       .select(col("doc_id"), col("sel.fp").as("fp"), col("sel.pos").as("pos"))
+  }
+
+  /** Reusable DuckDB CTE chain: `outName(doc_id, fp)` = the distinct
+    * winnowing fingerprints (k=[[WinK]], w=[[WinW]]) of every row of
+    * `srcCte(doc_id, text)` — the oracle-side mirror of
+    * `winnow_fps(text, 4, 4)` for queries that compose the
+    * fingerprint index (dedup_incremental). */
+  private[operators] def winnowFpsCteSql(srcCte: String, outName: String): String = {
+    val M = graft.expressions.WinnowExpressions.Mod
+    def atom(t: String) = s"(CAST(length($t) AS BIGINT) * 17 + CAST(ascii($t) AS BIGINT))"
+    val gram = (1 to WinK).foldLeft("CAST(0 AS BIGINT)") { (h, i) =>
+      s"(($h * 31 + ${atom(s"toks[j + ${i - 1}]")}) % $M)"
+    }
+    s"""wf_d AS (SELECT doc_id, $DTokens AS toks FROM $srcCte),
+       |wf_g AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${WinK - 2})) AS j, toks
+       |  FROM wf_d),
+       |wf_gh AS (SELECT doc_id, j, $gram AS h FROM wf_g),
+       |wf_gl AS (SELECT doc_id, list(h ORDER BY j) AS ghs FROM wf_gh GROUP BY doc_id),
+       |wf_win AS (
+       |  SELECT doc_id, unnest(range(1, len(ghs) - ${WinW - 2})) AS p, ghs
+       |  FROM wf_gl),
+       |$outName AS (
+       |  SELECT DISTINCT doc_id,
+       |    least(${(0 until WinW).map(i => s"ghs[p + $i]").mkString(", ")}) AS fp
+       |  FROM wf_win)""".stripMargin
   }
 
   val txtWinnowingSql: String = {

@@ -127,6 +127,32 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup routes all four dispositions on a planted batch") {
+    import spark.implicits._
+    // doc_id % 4 == 0 -> "new batch"; others are the standing index
+    val run = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val docs = Seq(
+      (1L, "unique old content one two three four five six seven eight"),
+      (2L, "the exact twin lives in the old corpus word word word word"),
+      (3L, run + "old near neighbor"),                 // shares the run
+      (4L, "the exact twin lives in the old corpus word word word word"), // exact_vs_index
+      (8L, run + "new shifted variant"),               // near_vs_index
+      (12L, "totally novel payload nine ten eleven twelve thirteen xy"),  // novel
+      (16L, "intra batch twin payload a b c d e f g h i j k l m n o p"),
+      (20L, "intra batch twin payload a b c d e f g h i j k l m n o p")   // new_vs_new
+    ).map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.dedupIncremental(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got.getOrElse("exact_vs_index", 0L) == 1L, got.toString)
+    assert(got.getOrElse("near_vs_index", 0L) >= 1L, got.toString)
+    assert(got.getOrElse("new_vs_new", 0L) == 1L, got.toString)
+    assert(got.getOrElse("novel", 0L) >= 1L, got.toString)
+    assert(got.values.sum == 5L, s"5 new docs must each get one disposition: $got")
+  }
+
   test("dedup_cluster components are consistent with the pair graph") {
     val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
