@@ -1207,6 +1207,63 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // -------------------------------------------------- sim_filtered_topk
+  /** FILTERED vector search — top-k under a metadata predicate (here:
+    * corpus vectors sharing the query's label), the production
+    * requirement plain ANN benchmarks skip and engines get wrong in
+    * two ways: post-filtering (rank first, filter after — returns
+    * fewer than k when the filter bites) and pre-filter drift. This is
+    * exact PRE-filter semantics: the predicate restricts the candidate
+    * set BEFORE any scoring, so every query gets its true filtered
+    * top-k. Queries whose label matches fewer than k others return
+    * that many rows — the correct, smaller answer.
+    *
+    * Scale shape: the label predicate is an equi-condition in the
+    * broadcast join (corpus never shuffles; rows failing the filter
+    * are dropped before the dot product); with a partitioned/IVF
+    * layout the filter would prune cells too. Only the bounded top-k
+    * aggregate shuffles. */
+  def simFilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embedded2(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    explodeTopK(
+      e.join(broadcast(q), col("label") === col("qlabel") &&
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+  }
+
+  /** [[embedded]] plus the label column (cached separately). */
+  private def embedded2(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+  }
+
+  val simFilteredTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+       |      FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, e.vec_id,
+       |    list_dot_product(e.emb, qemb)
+       |      / (sqrt(list_dot_product(e.emb, e.emb))
+       |         * sqrt(list_dot_product(qemb, qemb))) AS cos
+       |  FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // ------------------------------------------------ sim_rerank_two_stage
   private val RerankPool = 50 // stage-1 candidates per query
 
@@ -1552,6 +1609,7 @@ object SimilarityQueries {
     "sim_sq8_topk"        -> (simSq8TopK _),
     "sim_binary_hamming"  -> (simBinaryHamming _),
     "sim_rerank_two_stage" -> (simRerankTwoStage _),
+    "sim_filtered_topk"   -> (simFilteredTopK _),
     "sim_recall_audit"    -> (simRecallAudit _),
     "sim_norm_stats"      -> (simNormStats _),
     "sim_ood_hist"        -> (simOodHist _),
@@ -1578,6 +1636,7 @@ object SimilarityQueries {
     "sim_sq8_topk"        -> simSq8TopKSql,
     "sim_binary_hamming"  -> simBinaryHammingSql,
     "sim_rerank_two_stage" -> simRerankTwoStageSql,
+    "sim_filtered_topk"   -> simFilteredTopKSql,
     "sim_recall_audit"    -> simRecallAuditSql,
     "sim_norm_stats"      -> simNormStatsSql,
     "sim_ood_hist"        -> simOodHistSql,

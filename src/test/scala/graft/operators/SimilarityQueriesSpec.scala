@@ -73,6 +73,26 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(rows.map(r => (r._1, r._2)).toSet == expPairs)
   }
 
+  test("filtered top-k: every neighbor shares the query's label (pre-filter semantics)") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = SimilarityQueries.simFilteredTopK(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, v, _, _) =>
+      assert(q != v)
+      assert(labels(v) == labels(q), s"neighbor $v breaks query $q's filter")
+    }
+    // pre-filter returns the true filtered top-k: per query, row count
+    // is min(k, |label cohort| - 1)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val cohort = labels.values.count(_ == labels(q)) - 1
+      assert(g.length == math.min(5, cohort), s"query $q: ${g.length} of $cohort")
+    }
+  }
+
   test("two-stage rerank: exact scores, high recall vs brute force, pool-bounded") {
     val exact = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
