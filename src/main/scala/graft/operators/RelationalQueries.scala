@@ -2455,8 +2455,10 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_current"),
-        expr("coalesce(sum(next_us - ts_us), 0L) div 1000000L")
-          .as("closed_seconds"))
+        // d38 before the sum: a raw long Σµs wraps silently around
+        // ~10^8 user-lifetimes while the oracle's HUGEINT doesn't
+        expr("CAST(coalesce(sum(CAST(next_us - ts_us AS DECIMAL(38,0))), 0)" +
+          " div 1000000 AS BIGINT)").as("closed_seconds"))
   }
 
   val q69Sql: String =
