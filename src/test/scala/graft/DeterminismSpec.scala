@@ -63,7 +63,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q67_sql_text"         -> "verbatim ANSI SQL surface",
     "q68_not_in_nulls"     -> "null-aware NOT IN",
     "corpus_mix_temperature" -> "fixed-point alpha-sampling",
-    "mm_image_hist"        -> "decoded-pixel quartile histogram")
+    "mm_image_hist"        -> "decoded-pixel quartile histogram",
+    "sim_rerank_two_stage" -> "integer-pool prefilter + exact re-rank",
+    "sim_filtered_topk"    -> "pre-filter label predicate",
+    "dedup_incremental"    -> "batch-vs-index disposition routing",
+    "fmt_compaction"       -> "range-compacted file layout",
+    "q69_scd2_intervals"   -> "lead-closed validity ranges")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {
