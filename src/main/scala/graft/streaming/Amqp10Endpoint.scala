@@ -26,7 +26,8 @@ import Amqp10Wire._
   */
 class Amqp10Endpoint(host: String, port: Int,
     username: Option[String] = None, password: Option[String] = None,
-    saslMechanism: String = "PLAIN")
+    saslMechanism: String = "PLAIN",
+    tls: Option[javax.net.ssl.SSLContext] = None)
     extends AmqpEndpoint with AutoCloseable {
 
   private var sock: Socket = _
@@ -48,7 +49,10 @@ class Amqp10Endpoint(host: String, port: Int,
     writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0, perf, payload)))
 
   private def connect(): Unit = {
-    sock = new Socket(host, port)
+    sock = tls match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+      case None => new Socket(host, port)
+    }
     sock.setTcpNoDelay(true)
     in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     out = new BufferedOutputStream(sock.getOutputStream)

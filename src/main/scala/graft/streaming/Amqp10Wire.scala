@@ -120,10 +120,16 @@ private[streaming] object Amqp10Wire {
   * AMQPReceiver.scala:70-78). Thread-per-connection, like one Proton
   * event loop per peer. */
 class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
-    credentials: Option[(String, String)] = None) {
+    credentials: Option[(String, String)] = None,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
   import Amqp10Wire._
 
-  private val server = new ServerSocket()
+  // with a TLS context, every connection (header included) runs inside
+  // the TLS session — AMQP §5.2's pure-TLS profile, no STARTTLS
+  private val server: ServerSocket = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
+    case None => new ServerSocket()
+  }
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress(bindPort))
   private val running = new AtomicBoolean(true)

@@ -317,6 +317,18 @@ object AmqpEndpointRegistry {
       val (creds, host, port) = parseHostPort(body)
       clients.computeIfAbsent(endpoint,
         _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2), mech))
+    } else if (endpoint.startsWith("amqps://")) {
+      // amqp10:// framing inside a TLS session; trust from the
+      // graft.amqps.truststore sys props (JVM default anchors otherwise)
+      val (body, mech) = endpoint.stripPrefix("amqps://").split('?') match {
+        case Array(b) => (b, "PLAIN")
+        case Array(b, q) if q.startsWith("sasl=") => (b, q.stripPrefix("sasl="))
+        case other => (other.head, "PLAIN")
+      }
+      val (creds, host, port) = parseHostPort(body)
+      clients.computeIfAbsent(endpoint,
+        _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2),
+          mech, Some(AmqpTls.clientFromSysProps())))
     } else if (endpoint.startsWith("tcp://")) {
       val (creds, host, port) = parseHostPort(endpoint.stripPrefix("tcp://"))
       clients.computeIfAbsent(endpoint,
