@@ -50,6 +50,35 @@ object IngestQueries {
     s"amqp10://127.0.0.1:${server.port}"
   }
 
+  /** TLS flavor of the gate server (`-Dgraft.gate.transport=amqps`):
+    * key material generated once per JVM with the JDK's keytool, trust
+    * wired through the same system properties executors would use. The
+    * gated path then runs pump AND Spark read through the encrypted
+    * tunnel. */
+  private lazy val wireTlsGateEndpoint: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-tls")
+    val ks = s"$dir/server.p12"; val ts = s"$dir/trust.p12"
+    val cert = s"$dir/server.cer"; val pw = "gate-tls-pw"
+    def keytool(args: String*): Unit = {
+      val bin = System.getProperty("java.home") + "/bin/keytool"
+      val p = new ProcessBuilder((bin +: args): _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      require(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    keytool("-genkeypair", "-alias", "gate", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=127.0.0.1", "-validity", "2", "-storetype", "PKCS12",
+      "-keystore", ks, "-storepass", pw, "-keypass", pw)
+    keytool("-exportcert", "-alias", "gate", "-keystore", ks,
+      "-storepass", pw, "-file", cert)
+    keytool("-importcert", "-alias", "gate", "-noprompt", "-storetype", "PKCS12",
+      "-keystore", ts, "-storepass", pw, "-file", cert)
+    System.setProperty("graft.amqps.truststore", ts)
+    System.setProperty("graft.amqps.truststorePassword", pw)
+    val server = new Amqp10Server(new InMemoryAmqpBroker,
+      tls = Some(graft.streaming.AmqpTls.serverContext(ks, pw)))
+    s"amqps://127.0.0.1:${server.port}"
+  }
+
   /** Resolve (endpoint, address) for one gate run. */
   private def gateTarget(): (String, String) =
     sys.props.getOrElse("graft.gate.transport", "amqp10") match {
@@ -66,7 +95,10 @@ object IngestQueries {
         // and prunes the server's delivery ledger, bounding broker
         // message memory to one slice regardless of warm-run count
         // (per-run link/address metadata remains — O(runs), tiny).
-        val ep = wireGateEndpoint
+        val ep =
+          if (sys.props.get("graft.gate.transport").contains("amqps"))
+            wireTlsGateEndpoint
+          else wireGateEndpoint
         val run = gateRun.incrementAndGet()
         if (run > 1) {
           val client = AmqpEndpointRegistry.endpoint(ep)

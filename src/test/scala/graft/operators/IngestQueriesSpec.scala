@@ -23,6 +23,16 @@ class IngestQueriesSpec extends SparkSpecBase {
     assert(n2 == expectedCount, "second run over the same in-JVM wire server")
   }
 
+  test("ingest round-trip is lossless through the amqps:// TLS tunnel") {
+    System.setProperty("graft.gate.transport", "amqps")
+    try {
+      val n = IngestQueries.amqpIngestRoundtrip(spark, sfDir)
+        .agg(sum(col("n_events"))).collect().head.getLong(0)
+      assert(n == expectedCount,
+        s"TLS envelope path lost or duplicated rows: $n vs $expectedCount")
+    } finally System.clearProperty("graft.gate.transport")
+  }
+
   test("ingest round-trip is lossless with the in-process mem transport pinned") {
     System.setProperty("graft.gate.transport", "mem")
     try {
