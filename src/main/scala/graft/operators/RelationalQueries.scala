@@ -2475,8 +2475,40 @@ object RelationalQueries {
       |    AS closed_seconds
       |FROM iv GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** MULTIPLE exact COUNT(DISTINCT) in one aggregate — the one
+    * aggregation plan shape nothing else on the surface exercises:
+    * Spark cannot fold three different distinct-key sets into one hash
+    * aggregate, so Catalyst plans an EXPAND (each input row replicated
+    * once per distinct-aggregate with a grouping-id lane, here 3×),
+    * a first aggregate de-duplicating each lane, and a final aggregate
+    * folding lanes back together. Per return flag: distinct parts,
+    * distinct suppliers, distinct orders, and the plain row count.
+    *
+    * Scale shape: the Expand multiplies the shuffle by the number of
+    * distinct aggregates — the plan's intrinsic cost, and exactly why
+    * q29's HLL sketch exists as the approximate alternative at 100 TB;
+    * gating both pins the exact/approx trade explicitly. The spec
+    * asserts the Expand is really in the plan. */
+  def q70MultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  val q70Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_multi_distinct"  -> (q70MultiDistinct _),
     "q69_scd2_intervals"  -> (q69Scd2Intervals _),
     "q68_not_in_nulls"    -> (q68NotInNulls _),
     "q67_sql_text"        -> (q67SqlText _),
@@ -2617,6 +2649,7 @@ object RelationalQueries {
     "q67_sql_text"        -> q67Sql,
     "q68_not_in_nulls"    -> q68Sql,
     "q69_scd2_intervals"  -> q69Sql,
+    "q70_multi_distinct"  -> q70Sql,
     "q65_sole_late_supplier" -> q65Sql,
   )
 }

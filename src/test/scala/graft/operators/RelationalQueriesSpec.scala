@@ -46,6 +46,12 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("LeftAnti, BuildRight, true"), plan)
   }
 
+  test("q70 multi-distinct plans the Expand lanes") {
+    val plan = RelationalQueries.q70MultiDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
+
   test("q04 semi join plans as LeftSemi") {
     val plan = RelationalQueries.q04SemiJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
