@@ -122,13 +122,36 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
 }
 
 class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema)
-    extends Scan {
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AmqpMicroBatchStream(cfg, required.fieldNames)
   override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames)
   override def description(): String =
     s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}"
+
+  /** Planner-visible size: without statistics a DSv2 relation defaults
+    * to "unknown = huge", so a 100-row AMQP snapshot joined against a
+    * fact table would SHUFFLE both sides. Reporting the broker's
+    * per-address sequence high-water mark (an upper bound on readable
+    * rows) times the pruned row width lets Catalyst broadcast small
+    * snapshots exactly like it broadcasts a small parquet dim. */
+  override def estimateStatistics(): Statistics = {
+    val rows =
+      try {
+        val client = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+        cfg.addresses.map(a => math.max(0L, client.latestSeq(a))).sum
+      } catch { case _: Exception => -1L } // unreachable broker: unknown
+    val width = math.max(32, required.defaultSize)
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows * width)
+      override def numRows: java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 /** Offset = highest delivered sequence number PER LINK (SURVEY.md §7.1).

@@ -464,6 +464,27 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scan statistics: a small AMQP snapshot broadcasts in a join") {
+    import org.apache.spark.sql.functions._
+    val (ep, broker) = freshEndpoint("stats")
+    (1 to 50).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        subject = Some(s"k${i % 5}"), body = AmqpValueBody(i.toString)),
+        timestampMicros = i * 1000000L))
+    val amqp = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+      .select(col("subject"), col("body"))
+    // without SupportsReportStatistics a DSv2 relation sizes as
+    // "unknown = never broadcast"; with it, 50 envelope rows sit far
+    // under the 10MB threshold and the planner must broadcast them
+    val big = spark.range(0, 100000)
+      .select(concat(lit("k"), (col("id") % 5)).as("subject"), col("id"))
+    val joined = big.join(amqp, Seq("subject"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 100000L / 5 * 50)
+  }
+
   test("batch read exposes the replayable window for oracle comparisons") {
     val (ep, broker) = freshEndpoint("batchread")
     (1 to 5).foreach(i =>
