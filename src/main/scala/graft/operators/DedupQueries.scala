@@ -780,15 +780,19 @@ object DedupQueries {
     val newHash = newB.select(col("doc_id"), md5(col("text")).as("h"))
     val batchDup = newHash.groupBy(col("h"))
       .agg(count(lit(1)).as("nb"), min(col("doc_id")).as("first_id"))
-    // near tier: winnowing fingerprints with the df-cap boilerplate guard
-    def fps(df: DataFrame): DataFrame = df
+    // near tier: winnowing fingerprints with the df-cap boilerplate
+    // guard. cache(): the fingerprint explode (the expensive map) runs
+    // ONCE over the corpus; old/new sides are filters of the same
+    // frame, not re-computations.
+    val allFps = docs
       .select(col("doc_id"), explode(expr("winnow_fps(text, 4, 4)")).as("f"))
-      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
-    val allFps = fps(docs)
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct().cache()
     val keptFps = allFps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10).select(col("fp"))
-    val oldFps = fps(old).join(keptFps, Seq("fp"), "left_semi")
-    val newFps = fps(newB).join(keptFps, Seq("fp"), "left_semi")
+    val oldFps = allFps.filter(col("doc_id") % 4 =!= 0)
+      .join(keptFps, Seq("fp"), "left_semi")
+    val newFps = allFps.filter(col("doc_id") % 4 === 0)
+      .join(keptFps, Seq("fp"), "left_semi")
     val nearHits = newFps.join(oldFps.select(col("fp")), Seq("fp"), "left_semi")
       .select(col("doc_id")).distinct()
     newHash

@@ -108,6 +108,33 @@ object IngestQueries {
         (ep, s"gate-$run")
     }
 
+  /** Drain-aware pump shared by every wire gate: send in ~500-message
+    * pipelined batches under the 1000-credit window; a refusal must be
+    * a strict SUFFIX (credit contract — resuming at the first refusal
+    * re-sends everything after it, so an accepted message there would
+    * enqueue twice: fail loudly instead of corrupting the gate), and
+    * consuming replenishes credit, so a refusal drains the delivered
+    * prefix via fetch and resumes. */
+  private def pumpAll(client: graft.streaming.AmqpEndpoint, address: String,
+      msgs: Seq[(AmqpMessage, Long)]): Unit = {
+    var i = 0
+    var fetchedUpTo = 0L
+    while (i < msgs.length) {
+      val slice = msgs.slice(i, math.min(i + 500, msgs.length))
+      val seqs = client.sendMany(address, slice)
+      val refusedAt = seqs.indexWhere(_ < 0)
+      if (refusedAt < 0) i += slice.length
+      else {
+        require(seqs.drop(refusedAt).forall(_ < 0),
+          s"non-suffix credit refusal at $refusedAt: $seqs")
+        i += refusedAt
+        val to = client.latestSeq(address)
+        client.fetch(address, fetchedUpTo, to)
+        fetchedUpTo = to
+      }
+    }
+  }
+
   def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -118,32 +145,12 @@ object IngestQueries {
     // Pipelined batches (one disposition round-trip per ~500 messages on
     // socket transports, see AmqpEndpoint.sendMany) sized under the
     // 1000-credit window so at most one drain per batch is ever needed.
-    var i = 0
-    var fetchedUpTo = 0L
-    while (i < rows.length) {
-      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+    pumpAll(client, address, rows.toSeq.map { r =>
         (AmqpMessage(
           messageId = Some(r.getLong(0).toString),
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
-      }
-      val seqs = client.sendMany(address, slice)
-      val refusedAt = seqs.indexWhere(_ < 0) // refusals are a suffix (credit contract)
-      if (refusedAt < 0) i += slice.length
-      else { // credit window exhausted: consuming replenishes it
-        // resuming at the first refusal re-sends everything after it, so
-        // an accepted message there would be enqueued TWICE — fail loudly
-        // if the suffix contract is ever violated (e.g. a concurrent
-        // consumer replenishing credit mid-batch) instead of corrupting
-        // the gate silently
-        require(seqs.drop(refusedAt).forall(_ < 0),
-          s"non-suffix credit refusal at $refusedAt: $seqs")
-        i += refusedAt
-        val to = client.latestSeq(address)
-        client.fetch(address, fetchedUpTo, to)
-        fetchedUpTo = to
-      }
-    }
+      })
     s.read.format("amqp")
       .option("endpoint", ep).option("address", address).load()
       .select(col("subject").as("event_type"),
@@ -192,27 +199,12 @@ object IngestQueries {
     val ckpt = s"$scratch/ckpt"
 
     def pump(rs: Array[org.apache.spark.sql.Row]): Unit = {
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < rs.length) {
-        val slice = rs.slice(i, math.min(i + 500, rs.length)).toSeq.map { r =>
+      pumpAll(client, address, rs.toSeq.map { r =>
           (AmqpMessage(
             messageId = Some(r.getLong(0).toString),
             subject = Some(r.getString(1)),
             body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
-        }
-        val seqs = client.sendMany(address, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(address)
-          client.fetch(address, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
+        })
     }
     def drain(): Unit = {
       val q = s.readStream.format("amqp")
@@ -270,27 +262,12 @@ object IngestQueries {
       .select(col("event_id"), col("event_type"), col("value"),
         expr("ts_ns div 1000").as("ts_us"))
       .collect() // producer role: driver-side by design (reference test senders)
-    var i = 0
-    var fetchedUpTo = 0L
-    while (i < rows.length) {
-      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+    pumpAll(client, address, rows.toSeq.map { r =>
         (AmqpMessage(
           messageId = Some(r.getLong(0).toString),
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
-      }
-      val seqs = client.sendMany(address, slice)
-      val refusedAt = seqs.indexWhere(_ < 0)
-      if (refusedAt < 0) i += slice.length
-      else {
-        require(seqs.drop(refusedAt).forall(_ < 0),
-          s"non-suffix credit refusal at $refusedAt: $seqs")
-        i += refusedAt
-        val to = client.latestSeq(address)
-        client.fetch(address, fetchedUpTo, to)
-        fetchedUpTo = to
-      }
-    }
+      })
     val qname = s"gate_stream_window_${gateRun.get}"
     val q = s.readStream.format("amqp")
       .option("endpoint", ep).option("address", address).load()
@@ -336,27 +313,12 @@ object IngestQueries {
       .collect()
     var pass = 0
     while (pass < 2) { // duplicate delivery: each message pumped twice
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < rows.length) {
-        val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+      pumpAll(client, address, rows.toSeq.map { r =>
           (AmqpMessage(
             messageId = Some(r.getLong(0).toString),
             subject = Some(r.getString(1)),
             body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
-        }
-        val seqs = client.sendMany(address, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(address)
-          client.fetch(address, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
+        })
       pass += 1
     }
     val qname = s"gate_stream_dedup_${gateRun.get}"
@@ -405,28 +367,13 @@ object IngestQueries {
       .filter(col("event_id") % 10 === 3) // disjoint from the other gates' slices
       .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
       .collect()
-    var i = 0
-    var fetchedUpTo = 0L
-    while (i < rows.length) {
-      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+    pumpAll(client, address, rows.toSeq.map { r =>
         (AmqpMessage(
           messageId = Some(r.getLong(0).toString),
           subject = Some(r.getString(1)),
           applicationProperties = Seq("user_id" -> r.getLong(3).toString),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
-      }
-      val seqs = client.sendMany(address, slice)
-      val refusedAt = seqs.indexWhere(_ < 0)
-      if (refusedAt < 0) i += slice.length
-      else {
-        require(seqs.drop(refusedAt).forall(_ < 0),
-          s"non-suffix credit refusal at $refusedAt: $seqs")
-        i += refusedAt
-        val to = client.latestSeq(address)
-        client.fetch(address, fetchedUpTo, to)
-        fetchedUpTo = to
-      }
-    }
+      })
     val dim = broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
     val qname = s"gate_stream_join_${gateRun.get}"
     val q = s.readStream.format("amqp")
@@ -477,27 +424,12 @@ object IngestQueries {
       .select(col("event_id"), col("user_id"), col("value"),
         expr("ts_ns div 1000").as("ts_us"))
       .collect()
-    var i = 0
-    var fetchedUpTo = 0L
-    while (i < rows.length) {
-      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+    pumpAll(client, address, rows.toSeq.map { r =>
         (AmqpMessage(
           messageId = Some(r.getLong(0).toString),
           subject = Some(r.getLong(1).toString),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
-      }
-      val seqs = client.sendMany(address, slice)
-      val refusedAt = seqs.indexWhere(_ < 0)
-      if (refusedAt < 0) i += slice.length
-      else {
-        require(seqs.drop(refusedAt).forall(_ < 0),
-          s"non-suffix credit refusal at $refusedAt: $seqs")
-        i += refusedAt
-        val to = client.latestSeq(address)
-        client.fetch(address, fetchedUpTo, to)
-        fetchedUpTo = to
-      }
-    }
+      })
     val qname = s"gate_stream_session_${gateRun.get}"
     val q = s.readStream.format("amqp")
       .option("endpoint", ep).option("address", address).load()
@@ -572,24 +504,7 @@ object IngestQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-late-gate").toString
     val HourUs = 3600000000L
 
-    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = {
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < msgs.length) {
-        val slice = msgs.slice(i, math.min(i + 500, msgs.length))
-        val seqs = client.sendMany(address, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(address)
-          client.fetch(address, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
-    }
+    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = pumpAll(client, address, msgs)
     def msg(id: String, subject: String, body: String, tsUs: Long): (AmqpMessage, Long) =
       (AmqpMessage(messageId = Some(id), subject = Some(subject),
         body = AmqpValueBody(body)), tsUs)
@@ -717,24 +632,7 @@ object IngestQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-dedupwm-gate").toString
     val HourUs = 3600000000L
 
-    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = {
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < msgs.length) {
-        val slice = msgs.slice(i, math.min(i + 500, msgs.length))
-        val seqs = client.sendMany(address, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(address)
-          client.fetch(address, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
-    }
+    def pump(msgs: Seq[(AmqpMessage, Long)]): Unit = pumpAll(client, address, msgs)
     def msg(id: String, subject: String, body: String, tsUs: Long): (AmqpMessage, Long) =
       (AmqpMessage(messageId = Some(id), subject = Some(subject),
         body = AmqpValueBody(body)), tsUs)
@@ -830,27 +728,12 @@ object IngestQueries {
       .select(col("event_id"), col("event_type"), col("value"),
         expr("ts_ns div 1000").as("ts_us"))
       .collect()
-    var i = 0
-    var fetchedUpTo = 0L
-    while (i < rows.length) {
-      val slice = rows.slice(i, math.min(i + 500, rows.length)).toSeq.map { r =>
+    pumpAll(client, address, rows.toSeq.map { r =>
         (AmqpMessage(
           messageId = Some(r.getLong(0).toString),
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
-      }
-      val seqs = client.sendMany(address, slice)
-      val refusedAt = seqs.indexWhere(_ < 0)
-      if (refusedAt < 0) i += slice.length
-      else {
-        require(seqs.drop(refusedAt).forall(_ < 0),
-          s"non-suffix credit refusal at $refusedAt: $seqs")
-        i += refusedAt
-        val to = client.latestSeq(address)
-        client.fetch(address, fetchedUpTo, to)
-        fetchedUpTo = to
-      }
-    }
+      })
     val emitted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
     val q = s.readStream.format("amqp")
@@ -967,27 +850,12 @@ object IngestQueries {
       .collect()
     for ((addr, parity) <- Seq((aL, 0L), (aR, 1L))) {
       val side = rows.filter(r => (r.getLong(0) / 10) % 2 == parity)
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < side.length) {
-        val slice = side.slice(i, math.min(i + 500, side.length)).toSeq.map { r =>
-          (AmqpMessage(
-            messageId = Some(r.getLong(0).toString),
-            subject = Some(r.getLong(1).toString),
-            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
-        }
-        val seqs = client.sendMany(addr, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(addr)
-          client.fetch(addr, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
+      pumpAll(client, addr, side.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getLong(1).toString),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      })
     }
     def side(addr: String, p: String): DataFrame =
       s.readStream.format("amqp")
@@ -1063,26 +931,11 @@ object IngestQueries {
       .collect()
     var pass = 0
     while (pass < 2) { // duplicate delivery: every document pumped twice
-      var i = 0
-      var fetchedUpTo = 0L
-      while (i < rows.length) {
-        val slice = rows.slice(i, math.min(i + 200, rows.length)).toSeq.map { r =>
-          (AmqpMessage(
-            messageId = Some(s"${r.getLong(0)}-p$pass"),
-            body = AmqpValueBody(r.getString(1))), r.getLong(0))
-        }
-        val seqs = client.sendMany(address, slice)
-        val refusedAt = seqs.indexWhere(_ < 0)
-        if (refusedAt < 0) i += slice.length
-        else {
-          require(seqs.drop(refusedAt).forall(_ < 0),
-            s"non-suffix credit refusal at $refusedAt: $seqs")
-          i += refusedAt
-          val to = client.latestSeq(address)
-          client.fetch(address, fetchedUpTo, to)
-          fetchedUpTo = to
-        }
-      }
+      pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(s"${r.getLong(0)}-p$pass"),
+          body = AmqpValueBody(r.getString(1))), r.getLong(0))
+      })
       pass += 1
     }
     val qname = s"gate_stream_corpus_${gateRun.get}"

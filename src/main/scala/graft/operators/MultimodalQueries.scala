@@ -452,6 +452,12 @@ object MultimodalQueries {
     val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_mm_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(dir)
+    // overwrite semantics, like every format gate: stale .bmp files
+    // from a previous corpus generation (or a crashed run) would leak
+    // into the glob read and break the hash against the oracle
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.toString.endsWith(".bmp")) java.nio.file.Files.delete(p)
+    }
     val dirStr = dir.toString
     mediaTableEncoded(s, d).filter(_.media_type == "image")
       .foreachPartition { it: Iterator[MediaBlob] =>

@@ -91,9 +91,24 @@ class Amqp10Endpoint(host: String, port: Int,
         val sf = new String(field(chal.performative, 0).asInstanceOf[Array[Byte]], UTF_8)
         val attrs = Scram.parseAttrs(sf)
         val combined = attrs.getOrElse("r", "")
-        require(combined.startsWith(cnonce), "server did not echo the client nonce")
+        // the server must EXTEND the client nonce (RFC 5802 §5.1 r=):
+        // an exact echo would let a replaying peer reuse old transcripts
+        if (!combined.startsWith(cnonce) || combined.length <= cnonce.length) {
+          close()
+          throw new SecurityException("server did not extend the client nonce")
+        }
         val salt = Scram.unb64(attrs.getOrElse("s", ""))
-        val iters = attrs.getOrElse("i", "0").toInt
+        // RFC 5802's client floor: a low iteration count is a downgrade
+        // attack (the proof becomes cheap to brute-force offline) —
+        // refuse BEFORE computing any proof over the weak parameters
+        val iters = attrs.get("i").map(_.toInt).getOrElse {
+          close(); throw new SecurityException("sasl-challenge missing iteration count")
+        }
+        if (iters < 4096) {
+          close()
+          throw new SecurityException(
+            s"server iteration count $iters below the 4096 floor (downgrade?)")
+        }
         val withoutProof = Scram.clientFinalWithoutProof(combined)
         val authMsg = Scram.authMessage(bare, sf, withoutProof)
         val salted = Scram.saltedPassword(password.getOrElse(""), salt, iters)

@@ -79,7 +79,7 @@ class AmqpTable(options: CaseInsensitiveStringMap)
   * per address, one input partition per link per micro-batch. `address`
   * remains the single-link form (and the sink's target). */
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
-    maxPerTrigger: Long, maxPerSecond: Long)
+    maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L)
 
 object AmqpSourceConfig {
   def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = {
@@ -90,7 +90,7 @@ object AmqpSourceConfig {
     // URI so every executor-side connection authenticates (reference:
     // PLAIN when credentials present, ANONYMOUS otherwise).
     val user = Option(o.get("username"))
-    val socketScheme = Seq("tcp://", "amqp10://").find(rawEndpoint.startsWith)
+    val socketScheme = Seq("tcp://", "amqp10://", "amqps://").find(rawEndpoint.startsWith)
     val endpoint = socketScheme match {
       case Some(scheme) if user.isDefined && !rawEndpoint.contains("@") =>
         s"$scheme${user.get}:${Option(o.get("password")).getOrElse("")}@${rawEndpoint.stripPrefix(scheme)}"
@@ -103,7 +103,10 @@ object AmqpSourceConfig {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq(primary)),
       maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong,
-      maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong)
+      maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong,
+      // planner row-size estimate (statistics): AMQP has no byte-count
+      // surface, so the width is declared; raise it for fat payloads
+      statsRowBytes = o.getOrDefault("statsRowBytes", "1024").toLong)
   }
 }
 
@@ -134,15 +137,20 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
     * to "unknown = huge", so a 100-row AMQP snapshot joined against a
     * fact table would SHUFFLE both sides. Reporting the broker's
     * per-address sequence high-water mark (an upper bound on readable
-    * rows) times the pruned row width lets Catalyst broadcast small
-    * snapshots exactly like it broadcasts a small parquet dim. */
+    * rows) times a DECLARED row width (`statsRowBytes`, default 1 KiB —
+    * AMQP exposes no byte-count surface, and schema defaultSize would
+    * undersize document-carrying bodies into a broadcast OOM) lets
+    * Catalyst broadcast genuinely small snapshots. The broker probe
+    * runs on the driver at planning time, like a file-source listing;
+    * an unreachable broker reports empty (= the old never-broadcast
+    * behavior). */
   override def estimateStatistics(): Statistics = {
     val rows =
       try {
         val client = AmqpEndpointRegistry.endpoint(cfg.endpoint)
         cfg.addresses.map(a => math.max(0L, client.latestSeq(a))).sum
       } catch { case _: Exception => -1L } // unreachable broker: unknown
-    val width = math.max(32, required.defaultSize)
+    val width = math.max(cfg.statsRowBytes, required.defaultSize.toLong)
     new Statistics {
       override def sizeInBytes: java.util.OptionalLong =
         if (rows < 0) java.util.OptionalLong.empty()

@@ -130,9 +130,15 @@ object AmqpStreamOps {
       var (n, sum, timer) = if (agg.exists()) agg.get() else (0, 0, 0L)
       var maxTs = 0L
       rows.foreach { r => n += 1; sum += r.value; maxTs = math.max(maxTs, r.ts_ms) }
-      if (timer > 0L) getHandle.deleteTimer(timer) // re-arm on activity
-      val newTimer = maxTs + gapMs
-      getHandle.registerTimer(newTimer)
+      // the timer may only ever EXTEND: a late (within-watermark) event
+      // whose ts is below the session's stored high-water mark must not
+      // shrink the armed deadline — that would flush the session early
+      // and split it in two
+      val newTimer = math.max(timer, maxTs + gapMs)
+      if (newTimer != timer) {
+        if (timer > 0L) getHandle.deleteTimer(timer) // re-arm on activity
+        getHandle.registerTimer(newTimer)
+      }
       agg.update((n, sum, newTimer))
       Iterator.empty
     }
