@@ -323,6 +323,55 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("a late within-watermark event cannot shrink the session timer (no premature split)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ep, broker) = freshEndpoint("sesslate")
+      val base = 100000L * 1000000L
+      def send(k: String, v: Int, atSec: Long): Unit =
+        broker.send("my_address", AmqpMessage(subject = Some(k),
+          body = AmqpValueBody(v.toString)),
+          timestampMicros = base + atSec * 1000000L)
+      // 2h watermark delay keeps the late event deliverable; 60s gap
+      send("sess-x", 1, 1000); send("sess-x", 2, 1010) // timer -> 1070s
+      val q = AmqpStreamOps.sessionFlushTws(stream(ep), "subject", "body",
+          gapMs = 60000L, watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName("ops_sesslate")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // LATE (but within-watermark) event: ts below the session's max.
+        // A buggy re-arm to 950+60=1010s would fire at the next step.
+        send("sess-x", 4, 950)
+        q.processAllAvailable()
+        // watermark -> 8250-7200 = 1050s: between the buggy deadline
+        // (1010s) and the correct one (1070s)
+        send("anchor", 1, 8250)
+        q.processAllAvailable(); q.processAllAvailable()
+        assert(spark.table("ops_sesslate")
+          .filter(org.apache.spark.sql.functions.col("key") === "sess-x").count() == 0,
+          "session flushed prematurely: a late event shrank the timer")
+        // far anchor flushes the intact session exactly once with all 3 events
+        send("anchor2", 1, 20000)
+        q.processAllAvailable(); q.processAllAvailable()
+        poll {
+          val got = spark.table("ops_sesslate")
+            .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+            .filter(_._1 == "sess-x")
+          assert(got.toSeq == Seq(("sess-x", 3, 7)), got.mkString(","))
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers flush idle sessions exactly once (transformWithState)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
