@@ -22,10 +22,10 @@ object Verify {
     * both engines parse the query, so an empty gate without a backing
     * spec is vacuous and gets flagged below.
     */
-  val legitimatelyEmpty: Map[String, String] = Map(
-    "dedup_embedding_cosine" ->
-      "DedupQueriesSpec: 'embedding cosine detector FIRES on planted near-duplicates'"
-  )
+  val legitimatelyEmpty: Map[String, String] = Map.empty
+  // (was: dedup_embedding_cosine — its gate now emits ranked candidate
+  // pairs with an is_dup verdict, non-empty at every SF, so no gate on
+  // the board is allowed to be empty anymore.)
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -399,7 +399,17 @@ object DedupQueries {
     * with ~1.4% probability at cos=0.95, so a brute-force oracle would be
     * data-dependent (ADVICE r1). DuckDB's list_dot_product is the same
     * left-to-right f64 fold as the Spark-side projection sums, so the
-    * signature bits agree exactly. */
+    * signature bits agree exactly.
+    *
+    * Output: the top 50 banded candidate pairs by exact cosine
+    * (deterministic total order: cos desc, vec_a, vec_b) with an
+    * `is_dup = cos >= 0.95` verdict, NOT just the >=0.95 survivors.
+    * The driver's synthetic embeddings top out near cos 0.6, so a
+    * survivors-only gate compares empty-to-empty at every SF (VERDICT
+    * r4 item 1: vacuous). Ranked candidates make the gate hash-check
+    * the signature bits, the banding join, and the exact-cosine math
+    * on real data, while the >=0.95 firing path stays proven on
+    * planted pairs in DedupQueriesSpec. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
@@ -442,8 +452,11 @@ object DedupQueries {
     cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .withColumn("cos", expr(
         "vec_dot(emb_a, emb_b) / (sqrt(vec_dot(emb_a, emb_a)) * sqrt(vec_dot(emb_b, emb_b)))"))
-      .filter(col("cos") >= 0.95)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("cos") >= 0.95).as("is_dup"))
+      // TakeOrderedAndProject: bounded top-k, never a global sort
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
   }
 
   val dedupEmbeddingCosineSql: String = {
@@ -480,7 +493,8 @@ object DedupQueries {
        |  FROM cand c
        |  JOIN e ea ON ea.vec_id = c.vec_a
        |  JOIN e eb ON eb.vec_id = c.vec_b)
-       |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95""".stripMargin
+       |SELECT vec_a, vec_b, cos, cos >= 0.95 AS is_dup FROM pairs
+       |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin
   }
 
   // ---------------------------------------------------- dedup_cluster

@@ -943,7 +943,18 @@ object SimilarityQueries {
     * the corpus is never shuffled. At 100 TB one would localCheckpoint
     * the per-round centroid frame (lineage truncation, as dedup_cluster
     * does) — at gate scale the 3-assign DAG is cheaper re-planned. */
-  def simKmeans(s: SparkSession, d: String): DataFrame = {
+  def simKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansFinalAssign(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast(DecimalType(28, 9))).as("inertia_dec"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"),
+        col("inertia_dec").cast(DoubleType).as("inertia"))
+
+  /** Final Lloyd assignment frame (vec_id, cid, emb, d2) — the shared
+    * core of sim_kmeans (which folds it to per-cluster stats) and
+    * sim_semantic_dedup (which prunes within its clusters). */
+  private def kmeansFinalAssign(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     // Per-row argmin over the centroid set collapsed to one broadcast
     // array (centroid self-dots pre-folded in): a pure map — the corpus
@@ -977,14 +988,19 @@ object SimilarityQueries {
         .select(col("cid"), transform(col("ps"), p => p.getField("c")).as("cemb"))
     }
     assign(cents)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("d2").cast(DecimalType(28, 9))).as("inertia_dec"))
-      .select(col("cid").as("cluster_id"), col("n_vecs"),
-        col("inertia_dec").cast(DoubleType).as("inertia"))
   }
 
-  val simKmeansSql: String = {
+  val simKmeansSql: String =
+    s"""WITH $kmeansAssignCtes
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS inertia
+       |FROM af GROUP BY cid""".stripMargin
+
+  /** CTE chain replicating [[kmeansFinalAssign]] in DuckDB: `e` (f64
+    * embeddings), `c0` (seed centroids), the Lloyd iterations, and
+    * `af` = the final (vec_id, cid, emb, d2) assignment. Shared by the
+    * sim_kmeans and sim_semantic_dedup oracles. */
+  private lazy val kmeansAssignCtes: String = {
     val d2 = (e: String, c: String) =>
       s"list_dot_product($e, $e) - 2 * list_dot_product($e, $c) + list_dot_product($c, $c)"
     def assignCte(name: String, cents: String) =
@@ -1007,16 +1023,67 @@ object SimilarityQueries {
     val iterCtes = (1 to KmIters).map { i =>
       assignCte(s"a$i", s"c${i - 1}") + ",\n" + centCte(s"c$i", s"a$i")
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $KmK),
        |$iterCtes,
-       |${assignCte("af", s"c$KmIters")}
-       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
-       |  CAST(sum(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS inertia
-       |FROM af GROUP BY cid""".stripMargin
+       |${assignCte("af", s"c$KmIters")}""".stripMargin
   }
+
+  // ------------------------------------------------ sim_semantic_dedup
+  // Prune threshold: ~p99.95 of this corpus's pairwise cosine
+  // distribution (max ≈ 0.6), so the gate carries real rows at every SF
+  // while staying a strict "semantically near" criterion for this data.
+  private val SemTau = 0.4
+
+  /** SemDeDup-style semantic deduplication (public recipe: Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the corpus with k-means,
+    * then prune near-duplicates by exact cosine WITHIN clusters only —
+    * confining the quadratic pair comparison to clusters is the entire
+    * scale story. At 100 TB one raises K so |cluster| ≈ N/K stays
+    * bounded and the pair join's fan-in never sees the corpus; here K
+    * and the Lloyd rounds are sim_kmeans's deterministic contract, so
+    * the DuckDB oracle replays clustering AND pruning end to end.
+    *
+    * Survivor rule is deterministic: a vector is PRUNED when some
+    * lower-id member of its cluster is within tau; `keeper` is the
+    * smallest such id (the min-id canonicalization dedup_exact uses),
+    * `n_near` counts the qualifying lower-id neighbors, `max_cos` the
+    * strongest of them (f64 max is merge-order-independent, and each
+    * pair cosine is the same left-to-right fold in both engines).
+    *
+    * Scale shape: assignment is sim_kmeans's broadcast-argmin map (the
+    * corpus never shuffles to be assigned); the prune is ONE cid-keyed
+    * equi-join with cluster-bounded fan-in, then a vec_id-keyed
+    * aggregate. */
+  def simSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val a = kmeansFinalAssign(s, d)
+      .select(col("vec_id"), col("cid"), col("emb"))
+    val lower = a.select(col("cid"), col("vec_id").as("nbr_id"),
+      col("emb").as("nbr_emb"))
+    a.join(lower, Seq("cid"))
+      .filter(col("nbr_id") < col("vec_id"))
+      .withColumn("cos", expr(
+        "vec_dot(emb, nbr_emb) / (sqrt(vec_dot(emb, emb)) * sqrt(vec_dot(nbr_emb, nbr_emb)))"))
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(col("nbr_id")).as("keeper"),
+        count(lit(1)).as("n_near"),
+        max(col("cos")).as("max_cos"))
+  }
+
+  val simSemanticDedupSql: String =
+    s"""WITH $kmeansAssignCtes,
+       |pairs AS (
+       |  SELECT a.vec_id, a.cid, b.vec_id AS nbr_id,
+       |    list_dot_product(a.emb, b.emb)
+       |      / (sqrt(list_dot_product(a.emb, a.emb))
+       |         * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id)
+       |SELECT vec_id, cid, CAST(min(nbr_id) AS BIGINT) AS keeper,
+       |  CAST(count(*) AS BIGINT) AS n_near, max(cos) AS max_cos
+       |FROM pairs WHERE cos >= $SemTau GROUP BY vec_id, cid""".stripMargin
 
   // ------------------------------------------------------ sim_graph_bfs
   private val BfsSeeds = 3 // seed set: vec_id < BfsSeeds
@@ -1605,6 +1672,7 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> (simIvfPq _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
+    "sim_semantic_dedup"  -> (simSemanticDedup _),
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
     "sim_binary_hamming"  -> (simBinaryHamming _),
@@ -1632,6 +1700,7 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> simIvfPqSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
+    "sim_semantic_dedup"  -> simSemanticDedupSql,
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,
     "sim_binary_hamming"  -> simBinaryHammingSql,

@@ -68,7 +68,9 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_filtered_topk"    -> "pre-filter label predicate",
     "dedup_incremental"    -> "batch-vs-index disposition routing",
     "fmt_compaction"       -> "range-compacted file layout",
-    "q69_scd2_intervals"   -> "lead-closed validity ranges")
+    "q69_scd2_intervals"   -> "lead-closed validity ranges",
+    "sim_semantic_dedup"   -> "kmeans-confined cosine prune",
+    "dedup_embedding_cosine" -> "ranked LSH candidates with dup verdict")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {

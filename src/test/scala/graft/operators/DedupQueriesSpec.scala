@@ -226,9 +226,18 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
-  test("embedding cosine near-dup runs (no planted pairs in data)") {
-    val n = DedupQueries.dedupEmbeddingCosine(spark, sfDir).count()
-    assert(n == 0, "synthetic embeddings have max cosine ~0.6")
+  test("embedding cosine gate ranks candidates; none cross 0.95 on this data") {
+    // The gate emits ranked banded candidates with an is_dup verdict —
+    // non-empty on every SF (the vacuous-gate fix). The verdict column
+    // must still be all-false here: synthetic embeddings max out near
+    // cosine 0.6, well under the 0.95 dup threshold.
+    val rows = DedupQueries.dedupEmbeddingCosine(spark, sfDir)
+      .select("cos", "is_dup").as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty, "banding must surface candidate pairs")
+    assert(rows.forall(!_._2), "no synthetic pair may cross 0.95")
+    assert(rows.forall(_._1 < 0.95))
+    // ranked: descending cosine within the returned top-k
+    assert(rows.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
   test("contamination screen FIRES on planted train/benchmark leakage") {
@@ -284,16 +293,23 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
     val e = spark.createDataFrame(rows.map { case (id, v) => (id, v.toSeq) })
       .toDF("vec_id", "emb")
-    val out = DedupQueries.dedupEmbeddingCosineCore(e)
-      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(out.contains((0L, 1L)), s"planted pair missed: $out")
-    // exact verification: every reported pair genuinely exceeds the
-    // threshold (candidates from banding are re-checked with true cosine)
-    out.foreach { case (a, b) =>
-      assert(cos(byId(a), byId(b)) >= 0.95, s"false positive ($a,$b)")
+    val ranked = DedupQueries.dedupEmbeddingCosineCore(e)
+      .select("vec_a", "vec_b", "is_dup").as[(Long, Long, Boolean)]
+      .collect()
+    val dups = ranked.collect { case (a, b, true) => (a, b) }.toSet
+    // (3,12) is an accidental genuine near-dup among the noise vectors
+    // (cos ~0.986) — containment, not equality, is the right assertion;
+    // the verdict-agreement loop below rules out any false positive.
+    assert(dups.contains((0L, 1L)), s"planted pair missed: $ranked")
+    // exact verification: the is_dup verdict agrees with true cosine for
+    // every ranked candidate (banding candidates re-checked exactly)
+    ranked.foreach { case (a, b, dup) =>
+      assert(dup == (cos(byId(a), byId(b)) >= 0.95),
+        s"verdict mismatch on ($a,$b)")
     }
-    assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)),
-      "orthogonal-ish vector must not pair with the planted dup")
+    // the planted pair outranks everything: highest cosine first
+    assert(ranked.head._1 == 0L && ranked.head._2 == 1L,
+      s"planted pair must rank first: ${ranked.head}")
   }
 
   test("substring dedup is exactly sound: every pair shares a verbatim 8-token run") {

