@@ -174,6 +174,96 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // -------------------------------------------------------- sim_mips_ivf
+  /** MAXIMUM INNER PRODUCT search via norm augmentation (the public
+    * Bachrach et al. 2014 / Shrivastava–Li reduction): append one
+    * dimension sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus
+    * norm) so every augmented vector has norm exactly M; queries get 0
+    * in that dimension. On the resulting sphere, angular / cosine
+    * indexing structures become CORRECT for inner product — which raw
+    * cosine IVF is not (MIPS is not a metric: a vector can be its own
+    * worst neighbor). Cells and probes here rank by augmented dot
+    * (denominators are the constant M, so the cosine order IS the dot
+    * order); final scoring is the raw inner product q·x (equal to
+    * q'·x' since the query's augmented coordinate is 0), ranked
+    * (ip desc, vec_id asc) through the bounded top-k aggregate.
+    *
+    * Scale shape: identical to sim_topk_ivf — M is a 1-row broadcast,
+    * augmentation a pure map, assignment a broadcast argmax, probes
+    * broadcast onto the assigned corpus; the corpus never shuffles and
+    * the only shuffle carries k rows per query. */
+  def simMipsIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val m = broadcast(e.agg(max(col("nrm")).as("m")))
+    // greatest(...,0): the max-norm row's augmented coordinate is an
+    // exact 0 (same doubles both sides), but guard the sqrt anyway —
+    // identically in the oracle.
+    val aug = e.crossJoin(m)
+      .withColumn("aemb",
+        expr("concat(emb, array(sqrt(greatest(m * m - nrm * nrm, 0d))))"))
+    val centsArr = aug.filter(col("vec_id") < NumCells)
+      .select(struct(col("vec_id").as("cid"), col("aemb").as("cemb")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+    val assigned = aug.crossJoin(broadcast(centsArr))
+      .withColumn("best", expr(
+        """array_min(transform(cents,
+          |  c -> named_struct('negip', -vec_dot(aemb, c.cemb), 'cid', c.cid)))""".stripMargin))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("emb"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .withColumn("qaug", expr("concat(qemb, array(0d))"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("query_id"), col("qemb"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> named_struct('negip', -vec_dot(qaug, c.cemb),
+             |                    'cid', c.cid))), 1, $NumProbes)""".stripMargin)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cid"), col("qemb"))
+    explodeTopK(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr("vec_dot(emb, qemb)"))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+      .withColumnRenamed("cos", "ip")
+  }
+
+  val simMipsIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |m AS (SELECT max(nrm) AS m FROM n),
+       |aug AS (
+       |  SELECT vec_id, emb,
+       |    list_append(emb, sqrt(greatest(m * m - nrm * nrm, 0))) AS aemb
+       |  FROM n CROSS JOIN m),
+       |cents AS (SELECT vec_id AS cid, aemb AS cemb FROM aug WHERE vec_id < $NumCells),
+       |assigned AS (
+       |  SELECT vec_id, cid, emb FROM (
+       |    SELECT aug.vec_id, cents.cid, aug.emb,
+       |      row_number() OVER (PARTITION BY aug.vec_id
+       |        ORDER BY list_dot_product(aug.aemb, cents.cemb) DESC, cents.cid ASC) AS rnc
+       |    FROM aug CROSS JOIN cents) t
+       |  WHERE rnc = 1),
+       |probes AS (
+       |  SELECT query_id, cid, qemb FROM (
+       |    SELECT aug.vec_id AS query_id, cents.cid, aug.emb AS qemb,
+       |      row_number() OVER (PARTITION BY aug.vec_id
+       |        ORDER BY list_dot_product(list_append(aug.emb, 0.0), cents.cemb) DESC,
+       |                 cents.cid ASC) AS rnp
+       |    FROM aug CROSS JOIN cents WHERE aug.vec_id < $NumQueries) t
+       |  WHERE rnp <= $NumProbes),
+       |scored AS (
+       |  SELECT probes.query_id, assigned.vec_id,
+       |    list_dot_product(assigned.emb, probes.qemb) AS ip
+       |  FROM probes JOIN assigned ON probes.cid = assigned.cid
+       |  WHERE assigned.vec_id <> probes.query_id)
+       |SELECT query_id, vec_id, ip, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // ------------------------------------------------------------------
   // ------------------------------------------------------ sim_centroids
   /** Per-label centroids, dimension-parallel: the M-step of distributed
@@ -1660,6 +1750,7 @@ object SimilarityQueries {
     "sim_trunc_audit"     -> (simTruncAudit _),
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
+    "sim_mips_ivf"        -> (simMipsIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
@@ -1688,6 +1779,7 @@ object SimilarityQueries {
     "sim_trunc_audit"     -> simTruncAuditSql,
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
+    "sim_mips_ivf"        -> simMipsIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,
     "sim_threshold_sweep" -> simThresholdSweepSql,

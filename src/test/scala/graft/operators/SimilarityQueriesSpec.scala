@@ -165,6 +165,42 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("MIPS via norm augmentation equals an independent from-scratch recompute") {
+    val got = SimilarityQueries.queries("sim_mips_ivf")(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (q, v, ip, rn) => (q, rn) -> (v, ip) }.toMap
+    // third implementation: plain Scala replay of augmentation, cell
+    // assignment, probing, and exact inner-product ranking
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; for (i <- a.indices) s += a(i) * b(i); s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val bigM = nrm.values.max
+    val aug = emb.map { case (id, v) =>
+      id -> (v :+ math.sqrt(math.max(bigM * bigM - nrm(id) * nrm(id), 0.0)))
+    }
+    val cents = aug.filter(_._1 < 16).toSeq.sortBy(_._1)
+    val cellOf = aug.map { case (id, a) =>
+      id -> cents.map { case (cid, c) => (-dot(a, c), cid) }.min._2
+    }
+    for (q <- emb.keys.filter(_ < 10)) {
+      val qaug = emb(q) :+ 0.0
+      val probed = cents.map { case (cid, c) => (-dot(qaug, c), cid) }
+        .sorted.take(3).map(_._2).toSet
+      val want = emb.keys.filter(v => v != q && probed(cellOf(v))).toSeq
+        .map(v => (-dot(emb(v), emb(q)), v)).sorted.take(5)
+      want.zipWithIndex.foreach { case ((negIp, v), i) =>
+        val (gv, gip) = got((q, i + 1L))
+        assert(gv == v && gip == -negIp,
+          s"query $q rank ${i + 1}: got ($gv,$gip) want ($v,${-negIp})")
+      }
+    }
+    assert(got.size == 50, s"10 queries x top-5 expected, got ${got.size}")
+  }
+
   test("semantic dedup prunes within clusters, min-id survivor rule, sound cosines") {
     val pruned = SimilarityQueries.simSemanticDedup(spark, sfDir)
       .as[(Long, Long, Long, Long, Double)].collect()
