@@ -1385,7 +1385,13 @@ object TextQueries {
     * window for bigram formation, vocab-sized count tables hash-joined
     * back onto the bigram stream, one per-doc aggregate. At 100 TB the
     * count tables are the things to bucket; no all-pairs anywhere. */
-  def txtSurprisal(s: SparkSession, d: String): DataFrame = {
+  def txtSurprisal(s: SparkSession, d: String): DataFrame =
+    surprisalPerDoc(s, d)
+
+  /** Per-doc surprisal frame (doc_id, n_bigrams, total_bits,
+    * mean_mbits) — shared by txt_surprisal (which reports it) and
+    * txt_ppl_buckets (which ranks on it). */
+  private def surprisalPerDoc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d).select(col("doc_id"),
       posexplode(split(trim(col("text")), " +")).as(Seq("pos", "tok")))
@@ -1406,8 +1412,10 @@ object TextQueries {
         expr("total_bits * 1000 div n_bigrams").as("mean_mbits"))
   }
 
-  val txtSurprisalSql: String =
-    s"""WITH toks AS (SELECT doc_id, $DTokens AS l FROM documents),
+  /** CTE chain replicating [[surprisalPerDoc]] in DuckDB, ending in
+    * `sc` = (doc_id, n_bigrams, total_bits, mean_mbits). */
+  private val surprisalCtes: String =
+    s"""toks AS (SELECT doc_id, $DTokens AS l FROM documents),
        |bg AS (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
@@ -1420,11 +1428,76 @@ object TextQueries {
        |    CAST(floor(log2(pre_c)) AS BIGINT)
        |      - CAST(floor(log2(bg_c)) AS BIGINT) AS bits
        |  FROM bg JOIN c2 USING (bigram)
-       |  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.prefix)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(bits) AS BIGINT) AS total_bits,
-       |  CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
-       |FROM j GROUP BY doc_id""".stripMargin
+       |  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.prefix),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(bits) AS BIGINT) AS total_bits,
+       |    CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
+       |  FROM j GROUP BY doc_id)""".stripMargin
+
+  val txtSurprisalSql: String =
+    s"""WITH $surprisalCtes
+       |SELECT doc_id, n_bigrams, total_bits, mean_mbits FROM sc""".stripMargin
+
+  // ------------------------------------------------- txt_ppl_buckets
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): within each SOURCE, rank documents by the
+    * engine-exact surprisal score and split into head / middle / tail
+    * thirds — the standard "keep head+middle, drop tail" LM-quality
+    * partition, computed per source so no domain is graded on another
+    * domain's fluency. Ranks are a strict total order
+    * (mean_mbits asc, doc_id asc) and the tertile rule is integer
+    * arithmetic (rank·3 vs n, then rank·3 vs 2n), so bucket membership
+    * is bit-portable. Output is the |sources|×3 summary: doc/token
+    * mass per bucket plus the realized score boundaries.
+    *
+    * Scale shape: the per-source rank is a source-partitioned sort of
+    * the per-DOC score frame (already ~1e-3 of token volume); at
+    * 100 TB a skewed mega-source either range-partitions its sort or
+    * swaps exact ranks for two-pass selection against sampled
+    * thresholds — the bucket rule itself is unchanged. Everything
+    * after the rank is a ≤3·|sources|-row aggregate. */
+  def txtPplBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = surprisalPerDoc(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("toks"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("mean_mbits"), col("doc_id"))
+    val bySource = Window.partitionBy(col("source"))
+    sc.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(byScore))
+      .withColumn("nd", count(lit(1)).over(bySource))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("nd"), lit("head"))
+          .when(col("rk") * 3 <= col("nd") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
+        min(col("mean_mbits")).as("lo_mbits"),
+        max(col("mean_mbits")).as("hi_mbits"))
+  }
+
+  val txtPplBucketsSql: String =
+    s"""WITH $surprisalCtes,
+       |docs AS (SELECT doc_id, source, CAST(len($DTokens) AS BIGINT) AS toks
+       |         FROM documents),
+       |ranked AS (
+       |  SELECT d.source, d.toks, sc.mean_mbits,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY sc.mean_mbits ASC, sc.doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY d.source) AS nd
+       |  FROM sc JOIN docs d USING (doc_id)),
+       |b AS (
+       |  SELECT source, toks, mean_mbits,
+       |    CASE WHEN rk * 3 <= nd THEN 'head'
+       |         WHEN rk * 3 <= nd * 2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM ranked)
+       |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+       |  min(mean_mbits) AS lo_mbits, max(mean_mbits) AS hi_mbits
+       |FROM b GROUP BY source, bucket""".stripMargin
 
   // ------------------------------------------------ corpus_token_budget
   private val BudgetTokens = 1000000L
@@ -1819,6 +1892,7 @@ object TextQueries {
     "corpus_dedup_priority" -> (corpusDedupPriority _),
     "corpus_token_budget" -> (corpusTokenBudget _),
     "txt_surprisal"    -> (txtSurprisal _),
+    "txt_ppl_buckets"  -> (txtPplBuckets _),
     "corpus_dedup_impact" -> (corpusDedupImpact _),
   )
 
@@ -1857,6 +1931,7 @@ object TextQueries {
     "corpus_dedup_priority" -> corpusDedupPrioritySql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "txt_surprisal"    -> txtSurprisalSql,
+    "txt_ppl_buckets"  -> txtPplBucketsSql,
     "corpus_dedup_impact" -> corpusDedupImpactSql,
   )
 }

@@ -71,7 +71,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q69_scd2_intervals"   -> "lead-closed validity ranges",
     "sim_semantic_dedup"   -> "kmeans-confined cosine prune",
     "dedup_embedding_cosine" -> "ranked LSH candidates with dup verdict",
-    "sim_mips_ivf"         -> "norm-augmented inner-product IVF")
+    "sim_mips_ivf"         -> "norm-augmented inner-product IVF",
+    "txt_ppl_buckets"      -> "per-source perplexity tertiles")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {

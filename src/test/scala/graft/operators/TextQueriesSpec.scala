@@ -507,6 +507,33 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(got.exists(_._3 > 0), "some document must carry nonzero surprisal")
   }
 
+  test("txt_ppl_buckets: exact tertiles per source, ordered score boundaries") {
+    import spark.implicits._
+    val rows = TextQueries.queries("txt_ppl_buckets")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per-source doc totals must equal the scored-doc count (docs with
+    // at least one bigram), and bucket sizes follow the floor rule
+    val scored = TextQueries.txtSurprisal(spark, sfDir).select("doc_id")
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val byBucket = bs.map(b => b._2 -> b._3).toMap
+      val n = byBucket.values.sum
+      assert(n == scored(src), s"$src: buckets must partition the scored docs")
+      assert(byBucket.getOrElse("head", 0L) == n / 3, s"$src head size")
+      assert(byBucket.getOrElse("head", 0L) + byBucket.getOrElse("middle", 0L)
+        == 2 * n / 3, s"$src head+middle size")
+      // rank order by score implies non-overlapping boundary windows
+      for (lowHigh <- Seq(("head", "middle"), ("middle", "tail"))) {
+        val lo = bs.find(_._2 == lowHigh._1).map(_._6)
+        val hi = bs.find(_._2 == lowHigh._2).map(_._5)
+        for (a <- lo; b <- hi)
+          assert(a <= b, s"$src: ${lowHigh._1}.hi ($a) > ${lowHigh._2}.lo ($b)")
+      }
+    }
+  }
+
   test("corpus_token_budget: allocations are exact largest-remainder shares") {
     import spark.implicits._
     val rows = TextQueries.corpusTokenBudget(spark, sfDir)
