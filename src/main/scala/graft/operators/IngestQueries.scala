@@ -985,7 +985,42 @@ object IngestQueries {
        |FROM q GROUP BY qbucket""".stripMargin
   }
 
+  // ------------------------------------------------ amqp_count_pushdown
+  /** Aggregate pushdown under the oracle gate: a bare COUNT(*) over
+    * the AMQP batch read answers from the broker's sequence ledger
+    * (high-water minus settled floor) via [[graft.streaming
+    * .AmqpCountScan]] — the "scan" moves 8 bytes of metadata, no
+    * message body crosses the wire. The gate pumps a slice over the
+    * default amqp10:// transport and hash-matches the pushed count
+    * against DuckDB counting the same slice; AmqpSourceSpec separately
+    * pins the PLAN (AmqpCountScan present, no HashAggregate, grouped
+    * aggregates refuse the pushdown).
+    *
+    * Scale shape: this is what turns a monitoring `df.count()` on a
+    * 100 TB queue snapshot from a full drain into an O(1) metadata
+    * probe — the same ledger AmqpBatchRead plans its fetch bounds
+    * from, so the pushed answer is exactly the row scan's. */
+  def amqpCountPushdown(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 4)
+      .select(col("event_id"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(messageId = Some(r.getLong(0).toString),
+          body = AmqpValueBody(r.getLong(0).toString)), r.getLong(0))
+      })
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .agg(count(lit(1)).as("n_msgs"))
+  }
+
+  val amqpCountPushdownSql: String =
+    """SELECT count(*) AS n_msgs FROM events WHERE event_id % 10 = 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_count_pushdown"   -> (amqpCountPushdown _),
     "amqp_stream_parquet"   -> (amqpStreamParquet _),
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
@@ -1000,6 +1035,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_count_pushdown"   -> amqpCountPushdownSql,
     "amqp_stream_parquet"   -> amqpStreamParquetSql,
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,

@@ -118,10 +118,69 @@ object AmqpSourceConfig {
   * post-scan: the broker's fetch surface is a sequence range, not a
   * predicate language, so there is nothing to push filters INTO. */
 class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = AmqpEnvelope.schema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new AmqpScan(cfg, required)
+
+  /** Global COUNT(*) pushdown: the broker's per-address sequence
+    * ledger (high-water minus settled floor, the exact bounds
+    * [[AmqpBatchRead]] plans its fetch slices from) already IS the
+    * row count, so the "scan" for a bare `df.count()` moves 8 bytes
+    * instead of every message body. COMPLETE pushdown only, and only
+    * for the ungrouped single-COUNT(*) shape — anything else (group
+    * keys, other aggregates, count(col) with its null semantics)
+    * falls back to the row scan untouched. */
+  private def isGlobalCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isGlobalCountStar(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (isGlobalCountStar(agg)) { countPushed = true; true } else false
+  }
+
+  override def build(): Scan =
+    if (countPushed) new AmqpCountScan(cfg) else new AmqpScan(cfg, required)
+}
+
+/** The COUNT(*)-pushed scan: one metadata partition carrying the
+  * replayable-row count, snapshotted on the driver at planning time
+  * (the same moment a row scan would pin its fetch bounds). */
+class AmqpCountScan(cfg: AmqpSourceConfig) extends Scan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def description(): String =
+    s"AmqpCountScan(${cfg.endpoint}/${cfg.addresses.mkString(",")}) PushedAggregates: [COUNT(*)]"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+      val n = cfg.addresses
+        .map(a => math.max(0L, b.latestSeq(a) - b.settledUpTo(a))).sum
+      Array(AmqpCountPartition(n))
+    }
+    override def createReaderFactory(): PartitionReaderFactory = AmqpCountReaderFactory
+  }
+}
+
+case class AmqpCountPartition(n: Long) extends InputPartition
+
+object AmqpCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val n = partition.asInstanceOf[AmqpCountPartition].n
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema)

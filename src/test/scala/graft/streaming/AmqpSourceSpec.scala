@@ -500,6 +500,28 @@ class AmqpSourceSpec extends SparkSpecBase {
       (1 to 5).map(i => (s"b$i", s"$i")).toSet)
   }
 
+  test("global COUNT(*) pushes to the scan (SupportsPushDownAggregates)") {
+    val (ep, broker) = freshEndpoint("countpush")
+    (1 to 7).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"b$i"))))
+    broker.settle("my_address", 2) // settled floor must be honored
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+    val counted = df.agg(count(lit(1)).as("n"))
+    val plan = counted.queryExecution.executedPlan.toString
+    // complete pushdown: the metadata scan answers, no row aggregate
+    assert(plan.contains("AmqpCountScan"), s"count not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"agg survived pushdown:\n$plan")
+    assert(counted.collect().head.getLong(0) == 5L)
+    // the pushed answer must equal the row scan's
+    assert(df.selectExpr("message_id").collect().length == 5)
+    // grouped/other aggregates must NOT push: they need real rows
+    val grouped = df.groupBy(col("subject")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!grouped.contains("AmqpCountScan"), grouped)
+    assert(grouped.contains("HashAggregate"), grouped)
+  }
+
   test("column pruning reaches the AMQP scan (SupportsPushDownRequiredColumns)") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val (ep, broker) = freshEndpoint("prune")
