@@ -119,10 +119,20 @@ object AmqpSourceConfig {
   * predicate language, so there is nothing to push filters INTO. */
 class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = AmqpEnvelope.schema
   private var countPushed = false
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** LIMIT pushdown: a `df.limit(n)` peek at a queue snapshot plans
+    * fetch windows whose sizes sum to n instead of draining every
+    * replayable message — the ledger gives exact per-address bounds,
+    * so the cap is computed at planning time. Spark keeps its own
+    * Limit on top (the contract allows a partial push), which then
+    * passes through untouched rows. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   /** Global COUNT(*) pushdown: the broker's per-address sequence
     * ledger (high-water minus settled floor, the exact bounds
@@ -146,7 +156,7 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (countPushed) new AmqpCountScan(cfg) else new AmqpScan(cfg, required)
+    if (countPushed) new AmqpCountScan(cfg) else new AmqpScan(cfg, required, limit)
 }
 
 /** The COUNT(*)-pushed scan: one metadata partition carrying the
@@ -183,14 +193,16 @@ object AmqpCountReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema)
+class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema,
+    limit: Option[Int] = None)
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AmqpMicroBatchStream(cfg, required.fieldNames)
-  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames)
+  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit)
   override def description(): String =
-    s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}"
+    s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}" +
+      limit.map(n => s" PushedLimit: $n").getOrElse("")
 
   /** Planner-visible size: without statistics a DSv2 relation defaults
     * to "unknown = huge", so a 100-row AMQP snapshot joined against a
@@ -405,13 +417,26 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   * the envelope as a static DataFrame for tests/oracle comparisons.
   * One partition per link, like the streaming path. */
 class AmqpBatchRead(cfg: AmqpSourceConfig,
-    fields: Array[String] = AmqpEnvelope.schema.fieldNames) extends Batch {
+    fields: Array[String] = AmqpEnvelope.schema.fieldNames,
+    limit: Option[Int] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
-    cfg.addresses
-      .map(a => AmqpInputPartition(cfg.endpoint, a,
-        b.settledUpTo(a), b.latestSeq(a)): InputPartition)
-      .toArray
+    // A pushed LIMIT caps the fetch windows cumulatively at planning
+    // time: the sequence ledger knows each address's replayable span,
+    // so the planned spans sum to at most `limit` rows.
+    var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
+    cfg.addresses.flatMap { a =>
+      val from = b.settledUpTo(a)
+      // span arithmetic, never from+remaining: with no limit pushed
+      // remaining is Long.MaxValue and adding a nonzero settled floor
+      // would overflow negative, silently planning zero partitions
+      val span = math.min(math.max(0L, b.latestSeq(a) - from), remaining)
+      if (span <= 0) None
+      else {
+        remaining -= span
+        Some(AmqpInputPartition(cfg.endpoint, a, from, from + span): InputPartition)
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)
 }

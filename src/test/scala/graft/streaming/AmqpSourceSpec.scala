@@ -522,6 +522,27 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(grouped.contains("HashAggregate"), grouped)
   }
 
+  test("LIMIT pushes to the scan: planned fetch windows sum to n (SupportsPushDownLimit)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("limitpush")
+    (1 to 50).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"b$i"))))
+    val limited = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+      .limit(7)
+    assert(limited.collect().length == 7)
+    // the scan itself carries the cap: its planned windows span 7 rows,
+    // not the 50 replayable ones
+    val scan = limited.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("PushedLimit: 7"), scan.description())
+    val spans = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[AmqpInputPartition])
+      .map(p => p.toInclusive - p.fromExclusive)
+    assert(spans.sum == 7L, s"fetch windows must sum to the limit: ${spans.toSeq}")
+  }
+
   test("column pruning reaches the AMQP scan (SupportsPushDownRequiredColumns)") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val (ep, broker) = freshEndpoint("prune")
