@@ -120,19 +120,24 @@ object AmqpSourceConfig {
 class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownOffset {
   private var required: StructType = AmqpEnvelope.schema
   private var countPushed = false
   private var limit: Option[Int] = None
+  private var offset: Int = 0
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** LIMIT pushdown: a `df.limit(n)` peek at a queue snapshot plans
-    * fetch windows whose sizes sum to n instead of draining every
-    * replayable message — the ledger gives exact per-address bounds,
-    * so the cap is computed at planning time. Spark keeps its own
-    * Limit on top (the contract allows a partial push), which then
-    * passes through untouched rows. */
+  /** LIMIT/OFFSET pushdown: a `df.offset(k).limit(n)` peek at a queue
+    * snapshot plans fetch windows that SKIP the first k replayable
+    * sequence numbers and span at most n — the ledger gives exact
+    * per-address bounds, so both cuts are computed at planning time
+    * and no skipped or capped message ever crosses the wire. Spark
+    * only offers the offset after a limit push per its pushdown
+    * order, and the scan applies offset-then-limit to the replayable
+    * sequence exactly as the query semantics require. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushOffset(n: Int): Boolean = { offset = n; true }
 
   /** Global COUNT(*) pushdown: the broker's per-address sequence
     * ledger (high-water minus settled floor, the exact bounds
@@ -156,7 +161,8 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (countPushed) new AmqpCountScan(cfg) else new AmqpScan(cfg, required, limit)
+    if (countPushed) new AmqpCountScan(cfg)
+    else new AmqpScan(cfg, required, limit, offset)
 }
 
 /** The COUNT(*)-pushed scan: one metadata partition carrying the
@@ -194,15 +200,16 @@ object AmqpCountReaderFactory extends PartitionReaderFactory {
 }
 
 class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, offset: Int = 0)
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AmqpMicroBatchStream(cfg, required.fieldNames)
-  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit)
+  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit, offset)
   override def description(): String =
     s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}" +
-      limit.map(n => s" PushedLimit: $n").getOrElse("")
+      limit.map(n => s" PushedLimit: $n").getOrElse("") +
+      (if (offset > 0) s" PushedOffset: $offset" else "")
 
   /** Planner-visible size: without statistics a DSv2 relation defaults
     * to "unknown = huge", so a 100-row AMQP snapshot joined against a
@@ -418,24 +425,32 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   * One partition per link, like the streaming path. */
 class AmqpBatchRead(cfg: AmqpSourceConfig,
     fields: Array[String] = AmqpEnvelope.schema.fieldNames,
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None, offset: Int = 0) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
-    // A pushed LIMIT caps the fetch windows cumulatively at planning
-    // time: the sequence ledger knows each address's replayable span,
-    // so the planned spans sum to at most `limit` rows.
-    var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
+    // Pushed OFFSET/LIMIT cut the fetch windows at planning time:
+    // the sequence ledger knows each address's replayable span, so the
+    // planned windows skip the first `offset` rows and span at most
+    // `limit` more. Span arithmetic, never from+remaining: with no
+    // limit pushed `remaining` is Long.MaxValue and adding a nonzero
+    // settled floor would overflow negative, silently planning zero
+    // partitions.
+    // Spark's contract applies the pushed LIMIT first, then OFFSET
+    // within it (it rewrites `offset(k).limit(n)` to limit = k+n,
+    // offset = k before pushing): cap the taken prefix at `limit`,
+    // then skip `offset` rows inside that prefix.
+    var toTake = limit.map(_.toLong).getOrElse(Long.MaxValue)
+    var toSkip = offset.toLong
     cfg.addresses.flatMap { a =>
-      val from = b.settledUpTo(a)
-      // span arithmetic, never from+remaining: with no limit pushed
-      // remaining is Long.MaxValue and adding a nonzero settled floor
-      // would overflow negative, silently planning zero partitions
-      val span = math.min(math.max(0L, b.latestSeq(a) - from), remaining)
-      if (span <= 0) None
-      else {
-        remaining -= span
-        Some(AmqpInputPartition(cfg.endpoint, a, from, from + span): InputPartition)
-      }
+      val floor = b.settledUpTo(a)
+      val avail = math.max(0L, b.latestSeq(a) - floor)
+      val take = math.min(avail, toTake)
+      toTake -= take
+      val skip = math.min(take, toSkip)
+      toSkip -= skip
+      if (take - skip <= 0) None
+      else Some(AmqpInputPartition(cfg.endpoint, a,
+        floor + skip, floor + take): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)

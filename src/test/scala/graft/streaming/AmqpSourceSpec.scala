@@ -541,6 +541,22 @@ class AmqpSourceSpec extends SparkSpecBase {
       .map(_.asInstanceOf[AmqpInputPartition])
       .map(p => p.toInclusive - p.fromExclusive)
     assert(spans.sum == 7L, s"fetch windows must sum to the limit: ${spans.toSeq}")
+    // OFFSET composes: skip the first 10 replayable rows at planning
+    // time, then span the limit — the returned bodies prove the cut
+    // hit the right sequence range, not just the right count
+    val sliced = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+      .offset(10).limit(4)
+    assert(sliced.select(col("body")).collect().map(_.getString(0)).toSeq ==
+      (11 to 14).map(i => s"b$i"))
+    val s2 = sliced.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(s2.description().contains("PushedOffset: 10"), s2.description())
+    val p2 = s2.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[AmqpInputPartition]).toSeq
+    assert(p2.map(p => p.toInclusive - p.fromExclusive).sum == 4L, p2.toString)
+    assert(p2.head.fromExclusive == 10L, p2.toString)
   }
 
   test("column pruning reaches the AMQP scan (SupportsPushDownRequiredColumns)") {
