@@ -556,8 +556,98 @@ object MultimodalQueries {
       |FROM ich c CROSS JOIN buckets bk
       |GROUP BY c.doc_id, bk.bucket""".stripMargin
 
+  // --------------------------------------------------------- mm_phash
+  /** Perceptual near-duplicate IMAGE grouping by average hash (aHash,
+    * the public perceptual-hash family's baseline): each decoded BMP
+    * folds to integer grayscale (b+g+r) div 3, block-averages onto an
+    * 8×8 grid (pixel x → block x·8 div w, the integer downsample), and
+    * sets bit (by,bx) iff the block mean exceeds the image mean. The
+    * comparison is CROSS-MULTIPLIED (S_b·N > T·n_b) so no division or
+    * float ever exists — the hash is bit-exact on any engine. Equal
+    * hashes group perceptually-similar images: aHash is invariant to
+    * constant brightness shifts of the same gradient, which is exactly
+    * what makes it a dedup screen rather than a checksum (the fixture
+    * corpus collides ~16 groups at sf0.01 by construction). The 64
+    * bits ship as two 32-bit halves (h1 high, h0 low), like
+    * sim_binary_hamming, to stay inside signed int64 everywhere.
+    *
+    * Scale shape: decode + hash is a pure per-row map (129 integer
+    * accumulators per image); the only shuffle carries (hash, doc_id)
+    * pairs — inverted-index-shaped like every other dedup screen. */
+  def mmPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "image")
+      .map { blob =>
+        val bmp = MediaFiles.decodeBmp(blob.data).getOrElse(
+          throw new IllegalStateException(s"undecodable BMP for doc ${blob.doc_id}"))
+        val (w, h) = (bmp.width, bmp.height)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = 3 * (y * w + x)
+            val gray = (bmp.channels(base) + bmp.channels(base + 1) +
+              bmp.channels(base + 2)) / 3
+            val blk = (y * 8 / h) * 8 + (x * 8 / w)
+            sums(blk) += gray; counts(blk) += 1L; total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var h0 = 0L; var h1 = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) * n > total * counts(b)) {
+            if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (blob.doc_id, h0, h1)
+      }
+      .toDF("doc_id", "h0", "h1")
+      .groupBy(col("h0"), col("h1"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_imgs") >= 2)
+  }
+
+  val mmPhashSql: String =
+    """WITH img AS (
+      |  SELECT doc_id, (16 + (doc_id % 8) * 2) AS w, (8 + (doc_id % 5) * 3) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ipx AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM img),
+      |g AS (
+      |  SELECT doc_id,
+      |    ((doc_id + 2 * (i % w) + 3 * (i // w)) % 256
+      |     + (doc_id * 2 + (i % w) + 5 * (i // w) + 1) % 256
+      |     + (doc_id * 3 + 4 * (i % w) + (i // w) + 2) % 256) // 3 AS gray,
+      |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS blk
+      |  FROM ipx),
+      |blocks AS (SELECT doc_id, blk, sum(gray) AS s, count(*) AS nb
+      |           FROM g GROUP BY doc_id, blk),
+      |tot AS (SELECT doc_id, sum(gray) AS t, count(*) AS n FROM g GROUP BY doc_id),
+      |bits AS (
+      |  SELECT b.doc_id, b.blk,
+      |    CASE WHEN b.s * tot.n > tot.t * b.nb THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot USING (doc_id)),
+      |hash AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN blk < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS h0,
+      |    CAST(sum(CASE WHEN blk >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (blk - 32)) ELSE 0 END) AS BIGINT) AS h1
+      |  FROM bits GROUP BY doc_id)
+      |SELECT h0, h1, CAST(count(*) AS BIGINT) AS n_imgs,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM hash GROUP BY h0, h1 HAVING count(*) >= 2""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash"        -> (mmPhash _),
     "mm_image_hist"   -> (mmImageHist _),
     "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
@@ -570,6 +660,7 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_phash"        -> mmPhashSql,
     "mm_image_hist"   -> mmImageHistSql,
     "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,

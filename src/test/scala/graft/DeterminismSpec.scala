@@ -72,7 +72,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_semantic_dedup"   -> "kmeans-confined cosine prune",
     "dedup_embedding_cosine" -> "ranked LSH candidates with dup verdict",
     "sim_mips_ivf"         -> "norm-augmented inner-product IVF",
-    "txt_ppl_buckets"      -> "per-source perplexity tertiles")
+    "txt_ppl_buckets"      -> "per-source perplexity tertiles",
+    "mm_phash"             -> "integer aHash collision groups")
 
   for ((name, what) <- representatives)
     test(s"$name ($what) is identical at shuffle.partitions = 1 and 7") {

@@ -118,6 +118,41 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_phash: aHash groups equal a from-scratch closed-form recompute") {
+    import spark.implicits._
+    // independent recompute: straight from the pixel FORMULAS, never
+    // touching MediaFiles — so a decode row-order or channel-order bug
+    // cannot cancel itself out
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect().filter(_ % 3 == 0)
+    def ahash(id: Long): (Long, Long) = {
+      val w = 16 + (id % 8).toInt * 2; val h = 8 + (id % 5).toInt * 3
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        def m(v: Long) = ((v % 256) + 256) % 256
+        val gray = (m(id + 2 * x + 3 * y) + m(id * 2 + x + 5 * y + 1) +
+          m(id * 3 + 4 * x + y + 2)).toInt / 3
+        val blk = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(blk) += gray; cnts(blk) += 1; total += gray
+      }
+      val n = w.toLong * h
+      var h0 = 0L; var h1 = 0L
+      for (b <- 0 until 64 if sums(b) * n > total * cnts(b))
+        if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+      (h0, h1)
+    }
+    val expected = ids.map(ahash).groupBy(identity).collect {
+      case (hsh, grp) if grp.length >= 2 =>
+        val members = ids.filter(i => ahash(i) == hsh)
+        (hsh._1, hsh._2, members.length.toLong, members.min)
+    }.toSet
+    val got = MultimodalQueries.mmPhash(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"aHash groups drifted: got $got want $expected")
+    assert(got.nonEmpty, "the gradient fixtures must collide (aHash invariance)")
+  }
+
   test("frame sampling slices whole frames and drops the tail remainder") {
     // 10 bytes, 4 frames -> frame_len 2, frames at 0,2,4,6; stride 2 -> frames 0,2
     val s = MediaCodec.sampleFrames(blob(1, Array.range(0, 10).map(_.toByte), frames = 4), 2)
