@@ -133,9 +133,9 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * sequence numbers and span at most n — the ledger gives exact
     * per-address bounds, so both cuts are computed at planning time
     * and no skipped or capped message ever crosses the wire. Spark
-    * only offers the offset after a limit push per its pushdown
-    * order, and the scan applies offset-then-limit to the replayable
-    * sequence exactly as the query semantics require. */
+    * rewrites `offset(k).limit(n)` to pushed limit = k+n with offset
+    * = k, i.e. the scan must apply the LIMIT first and skip the
+    * OFFSET inside it — which is what [[AmqpBatchRead]] does. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def pushOffset(n: Int): Boolean = { offset = n; true }
 
@@ -161,8 +161,14 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (countPushed) new AmqpCountScan(cfg)
-    else new AmqpScan(cfg, required, limit, offset)
+    // Spark never offers an aggregate push once a Limit/Offset sits
+    // between the Aggregate and the relation, so countPushed implies
+    // no limit/offset — asserted rather than silently miscounted.
+    if (countPushed) {
+      require(limit.isEmpty && offset == 0,
+        "aggregate pushdown must not combine with limit/offset")
+      new AmqpCountScan(cfg)
+    } else new AmqpScan(cfg, required, limit, offset)
 }
 
 /** The COUNT(*)-pushed scan: one metadata partition carrying the
