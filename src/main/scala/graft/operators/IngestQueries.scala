@@ -1019,8 +1019,63 @@ object IngestQueries {
   val amqpCountPushdownSql: String =
     """SELECT count(*) AS n_msgs FROM events WHERE event_id % 10 = 4""".stripMargin
 
+  // ----------------------------------------------- amqp_filter_pushdown
+  /** Predicate pushdown under the oracle gate: a timestamp-range +
+    * subject-equality peek at a queue snapshot. The scan builder
+    * accepts both conjuncts ([[graft.streaming.AmqpScanBuilder]]
+    * SupportsPushDownV2Filters), the batch planner prunes each
+    * address's fetch window to the tightest sequence span covering the
+    * timestamp bounds (endpoint timestampWindow probe — over the wire
+    * on the default amqp10:// transport), and the partition reader
+    * evaluates the predicates exactly, so Spark plans NO re-filter:
+    * if the pushdown dropped or leaked a single message the count,
+    * sum, or id-extrema below hash-mismatch the oracle computing the
+    * same slice straight from parquet. AmqpSourceSpec separately pins
+    * the plan (PushedFilters marker, no post-scan Filter, pruned
+    * windows).
+    *
+    * Scale shape: a time-bounded monitoring query on a 100 TB queue
+    * ("what landed between 08:00 and 09:00?") fetches the covering
+    * span instead of draining the backlog — and messages outside the
+    * span never even pay envelope decode on the executors. */
+  def amqpFilterPushdown(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 1) // own per-run address: %10 slice overlap is fine
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      })
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      // Instant literals: exact epoch-micros bounds, independent of the
+      // session/JVM timezone (the parquet ts is epoch-micros too)
+      .where(col("ingest_timestamp") >= lit(java.time.Instant.parse("2024-01-08T00:00:00Z"))
+        && col("ingest_timestamp") < lit(java.time.Instant.parse("2024-01-16T00:00:00Z"))
+        && col("subject") === "click")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpFilterPushdownSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_id % 7 = 1 AND event_type = 'click'
+      |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_count_pushdown"   -> (amqpCountPushdown _),
+    "amqp_filter_pushdown"  -> (amqpFilterPushdown _),
     "amqp_stream_parquet"   -> (amqpStreamParquet _),
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
@@ -1036,6 +1091,7 @@ object IngestQueries {
 
   val oracleSql: Map[String, String] = Map(
     "amqp_count_pushdown"   -> amqpCountPushdownSql,
+    "amqp_filter_pushdown"  -> amqpFilterPushdownSql,
     "amqp_stream_parquet"   -> amqpStreamParquetSql,
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,

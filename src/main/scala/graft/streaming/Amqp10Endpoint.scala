@@ -348,6 +348,21 @@ class Amqp10Endpoint(host: String, port: Int,
       .get(Sym(SettledProp)).map(asLong).getOrElse(0L)
   }
 
+  /** Timestamp-window probe over the wire (scan predicate pushdown): a
+    * probe attach carrying lo/hi; a server without the extension omits
+    * the echo props and this returns None — callers fall back to the
+    * full replayable window, so talking to an older peer degrades the
+    * pruning, never the results. */
+  override def timestampWindow(address: String, loMicros: Long,
+      hiMicros: Long): Option[(Long, Long)] = call {
+    val echo = probe(address, amqpWireMap(Sym(ProbeProp) -> true,
+      Sym(TsWinLoProp) -> loMicros, Sym(TsWinHiProp) -> hiMicros))
+    for {
+      f <- echo.get(Sym(TsWinFromProp)).map(asLong)
+      t <- echo.get(Sym(TsWinToProp)).map(asLong)
+    } yield (f, t)
+  }
+
   override def fetch(address: String, fromExclusive: Long,
       toInclusive: Long): Seq[(Long, AmqpMessage, Long)] = call {
     if (toInclusive <= fromExclusive) Vector.empty

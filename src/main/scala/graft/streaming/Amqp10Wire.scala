@@ -60,6 +60,16 @@ private[streaming] object Amqp10Wire {
   val ProbeProp = "x-graft-probe"
   val LatestProp = "x-graft-latest-seq"
   val SettledProp = "x-graft-settled-up-to"
+  /** Timestamp-window probe (scan predicate pushdown): a probe attach
+    * carrying lo/hi (micros) is answered with the tightest replayable
+    * sequence window containing every message timestamped in [lo, hi]
+    * (from/to echo props, from exclusive). A server without the
+    * extension simply omits the echo — the client then reads the full
+    * window, so the pushdown degrades instead of corrupting. */
+  val TsWinLoProp = "x-graft-ts-lo-us"
+  val TsWinHiProp = "x-graft-ts-hi-us"
+  val TsWinFromProp = "x-graft-ts-from-seq"
+  val TsWinToProp = "x-graft-ts-to-seq"
   val SettleUpToProp = "x-graft-settle-up-to"
   val PartitionAnnotation = "x-graft-partition"
   val PartitionResetAnnotation = "x-graft-partition-reset"
@@ -376,9 +386,16 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
               links((ch, handle)) = ConsumerLink(sourceAddr, fromSeq)
               val echoProps =
                 if (props.get(Sym(ProbeProp)).isDefined) {
-                  amqpWireMap(
+                  val tsWin = for {
+                    lo <- props.get(Sym(TsWinLoProp)).map(asLong)
+                    hi <- props.get(Sym(TsWinHiProp)).map(asLong)
+                    w <- backing.timestampWindow(sourceAddr, lo, hi)
+                  } yield w
+                  amqpWireMap((Vector[(Any, Any)](
                     Sym(LatestProp) -> backing.latestSeq(sourceAddr),
-                    Sym(SettledProp) -> backing.settledUpTo(sourceAddr))
+                    Sym(SettledProp) -> backing.settledUpTo(sourceAddr)) ++
+                    tsWin.toVector.flatMap { case (f, t) => Vector[(Any, Any)](
+                      Sym(TsWinFromProp) -> f, Sym(TsWinToProp) -> t) }): _*)
                 } else props.get(Sym(SettleUpToProp)) match {
                   case Some(upTo) =>
                     backing.settle(sourceAddr, asLong(upTo))

@@ -110,22 +110,83 @@ object AmqpSourceConfig {
   }
 }
 
+/** The scan's pushed-predicate residue, carried from the builder to the
+  * planning (window pruning) and reader (exact row filter) layers. All
+  * accepted predicates are conjuncts: a timestamp interval [tsLo, tsHi]
+  * (micros, inclusive both ends) folded from every range/equality
+  * comparison on `ingest_timestamp`, plus equality constraints on the
+  * scalar string properties. The reader evaluates them EXACTLY, so the
+  * builder may claim complete handling and Spark plans no re-filter. */
+case class AmqpPushedFilters(
+    tsLoMicros: Long = Long.MinValue, tsHiMicros: Long = Long.MaxValue,
+    stringEq: Seq[(String, String)] = Nil,
+    notNull: Seq[String] = Nil, isNull: Seq[String] = Nil) {
+  def isEmpty: Boolean =
+    tsLoMicros == Long.MinValue && tsHiMicros == Long.MaxValue &&
+      stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty
+  def hasTsBounds: Boolean = tsLoMicros != Long.MinValue || tsHiMicros != Long.MaxValue
+  def matches(msg: AmqpMessage, tsMicros: Long): Boolean =
+    tsMicros >= tsLoMicros && tsMicros <= tsHiMicros &&
+      stringEq.forall { case (f, v) => AmqpPushedFilters.field(msg, f).contains(v) } &&
+      notNull.forall(f => AmqpPushedFilters.field(msg, f).isDefined) &&
+      isNull.forall(f => AmqpPushedFilters.field(msg, f).isEmpty)
+  def describe: String =
+    ((if (tsLoMicros != Long.MinValue) Seq(s"ingest_timestamp >= ${tsLoMicros}us") else Nil) ++
+     (if (tsHiMicros != Long.MaxValue) Seq(s"ingest_timestamp <= ${tsHiMicros}us") else Nil) ++
+     stringEq.map { case (f, v) => s"$f = '$v'" } ++
+     notNull.map(f => s"$f IS NOT NULL") ++
+     isNull.map(f => s"$f IS NULL")).mkString(", ")
+}
+
+object AmqpPushedFilters {
+  /** The pushable scalar string properties of the envelope. Map columns
+    * (application_properties) are not pushable: V2 predicates reference
+    * columns, not map lookups. */
+  val StringCols: Set[String] =
+    Set("message_id", "to", "subject", "reply_to", "correlation_id")
+  def field(msg: AmqpMessage, name: String): Option[String] = name match {
+    case "message_id" => msg.messageId
+    case "to" => msg.to
+    case "subject" => msg.subject
+    case "reply_to" => msg.replyTo
+    case "correlation_id" => msg.correlationId
+    case other => throw new IllegalArgumentException(s"unpushable column: $other")
+  }
+}
+
 /** Column pruning (SURVEY §4's one applicable pushdown): Catalyst hands
   * the scan the envelope columns the query actually references; readers
   * then skip materializing the rest — which matters when the pruned
   * columns are the expensive ones (JSON-ifying structured bodies,
-  * stringifying wide application-property maps). Envelope filters stay
-  * post-scan: the broker's fetch surface is a sequence range, not a
-  * predicate language, so there is nothing to push filters INTO. */
+  * stringifying wide application-property maps).
+  *
+  * Predicate pushdown (SupportsPushDownV2Filters): timestamp range and
+  * string-property equality conjuncts are accepted and evaluated
+  * EXACTLY by the partition reader (before envelope materialization, so
+  * a filtered-out message never pays body JSON-ification); timestamp
+  * bounds additionally prune the planned fetch windows through the
+  * endpoint's [[AmqpEndpoint.timestampWindow]] probe, so a
+  * time-bounded peek at a deep queue fetches only the covering
+  * sequence span instead of draining every message.
+  *
+  * Pushdown composition: filters, aggregates and limit/offset are
+  * mutually exclusive here — each push refuses when another kind is
+  * already in (Spark's rule order makes most combinations unreachable
+  * today, but a future Spark that composes them — as the JDBC scan does
+  * — must degrade to Spark-side evaluation, not plan a wrong scan). */
 class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset
+    with SupportsPushDownV2Filters {
   private var required: StructType = AmqpEnvelope.schema
   private var countPushed = false
   private var limit: Option[Int] = None
   private var offset: Int = 0
+  private var filters = AmqpPushedFilters()
+  private var accepted: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   /** LIMIT/OFFSET pushdown: a `df.offset(k).limit(n)` peek at a queue
@@ -135,9 +196,87 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * and no skipped or capped message ever crosses the wire. Spark
     * rewrites `offset(k).limit(n)` to pushed limit = k+n with offset
     * = k, i.e. the scan must apply the LIMIT first and skip the
-    * OFFSET inside it — which is what [[AmqpBatchRead]] does. */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
-  override def pushOffset(n: Int): Boolean = { offset = n; true }
+    * OFFSET inside it — which is what [[AmqpBatchRead]] does.
+    * Refused once predicates are pushed: the planned windows would
+    * then count fetched rows, not rows surviving the reader's filter,
+    * and a limit cut inside a filtered window returns too few rows. */
+  override def pushLimit(n: Int): Boolean =
+    if (countPushed || !filters.isEmpty) false else { limit = Some(n); true }
+  override def pushOffset(n: Int): Boolean =
+    if (countPushed || !filters.isEmpty) false else { offset = n; true }
+
+  // ------------------------------------------------- predicate pushdown
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.types.{StringType, TimestampType}
+
+  private def colNameOf(e: VExpr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+  private def flip(op: String): String = op match {
+    case ">" => "<"
+    case "<" => ">"
+    case ">=" => "<="
+    case "<=" => ">="
+    case o => o
+  }
+  private def acceptCmp(op: String, col: String, lit: VLiteral[_]): Boolean =
+    if (col == "ingest_timestamp" && lit.dataType == TimestampType &&
+        lit.value.isInstanceOf[java.lang.Long]) {
+      val v = lit.value.asInstanceOf[java.lang.Long].longValue
+      op match {
+        case "=" =>
+          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v),
+            tsHiMicros = math.min(filters.tsHiMicros, v)); true
+        case ">=" =>
+          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v)); true
+        case "<=" =>
+          filters = filters.copy(tsHiMicros = math.min(filters.tsHiMicros, v)); true
+        case ">" if v < Long.MaxValue =>
+          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v + 1)); true
+        case "<" if v > Long.MinValue =>
+          filters = filters.copy(tsHiMicros = math.min(filters.tsHiMicros, v - 1)); true
+        case _ => false
+      }
+    } else if (op == "=" && AmqpPushedFilters.StringCols(col) &&
+        lit.dataType == StringType && lit.value != null) {
+      filters = filters.copy(stringEq = filters.stringEq :+ (col -> lit.value.toString))
+      true
+    } else false
+
+  private def tryAccept(p: Predicate): Boolean = {
+    val ch = p.children()
+    // IS [NOT] NULL on the scalar string properties (Catalyst derives
+    // isnotnull(c) from every c = 'v' constraint — rejecting it would
+    // leave a residual Filter over an already-exact scan).
+    // ingest_timestamp is non-nullable: IS NOT NULL on it is vacuous.
+    if (ch.length == 1) colNameOf(ch(0)) match {
+      case Some(c) if AmqpPushedFilters.StringCols(c) && p.name() == "IS_NOT_NULL" =>
+        filters = filters.copy(notNull = filters.notNull :+ c); true
+      case Some(c) if AmqpPushedFilters.StringCols(c) && p.name() == "IS_NULL" =>
+        filters = filters.copy(isNull = filters.isNull :+ c); true
+      case Some("ingest_timestamp") if p.name() == "IS_NOT_NULL" => true
+      case _ => false
+    }
+    else if (ch.length != 2) false
+    else (colNameOf(ch(0)), ch(1), colNameOf(ch(1)), ch(0)) match {
+      case (Some(c), l: VLiteral[_], _, _) => acceptCmp(p.name(), c, l)
+      case (_, _, Some(c), l: VLiteral[_]) => acceptCmp(flip(p.name()), c, l)
+      case _ => false
+    }
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    // Spark pushes filters before aggregates/limits, so these guards are
+    // unreachable today — kept so an unexpected composition degrades to
+    // Spark-side filtering instead of a wrong scan.
+    if (countPushed || limit.isDefined || offset != 0) return predicates
+    val (ok, rest) = predicates.partition(tryAccept)
+    accepted = ok
+    rest // fully handled by the reader: nothing accepted needs re-evaluation
+  }
+  override def pushedPredicates(): Array[Predicate] = accepted
 
   /** Global COUNT(*) pushdown: the broker's per-address sequence
     * ledger (high-water minus settled floor, the exact bounds
@@ -146,29 +285,27 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * instead of every message body. COMPLETE pushdown only, and only
     * for the ungrouped single-COUNT(*) shape — anything else (group
     * keys, other aggregates, count(col) with its null semantics)
-    * falls back to the row scan untouched. */
+    * falls back to the row scan untouched. Refused when predicates or
+    * limit/offset are already pushed: the ledger count ignores both. */
   private def isGlobalCountStar(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private def countPushable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isGlobalCountStar(agg)
+    countPushable(agg)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (isGlobalCountStar(agg)) { countPushed = true; true } else false
+    if (countPushable(agg)) { countPushed = true; true } else false
   }
 
   override def build(): Scan =
-    // Spark never offers an aggregate push once a Limit/Offset sits
-    // between the Aggregate and the relation, so countPushed implies
-    // no limit/offset — asserted rather than silently miscounted.
-    if (countPushed) {
-      require(limit.isEmpty && offset == 0,
-        "aggregate pushdown must not combine with limit/offset")
-      new AmqpCountScan(cfg)
-    } else new AmqpScan(cfg, required, limit, offset)
+    if (countPushed) new AmqpCountScan(cfg)
+    else new AmqpScan(cfg, required, limit, offset, filters)
 }
 
 /** The COUNT(*)-pushed scan: one metadata partition carrying the
@@ -206,16 +343,18 @@ object AmqpCountReaderFactory extends PartitionReaderFactory {
 }
 
 class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema,
-    limit: Option[Int] = None, offset: Int = 0)
+    limit: Option[Int] = None, offset: Int = 0,
+    pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AmqpMicroBatchStream(cfg, required.fieldNames)
-  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit, offset)
+    new AmqpMicroBatchStream(cfg, required.fieldNames, pushed)
+  override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit, offset, pushed)
   override def description(): String =
     s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}" +
       limit.map(n => s" PushedLimit: $n").getOrElse("") +
-      (if (offset > 0) s" PushedOffset: $offset" else "")
+      (if (offset > 0) s" PushedOffset: $offset" else "") +
+      (if (!pushed.isEmpty) s" PushedFilters: [${pushed.describe}]" else "")
 
   /** Planner-visible size: without statistics a DSv2 relation defaults
     * to "unknown = huge", so a 100-row AMQP snapshot joined against a
@@ -232,7 +371,17 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
     val rows =
       try {
         val client = AmqpEndpointRegistry.endpoint(cfg.endpoint)
-        cfg.addresses.map(a => math.max(0L, client.latestSeq(a))).sum
+        // Replayable rows (high-water minus settled floor), then the
+        // pushed LIMIT/OFFSET window arithmetic from
+        // AmqpBatchRead.planInputPartitions: a df.limit(5) peek at a
+        // deep queue must report 5 rows, not the backlog, or the
+        // broadcast-join benefit these stats exist for is forfeited.
+        // Pushed predicates only shrink the count further — the
+        // uncut number stays a valid upper bound for planning.
+        val replayable = cfg.addresses
+          .map(a => math.max(0L, client.latestSeq(a) - client.settledUpTo(a))).sum
+        math.max(0L,
+          math.min(replayable, limit.map(_.toLong).getOrElse(Long.MaxValue)) - offset)
       } catch { case _: Exception => -1L } // unreachable broker: unknown
     val width = math.max(cfg.statsRowBytes, required.defaultSize.toLong)
     new Statistics {
@@ -296,7 +445,8 @@ object AmqpOffset {
 }
 
 class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
-    fields: Array[String] = AmqpEnvelope.schema.fieldNames)
+    fields: Array[String] = AmqpEnvelope.schema.fieldNames,
+    pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -411,7 +561,10 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)
+  // Offsets stay seq-based and unfiltered (settlement must advance over
+  // skipped messages too); the reader drops non-matching rows.
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AmqpReaderFactory(fields, pushed)
 
   /** Settle-after-durable-commit: the epoch is checkpointed, release
     * every link's unsettled window (the WAL-replacement contract). */
@@ -431,9 +584,26 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   * One partition per link, like the streaming path. */
 class AmqpBatchRead(cfg: AmqpSourceConfig,
     fields: Array[String] = AmqpEnvelope.schema.fieldNames,
-    limit: Option[Int] = None, offset: Int = 0) extends Batch {
+    limit: Option[Int] = None, offset: Int = 0,
+    pushed: AmqpPushedFilters = AmqpPushedFilters()) extends Batch {
+  // The builder never combines limit/offset with pushed predicates
+  // (each refuses once the other is in): the window arithmetic below
+  // counts FETCHED rows, which only equals returned rows when the
+  // reader filters nothing.
+  require(pushed.isEmpty || (limit.isEmpty && offset == 0),
+    "pushed predicates cannot combine with pushed limit/offset")
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+    // Pushed timestamp bounds prune each address's fetch window to the
+    // tightest sequence span covering the bounds (broker-side probe; a
+    // transport without the probe keeps the full window). Timestamps
+    // need not be monotone, so the span may still contain non-matching
+    // messages — the reader re-filters exactly; the probe only cuts
+    // what crosses the wire.
+    val tsWin: String => Option[(Long, Long)] =
+      if (pushed.hasTsBounds)
+        a => b.timestampWindow(a, pushed.tsLoMicros, pushed.tsHiMicros)
+      else _ => None
     // Pushed OFFSET/LIMIT cut the fetch windows at planning time:
     // the sequence ledger knows each address's replayable span, so the
     // planned windows skip the first `offset` rows and span at most
@@ -449,26 +619,35 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     var toSkip = offset.toLong
     cfg.addresses.flatMap { a =>
       val floor = b.settledUpTo(a)
-      val avail = math.max(0L, b.latestSeq(a) - floor)
+      val latest = b.latestSeq(a)
+      // Intersect the replayable span (floor, latest] with the pushed
+      // timestamp window, when the endpoint can answer the probe.
+      val (from0, to0) = tsWin(a) match {
+        case Some((f, t)) => (math.max(floor, f), math.min(latest, t))
+        case None => (floor, latest)
+      }
+      val avail = math.max(0L, to0 - from0)
       val take = math.min(avail, toTake)
       toTake -= take
       val skip = math.min(take, toSkip)
       toSkip -= skip
       if (take - skip <= 0) None
       else Some(AmqpInputPartition(cfg.endpoint, a,
-        floor + skip, floor + take): InputPartition)
+        from0 + skip, from0 + take): InputPartition)
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new AmqpReaderFactory(fields)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AmqpReaderFactory(fields, pushed)
 }
 
 case class AmqpInputPartition(endpoint: String, address: String,
     fromExclusive: Long, toInclusive: Long) extends InputPartition
 
-class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames)
+class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
+    pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields)
+    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields, pushed)
 }
 
 /** Pull-based reader for one (start, end] slice of a link's sequence.
@@ -476,7 +655,8 @@ class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames)
   * loop and Receiver.store (AMQPFlowController.scala:159-161) is
   * structural here: the endpoint buffers unsettled deliveries, the
   * reader pulls exactly the planned slice. */
-class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String])
+class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
+    pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends PartitionReader[InternalRow] {
 
   // Iterate — never index: endpoint implementations may return a
@@ -486,8 +666,19 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String])
   private val it =
     AmqpEndpointRegistry.endpoint(p.endpoint).fetch(p.address, p.fromExclusive, p.toInclusive).iterator
   private var cur: (Long, AmqpMessage, Long) = _
+  private val unfiltered = pushed.isEmpty
 
-  override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+  // Pushed predicates are evaluated here, BEFORE any envelope column is
+  // materialized: a filtered-out message costs one timestamp/string
+  // comparison, never body JSON-ification. Exact evaluation — the
+  // builder claimed complete handling, so no Spark-side re-filter runs.
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val c = it.next()
+      if (unfiltered || pushed.matches(c._2, c._3)) { cur = c; return true }
+    }
+    false
+  }
 
   // Column-name → accessor tag resolved ONCE per reader (by NAME, so
   // the mapping cannot drift if the schema order changes); the row loop

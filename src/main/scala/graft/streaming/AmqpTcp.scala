@@ -34,6 +34,7 @@ private[streaming] object AmqpTcpProtocol {
     * pipelining contract); per-message results, refusals as a suffix. */
   case class SendManyReq(address: String, msgs: Seq[(AmqpMessage, Long)]) extends Req
   case class LatestReq(address: String) extends Req
+  case class TsWindowReq(address: String, loMicros: Long, hiMicros: Long) extends Req
   case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
   case class SettleReq(address: String, upTo: Long) extends Req
   case class SettledUpToReq(address: String) extends Req
@@ -93,6 +94,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case SendReq(a, m, ts)      => backing.send(a, m, ts)
           case SendManyReq(a, ms)     => backing.sendMany(a, ms)
           case LatestReq(a)           => backing.latestSeq(a)
+          case TsWindowReq(a, lo, hi) => backing.timestampWindow(a, lo, hi)
           case FetchReq(a, f, t)      => backing.fetch(a, f, t)
           case SettleReq(a, u)        => backing.settle(a, u)
           case SettledUpToReq(a)      => backing.settledUpTo(a)
@@ -176,6 +178,9 @@ class TcpAmqpEndpoint(host: String, port: Int,
     if (msgs.isEmpty) Vector.empty
     else call[Seq[Long]](SendManyReq(address, msgs))
   override def latestSeq(address: String): Long = call[Long](LatestReq(address))
+  override def timestampWindow(address: String, loMicros: Long,
+      hiMicros: Long): Option[(Long, Long)] =
+    call[Option[(Long, Long)]](TsWindowReq(address, loMicros, hiMicros))
   override def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)] =
     call[Seq[(Long, AmqpMessage, Long)]](FetchReq(address, fromExclusive, toInclusive))
   override def settle(address: String, upTo: Long): Unit =

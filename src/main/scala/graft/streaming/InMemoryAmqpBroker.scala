@@ -83,6 +83,17 @@ trait AmqpEndpoint {
   def sendMany(address: String, msgs: Seq[(AmqpMessage, Long)]): Seq[Long] =
     msgs.map { case (m, ts) => send(address, m, ts) }
   def latestSeq(address: String): Long
+
+  /** Planning-time probe behind the scan's timestamp-predicate pushdown:
+    * the tightest (fromExclusive, toInclusive] sequence window containing
+    * EVERY replayable message whose enqueue timestamp (micros) lies in
+    * [loMicros, hiMicros] — Some((0, 0)) when none does. Timestamps are
+    * producer-supplied and NOT guaranteed monotone per link, so the
+    * window may contain non-matching messages; callers must re-filter
+    * rows (the partition reader does, exactly). None = this transport
+    * has no timestamp surface; callers fall back to the full replayable
+    * window (still correct, nothing pruned). */
+  def timestampWindow(address: String, loMicros: Long, hiMicros: Long): Option[(Long, Long)] = None
   def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
   def settle(address: String, upTo: Long): Unit
   def settledUpTo(address: String): Long
@@ -153,6 +164,29 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     val q = addr(address)
     q.lock.lock()
     try q.nextSeq - 1 finally q.lock.unlock()
+  }
+
+  /** Linear scan over the replayable buffer under the address lock — the
+    * driver-side planning probe (like a file-source listing), run once
+    * per batch plan, never per row. A broker with monotone enqueue
+    * timestamps would binary-search its ledger instead; this in-process
+    * stand-in cannot assume monotonicity because [[send]] accepts the
+    * producer's timestamp verbatim. */
+  override def timestampWindow(address: String, loMicros: Long,
+      hiMicros: Long): Option[(Long, Long)] = {
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      q.messages.foreach { case (s, _, ts) =>
+        if (ts >= loMicros && ts <= hiMicros) {
+          if (s < lo) lo = s
+          if (s > hi) hi = s
+        }
+      }
+      if (lo == Long.MaxValue) Some((0L, 0L)) else Some((lo - 1, hi))
+    } finally q.lock.unlock()
   }
 
   /** Deliveries in (fromExclusive, toInclusive]. Advances the delivered

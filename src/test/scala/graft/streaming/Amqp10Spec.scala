@@ -64,6 +64,22 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("timestampWindow probe round-trips over the wire (predicate pushdown planning)") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      Seq(30L, 10L, 40L, 15L).zipWithIndex.foreach { case (ts, i) =>
+        client.send("win", AmqpMessage(body = AmqpValueBody(s"b$i")), ts)
+      }
+      assert(client.timestampWindow("win", 10L, 20L) == Some((1L, 4L)),
+        "covering span of the ts-matching seqs, computed broker-side")
+      assert(client.timestampWindow("win", 25L, 35L) == Some((0L, 1L)))
+      assert(client.timestampWindow("win", 99L, 100L) == Some((0L, 0L)),
+        "no matching message = explicit empty window")
+      assert(client.timestampWindow("win", 10L, 20L)
+        == backing.timestampWindow("win", 10L, 20L), "wire answer equals the broker's")
+    }
+  }
+
   test("SASL-PLAIN: credentialed server accepts right creds, rejects wrong/anonymous") {
     val backing = new InMemoryAmqpBroker
     val server = new Amqp10Server(backing, credentials = Some(("alice", "s3cret")))

@@ -520,6 +520,98 @@ class AmqpSourceSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!grouped.contains("AmqpCountScan"), grouped)
     assert(grouped.contains("HashAggregate"), grouped)
+    // count(col) must NOT push (per-column null semantics) — this is
+    // also the exact shape the ingest bench times, so this pin keeps
+    // the bench measuring a real row scan, not the ledger probe
+    val colCount = df.agg(count(col("body")).as("n"))
+    val colPlan = colCount.queryExecution.executedPlan.toString
+    assert(!colPlan.contains("AmqpCountScan"), colPlan)
+    assert(colPlan.contains("AmqpScan("), colPlan)
+    assert(colCount.collect().head.getLong(0) == 5L)
+  }
+
+  test("timestamp + string predicates push to the scan (SupportsPushDownV2Filters)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("predpush")
+    // seconds 1..50 as micros; subjects alternate k0/k1
+    (1 to 50).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        subject = Some(s"k${i % 2}"), body = AmqpValueBody(s"b$i")),
+        timestampMicros = i * 1000000L))
+    def read() = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+    val lo = java.time.Instant.ofEpochSecond(10)
+    val hi = java.time.Instant.ofEpochSecond(20)
+    val filtered = read()
+      .where(col("ingest_timestamp") >= lit(lo) && col("ingest_timestamp") <= lit(hi)
+        && col("subject") === "k1")
+    // exact results: odd seconds in [10, 20]
+    assert(filtered.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (11 to 19 by 2).toSeq)
+    // the scan carries the predicates and Spark plans NO re-filter
+    val scan = filtered.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("PushedFilters:"), scan.description())
+    def filterNodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+    assert(filterNodes(filtered).isEmpty,
+      s"pushed predicates must not be re-filtered:\n${filtered.queryExecution.executedPlan}")
+    // planning-time pruning: fetch windows span only the covering
+    // sequence range (seqs 10..20), not the 50 replayable messages
+    val spans = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[AmqpInputPartition])
+    assert(spans.length == 1, spans.toSeq.toString)
+    assert(spans.head.fromExclusive == 9L && spans.head.toInclusive == 20L,
+      spans.toSeq.toString)
+    // literal-on-the-left comparisons normalize (flip) before pushing
+    val flipped = read().where(lit(hi) >= col("ingest_timestamp")
+      && lit(lo) <= col("ingest_timestamp"))
+    assert(flipped.collect().length == 11)
+    assert(filterNodes(flipped).isEmpty, flipped.queryExecution.executedPlan.toString)
+    // an unsatisfiable range plans zero partitions and returns nothing
+    val none = read().where(col("ingest_timestamp") > lit(hi)
+      && col("ingest_timestamp") < lit(lo))
+    assert(none.collect().isEmpty)
+    // COUNT(*) must NOT answer from the ledger once a predicate is
+    // pushed: the ledger count ignores filters
+    val countedF = read().where(col("subject") === "k1").agg(count(lit(1)).as("n"))
+    val cfPlan = countedF.queryExecution.executedPlan.toString
+    assert(!cfPlan.contains("AmqpCountScan"), cfPlan)
+    assert(countedF.collect().head.getLong(0) == 25L)
+    // LIMIT must NOT push once predicates are in: a limit cut inside a
+    // filtered window would return too few rows
+    val limited = read().where(col("subject") === "k1").limit(7)
+    val lScan = limited.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(!lScan.description().contains("PushedLimit"), lScan.description())
+    assert(limited.collect().length == 7)
+    // predicates the reader cannot evaluate exactly stay Spark-side
+    val residual = read().where(col("body").startsWith("b1"))
+    assert(filterNodes(residual).nonEmpty, residual.queryExecution.executedPlan.toString)
+    assert(residual.collect().length == 11) // b1, b10..b19
+  }
+
+  test("timestampWindow probe: non-monotone timestamps stay exact (covering span + reader re-filter)") {
+    val (ep, broker) = freshEndpoint("predwin")
+    // out-of-order producer timestamps: seq 1..6 with ts 30,10,40,15,50,20
+    Seq(30L, 10L, 40L, 15L, 50L, 20L).zipWithIndex.foreach { case (ts, i) =>
+      broker.send("my_address", AmqpMessage(messageId = Some((i + 1).toString),
+        body = AmqpValueBody(s"b${i + 1}")), timestampMicros = ts * 1000000L)
+    }
+    // [10s, 20s] matches seqs 2, 4, 6 → covering span (1, 6] — seqs 3, 5
+    // are fetched but must be dropped by the reader's exact re-filter
+    assert(broker.timestampWindow("my_address", 10000000L, 20000000L) == Some((1L, 6L)))
+    assert(broker.timestampWindow("my_address", 60000000L, 70000000L) == Some((0L, 0L)))
+    val got = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+      .where(col("ingest_timestamp") >= lit(java.time.Instant.ofEpochSecond(10))
+        && col("ingest_timestamp") <= lit(java.time.Instant.ofEpochSecond(20)))
+      .select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+    assert(got == Seq(2, 4, 6))
   }
 
   test("LIMIT pushes to the scan: planned fetch windows sum to n (SupportsPushDownLimit)") {

@@ -45,6 +45,9 @@ class AmqpTcpSpec extends SparkSpecBase {
       assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == 1)
       assert(client.commitStaged("t#1", "q", 1L, "addr", 43L) == -1, "idempotent epoch")
       assert(client.latestSeq("addr") == 2L)
+      // timestampWindow probe (predicate-pushdown planning) over the RPC
+      assert(client.timestampWindow("bulk-addr", 2L, 4L) == Some((1L, 4L)))
+      assert(client.timestampWindow("bulk-addr", 9L, 10L) == Some((0L, 0L)))
     }
   }
 
