@@ -1,0 +1,315 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
+import java.net.Socket
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Amqp10Codec._
+import Amqp10Wire.{writeAll, EnqueuedOutcome}
+
+/** Externally-authored golden frames: every byte in the `hex(...)`
+  * fixtures below was HAND-ENCODED on paper from the OASIS AMQP v1.0
+  * specification (Part 1 §1.6 primitive encodings, Part 2 §2.3 framing
+  * and §2.7 performatives, Part 3 §3.2 message format, Part 5 §5.3
+  * SASL) — NOT produced by this repo's codec. The reference proves its
+  * protocol layer against a second implementation (embedded ActiveMQ +
+  * Qpid Proton, /root/reference/pom.xml:91-102,
+  * AMQPBrokerStreamSuite.scala); no third-party AMQP jar resolves in
+  * this sandbox (README.md), so these spec-derived fixtures are the
+  * independent evidence that the codec implements the document, not
+  * merely itself: the codec must DECODE bytes it did not produce, and
+  * (where it emits the same canonical constructor) re-encode them
+  * bit-for-bit. The last test feeds the golden producer sequence to a
+  * live [[Amqp10Server]] socket, proving the server accepts a
+  * spec-authored peer end to end.
+  *
+  * Fixture arithmetic is spelled out per frame: list8 is
+  * `0xc0 size count` where size counts the count byte plus the encoded
+  * fields (§1.6.22); a frame is `size(4) doff(1)=2 type(1) channel(2)`
+  * then body (§2.3.1); described performatives open with
+  * `0x00 0x53 code` (constructor 0x00, smallulong descriptor).
+  */
+class Amqp10GoldenFramesSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(b => Integer.parseInt(b, 16).toByte)
+
+  // ------------------------------------------------- §2.3.1 protocol headers
+  test("golden: protocol headers ('AMQP' %d0 1 0 0 / %d3 1 0 0)") {
+    assert(java.util.Arrays.equals(hex("41 4d 51 50 00 01 00 00"), HeaderAmqp))
+    assert(java.util.Arrays.equals(hex("41 4d 51 50 03 01 00 00"), HeaderSasl))
+  }
+
+  // --------------------------------------------------- §1.6 primitive types
+  test("golden: §1.6 primitive encodings decode to the documented values") {
+    val cases: Seq[(String, Any)] = Seq(
+      "40" -> null,                                  // §1.6.1 null
+      "41" -> java.lang.Boolean.TRUE,                // §1.6.2 boolean.true
+      "42" -> java.lang.Boolean.FALSE,               //        boolean.false
+      "56 01" -> java.lang.Boolean.TRUE,             //        boolean (full form)
+      "50 0a" -> UByte(10),                          // §1.6.3 ubyte
+      "60 01 00" -> UShort(256),                     // §1.6.4 ushort
+      "43" -> UInt(0L),                              // §1.6.5 uint0
+      "52 ff" -> UInt(255L),                         //        smalluint
+      "70 00 01 00 00" -> UInt(65536L),              //        uint
+      "44" -> ULong(0L),                             // §1.6.6 ulong0
+      "53 2a" -> ULong(42L),                         //        smallulong
+      "80 00 00 00 01 00 00 00 00" -> ULong(4294967296L), // ulong
+      "51 80" -> -128,                               // §1.6.7 byte
+      "61 7f ff" -> 32767,                           // §1.6.8 short
+      "54 9c" -> -100,                               // §1.6.9 smallint
+      "71 80 00 00 00" -> Int.MinValue,              //        int
+      "55 05" -> 5L,                                 // §1.6.10 smalllong
+      "81 7f ff ff ff ff ff ff ff" -> Long.MaxValue, //        long
+      "72 3f 80 00 00" -> 1.0f,                      // §1.6.11 float (IEEE-754)
+      "82 40 09 21 fb 54 44 2d 18" -> 3.141592653589793, // §1.6.12 double
+      "83 00 00 00 00 00 00 00 00" -> Ts(0L),        // §1.6.17 timestamp (ms)
+      ("98 00 11 22 33 44 55 66 77 88 99 aa bb cc dd ee ff"
+        -> new java.util.UUID(0x0011223344556677L, 0x8899aabbccddeeffL)), // §1.6.18
+      "a1 05 48 65 6c 6c 6f" -> "Hello",             // §1.6.20 str8-utf8
+      "b1 00 00 00 05 48 65 6c 6c 6f" -> "Hello",    //         str32-utf8
+      "a3 04 61 6d 71 70" -> Sym("amqp"),            // §1.6.21 sym8
+      "45" -> Vector.empty[Any],                     // §1.6.22 list0
+      "c0 04 02 41 54 02" -> Vector[Any](java.lang.Boolean.TRUE, 2), // list8
+      "d0 00 00 00 05 00 00 00 01 40" -> Vector[Any](null),          // list32
+      "c1 06 02 a1 01 6b 54 07" ->                   // §1.6.23 map8 {"k": 7}
+        AmqpWireMap(Vector(("k": Any) -> (7: Any))))
+    cases.foreach { case (h, expected) =>
+      val got = decode(hex(h))
+      (got, expected) match {
+        case (g: Array[Byte], e: Array[Byte]) =>
+          assert(java.util.Arrays.equals(g, e), h)
+        case _ => assert(got == expected, s"decode($h) = $got, expected $expected")
+      }
+    }
+    // vbin8 (§1.6.19) — array equality needs its own comparison
+    assert(java.util.Arrays.equals(
+      decode(hex("a0 03 01 02 03")).asInstanceOf[Array[Byte]],
+      Array[Byte](1, 2, 3)))
+    // where the codec emits the same canonical constructor the spec
+    // example uses, it must reproduce the golden bytes bit-for-bit
+    Seq("40", "41", "43", "44", "53 2a", "a1 05 48 65 6c 6c 6f",
+      "a3 04 61 6d 71 70", "45", "83 00 00 00 00 00 00 00 00")
+      .foreach { h =>
+        assert(java.util.Arrays.equals(encode(decode(hex(h))), hex(h)),
+          s"canonical re-encode of $h")
+      }
+  }
+
+  // ------------------------------------------------------- §2.7.1 open frame
+  /** open(container-id="client-1", hostname="example.org",
+    * max-frame-size=65536) on channel 0.
+    * body = 00 53 10 (described, smallulong 0x10)
+    *      ++ c0 1d 03 (list8: size 29 = 28 content + count byte, 3 fields)
+    *      ++ str8 "client-1" (10B) ++ str8 "example.org" (13B)
+    *      ++ uint 65536 (5B)                     = 34B; frame = 8+34 = 42. */
+  private val goldenOpen = hex(
+    """00 00 00 2a 02 00 00 00
+       00 53 10 c0 1d 03
+       a1 08 63 6c 69 65 6e 74 2d 31
+       a1 0b 65 78 61 6d 70 6c 65 2e 6f 72 67
+       70 00 01 00 00""")
+
+  test("golden: open frame (§2.7.1) decodes field-exactly") {
+    val f = decodeFrame(goldenOpen)
+    assert(f.frameType == FrameTypeAmqp && f.channel == 0)
+    assert(descriptorCode(f.performative) == Desc.Open)
+    assert(field(f.performative, 0) == "client-1")
+    assert(field(f.performative, 1) == "example.org")
+    assert(field(f.performative, 2) == UInt(65536L))
+    assert(f.payload.isEmpty)
+    // same canonical constructors → bit-identical re-encode
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenOpen))
+  }
+
+  // ------------------------------------------------------ §2.7.2 begin frame
+  /** begin(remote-channel=null, next-outgoing-id=0,
+    * incoming-window=2^31-1, outgoing-window=2^31-1) on channel 1.
+    * list8: 4 fields, content 40 43 + two 5-byte uints = 12B. */
+  private val goldenBegin = hex(
+    """00 00 00 1a 02 00 00 01
+       00 53 11 c0 0d 04
+       40 43 70 7f ff ff ff 70 7f ff ff ff""")
+
+  test("golden: begin frame (§2.7.2) decodes field-exactly") {
+    val f = decodeFrame(goldenBegin)
+    assert(f.channel == 1)
+    assert(descriptorCode(f.performative) == Desc.Begin)
+    assert(field(f.performative, 0) == null)
+    assert(field(f.performative, 1) == UInt(0L))
+    assert(field(f.performative, 2) == UInt(2147483647L))
+    assert(field(f.performative, 3) == UInt(2147483647L))
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenBegin))
+  }
+
+  // ----------------------------------------------------- §2.7.3 attach frame
+  /** attach(name="link-a", handle=0, role=receiver(true), ..null..,
+    * source(address="q1")) on channel 1. The source (§3.5.3) is itself a
+    * described list: 00 53 28 c0 05 01 a1 02 "q1" (10B). attach list8:
+    * 6 fields, content 8+1+1+1+1+10 = 22B. */
+  private val goldenAttach = hex(
+    """00 00 00 24 02 00 00 01
+       00 53 12 c0 17 06
+       a1 06 6c 69 6e 6b 2d 61
+       43 41 40 40
+       00 53 28 c0 05 01 a1 02 71 31""")
+
+  test("golden: attach frame with source (§2.7.3, §3.5.3) decodes field-exactly") {
+    val f = decodeFrame(goldenAttach)
+    assert(descriptorCode(f.performative) == Desc.Attach)
+    assert(field(f.performative, 0) == "link-a")
+    assert(field(f.performative, 1) == UInt(0L))
+    assert(field(f.performative, 2) == java.lang.Boolean.TRUE, "role = receiver")
+    val source = field(f.performative, 5).asInstanceOf[Described]
+    assert(descriptorCode(source) == Desc.Source)
+    assert(field(source, 0) == "q1")
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenAttach))
+  }
+
+  // --------------------------------------- §2.7.5 transfer + §3.2 message
+  /** transfer(handle=0, delivery-id=0, delivery-tag=[0x00],
+    * message-format=0, settled=true) carrying a bare message:
+    * properties(message-id="M1") ++ amqp-value "Hello World!" — the
+    * payload mirrors the message the spec's own §3.2 example prose
+    * uses. transfer list8: 5 fields, content 1+1+3+1+1 = 7B;
+    * properties: 00 53 73 c0 05 01 a1 02 "M1" (10B);
+    * amqp-value: 00 53 77 a1 0c "Hello World!" (17B). */
+  private val goldenTransfer = hex(
+    """00 00 00 30 02 00 00 01
+       00 53 14 c0 08 05
+       43 43 a0 01 00 43 41
+       00 53 73 c0 05 01 a1 02 4d 31
+       00 53 77 a1 0c 48 65 6c 6c 6f 20 57 6f 72 6c 64 21""")
+
+  test("golden: transfer frame + bare message (§2.7.5, §3.2) decode end to end") {
+    val f = decodeFrame(goldenTransfer)
+    assert(descriptorCode(f.performative) == Desc.Transfer)
+    assert(field(f.performative, 0) == UInt(0L))
+    assert(field(f.performative, 1) == UInt(0L))
+    assert(java.util.Arrays.equals(
+      field(f.performative, 2).asInstanceOf[Array[Byte]], Array[Byte](0)))
+    assert(field(f.performative, 4) == java.lang.Boolean.TRUE, "settled")
+    // the payload is a §3.2 bare message the model decoder must accept
+    assert(decodeMessage(f.payload) ==
+      AmqpMessage(messageId = Some("M1"), body = AmqpValueBody("Hello World!")))
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenTransfer))
+  }
+
+  // ------------------------------------------------ §2.7.6 disposition frame
+  /** disposition(role=receiver, first=0, last=null, settled=true,
+    * state=accepted) on channel 1; accepted (§3.4.1) is a described
+    * empty list: 00 53 24 45. */
+  private val goldenDisposition = hex(
+    """00 00 00 16 02 00 00 01
+       00 53 15 c0 09 05
+       41 43 40 41
+       00 53 24 45""")
+
+  test("golden: disposition frame with accepted outcome (§2.7.6, §3.4.1)") {
+    val f = decodeFrame(goldenDisposition)
+    assert(descriptorCode(f.performative) == Desc.Disposition)
+    assert(field(f.performative, 0) == java.lang.Boolean.TRUE)
+    assert(field(f.performative, 1) == UInt(0L))
+    assert(field(f.performative, 3) == java.lang.Boolean.TRUE)
+    val state = field(f.performative, 4).asInstanceOf[Described]
+    assert(descriptorCode(state) == Desc.Accepted)
+    assert(state.value == Vector.empty)
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenDisposition))
+  }
+
+  // ------------------------------------------- §2.7.9 close + §2.8.14 error
+  /** close(error(condition=amqp:internal-error, description="fail")).
+    * error (0x1d) list: sym "amqp:internal-error" (21B) + str "fail"
+    * (6B) = 27B content; close list: that one 33B described field. */
+  private val goldenClose = hex(
+    """00 00 00 2f 02 00 00 00
+       00 53 18 c0 22 01
+       00 53 1d c0 1c 02
+       a3 13 61 6d 71 70 3a 69 6e 74 65 72 6e 61 6c 2d 65 72 72 6f 72
+       a1 04 66 61 69 6c""")
+
+  test("golden: close frame carrying an error (§2.7.9, §2.8.14)") {
+    val f = decodeFrame(goldenClose)
+    assert(descriptorCode(f.performative) == Desc.Close)
+    val err = field(f.performative, 0).asInstanceOf[Described]
+    assert(descriptorCode(err) == Desc.Error)
+    assert(field(err, 0) == Sym("amqp:internal-error"))
+    assert(field(err, 1) == "fail")
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenClose))
+  }
+
+  // ----------------------------------------------- §5.3.3.1 sasl-mechanisms
+  /** SASL frame (type 0x01): sasl-mechanisms(sasl-server-mechanisms =
+    * PLAIN) — the single-mechanism form the spec permits as a bare
+    * symbol rather than an array. */
+  private val goldenSaslMechanisms = hex(
+    """00 00 00 15 02 01 00 00
+       00 53 40 c0 08 01
+       a3 05 50 4c 41 49 4e""")
+
+  test("golden: sasl-mechanisms frame (§5.3.3.1) on the SASL frame type") {
+    val f = decodeFrame(goldenSaslMechanisms)
+    assert(f.frameType == FrameTypeSasl)
+    assert(descriptorCode(f.performative) == Desc.SaslMechanisms)
+    assert(field(f.performative, 0) == Sym("PLAIN"))
+    assert(java.util.Arrays.equals(encodeFrame(f), goldenSaslMechanisms))
+  }
+
+  // -------------------------------------- live server vs spec-authored peer
+  /** The producer handshake hand-encoded end to end: header, open,
+    * begin, attach (role=SENDER, target="gold-q"), one settled=false
+    * transfer carrying the §3.2 bare message — every byte authored from
+    * the spec, none emitted by the codec. The live server must answer
+    * open/begin/attach/flow, accept the transfer with its enqueued
+    * outcome, and land the message in the backing broker intact. */
+  test("golden: a live Amqp10Server accepts the hand-encoded producer sequence") {
+    // attach list8: 7 fields — str8 name (10B) + handle/role/settle
+    // modes/null source (5B) + described target (14B) = 29B content
+    val goldenSenderAttach = hex(
+      """00 00 00 2b 02 00 00 00
+         00 53 12 c0 1e 07
+         a1 08 67 6f 6c 64 2d 73 6e 64
+         43 42 40 40 40
+         00 53 29 c0 09 01 a1 06 67 6f 6c 64 2d 71""")
+    val goldenBeginCh0 = hex(
+      """00 00 00 1a 02 00 00 00
+         00 53 11 c0 0d 04
+         40 43 70 7f ff ff ff 70 7f ff ff ff""")
+    val goldenUnsettledTransfer = hex(
+      """00 00 00 30 02 00 00 00
+         00 53 14 c0 08 05
+         43 43 a0 01 00 43 42
+         00 53 73 c0 05 01 a1 02 4d 31
+         00 53 77 a1 0c 48 65 6c 6c 6f 20 57 6f 72 6c 64 21""")
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing)
+    val sock = new Socket("127.0.0.1", server.port)
+    sock.setTcpNoDelay(true)
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      writeAll(out, hex("41 4d 51 50 00 01 00 00")) // §2.3.1 header
+      val echo = new Array[Byte](8)
+      in.readFully(echo)
+      assert(java.util.Arrays.equals(echo, HeaderAmqp))
+      writeAll(out, goldenOpen)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Open)
+      writeAll(out, goldenBeginCh0)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Begin)
+      writeAll(out, goldenSenderAttach)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Attach)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Flow,
+        "sender attach is granted link credit")
+      writeAll(out, goldenUnsettledTransfer)
+      val disp = Amqp10Wire.readFrame(in)
+      assert(descriptorCode(disp.performative) == Desc.Disposition)
+      val state = field(disp.performative, 4).asInstanceOf[Described]
+      assert(state.descriptor == Sym(EnqueuedOutcome))
+      assert(field(state, 0) == 1L, "broker-assigned seq rides the outcome")
+      val Seq((1L, msg, _)) = backing.fetch("gold-q", 0, 1)
+      assert(msg.messageId.contains("M1"))
+      assert(msg.body == AmqpValueBody("Hello World!"))
+    } finally { sock.close(); server.close() }
+  }
+}
