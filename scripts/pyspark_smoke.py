@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""PySpark smoke test for the DSv2 AMQP source/sink.
+
+The reference ships a Python binding (/root/reference/python/amqp.py, a
+py4j shim over AMQPUtils — stale upstream). This engine's claim is that
+DataSource V2 makes Python parity free: `format("amqp")` resolves
+through META-INF service registration with no Python-side code at all.
+This script is the executable proof: it writes rows through the AMQP
+sink and reads them back through the source, entirely from pyspark.
+
+Run:  python3 scripts/pyspark_smoke.py   (after `sbt compile`)
+"""
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CLASSES = "target/scala-2.13/classes"
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("amqp-pyspark-smoke")
+    .config("spark.driver.extraClassPath", CLASSES)
+    .config("spark.executor.extraClassPath", CLASSES)
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+ep = "mem://pyspark-smoke"
+n = 100
+
+# produce through the sink (exactly the Scala batch-write path)
+(
+    spark.range(n)
+    .select(
+        F.col("id").cast("string").alias("message_id"),
+        F.concat(F.lit("k"), F.col("id") % 3).alias("subject"),
+        F.col("id").cast("string").alias("body"),
+    )
+    .write.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke")
+    .mode("append")
+    .save()
+)
+
+# read back through the source; envelope schema + a grouped aggregate
+df = (
+    spark.read.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke")
+    .load()
+)
+assert df.schema["ingest_timestamp"].dataType.typeName() == "timestamp", df.schema
+got = {
+    r["subject"]: r["cnt"]
+    for r in df.groupBy("subject").agg(F.count(F.lit(1)).alias("cnt")).collect()
+}
+expected = {"k0": 34, "k1": 33, "k2": 33}
+assert got == expected, f"{got} != {expected}"
+
+# COUNT(*) pushdown works from Python too (AmqpCountScan in the plan)
+counted = df.groupBy().count()
+plan = counted._jdf.queryExecution().executedPlan().toString()
+assert "AmqpCountScan" in plan, plan
+assert counted.collect()[0][0] == n
+
+spark.stop()
+print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
+      "envelope schema + grouped agg + COUNT(*) pushdown from Python")
+sys.exit(0)

@@ -1032,7 +1032,14 @@ object DedupQueries {
     * Scale shape: the truth side is the same inverted-index self-join
     * as dedup_ngram_jaccard (cost tracks true collisions); the compare
     * is a full-outer join on pair keys — sized by true+found pairs,
-    * not the corpus. */
+    * not the corpus. POSTURE AT 100 TB: an exact-truth audit is
+    * intrinsically unscalable — the exact side exists to be compared
+    * against, so it cannot itself be approximated away. This full-truth
+    * form is the TEST-SCALE contract; the production form runs the same
+    * query over a uniform document SAMPLE (truth and banded sides
+    * restricted to the sampled ids), which preserves the recall
+    * estimate with binomial error bars while keeping the exact side's
+    * cost proportional to the sample, not the corpus. */
   def dedupLshAudit(s: SparkSession, d: String): DataFrame = {
     // cache(): the truth side reads the inverted index three ways (both
     // join sides + sizes); same rationale as dedupMinhashLsh's cache.

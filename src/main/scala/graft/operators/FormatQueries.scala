@@ -94,6 +94,32 @@ object FormatQueries {
     gateAgg(s.read.orc(out))
   }
 
+  /** AVRO round-trip under the gate: the row-oriented interchange
+    * format real pipelines hand off through (Kafka + schema registry,
+    * streaming archival). Spark 4 bundles the avro connector inside
+    * spark-sql, so `format("avro")` resolves with no extra jar. What is
+    * being gated is the Avro logical-type mapping — timestamps ride
+    * (local-)timestamp-micros, doubles/longs their primitive types —
+    * hash-compared to DuckDB aggregating the original parquet; the
+    * schema survives in the Avro file header, so the re-read infers
+    * nothing.
+    *
+    * Scale shape: identical to the other round-trips — scan →
+    * distributed write → scan → hash aggregate; row-oriented Avro
+    * trades columnar skipping for append/interchange friendliness,
+    * which is exactly why it appears at the ingest edge, not the
+    * lakehouse core. */
+  def fmtAvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // Fully-qualified provider: this Spark build ships the complete
+    // avro implementation inside spark-sql_2.13 but does not list it
+    // in the DataSourceRegister service file, so the short name "avro"
+    // does not resolve; the class-name form is the documented fallback.
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    val out = scratch(d, "avro")
+    slice(s, d).write.mode("overwrite").format(avro).save(out)
+    gateAgg(s.read.format(avro).load(out))
+  }
+
   /** Compression-codec round-trip under the gate: the same slice
     * written twice as parquet — zstd and snappy, the two codecs a
     * 100 TB lake actually debates (zstd ~30-40% smaller at similar
@@ -426,6 +452,7 @@ object FormatQueries {
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
+    "fmt_avro_roundtrip" -> (fmtAvroRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip"  -> (fmtOrcRoundtrip _),
     "fmt_zstd_roundtrip" -> (fmtZstdRoundtrip _),
@@ -440,6 +467,7 @@ object FormatQueries {
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,
+    "fmt_avro_roundtrip" -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_orc_roundtrip"  -> gateAggSql,
     "fmt_zstd_roundtrip" -> gateAggSql,

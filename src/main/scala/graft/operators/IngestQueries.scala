@@ -1019,6 +1019,101 @@ object IngestQueries {
   val amqpCountPushdownSql: String =
     """SELECT count(*) AS n_msgs FROM events WHERE event_id % 10 = 4""".stripMargin
 
+  // -------------------------------------------- amqp_stream_join2_outer
+  /** Watermarked stream-stream LEFT OUTER join under the oracle gate —
+    * the sibling of [[amqpStreamJoin2]] that exercises the
+    * watermark-driven NULL-EMISSION path the inner form never touches:
+    * an unmatched left row may only be emitted (with nulls) once the
+    * global watermark proves no in-band right row can still arrive, so
+    * both sides carry `withWatermark` (1 h) and the join's 24-hour
+    * event-time band bounds the state.
+    *
+    * Determinism: after the real slice, an ANCHOR message is pumped on
+    * EACH link 60 days past the slice's max timestamp (the global
+    * watermark is the MIN across sources, so both sides must advance).
+    * That drives the final watermark beyond every real left row's band
+    * end, forcing all 600+ unmatched-left nulls out of state before
+    * Trigger.AvailableNow terminates (the post-data no-data batch
+    * performs the eviction). The anchors use non-numeric user keys so
+    * they match nothing; the left anchor — whose own band the watermark
+    * never passes — is filtered from the collected output, and the
+    * right anchor is invisible to a left-outer join by construction.
+    * The oracle computes the same banded LEFT JOIN relationally: any
+    * missing, duplicated, or premature null row breaks the hash.
+    *
+    * Scale shape: identical to the inner gate — state keyed by user,
+    * bounded by watermark + band; null emission adds no extra state. */
+  def amqpStreamJoin2Outer(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val (aL, aR) = (s"$address-L", s"$address-R")
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 5) // own per-run address: slice overlap is fine
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    val anchorTs = rows.map(_.getLong(3)).max + 60L * 24 * 3600 * 1000000L
+    for ((addr, parity, anchorKey) <- Seq((aL, 0L, "anchor-l"), (aR, 1L, "anchor-r"))) {
+      val side = rows.filter(r => (r.getLong(0) / 10) % 2 == parity)
+      pumpAll(client, addr, side.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getLong(1).toString),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      } :+ (AmqpMessage(messageId = Some(anchorKey), subject = Some(anchorKey),
+        body = AmqpValueBody("0.0")), anchorTs))
+    }
+    def side(addr: String, p: String): DataFrame =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", addr).load()
+        .select(col("subject").as(s"${p}_u"),
+          col("body").cast(DecimalType(18, 2)).as(s"${p}_v"),
+          col("ingest_timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    val joined = side(aL, "l").join(side(aR, "r"),
+      col("l_u") === col("r_u") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 24 HOURS"),
+      "left_outer")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Long])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-join2o-gate").toString
+    val q = joined
+      .select(col("l_u"), ((col("l_v") + col("r_v")) * 100).cast(LongType).as("cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r =>
+          (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        out.synchronized { out ++= got }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "outer stream-stream join gate hung")
+    finally q.stop()
+    out.toSeq.filterNot(_._1 == "anchor-l").toDF("user_key", "cents")
+      .groupBy(col("user_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("cents"))).as("n_unmatched"),
+        sum(col("cents")).as("sum_pair_cents"))
+  }
+
+  val amqpStreamJoin2OuterSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS u,
+      |    CAST(value AS DECIMAL(18,2)) AS v, ts
+      |  FROM events WHERE event_id % 7 = 5),
+      |l AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 0),
+      |r AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 1)
+      |SELECT l.u AS user_key,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) - count(r.u) AS BIGINT) AS n_unmatched,
+      |  CAST(sum(CAST((l.v + r.v) * 100 AS BIGINT)) AS BIGINT) AS sum_pair_cents
+      |FROM l LEFT JOIN r ON l.u = r.u
+      |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
+      |GROUP BY l.u""".stripMargin
+
   // ----------------------------------------------- amqp_filter_pushdown
   /** Predicate pushdown under the oracle gate: a timestamp-range +
     * subject-equality peek at a queue snapshot. The scan builder
@@ -1079,6 +1174,7 @@ object IngestQueries {
     "amqp_stream_parquet"   -> (amqpStreamParquet _),
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
+    "amqp_stream_join2_outer" -> (amqpStreamJoin2Outer _),
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
@@ -1095,6 +1191,7 @@ object IngestQueries {
     "amqp_stream_parquet"   -> amqpStreamParquetSql,
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,
+    "amqp_stream_join2_outer" -> amqpStreamJoin2OuterSql,
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,

@@ -1137,43 +1137,82 @@ object SimilarityQueries {
     * the DuckDB oracle replays clustering AND pruning end to end.
     *
     * Survivor rule is deterministic: a vector is PRUNED when some
-    * lower-id member of its cluster is within tau; `keeper` is the
-    * smallest such id (the min-id canonicalization dedup_exact uses),
-    * `n_near` counts the qualifying lower-id neighbors, `max_cos` the
-    * strongest of them (f64 max is merge-order-independent, and each
-    * pair cosine is the same left-to-right fold in both engines).
+    * lower-id member of its cluster is within tau; its NEAREST pointer
+    * is the smallest such id, `n_near` counts the qualifying lower-id
+    * neighbors, `max_cos` the strongest of them (f64 max is
+    * merge-order-independent, and each pair cosine is the same
+    * left-to-right fold in both engines). The nearest pointer may
+    * itself be a pruned vector, so `keeper` resolves the pointer CHAIN
+    * to its head — a vector with no lower-id in-tau neighbor, i.e. a
+    * guaranteed SURVIVOR (the same canonicalization dedup_cluster gets
+    * from connected components): a consumer deleting pruned rows and
+    * remapping references to `keeper` never points at a deleted row.
+    * Chains follow strictly decreasing ids, so resolution terminates;
+    * pointer jumping (keeper := keeper's keeper, applied to all rows at
+    * once) converges in O(log chain length) rounds.
     *
     * Scale shape: assignment is sim_kmeans's broadcast-argmin map (the
     * corpus never shuffles to be assigned); the prune is ONE cid-keyed
     * equi-join with cluster-bounded fan-in, then a vec_id-keyed
-    * aggregate. */
+    * aggregate; chain resolution joins only the PRUNED set against
+    * itself (a small fraction of the corpus), lineage-truncated per
+    * round like the graph loops. */
   def simSemanticDedup(s: SparkSession, d: String): DataFrame = {
     val a = kmeansFinalAssign(s, d)
       .select(col("vec_id"), col("cid"), col("emb"))
     val lower = a.select(col("cid"), col("vec_id").as("nbr_id"),
       col("emb").as("nbr_emb"))
-    a.join(lower, Seq("cid"))
+    val pruned = a.join(lower, Seq("cid"))
       .filter(col("nbr_id") < col("vec_id"))
       .withColumn("cos", expr(
         "vec_dot(emb, nbr_emb) / (sqrt(vec_dot(emb, emb)) * sqrt(vec_dot(nbr_emb, nbr_emb)))"))
       .filter(col("cos") >= SemTau)
       .groupBy(col("vec_id"), col("cid"))
-      .agg(min(col("nbr_id")).as("keeper"),
+      .agg(min(col("nbr_id")).as("nearest"),
         count(lit(1)).as("n_near"),
         max(col("cos")).as("max_cos"))
+      .localCheckpoint()
+    // Pointer-jump the nearest-pointers to their chain heads: a keeper
+    // entry exists only for pruned vectors, so a left join that misses
+    // means the pointer already names a survivor.
+    var canon = pruned.select(col("vec_id"), col("nearest").as("keeper"))
+    var moved = true
+    while (moved) {
+      val hop = canon.as("c")
+        .join(canon.select(col("vec_id").as("kv"), col("keeper").as("kk")).as("k"),
+          col("c.keeper") === col("kv"), "left")
+        .select(col("c.vec_id"), coalesce(col("kk"), col("c.keeper")).as("keeper"),
+          col("kk").isNotNull.as("hopped"))
+        .localCheckpoint()
+      moved = !hop.filter(col("hopped")).isEmpty
+      canon = hop.select(col("vec_id"), col("keeper"))
+    }
+    pruned.join(canon, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("keeper"), col("n_near"), col("max_cos"))
   }
 
   val simSemanticDedupSql: String =
-    s"""WITH $kmeansAssignCtes,
+    s"""WITH RECURSIVE $kmeansAssignCtes,
        |pairs AS (
        |  SELECT a.vec_id, a.cid, b.vec_id AS nbr_id,
        |    list_dot_product(a.emb, b.emb)
        |      / (sqrt(list_dot_product(a.emb, a.emb))
        |         * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id)
-       |SELECT vec_id, cid, CAST(min(nbr_id) AS BIGINT) AS keeper,
-       |  CAST(count(*) AS BIGINT) AS n_near, max(cos) AS max_cos
-       |FROM pairs WHERE cos >= $SemTau GROUP BY vec_id, cid""".stripMargin
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+       |pruned AS (
+       |  SELECT vec_id, cid, min(nbr_id) AS nearest,
+       |    CAST(count(*) AS BIGINT) AS n_near, max(cos) AS max_cos
+       |  FROM pairs WHERE cos >= $SemTau GROUP BY vec_id, cid),
+       |chain(vec_id, k) AS (
+       |  SELECT vec_id, nearest FROM pruned
+       |  UNION ALL
+       |  SELECT c.vec_id, p.nearest FROM chain c JOIN pruned p ON c.k = p.vec_id),
+       |heads AS (
+       |  SELECT vec_id, k FROM chain
+       |  WHERE k NOT IN (SELECT vec_id FROM pruned))
+       |SELECT p.vec_id, p.cid, CAST(h.k AS BIGINT) AS keeper,
+       |  p.n_near, p.max_cos
+       |FROM pruned p JOIN heads h ON p.vec_id = h.vec_id""".stripMargin
 
   // ------------------------------------------------------ sim_graph_bfs
   private val BfsSeeds = 3 // seed set: vec_id < BfsSeeds

@@ -201,22 +201,24 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(got.size == 50, s"10 queries x top-5 expected, got ${got.size}")
   }
 
-  test("semantic dedup prunes within clusters, min-id survivor rule, sound cosines") {
+  test("semantic dedup prunes within clusters; keeper is a chain-head survivor") {
     val pruned = SimilarityQueries.simSemanticDedup(spark, sfDir)
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(pruned.nonEmpty, "tau=0.4 must fire on this corpus (p99.95)")
     val ids = pruned.map(_._1).toSet
     pruned.foreach { case (vecId, _, keeper, nNear, maxCos) =>
-      assert(keeper < vecId, "survivor must be the lower id")
+      assert(keeper < vecId, "chains follow strictly decreasing ids")
       assert(nNear >= 1)
       assert(maxCos >= 0.4 && maxCos <= 1.0)
-      // keepers are never themselves pruned BY this vector's evidence
-      // chain head: the min-id member of a qualifying group survives
-      assert(vecId != keeper)
+      // the load-bearing chain-head guarantee: a keeper is NEVER itself
+      // pruned, so deleting the pruned set and remapping references to
+      // `keeper` can never point at a deleted vector
+      assert(!ids.contains(keeper),
+        s"keeper $keeper of $vecId is itself pruned — chain not resolved")
     }
-    // soundness against brute force: every reported (vec, keeper) pair
-    // genuinely has cosine >= tau, and counts match an exact recompute
-    // over the same cluster assignment
+    // soundness against brute force: every pruned vector genuinely has
+    // SOME lower-id neighbor within tau (the pruning evidence), and
+    // max_cos never exceeds the exact max over all lower-id cosines
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect()
@@ -226,9 +228,13 @@ class SimilarityQueriesSpec extends SparkSpecBase {
       for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    pruned.foreach { case (vecId, _, keeper, _, _) =>
-      assert(cos(emb(vecId), emb(keeper)) >= 0.4,
-        s"keeper pair ($vecId,$keeper) below tau in exact recompute")
+    pruned.foreach { case (vecId, _, _, _, maxCos) =>
+      val lowerCos = emb.keysIterator.filter(_ < vecId)
+        .map(k => cos(emb(vecId), emb(k))).toSeq
+      assert(lowerCos.exists(_ >= 0.4),
+        s"$vecId pruned without any lower-id in-tau neighbor in exact recompute")
+      assert(maxCos <= lowerCos.max + 1e-9,
+        s"$vecId max_cos $maxCos exceeds exact max ${lowerCos.max}")
     }
     // pruning is selective, not a mass deletion, on this corpus
     assert(ids.size < emb.size / 2, s"pruned ${ids.size} of ${emb.size}")
