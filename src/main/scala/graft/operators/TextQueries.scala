@@ -1748,6 +1748,72 @@ object TextQueries {
        |FROM h GROUP BY seg_h HAVING count(DISTINCT doc_id) >= 2""".stripMargin
   }
 
+  // --------------------------------------------- txt_boilerplate_scrub
+  /** The REMOVAL pass that completes [[txtDupSegments]]'s detection —
+    * what the C4 / CCNet line-dedup step actually does to the corpus:
+    * every occurrence of a shared (≥ 2 docs) segment is scrubbed from
+    * every document EXCEPT the canonical carrier (the min-id doc keeps
+    * all of its occurrences), and the per-document token ledger reports
+    * size before, size after, and segments removed. This is the
+    * operator a training-data build runs after detection: the ledger's
+    * totals are the corpus-shrink estimate, and the per-doc rows feed
+    * the quality re-score (a doc that loses most of its tokens to
+    * boilerplate usually fails the funnel afterwards).
+    *
+    * Determinism: same sliced-from-own-array segments and portable
+    * char-fold hash as detection; the keep/remove decision is pure
+    * (first_doc comparison), no order sensitivity anywhere.
+    *
+    * Scale shape: detection's hash-keyed aggregate (shuffle carries
+    * (hash, doc_id) pairs, never text) → one seg_h equi-join of the
+    * per-segment stream against the boilerplate set (sized by SHARED
+    * segments, a small fraction of the segment space) → a doc-keyed
+    * partial-aggregable count. Nothing re-reads or shuffles document
+    * text; the rewrite itself (re-assembling scrubbed text) is a
+    * per-row slice-and-concat map a writer would fuse into its scan. */
+  def txtBoilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
+      .filter(size(col("ts")) >= SegTokens)
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tok"),
+        col("ts"),
+        explode(sequence(lit(0), expr(s"size(ts) div $SegTokens") - 1)).as("g"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"char_fold_hash(concat_ws(' ', slice(ts, g * $SegTokens + 1, $SegTokens)))")
+          .as("seg_h"))
+    val boiler = txtDupSegments(s, d).select(col("seg_h"), col("first_doc"))
+    segs.join(boiler, Seq("seg_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok_before"),
+        sum(when(col("first_doc").isNotNull && col("first_doc") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_seg_removed"))
+      .select(col("doc_id"), col("n_tok_before"),
+        (col("n_tok_before") - col("n_seg_removed") * SegTokens).as("n_tok_after"),
+        col("n_seg_removed"))
+  }
+
+  val txtBoilerplateScrubSql: String = {
+    val segExpr = graft.functions.HashFunctions.charFoldHashSql(
+      s"array_to_string(ts[g * $SegTokens + 1 : g * $SegTokens + $SegTokens], ' ')")
+    s"""WITH t AS (
+       |  SELECT doc_id, $DTokens AS ts FROM documents
+       |  WHERE len($DTokens) >= $SegTokens),
+       |g AS (
+       |  SELECT doc_id, ts, unnest(range(len(ts) // $SegTokens)) AS g FROM t),
+       |h AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, $segExpr AS seg_h FROM g),
+       |b AS (
+       |  SELECT seg_h, min(doc_id) AS first_doc FROM h
+       |  GROUP BY seg_h HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT h.doc_id, CAST(max(h.n_tok) AS BIGINT) AS n_tok_before,
+       |  CAST(max(h.n_tok) - $SegTokens * sum(CASE WHEN b.first_doc IS NOT NULL
+       |    AND b.first_doc <> h.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_after,
+       |  CAST(sum(CASE WHEN b.first_doc IS NOT NULL AND b.first_doc <> h.doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_removed
+       |FROM h LEFT JOIN b ON h.seg_h = b.seg_h
+       |GROUP BY h.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- txt_freq_spectrum
   /** Zipf frequency spectrum of the corpus vocabulary: distinct words
     * bucketed by floor(log2(frequency)) — the doubling-bucket readout
@@ -1862,6 +1928,7 @@ object TextQueries {
     "corpus_filter_overlap" -> (corpusFilterOverlap _),
     "corpus_refresh" -> (corpusRefresh _),
     "txt_dup_segments" -> (txtDupSegments _),
+    "txt_boilerplate_scrub" -> (txtBoilerplateScrub _),
     "txt_freq_spectrum" -> (txtFreqSpectrum _),
     "txt_stats"        -> (txtStats _),
     "txt_quality"      -> (txtQuality _),
@@ -1901,6 +1968,7 @@ object TextQueries {
     "corpus_filter_overlap" -> corpusFilterOverlapSql,
     "corpus_refresh" -> corpusRefreshSql,
     "txt_dup_segments" -> txtDupSegmentsSql,
+    "txt_boilerplate_scrub" -> txtBoilerplateScrubSql,
     "txt_freq_spectrum" -> txtFreqSpectrumSql,
     "txt_stats"        -> txtStatsSql,
     "txt_quality"      -> txtQualitySql,

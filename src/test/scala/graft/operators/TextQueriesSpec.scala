@@ -59,6 +59,40 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("boilerplate scrub: ledger arithmetic holds, canonical carriers keep their segments") {
+    import spark.implicits._
+    val rows = TextQueries.txtBoilerplateScrub(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, before, after, removed) =>
+      assert(after + removed * 8 == before,
+        s"doc $doc: $after + $removed*8 != $before")
+      assert(after >= 0 && removed >= 0)
+    }
+    assert(rows.exists(_._4 > 0), "detection fires on this corpus — scrub must too")
+    // every canonical carrier from detection loses nothing to ITS OWN
+    // canonical segments: a doc that is first_doc for all its shared
+    // segments and shares no one else's has removed == 0
+    val firstDocs = TextQueries.txtDupSegments(spark, sfDir)
+      .select("first_doc").as[Long].collect().toSet
+    val removedByDoc = rows.map(r => r._1 -> r._4).toMap
+    // total segments removed equals detection's occurrence surplus:
+    // sum over shared segments of (occurrences outside the carrier)
+    val det = TextQueries.txtDupSegments(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    // (seg_h, n_docs, n_occurrences, first_doc): carrier keeps ALL its
+    // occurrences, so removed total = total occ - occ held by carrier.
+    // We can't see per-doc occurrence counts here, but removed total
+    // must be bounded by (n_occurrences - 1) summed — equality when
+    // carriers hold exactly one occurrence each.
+    val removedTotal = rows.map(_._4).sum
+    val upper = det.map(_._3 - 1).sum
+    assert(removedTotal <= upper && removedTotal > 0,
+      s"removed $removedTotal not in (0, $upper]")
+    assert(firstDocs.forall(removedByDoc.contains),
+      "every canonical carrier is long enough to appear in the ledger")
+  }
+
   test("repetition fractions are in [0,1] and cover every document") {
     val rows = TextQueries.txtRepetition(spark, sfDir)
       .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"))
