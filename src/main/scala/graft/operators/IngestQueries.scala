@@ -1019,6 +1019,62 @@ object IngestQueries {
   val amqpCountPushdownSql: String =
     """SELECT count(*) AS n_msgs FROM events WHERE event_id % 10 = 4""".stripMargin
 
+  // ---------------------------------------------- amqp_stream_from_ts
+  /** Timestamp-anchored stream start under the oracle gate — the
+    * Kafka `startingOffsetsByTimestamp` parity surface: a NEW consumer
+    * attaching to a queue with `option("startingTimestamp", T)` must
+    * begin at the first sequence whose enqueue timestamp reaches T
+    * (resolved through the endpoint's timestampWindow probe — over the
+    * wire on the default transport) instead of draining the backlog.
+    * The slice is pumped in enqueue-timestamp order (the monotone
+    * contract under which a timestamp start is exact, like Kafka's
+    * per-partition offsetsForTimes); the oracle aggregates only the
+    * events at/after the anchor — a stream that starts one sequence
+    * early or late breaks the count and the hash.
+    *
+    * Scale shape: the probe is one planning-time ledger lookup; the
+    * skipped history is never fetched, never decoded, never crosses
+    * the wire — attaching at "yesterday 00:00" on a 100 TB queue costs
+    * the tail, not the backlog. */
+  def amqpStreamFromTs(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 2)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .orderBy(col("ts_us"), col("event_id")) // monotone enqueue order
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      })
+    val qname = s"gate_from_ts_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("startingTimestamp", "2024-01-15T00:00:00Z")
+      .load()
+      .groupBy(col("subject").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-from-ts gate query hung")
+    finally q.stop()
+    s.table(qname).select(col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamFromTsSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id % 7 = 2 AND ts >= TIMESTAMP '2024-01-15'
+      |GROUP BY event_type""".stripMargin
+
   // -------------------------------------------- amqp_stream_join2_outer
   /** Watermarked stream-stream LEFT OUTER join under the oracle gate —
     * the sibling of [[amqpStreamJoin2]] that exercises the
@@ -1171,6 +1227,7 @@ object IngestQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_count_pushdown"   -> (amqpCountPushdown _),
     "amqp_filter_pushdown"  -> (amqpFilterPushdown _),
+    "amqp_stream_from_ts"   -> (amqpStreamFromTs _),
     "amqp_stream_parquet"   -> (amqpStreamParquet _),
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
@@ -1188,6 +1245,7 @@ object IngestQueries {
   val oracleSql: Map[String, String] = Map(
     "amqp_count_pushdown"   -> amqpCountPushdownSql,
     "amqp_filter_pushdown"  -> amqpFilterPushdownSql,
+    "amqp_stream_from_ts"   -> amqpStreamFromTsSql,
     "amqp_stream_parquet"   -> amqpStreamParquetSql,
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,

@@ -79,7 +79,8 @@ class AmqpTable(options: CaseInsensitiveStringMap)
   * per address, one input partition per link per micro-batch. `address`
   * remains the single-link form (and the sink's target). */
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
-    maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L)
+    maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
+    startingTimestampMicros: Option[Long] = None)
 
 object AmqpSourceConfig {
   def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = {
@@ -106,7 +107,18 @@ object AmqpSourceConfig {
       maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong,
       // planner row-size estimate (statistics): AMQP has no byte-count
       // surface, so the width is declared; raise it for fat payloads
-      statsRowBytes = o.getOrDefault("statsRowBytes", "1024").toLong)
+      statsRowBytes = o.getOrDefault("statsRowBytes", "1024").toLong,
+      // Kafka-parity startingOffsetsByTimestamp: a NEW streaming query
+      // begins at the first sequence whose enqueue timestamp reaches
+      // this bound instead of draining the whole backlog. Accepts
+      // epoch micros ("startingTimestampMicros") or an ISO-8601
+      // instant ("startingTimestamp", e.g. 2024-01-15T00:00:00Z).
+      startingTimestampMicros =
+        Option(o.get("startingTimestampMicros")).map(_.toLong)
+          .orElse(Option(o.get("startingTimestamp")).map { ts =>
+            val i = java.time.Instant.parse(ts)
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }))
   }
 }
 
@@ -490,8 +502,29 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     availableNowCap.fold(live)(cap => math.min(live, cap.getOrElse(a, 0L)))
   }
 
+  /** Where a NEW query begins (a checkpointed restart never calls
+    * this — exactly Kafka's startingOffsets contract). With
+    * `startingTimestamp[Micros]` set, each link starts at the first
+    * sequence whose enqueue timestamp reaches the bound (via the
+    * endpoint's timestampWindow probe — the same surface the batch
+    * scan's predicate pushdown plans from): a consumer attaching to a
+    * deep queue at "yesterday 00:00" skips the history instead of
+    * draining it. Non-monotone producer timestamps degrade
+    * conservatively (the covering window may start earlier, never
+    * later); a transport without the probe starts from 0 (full
+    * backlog — correct, nothing skipped). */
   override def initialOffset(): Offset =
-    AmqpOffset(cfg.addresses.map(_ -> 0L).toMap)
+    AmqpOffset(cfg.addresses.map { a =>
+      val start = cfg.startingTimestampMicros match {
+        case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
+          case Some((fromExclusive, to)) if to > fromExclusive => fromExclusive
+          case Some(_) => broker.latestSeq(a) // nothing at/after t yet
+          case None => 0L
+        }
+        case None => 0L
+      }
+      a -> start
+    }.toMap)
 
   override def latestOffset(): Offset =
     AmqpOffset(cfg.addresses.map(a => a -> latestFor(a)).toMap)

@@ -595,6 +595,47 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(residual.collect().length == 11) // b1, b10..b19
   }
 
+  test("startingTimestamp: a new query begins at the first matching sequence") {
+    val (ep, broker) = freshEndpoint("fromts")
+    (1 to 20).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000000L))
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("startingTimestampMicros", (12 * 1000000L).toString)
+      .load()
+      .select(col("message_id"))
+      .writeStream.format("memory").queryName("amqp_fromts").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("amqp_fromts").collect().map(_.getString(0).toInt).sorted.toSeq
+      assert(got == (12 to 20), s"must start at seq 12, got $got")
+      // messages arriving after the start are delivered regardless of ts
+      broker.send("my_address", AmqpMessage(messageId = Some("21"),
+        body = AmqpValueBody("late")), timestampMicros = 1L)
+      poll {
+        assert(spark.table("amqp_fromts").collect().length == 10)
+      }
+    } finally q.stop()
+    // a bound past everything starts at the live tail, not the backlog
+    val q2 = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("startingTimestamp", "1970-01-01T00:01:40Z") // 100 s = past all
+      .load()
+      .select(col("message_id"))
+      .writeStream.format("memory").queryName("amqp_fromts2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("amqp_fromts2").collect().isEmpty, "backlog skipped")
+      broker.send("my_address", AmqpMessage(messageId = Some("22"),
+        body = AmqpValueBody("new")), timestampMicros = 200000000L)
+      poll {
+        val got = spark.table("amqp_fromts2").collect().map(_.getString(0)).toSeq
+        assert(got == Seq("22"))
+      }
+    } finally q2.stop()
+  }
+
   test("timestampWindow probe: non-monotone timestamps stay exact (covering span + reader re-filter)") {
     val (ep, broker) = freshEndpoint("predwin")
     // out-of-order producer timestamps: seq 1..6 with ts 30,10,40,15,50,20
