@@ -218,6 +218,25 @@ object Bench {
           System.err.println(
             f"[bench] stream_ingest 1link_wire produce ${100000L / pSec}%.0f msg/s")
           measure("1link_wire", wireEp, Seq("l0"), 100000L)
+          // 4 links over the wire: each partition reader drains its OWN
+          // pooled connection, so the four framed drains run in
+          // parallel instead of serializing on one socket — the
+          // per-executor-link topology a cluster runs.
+          val wlinks = (1 to 4).map(i => s"w$i")
+          wlinks.foreach { a =>
+            var s4 = 0L
+            var f4 = 0L
+            while (s4 < 50000L) {
+              val accepted = client.sendMany(a, batch).count(_ >= 0)
+              s4 += accepted
+              if (accepted < batch.length) {
+                val to = client.latestSeq(a)
+                client.fetch(a, f4, to)
+                f4 = to
+              }
+            }
+          }
+          measure("4link_wire", wireEp, wlinks, 200000L)
         } finally { AmqpEndpointRegistry.reset(wireEp); server.close() }
       } catch { case e: Throwable =>
         errors("stream_ingest_wire") = String.valueOf(e)

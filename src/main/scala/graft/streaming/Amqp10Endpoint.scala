@@ -428,6 +428,11 @@ class Amqp10Endpoint(host: String, port: Int,
     }
   }
 
+  /** Drop the per-connection disposition ledger — called when a pooled
+    * partition-reader connection is returned (readers fetch, never
+    * settle; without this the ledger grows across every pooled reuse). */
+  private[streaming] def forgetDeliveries(): Unit = synchronized { received.clear() }
+
   override def settle(address: String, upTo: Long): Unit = call {
     // dispositions for the delivery-ids this connection received (the
     // wire-native path); contiguous did runs become one frame each

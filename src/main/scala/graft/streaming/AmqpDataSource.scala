@@ -692,12 +692,18 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
     pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends PartitionReader[InternalRow] {
 
+  // A connection of this reader's own (pooled; mem:// = the shared
+  // broker): N link-partitions drain N sockets in parallel instead of
+  // serializing on the JVM's one cached client — the per-executor-link
+  // topology a cluster runs. Returned to the pool in close().
+  private val endpointConn = AmqpEndpointRegistry.readerEndpoint(p.endpoint)
+
   // Iterate — never index: endpoint implementations may return a
   // linked Seq (2.13's ArrayBuffer.toSeq builds a List), where indexed
   // access turns the scan O(n²). Measured: 40k messages took 5.4s via
   // messages(idx), 14ms via iterator.
   private val it =
-    AmqpEndpointRegistry.endpoint(p.endpoint).fetch(p.address, p.fromExclusive, p.toInclusive).iterator
+    endpointConn.fetch(p.address, p.fromExclusive, p.toInclusive).iterator
   private var cur: (Long, AmqpMessage, Long) = _
   private val unfiltered = pushed.isEmpty
 
@@ -768,5 +774,6 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
     new GenericInternalRow(arr)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    AmqpEndpointRegistry.releaseReaderEndpoint(p.endpoint, endpointConn)
 }

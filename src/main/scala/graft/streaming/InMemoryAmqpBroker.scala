@@ -311,6 +311,10 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
 object AmqpEndpointRegistry {
   private val brokers = new ConcurrentHashMap[String, InMemoryAmqpBroker]()
   private val clients = new ConcurrentHashMap[String, AmqpEndpoint with AutoCloseable]()
+  /** Idle reader connections per socket endpoint (see [[readerEndpoint]]). */
+  private val readerPools =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]]()
+  private val ReaderPoolCap = 64
 
   /** The in-process broker behind a mem:// endpoint (also the backing
     * store an [[AmqpTcpServer]] / [[Amqp10Server]] serves). */
@@ -354,27 +358,72 @@ object AmqpEndpointRegistry {
     *  - `tcp://` — the engine's compact RPC framing
     *    ([[TcpAmqpEndpoint]]), same semantics, not AMQP on the wire. */
   def endpoint(endpoint: String): AmqpEndpoint =
+    if (isSocket(endpoint)) clients.computeIfAbsent(endpoint, _ => newClient(endpoint))
+    else broker(endpoint)
+
+  private def isSocket(endpoint: String): Boolean =
+    endpoint.startsWith("amqp10://") || endpoint.startsWith("amqps://") ||
+      endpoint.startsWith("tcp://")
+
+  /** Build a fresh (uncached) socket client for `endpoint`. Connection
+    * is lazy — construction costs nothing until the first operation. */
+  private def newClient(endpoint: String): AmqpEndpoint with AutoCloseable =
     if (endpoint.startsWith("amqp10://")) {
       val (body, mech) = parseWireUri(endpoint.stripPrefix("amqp10://"), endpoint)
       val (creds, host, port) = parseHostPort(body)
-      clients.computeIfAbsent(endpoint,
-        _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2), mech))
+      new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2), mech)
     } else if (endpoint.startsWith("amqps://")) {
       // amqp10:// framing inside a TLS session; trust from the
       // graft.amqps.truststore sys props (JVM default anchors otherwise)
       val (body, mech) = parseWireUri(endpoint.stripPrefix("amqps://"), endpoint)
       val (creds, host, port) = parseHostPort(body)
-      clients.computeIfAbsent(endpoint,
-        _ => new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2),
-          mech, Some(AmqpTls.clientFromSysProps())))
-    } else if (endpoint.startsWith("tcp://")) {
+      new Amqp10Endpoint(host, port, creds.map(_._1), creds.map(_._2),
+        mech, Some(AmqpTls.clientFromSysProps()))
+    } else {
       val (creds, host, port) = parseHostPort(endpoint.stripPrefix("tcp://"))
-      clients.computeIfAbsent(endpoint,
-        _ => new TcpAmqpEndpoint(host, port, creds.map(_._1), creds.map(_._2)))
+      new TcpAmqpEndpoint(host, port, creds.map(_._1), creds.map(_._2))
+    }
+
+  /** A connection for one PARTITION READER. Socket transports get a
+    * connection of their own (pooled per endpoint): the shared
+    * [[endpoint]] client serializes all callers on one socket, so N
+    * link-partitions draining through it would run one at a time — a
+    * per-reader connection is the per-executor-link topology a real
+    * cluster runs, and N drains proceed in parallel. `mem://` returns
+    * the shared in-process broker (no socket to contend on). Callers
+    * MUST hand the connection back via [[releaseReaderEndpoint]] (the
+    * reader's close()); a pooled connection that went stale self-heals
+    * on next use (both socket clients re-dial once on IO failure). */
+  def readerEndpoint(endpoint: String): AmqpEndpoint =
+    if (isSocket(endpoint)) {
+      val pool = readerPools.computeIfAbsent(endpoint,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]())
+      Option(pool.poll()).getOrElse(newClient(endpoint))
     } else broker(endpoint)
+
+  def releaseReaderEndpoint(endpoint: String, ep: AmqpEndpoint): Unit = ep match {
+    case c: AutoCloseable if isSocket(endpoint) =>
+      // readers never settle, so an Amqp10 connection's disposition
+      // ledger would grow forever across pooled reuses — drop it (the
+      // driver's settle path uses its own connection's attach-property
+      // fallback, never this ledger)
+      ep match {
+        case a: Amqp10Endpoint => a.forgetDeliveries()
+        case _ => ()
+      }
+      val pool = readerPools.computeIfAbsent(endpoint,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]())
+      if (pool.size < ReaderPoolCap) pool.offer(c.asInstanceOf[AmqpEndpoint with AutoCloseable])
+      else c.close()
+    case _ => ()
+  }
 
   def reset(endpoint: String): Unit = {
     brokers.remove(endpoint)
     Option(clients.remove(endpoint)).foreach(_.close())
+    Option(readerPools.remove(endpoint)).foreach { pool =>
+      var c = pool.poll()
+      while (c != null) { c.close(); c = pool.poll() }
+    }
   }
 }
