@@ -57,6 +57,15 @@ object CorpusPipeline {
     println(s"dedup: $exactDups exact duplicates; $clustered docs in near-dup clusters, " +
       s"$toDrop dropped keeping one per cluster")
 
+    // 3b. boilerplate scrub: cross-document shared segments removed
+    // everywhere except their canonical carrier (the C4/CCNet line-dedup
+    // step); the ledger's delta is the corpus-shrink estimate
+    val scrub = TextQueries.txtBoilerplateScrub(spark, sfDir)
+      .agg(sum(col("n_tok_before")).as("before"), sum(col("n_tok_after")).as("after"),
+        sum(col("n_seg_removed")).as("segs")).head()
+    println(s"scrub: ${scrub.getLong(2)} boilerplate segments removed " +
+      s"(${scrub.getLong(0)} -> ${scrub.getLong(1)} tokens)")
+
     // 4. split sizes
     TextQueries.splitStratified(spark, sfDir)
       .groupBy(col("split")).agg(sum(col("n_docs")).as("n"))
