@@ -48,6 +48,14 @@ class Amqp10Endpoint(host: String, port: Int,
   private def sendFrame(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
     writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0, perf, payload)))
 
+  /** Write without flushing — the pipelined produce paths emit hundreds
+    * of transfer frames back-to-back, and a flush (= syscall + packet
+    * under TCP_NODELAY) per ~70-byte frame was the produce bottleneck
+    * (profiled: flushes, not encode, dominate). Callers MUST flush
+    * before awaiting any response or the peer never sees the request. */
+  private def sendFrameUnflushed(perf: Described, payload: Array[Byte]): Unit =
+    out.write(encodeFrame(Frame(FrameTypeAmqp, 0, perf, payload)))
+
   private def connect(): Unit = {
     sock = tls match {
       case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
@@ -230,7 +238,9 @@ class Amqp10Endpoint(host: String, port: Int,
     while (!done) {
       val end = math.min(off + serverPayloadChunk, payload.length)
       val more = end < payload.length
-      sendFrame(described(Desc.Transfer, UInt(handle), UInt(did),
+      // unflushed: single-transfer callers flush via transfer(); the
+      // pipelined batch paths flush once per batch before draining
+      sendFrameUnflushed(described(Desc.Transfer, UInt(handle), UInt(did),
         did.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
         java.lang.Boolean.valueOf(more), null, state),
         java.util.Arrays.copyOfRange(payload, off, end))
@@ -244,6 +254,7 @@ class Amqp10Endpoint(host: String, port: Int,
   private def transfer(handle: Long, payload: Array[Byte],
       txnId: Option[String] = None): Described = {
     transferFrames(handle, payload, txnId)
+    out.flush()
     val disp = await(Desc.Disposition)
     field(disp.performative, 4).asInstanceOf[Described]
   }
@@ -287,6 +298,7 @@ class Amqp10Endpoint(host: String, port: Int,
       val dids = msgs.map { case (m, ts) =>
         transferFrames(handle, encodeTransferPayload(Seq(TsAnnotation -> ts), m), None)
       }
+      out.flush() // the whole batch in as few packets as the buffer allows
       val outcomes = mutable.Map[Long, Described]()
       while (outcomes.size < dids.size) {
         val disp = await(Desc.Disposition).performative
@@ -501,6 +513,7 @@ class Amqp10Endpoint(host: String, port: Int,
           transferFrames(handle,
             encodeMessage(m.copy(messageAnnotations = anns)), Some(txn))
         }
+        out.flush() // the whole batch in as few packets as the buffer allows
         val outcomes = mutable.Map[Long, Described]()
         while (outcomes.size < dids.size) {
           val disp = await(Desc.Disposition).performative

@@ -177,7 +177,16 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new BufferedOutputStream(sock.getOutputStream)
-      def send(f: Frame): Unit = writeAll(out, encodeFrame(f))
+      // Lazy flush: under pipelined produce the client has the next
+      // transfer already buffered when we reply, so flushing each
+      // disposition individually (syscall + packet per ~40-byte frame)
+      // just fragments the ack stream — defer while input is pending,
+      // flush the moment the peer has nothing more queued (it is then
+      // awaiting our replies).
+      def send(f: Frame): Unit = {
+        out.write(encodeFrame(f))
+        if (in.available() == 0) out.flush()
+      }
       // session frames answer on the channel they arrived on (§2.5.6:
       // one session per channel; a peer may run several concurrently)
       def amqpOn(ch: Int)(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
@@ -308,14 +317,20 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           while (!done) {
             val end = math.min(off + peerPayloadChunk, payload.length)
             val more = end < payload.length
-            amqpOn(ch)(described(Desc.Transfer, UInt(handle), UInt(did),
-              seq.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
-              java.lang.Boolean.valueOf(more)),
-              java.util.Arrays.copyOfRange(payload, off, end))
+            // unflushed: a drain slice is thousands of ~70-byte frames,
+            // and a flush (syscall + packet under TCP_NODELAY) per frame
+            // was the drain-push bottleneck — the buffered stream
+            // coalesces, the flush below seals the slice
+            out.write(encodeFrame(Frame(FrameTypeAmqp, ch,
+              described(Desc.Transfer, UInt(handle), UInt(did),
+                seq.toString.getBytes(UTF_8), UInt(0L), java.lang.Boolean.FALSE,
+                java.lang.Boolean.valueOf(more)),
+              java.util.Arrays.copyOfRange(payload, off, end))))
             off = end
             done = !more
           }
         }
+        out.flush()
       }
 
       var open = true
