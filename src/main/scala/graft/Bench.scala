@@ -202,18 +202,24 @@ object Bench {
           val client = AmqpEndpointRegistry.endpoint(wireEp)
           val batch = (0 until 500).map(i =>
             (AmqpMessage(body = AmqpValueBody(s"m-$i")), i.toLong))
-          var sent = 0L
-          var fetchedUpTo = 0L
-          val p0 = System.nanoTime()
-          while (sent < 100000L) {
-            val accepted = client.sendMany("l0", batch).count(_ >= 0)
-            sent += accepted
-            if (accepted < batch.length) {
-              val to = client.latestSeq("l0")
-              client.fetch("l0", fetchedUpTo, to)
-              fetchedUpTo = to
+          // one drain-on-refusal produce loop shared by both topologies
+          // (the same contract as IngestQueries.pumpAll: credit
+          // refusals are a suffix, consuming replenishes)
+          def producePreload(addr: String, n: Long): Unit = {
+            var sent = 0L
+            var fetchedUpTo = 0L
+            while (sent < n) {
+              val accepted = client.sendMany(addr, batch).count(_ >= 0)
+              sent += accepted
+              if (accepted < batch.length) {
+                val to = client.latestSeq(addr)
+                client.fetch(addr, fetchedUpTo, to)
+                fetchedUpTo = to
+              }
             }
           }
+          val p0 = System.nanoTime()
+          producePreload("l0", 100000L)
           val pSec = (System.nanoTime() - p0) / 1e9
           System.err.println(
             f"[bench] stream_ingest 1link_wire produce ${100000L / pSec}%.0f msg/s")
@@ -223,19 +229,7 @@ object Bench {
           // parallel instead of serializing on one socket — the
           // per-executor-link topology a cluster runs.
           val wlinks = (1 to 4).map(i => s"w$i")
-          wlinks.foreach { a =>
-            var s4 = 0L
-            var f4 = 0L
-            while (s4 < 50000L) {
-              val accepted = client.sendMany(a, batch).count(_ >= 0)
-              s4 += accepted
-              if (accepted < batch.length) {
-                val to = client.latestSeq(a)
-                client.fetch(a, f4, to)
-                f4 = to
-              }
-            }
-          }
+          wlinks.foreach(producePreload(_, 50000L))
           measure("4link_wire", wireEp, wlinks, 200000L)
         } finally { AmqpEndpointRegistry.reset(wireEp); server.close() }
       } catch { case e: Throwable =>

@@ -278,34 +278,54 @@ class Amqp10Endpoint(host: String, port: Int,
       }
     }
 
-  /** Pipelined bulk produce: all transfers go out back-to-back (many
+  /** Pipelined bulk produce: transfers go out back-to-back (many
     * unsettled deliveries in flight — the sender shape link credit and
     * delivery-ids exist for, §2.6.7), then the dispositions are drained
     * and matched by delivery-id. Throughput is bandwidth-bound instead
     * of round-trip-bound: one RTT per BATCH, not per message.
     *
-    * Callers keep batches modest (≤ ~500): the server writes
-    * dispositions while we are still writing transfers, and a batch
-    * large enough to fill both socket buffers with neither side reading
-    * would deadlock — the classic pipelining bound.
+    * The ≤500 in-flight bound is enforced HERE, not by caller
+    * convention: the server writes dispositions while we are still
+    * writing transfers, and an unbounded batch could fill both socket
+    * buffers with neither side reading — the classic pipelining
+    * deadlock. Larger inputs are chunked internally; once a chunk sees
+    * a credit refusal the remaining messages are refused without
+    * touching the wire (credit replenishes only via fetch, never
+    * mid-send, so they could not be accepted anyway — the refused
+    * SUFFIX contract holds across chunks).
     *
     * Same at-least-once reconnect contract as [[send]], amplified:
-    * an IOException mid-batch replays the WHOLE batch. */
+    * an IOException mid-chunk replays that whole chunk. */
   override def sendMany(address: String, msgs: Seq[(AmqpMessage, Long)]): Seq[Long] =
     if (msgs.isEmpty) Vector.empty
-    else call {
+    else {
+      val results = Vector.newBuilder[Long]
+      var refused = false
+      msgs.grouped(500).foreach { chunk =>
+        if (refused) results ++= Vector.fill(chunk.length)(-1L)
+        else {
+          val rs = sendChunk(address, chunk)
+          results ++= rs
+          refused = rs.lastOption.contains(-1L)
+        }
+      }
+      results.result()
+    }
+
+  private def sendChunk(address: String, msgs: Seq[(AmqpMessage, Long)]): Seq[Long] =
+    call {
       val handle = senderLink(address)
       val dids = msgs.map { case (m, ts) =>
         transferFrames(handle, encodeTransferPayload(Seq(TsAnnotation -> ts), m), None)
       }
-      out.flush() // the whole batch in as few packets as the buffer allows
+      out.flush() // the whole chunk in as few packets as the buffer allows
       val outcomes = mutable.Map[Long, Described]()
       while (outcomes.size < dids.size) {
         val disp = await(Desc.Disposition).performative
         val first = asLong(field(disp, 1))
         val last = field(disp, 2) match { case null => first; case v => asLong(v) }
         val state = field(disp, 4).asInstanceOf[Described]
-        // record ONLY this batch's delivery-ids: §2.6.12 lets a broker
+        // record ONLY this chunk's delivery-ids: §2.6.12 lets a broker
         // coalesce ranges or restate earlier deliveries, and counting
         // foreign ids would end the drain early (and a hostile range
         // like [0, 2^32] must not drive a per-id loop)

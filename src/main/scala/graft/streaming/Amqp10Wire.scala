@@ -173,10 +173,12 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
     // failure during the header exchange or SASL must not push AMQP
     // frames at a peer still in (or never in) an earlier layer
     var amqpLayerUp = false
+    // hoisted so the close(error) path can flush replies still sitting
+    // in the lazy-flushed buffer before announcing the close
+    val out = new BufferedOutputStream(sock.getOutputStream)
     try {
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-      val out = new BufferedOutputStream(sock.getOutputStream)
       // Lazy flush: under pipelined produce the client has the next
       // transfer already buffered when we reply, so flushing each
       // disposition individually (syscall + packet per ~40-byte frame)
@@ -589,7 +591,9 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
         // with close(error) (§2.7.9) instead of a bare TCP reset, so a
         // compliant peer can log WHY.
         try {
-          val out = sock.getOutputStream
+          // through the SAME buffered stream the replies rode: any
+          // dispositions the lazy flush is still holding reach the
+          // peer BEFORE the close, not never
           writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0,
             described(Desc.Close, described(Desc.Error,
               Sym("amqp:internal-error"),

@@ -653,11 +653,24 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     cfg.addresses.flatMap { a =>
       val floor = b.settledUpTo(a)
       val latest = b.latestSeq(a)
-      // Intersect the replayable span (floor, latest] with the pushed
-      // timestamp window, when the endpoint can answer the probe.
+      // startingTimestamp[Micros] positions batch reads too (Kafka's
+      // startingOffsetsByTimestamp applies to batch queries, so must
+      // this): the span begins at the first in-bound sequence. A
+      // position cut, not a row filter — every planned row is fetched,
+      // so the limit/offset arithmetic below stays exact.
+      val startFloor = cfg.startingTimestampMicros match {
+        case Some(t) => b.timestampWindow(a, t, Long.MaxValue) match {
+          case Some((fromExclusive, to)) if to > fromExclusive => math.max(floor, fromExclusive)
+          case Some(_) => latest // nothing at/after t: empty span
+          case None => floor    // no probe on this transport: full span
+        }
+        case None => floor
+      }
+      // Intersect the replayable span (startFloor, latest] with the
+      // pushed timestamp window, when the endpoint can answer the probe.
       val (from0, to0) = tsWin(a) match {
-        case Some((f, t)) => (math.max(floor, f), math.min(latest, t))
-        case None => (floor, latest)
+        case Some((f, t)) => (math.max(startFloor, f), math.min(latest, t))
+        case None => (startFloor, latest)
       }
       val avail = math.max(0L, to0 - from0)
       val take = math.min(avail, toTake)
@@ -702,8 +715,16 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
   // linked Seq (2.13's ArrayBuffer.toSeq builds a List), where indexed
   // access turns the scan O(n²). Measured: 40k messages took 5.4s via
   // messages(idx), 14ms via iterator.
+  // If the constructor fetch throws (broker gone after the re-dial
+  // retry), Spark never registers the completion listener that calls
+  // close() — release the borrowed connection HERE or it leaks one
+  // socket per failed task attempt.
   private val it =
-    endpointConn.fetch(p.address, p.fromExclusive, p.toInclusive).iterator
+    try endpointConn.fetch(p.address, p.fromExclusive, p.toInclusive).iterator
+    catch { case e: Throwable =>
+      AmqpEndpointRegistry.releaseReaderEndpoint(p.endpoint, endpointConn)
+      throw e
+    }
   private var cur: (Long, AmqpMessage, Long) = _
   private val unfiltered = pushed.isEmpty
 

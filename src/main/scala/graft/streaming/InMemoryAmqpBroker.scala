@@ -311,9 +311,12 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
 object AmqpEndpointRegistry {
   private val brokers = new ConcurrentHashMap[String, InMemoryAmqpBroker]()
   private val clients = new ConcurrentHashMap[String, AmqpEndpoint with AutoCloseable]()
-  /** Idle reader connections per socket endpoint (see [[readerEndpoint]]). */
+  /** Idle reader connections per socket endpoint (see [[readerEndpoint]]).
+    * Bounded queue: offer() refusing IS the cap check (atomic and O(1) —
+    * a size() check-then-act on an unbounded queue could overshoot under
+    * concurrent releases, and ConcurrentLinkedQueue.size is O(n)). */
   private val readerPools =
-    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]]()
+    new ConcurrentHashMap[String, java.util.concurrent.LinkedBlockingQueue[AmqpEndpoint with AutoCloseable]]()
   private val ReaderPoolCap = 64
 
   /** The in-process broker behind a mem:// endpoint (also the backing
@@ -397,7 +400,7 @@ object AmqpEndpointRegistry {
   def readerEndpoint(endpoint: String): AmqpEndpoint =
     if (isSocket(endpoint)) {
       val pool = readerPools.computeIfAbsent(endpoint,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]())
+        _ => new java.util.concurrent.LinkedBlockingQueue[AmqpEndpoint with AutoCloseable](ReaderPoolCap))
       Option(pool.poll()).getOrElse(newClient(endpoint))
     } else broker(endpoint)
 
@@ -412,9 +415,8 @@ object AmqpEndpointRegistry {
         case _ => ()
       }
       val pool = readerPools.computeIfAbsent(endpoint,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[AmqpEndpoint with AutoCloseable]())
-      if (pool.size < ReaderPoolCap) pool.offer(c.asInstanceOf[AmqpEndpoint with AutoCloseable])
-      else c.close()
+        _ => new java.util.concurrent.LinkedBlockingQueue[AmqpEndpoint with AutoCloseable](ReaderPoolCap))
+      if (!pool.offer(c.asInstanceOf[AmqpEndpoint with AutoCloseable])) c.close()
     case _ => ()
   }
 

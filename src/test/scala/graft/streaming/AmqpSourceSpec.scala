@@ -600,6 +600,15 @@ class AmqpSourceSpec extends SparkSpecBase {
     (1 to 20).foreach(i =>
       broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
         body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000000L))
+    // batch reads honor the option too (Kafka's startingOffsetsByTimestamp
+    // positions batch queries as well): the planned span starts at the
+    // first in-bound sequence and runs to the live tail
+    val batch = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("startingTimestampMicros", (12 * 1000000L).toString)
+      .load()
+    assert(batch.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == ((12 to 20): Range), "batch read must start at the first in-bound sequence")
     val q = spark.readStream.format("amqp")
       .option("endpoint", ep).option("address", "my_address")
       .option("startingTimestampMicros", (12 * 1000000L).toString)
