@@ -120,6 +120,23 @@ object FormatQueries {
     gateAgg(s.read.format(avro).load(out))
   }
 
+  /** XML round-trip under the gate: the remaining text interchange
+    * format Spark 4 ships natively (XmlFileFormat is service-registered
+    * in spark-sql — the former spark-xml package folded in). What is
+    * being gated is the XML type round-trip — timestamps serialize as
+    * ISO-8601 strings and must re-read to the same micros under the
+    * UTC session, escaping must survive arbitrary text — against the
+    * same DuckDB-on-parquet oracle as the other round-trips.
+    *
+    * Scale shape: identical to CSV/JSON — scan → distributed write →
+    * scan → hash aggregate; row-tag framing parallelizes per file. */
+  def fmtXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "xml")
+    slice(s, d).write.mode("overwrite")
+      .option("rowTag", "row").format("xml").save(out)
+    gateAgg(s.read.schema(sliceSchema).option("rowTag", "row").format("xml").load(out))
+  }
+
   /** Compression-codec round-trip under the gate: the same slice
     * written twice as parquet — zstd and snappy, the two codecs a
     * 100 TB lake actually debates (zstd ~30-40% smaller at similar
@@ -453,6 +470,7 @@ object FormatQueries {
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
     "fmt_csv_roundtrip"  -> (fmtCsvRoundtrip _),
     "fmt_avro_roundtrip" -> (fmtAvroRoundtrip _),
+    "fmt_xml_roundtrip"  -> (fmtXmlRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip"  -> (fmtOrcRoundtrip _),
     "fmt_zstd_roundtrip" -> (fmtZstdRoundtrip _),
@@ -468,6 +486,7 @@ object FormatQueries {
     "fmt_schema_merge"   -> schemaMergeSql,
     "fmt_csv_roundtrip"  -> gateAggSql,
     "fmt_avro_roundtrip" -> gateAggSql,
+    "fmt_xml_roundtrip"  -> gateAggSql,
     "fmt_json_roundtrip" -> gateAggSql,
     "fmt_orc_roundtrip"  -> gateAggSql,
     "fmt_zstd_roundtrip" -> gateAggSql,

@@ -593,6 +593,25 @@ class AmqpSourceSpec extends SparkSpecBase {
     val residual = read().where(col("body").startsWith("b1"))
     assert(filterNodes(residual).nonEmpty, residual.queryExecution.executedPlan.toString)
     assert(residual.collect().length == 11) // b1, b10..b19
+    // IS NULL pushes for the scalar string properties (reply_to is
+    // never set here) — exact, no residual Filter
+    val nulls = read().where(col("reply_to").isNull)
+    assert(filterNodes(nulls).isEmpty, nulls.queryExecution.executedPlan.toString)
+    assert(nulls.collect().length == 50)
+    assert(read().where(col("reply_to").isNotNull).collect().isEmpty)
+    // predicate pushdown COMPOSES with column pruning: a narrow
+    // projection under a pushed filter plans a narrow, filtered scan
+    val composed = read().where(col("subject") === "k0" &&
+        col("ingest_timestamp") >= lit(lo))
+      .select(col("message_id"))
+    val cScan = composed.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(cScan.description().contains("PushedFilters:"), cScan.description())
+    assert(cScan.readSchema().fieldNames.toSeq == Seq("message_id"),
+      s"scan must stay pruned under pushed filters: ${cScan.readSchema()}")
+    assert(filterNodes(composed).isEmpty, composed.queryExecution.executedPlan.toString)
+    assert(composed.collect().map(_.getString(0).toInt).sorted.toSeq == (10 to 50 by 2))
   }
 
   test("startingTimestamp: a new query begins at the first matching sequence") {
