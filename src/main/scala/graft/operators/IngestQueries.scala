@@ -1224,7 +1224,137 @@ object IngestQueries {
       |WHERE event_id % 7 = 1 AND event_type = 'click'
       |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'""".stripMargin
 
+  // -------------------------------------------- amqp_property_pushdown
+  /** Lifted-application-property pushdown under the oracle gate: the
+    * `propertyColumns` source option surfaces named application
+    * properties as top-level string columns — prunable AND pushable,
+    * which the map column itself can never be (V2 predicates reference
+    * columns, not map lookups). The slice rides the wire with its
+    * event_type and a derived region as application properties; the
+    * read lifts both, pushes `kind = 'click'` into the scan (the
+    * partition reader evaluates it against the property bag before any
+    * envelope materialization), and groups by the lifted region. Any
+    * drift in lift order, NULL handling, or property stringification
+    * breaks the hash. AmqpSourceSpec separately pins the plan
+    * (PushedFilters on the lifted name, no residual Filter, pruning).
+    *
+    * Scale shape: THE common queue-peek predicate — "my property =
+    * value" — now skips body decode for every non-matching message
+    * and composes with the partial-limit fetch stop; on the map
+    * column it would fetch, decode, and stringify everything. */
+  def amqpPropertyPushdown(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 4)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          applicationProperties = Seq(
+            "kind" -> r.getString(1),
+            "region" -> s"r${r.getLong(3) % 3}"),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("propertyColumns", "kind,region")
+      .load()
+      .where(col("kind") === "click")
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpPropertyPushdownSql: String =
+    """SELECT 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+      |  CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_id % 7 = 4 AND event_type = 'click'
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- amqp_stream_tws
+  /** `transformWithState` under the oracle gate — Spark 4's successor
+    * arbitrary-state API (typed state variables in the RocksDB store,
+    * the only provider it supports), which until this gate was only
+    * spec-proven equal to its old-API sibling. The per-event-type
+    * running-max changelog ([[graft.streaming.AmqpStreamOps
+    * .runningMaxChangelogTws]]) runs over the wire stream; the gate
+    * keeps each key's LAST emission — the final running max — which
+    * must equal DuckDB's batch MAX of the slice. StatefulProcessor
+    * init, ValueState round-trips through RocksDB, and the
+    * advance-only emission contract are all on the hash path.
+    *
+    * Determinism: cents via the same DECIMAL(18,2)·100 convention as
+    * every other gate; MAX is order-free, and the changelog's final
+    * emission per key is the overall max regardless of batching.
+    *
+    * Scale shape: one int register per live key in RocksDB with
+    * changelog checkpointing — the state API a forever-running 100 TB
+    * pipeline should target. */
+  def amqpStreamTws(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 6)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-gate").toString
+      val env = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address).load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+      val q = graft.streaming.AmqpStreamOps.runningMaxChangelogTws(env, "subject", "cents")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.AmqpStreamOps.MaxUpdate],
+           id: Long) =>
+            val got = b.collect().map(u => (id, u.key, u.max_value))
+            emitted.synchronized { emitted ++= got }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "transformWithState gate query hung")
+      finally q.stop()
+      // last emission per key = the final running max
+      emitted.groupBy(_._2).values.map(_.maxBy(_._1))
+        .map { case (_, k, mx) => (k, mx) }
+        .toSeq.toDF("event_type", "max_cents")
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  val amqpStreamTwsSql: String =
+    """SELECT event_type,
+      |  CAST(max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS INTEGER)
+      |    AS max_cents
+      |FROM events WHERE event_id % 7 = 6
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_property_pushdown" -> (amqpPropertyPushdown _),
+    "amqp_stream_tws"       -> (amqpStreamTws _),
     "amqp_count_pushdown"   -> (amqpCountPushdown _),
     "amqp_filter_pushdown"  -> (amqpFilterPushdown _),
     "amqp_stream_from_ts"   -> (amqpStreamFromTs _),
@@ -1243,6 +1373,8 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_property_pushdown" -> amqpPropertyPushdownSql,
+    "amqp_stream_tws"       -> amqpStreamTwsSql,
     "amqp_count_pushdown"   -> amqpCountPushdownSql,
     "amqp_filter_pushdown"  -> amqpFilterPushdownSql,
     "amqp_stream_from_ts"   -> amqpStreamFromTsSql,

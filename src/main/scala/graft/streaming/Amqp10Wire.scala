@@ -110,6 +110,58 @@ private[streaming] object Amqp10Wire {
     h
   }
 
+  /** Resumable frame reader for a socket with SO_TIMEOUT set: [[poll]]
+    * accumulates one frame across as many timeouts as it takes and
+    * returns None whenever the read stalls — never losing bytes,
+    * because every pull is a single array read (which either transfers
+    * >= 1 byte or throws BEFORE consuming anything; a DataInputStream
+    * readInt/readFully would drop its partial bytes on timeout).
+    *
+    * This is what lets the server flush buffered replies while a
+    * peer's frame is still in flight: the serve loop polls, and a None
+    * is its cue that it is ABOUT TO BLOCK — the moment any deferred
+    * disposition must reach the wire. A blocking readFrame would hold
+    * those replies hostage for as long as a slow (or crashed-mid-
+    * frame) writer keeps the tail bytes from arriving. Keepalives
+    * (empty frames, §2.4.5) are skipped, like [[readFrame]]. */
+  final class FramePoller(in: InputStream) {
+    private var buf = new Array[Byte](4)
+    private var have = 0
+    private var size = -1
+    def poll(): Option[Frame] = {
+      try {
+        while (true) {
+          if (size < 0) {
+            val n = in.read(buf, have, 4 - have)
+            if (n < 0) throw new EOFException("peer closed mid-frame")
+            have += n
+            if (have == 4) {
+              size = ((buf(0) & 0xff) << 24) | ((buf(1) & 0xff) << 16) |
+                ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
+              require(size >= 8 && size <= MaxFrameSize * 2, s"bad frame size $size")
+              val full = new Array[Byte](size)
+              System.arraycopy(buf, 0, full, 0, 4)
+              buf = full
+            }
+          } else {
+            val n = in.read(buf, have, size - have)
+            if (n < 0) throw new EOFException("peer closed mid-frame")
+            have += n
+            if (have == size) {
+              val all = buf
+              val s = size
+              buf = new Array[Byte](4); have = 0; size = -1
+              val doff = all(4) & 0xff
+              if (s > doff * 4) return Some(decodeFrame(all))
+              // else: empty-body keepalive — keep pulling
+            }
+          }
+        }
+        None // unreachable
+      } catch { case _: java.net.SocketTimeoutException => None }
+    }
+  }
+
   def amqpWireMap(entries: (Any, Any)*): AmqpWireMap = AmqpWireMap(entries.toVector)
 
   /** Payload bytes per transfer frame given the peer's announced
@@ -146,11 +198,19 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
 
   def port: Int = server.getLocalPort
 
+  /** Live connection sockets, so [[close]] can sever them immediately
+    * instead of leaving each thread to notice `running` on its next
+    * poll — a killed broker must look DOWN to its peers at once (and
+    * the port frees for a restart without lingering half-open peers). */
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
   private val acceptor = new Thread(() => {
     while (running.get()) {
       try {
         val sock = server.accept()
-        val t = new Thread(() => serve(sock), s"amqp10-conn-${sock.getPort}")
+        conns.add(sock)
+        val t = new Thread(() => try serve(sock) finally conns.remove(sock),
+          s"amqp10-conn-${sock.getPort}")
         t.setDaemon(true)
         t.start()
       } catch { case _: Throwable if !running.get() => () }
@@ -159,7 +219,11 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def close(): Unit = { running.set(false); server.close() }
+  def close(): Unit = {
+    running.set(false)
+    server.close()
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+  }
 
   // ------------------------------------------------------ per-connection
   private sealed trait Link
@@ -184,10 +248,14 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       // disposition individually (syscall + packet per ~40-byte frame)
       // just fragments the ack stream — defer while input is pending,
       // flush the moment the peer has nothing more queued (it is then
-      // awaiting our replies).
+      // awaiting our replies). `replyDirty` tracks deferred replies so
+      // the serve loop can guarantee none is ever held across a
+      // stalled read (see the poller below).
+      var replyDirty = false
       def send(f: Frame): Unit = {
         out.write(encodeFrame(f))
-        if (in.available() == 0) out.flush()
+        if (in.available() == 0) { out.flush(); replyDirty = false }
+        else replyDirty = true
       }
       // session frames answer on the channel they arrived on (§2.5.6:
       // one session per channel; a peer may run several concurrently)
@@ -336,8 +404,7 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       }
 
       var open = true
-      while (open && running.get()) {
-        val f = readFrame(in)
+      def handleFrame(f: Frame): Unit = {
         val perf = f.performative
         val ch = f.channel
         def amqp(perf: Described, payload: Array[Byte] = Array.emptyByteArray): Unit =
@@ -580,6 +647,26 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
             open = false
           case other =>
             throw new IllegalStateException(f"unexpected performative 0x$other%02x")
+        }
+      }
+
+      // The read loop never holds a reply across a stalled read: the
+      // available()==0 check flushes in the common about-to-block case,
+      // and the SO_TIMEOUT-driven poller bounds the residue — if a
+      // frame's tail bytes are in flight when the reply is written
+      // (the timing window a bare blocking readFrame leaves open), the
+      // poll times out within 250 ms and the deferred replies go out
+      // while the poller resumes the partial frame losslessly. A peer
+      // that crashes mid-frame therefore still receives every
+      // disposition it was owed, instead of them stranding in the
+      // buffer until the error path.
+      sock.setSoTimeout(250)
+      val poller = new FramePoller(in)
+      while (open && running.get()) {
+        if (replyDirty && in.available() == 0) { out.flush(); replyDirty = false }
+        poller.poll() match {
+          case Some(f) => handleFrame(f)
+          case None => if (replyDirty) { out.flush(); replyDirty = false }
         }
       }
     } catch {

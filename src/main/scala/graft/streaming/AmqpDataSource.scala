@@ -54,7 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class AmqpDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "amqp"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AmqpEnvelope.schema
+    AmqpSourceConfig(options).schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AmqpTable(new CaseInsensitiveStringMap(properties))
@@ -64,7 +64,7 @@ class AmqpTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"amqp:${AmqpSourceConfig(options).endpoint}/${AmqpSourceConfig(options).address}"
-  override def schema(): StructType = AmqpEnvelope.schema
+  override def schema(): StructType = AmqpSourceConfig(options).schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
@@ -80,7 +80,14 @@ class AmqpTable(options: CaseInsensitiveStringMap)
   * remains the single-link form (and the sink's target). */
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
     maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
-    startingTimestampMicros: Option[Long] = None)
+    startingTimestampMicros: Option[Long] = None,
+    propertyColumns: Seq[String] = Nil,
+    maxRowsPerPartition: Long = 500000L,
+    fetchChunkRows: Long = 50000L) {
+  /** The envelope schema plus one nullable string column per lifted
+    * application property (see the propertyColumns option). */
+  def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
+}
 
 object AmqpSourceConfig {
   def apply(o: CaseInsensitiveStringMap): AmqpSourceConfig = {
@@ -113,12 +120,36 @@ object AmqpSourceConfig {
       // this bound instead of draining the whole backlog. Accepts
       // epoch micros ("startingTimestampMicros") or an ISO-8601
       // instant ("startingTimestamp", e.g. 2024-01-15T00:00:00Z).
+      // SETTLEMENT CAVEAT (documented contract): AMQP settlement is a
+      // PREFIX operation, so a timestamp-started query's first offset
+      // commit settles — i.e. the broker deletes — the skipped backlog
+      // it never fetched, unlike Kafka where committing past skipped
+      // data never destroys it. Point a timestamp-started query at an
+      // address whose pre-start backlog no other consumer still needs
+      // (or give each consumer its own address, the AMQP-native shape).
       startingTimestampMicros =
         Option(o.get("startingTimestampMicros")).map(_.toLong)
           .orElse(Option(o.get("startingTimestamp")).map { ts =>
             val i = java.time.Instant.parse(ts)
             i.getEpochSecond * 1000000L + i.getNano / 1000L
-          }))
+          }),
+      // Lifted application properties: each named property becomes a
+      // top-level nullable string column (after the envelope columns),
+      // making the most common queue-peek predicates — equality on an
+      // application property — prunable AND pushable with the existing
+      // filter machinery (V2 predicates reference columns, not map
+      // lookups, so the map column itself can never ride a pushdown).
+      propertyColumns = Option(o.get("propertyColumns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      // Batch-scale bounds: a deep link's planned span splits into
+      // sub-partitions of at most maxRowsPerPartition rows (parallelism
+      // + per-task bound), and each reader fetches its slice in
+      // fetchChunkRows chunks (heap holds a chunk, never the span).
+      maxRowsPerPartition = math.max(1L,
+        o.getOrDefault("maxRowsPerPartition", "500000").toLong),
+      fetchChunkRows = math.max(1L,
+        o.getOrDefault("fetchChunkRows", "50000").toLong))
   }
 }
 
@@ -151,9 +182,12 @@ case class AmqpPushedFilters(
 }
 
 object AmqpPushedFilters {
-  /** The pushable scalar string properties of the envelope. Map columns
-    * (application_properties) are not pushable: V2 predicates reference
-    * columns, not map lookups. */
+  /** The pushable scalar string properties of the envelope. The map
+    * column (application_properties) is not pushable — V2 predicates
+    * reference columns, not map lookups — but a property LIFTED to a
+    * top-level column via the propertyColumns option is: the builder
+    * additionally accepts the lifted names, and [[field]] resolves them
+    * from the property bag. */
   val StringCols: Set[String] =
     Set("message_id", "to", "subject", "reply_to", "correlation_id")
   def field(msg: AmqpMessage, name: String): Option[String] = name match {
@@ -162,7 +196,13 @@ object AmqpPushedFilters {
     case "subject" => msg.subject
     case "reply_to" => msg.replyTo
     case "correlation_id" => msg.correlationId
-    case other => throw new IllegalArgumentException(s"unpushable column: $other")
+    // anything else an accepting builder let through is a lifted
+    // application property — stringified exactly like the map column
+    // (String.valueOf), so a predicate moved from the map lookup to the
+    // lifted column compares the same text
+    case prop => msg.applicationProperties.collectFirst {
+      case (k, v) if k == prop => String.valueOf(v)
+    }
   }
 }
 
@@ -181,24 +221,31 @@ object AmqpPushedFilters {
   * time-bounded peek at a deep queue fetches only the covering
   * sequence span instead of draining every message.
   *
-  * Pushdown composition: filters, aggregates and limit/offset are
-  * mutually exclusive here — each push refuses when another kind is
-  * already in (Spark's rule order makes most combinations unreachable
-  * today, but a future Spark that composes them — as the JDBC scan does
-  * — must degrade to Spark-side evaluation, not plan a wrong scan). */
+  * Pushdown composition: a LIMIT over pushed filters is accepted as a
+  * PARTIAL push (readers fetch until the limit's worth of rows SURVIVE
+  * the exact filter — see [[AmqpPartitionReader]]); every other
+  * combination refuses — aggregates against anything, offset against
+  * filters (Spark's rule order makes the refused combinations mostly
+  * unreachable today, but a future Spark that composes them — as the
+  * JDBC scan does — must degrade to Spark-side evaluation, not plan a
+  * wrong scan). */
 class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit
     with SupportsPushDownOffset
     with SupportsPushDownV2Filters {
-  private var required: StructType = AmqpEnvelope.schema
+  private var required: StructType = cfg.schema
   private var countPushed = false
   private var limit: Option[Int] = None
   private var offset: Int = 0
   private var filters = AmqpPushedFilters()
   private var accepted: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
+  /** Equality / null-test pushability: the scalar string properties
+    * plus every application property LIFTED via propertyColumns. */
+  private val pushableStrings: Set[String] =
+    AmqpPushedFilters.StringCols ++ cfg.propertyColumns
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   /** LIMIT/OFFSET pushdown: a `df.offset(k).limit(n)` peek at a queue
@@ -209,11 +256,21 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * rewrites `offset(k).limit(n)` to pushed limit = k+n with offset
     * = k, i.e. the scan must apply the LIMIT first and skip the
     * OFFSET inside it — which is what [[AmqpBatchRead]] does.
-    * Refused once predicates are pushed: the planned windows would
-    * then count fetched rows, not rows surviving the reader's filter,
-    * and a limit cut inside a filtered window returns too few rows. */
+    *
+    * Composition with pushed predicates: a LIMIT after filters is
+    * accepted as a PARTIAL push — the planner cannot pre-cut windows
+    * (it would count fetched rows, not survivors), so instead each
+    * reader fetches chunk-by-chunk UNTIL n rows survive its exact
+    * filter and stops; Spark keeps its own limit operator
+    * (isPartiallyPushed) for the global cut across partitions. A
+    * filtered `limit(n)` peek at a deep queue thus stops fetching as
+    * soon as n survivors surface instead of draining the span.
+    * OFFSET after filters stays refused: skipping k SURVIVORS across
+    * partitions needs cross-partition coordination no planning-time
+    * arithmetic can provide — Spark evaluates the offset itself. */
   override def pushLimit(n: Int): Boolean =
-    if (countPushed || !filters.isEmpty) false else { limit = Some(n); true }
+    if (countPushed) false else { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = !filters.isEmpty
   override def pushOffset(n: Int): Boolean =
     if (countPushed || !filters.isEmpty) false else { offset = n; true }
 
@@ -251,7 +308,7 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
           filters = filters.copy(tsHiMicros = math.min(filters.tsHiMicros, v - 1)); true
         case _ => false
       }
-    } else if (op == "=" && AmqpPushedFilters.StringCols(col) &&
+    } else if (op == "=" && pushableStrings(col) &&
         lit.dataType == StringType && lit.value != null) {
       filters = filters.copy(stringEq = filters.stringEq :+ (col -> lit.value.toString))
       true
@@ -264,9 +321,9 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     // leave a residual Filter over an already-exact scan).
     // ingest_timestamp is non-nullable: IS NOT NULL on it is vacuous.
     if (ch.length == 1) colNameOf(ch(0)) match {
-      case Some(c) if AmqpPushedFilters.StringCols(c) && p.name() == "IS_NOT_NULL" =>
+      case Some(c) if pushableStrings(c) && p.name() == "IS_NOT_NULL" =>
         filters = filters.copy(notNull = filters.notNull :+ c); true
-      case Some(c) if AmqpPushedFilters.StringCols(c) && p.name() == "IS_NULL" =>
+      case Some(c) if pushableStrings(c) && p.name() == "IS_NULL" =>
         filters = filters.copy(isNull = filters.isNull :+ c); true
       case Some("ingest_timestamp") if p.name() == "IS_NOT_NULL" => true
       case _ => false
@@ -509,17 +566,27 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * endpoint's timestampWindow probe — the same surface the batch
     * scan's predicate pushdown plans from): a consumer attaching to a
     * deep queue at "yesterday 00:00" skips the history instead of
-    * draining it. Non-monotone producer timestamps degrade
+    * draining it. The probe's no-match answer is the ledger-head-
+    * anchored empty window, so the start derives from ONE broker
+    * snapshot — a message enqueued concurrently with query start is
+    * either inside the window or after the returned head, never lost
+    * between two probes. Non-monotone producer timestamps degrade
     * conservatively (the covering window may start earlier, never
-    * later); a transport without the probe starts from 0 (full
-    * backlog — correct, nothing skipped). */
+    * later). A transport without the probe starts from 0 but every
+    * reader applies an exact `ingest_timestamp >= T` degrade filter
+    * (see [[createReaderFactory]]) — the backlog is fetched (nothing
+    * can prune it without a ledger probe) yet no pre-start message is
+    * ever RETURNED, so the option's contract holds on any broker.
+    *
+    * Settlement caveat (prefix settlement is the broker contract):
+    * the first offset commit settles — deletes — the skipped backlog
+    * below the start; see the option note in [[AmqpSourceConfig]]. */
   override def initialOffset(): Offset =
     AmqpOffset(cfg.addresses.map { a =>
       val start = cfg.startingTimestampMicros match {
         case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
-          case Some((fromExclusive, to)) if to > fromExclusive => fromExclusive
-          case Some(_) => broker.latestSeq(a) // nothing at/after t yet
-          case None => 0L
+          case Some((fromExclusive, _)) => fromExclusive
+          case None => 0L // no probe: full backlog + reader degrade filter
         }
         case None => 0L
       }
@@ -594,10 +661,25 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       .toArray
   }
 
+  /** startingTimestamp degrade on a probe-less transport (see
+    * [[initialOffset]]): fold `ingest_timestamp >= T` into the reader
+    * filters so the backlog the offsets could not skip is dropped
+    * exactly, batch after batch — including across checkpointed
+    * restarts, where initialOffset never runs but a restart mid-backlog
+    * must keep filtering. One probe decides, lazily, per query run. */
+  private lazy val degradeTsLo: Option[Long] = cfg.startingTimestampMicros.filter { _ =>
+    broker.timestampWindow(cfg.addresses.head, Long.MinValue, Long.MaxValue).isEmpty
+  }
+
   // Offsets stay seq-based and unfiltered (settlement must advance over
   // skipped messages too); the reader drops non-matching rows.
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AmqpReaderFactory(fields, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val eff = degradeTsLo match {
+      case Some(t) => pushed.copy(tsLoMicros = math.max(pushed.tsLoMicros, t))
+      case None => pushed
+    }
+    new AmqpReaderFactory(fields, eff, cfg.propertyColumns, cfg.fetchChunkRows)
+  }
 
   /** Settle-after-durable-commit: the epoch is checkpointed, release
     * every link's unsettled window (the WAL-replacement contract). */
@@ -614,17 +696,43 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
 
 /** Batch read of everything currently replayable (unsettled + new):
   * the envelope as a static DataFrame for tests/oracle comparisons.
-  * One partition per link, like the streaming path. */
+  *
+  * Partitioning: each link's planned span splits into sub-partitions of
+  * at most `maxRowsPerPartition` rows — a deep single-link backlog
+  * becomes many parallel tasks instead of one task holding the whole
+  * span (the 100 TB bound: a reader's heap and wall-clock track a
+  * slice, never the backlog). Batch reads carry no ordering contract
+  * (a DataFrame is unordered until sorted), so splitting one link's
+  * ordered sequence across tasks is semantics-free; the streaming path
+  * keeps one partition per link per micro-batch, bounded there by
+  * maxMessagesPerTrigger. */
 class AmqpBatchRead(cfg: AmqpSourceConfig,
-    fields: Array[String] = AmqpEnvelope.schema.fieldNames,
+    fields: Array[String],
     limit: Option[Int] = None, offset: Int = 0,
     pushed: AmqpPushedFilters = AmqpPushedFilters()) extends Batch {
-  // The builder never combines limit/offset with pushed predicates
-  // (each refuses once the other is in): the window arithmetic below
-  // counts FETCHED rows, which only equals returned rows when the
-  // reader filters nothing.
-  require(pushed.isEmpty || (limit.isEmpty && offset == 0),
-    "pushed predicates cannot combine with pushed limit/offset")
+  // The builder refuses OFFSET once predicates are pushed (skipping k
+  // SURVIVORS across partitions is not planning-time arithmetic); a
+  // LIMIT over pushed predicates is the PARTIAL push handled below.
+  require(pushed.isEmpty || offset == 0,
+    "pushed predicates cannot combine with a pushed offset")
+
+  /** startingTimestamp[Micros] on a transport WITHOUT the timestamp
+    * probe (any third-party broker lacking the x-graft attach
+    * extension): the contract must not silently degrade to the full
+    * backlog — instead the spans stay full and every reader applies an
+    * exact `ingest_timestamp >= T` degrade filter, so no pre-start
+    * message is ever returned (it is still fetched: without a ledger
+    * probe nothing can prune the wire). Decided once per scan with a
+    * single full-range probe. */
+  private lazy val degradeTsLo: Option[Long] = cfg.startingTimestampMicros.filter { _ =>
+    AmqpEndpointRegistry.endpoint(cfg.endpoint)
+      .timestampWindow(cfg.addresses.head, Long.MinValue, Long.MaxValue).isEmpty
+  }
+  private lazy val effFilters: AmqpPushedFilters = degradeTsLo match {
+    case Some(t) => pushed.copy(tsLoMicros = math.max(pushed.tsLoMicros, t))
+    case None => pushed
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
     // Pushed timestamp bounds prune each address's fetch window to the
@@ -637,32 +745,47 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
       if (pushed.hasTsBounds)
         a => b.timestampWindow(a, pushed.tsLoMicros, pushed.tsHiMicros)
       else _ => None
-    // Pushed OFFSET/LIMIT cut the fetch windows at planning time:
-    // the sequence ledger knows each address's replayable span, so the
-    // planned windows skip the first `offset` rows and span at most
-    // `limit` more. Span arithmetic, never from+remaining: with no
-    // limit pushed `remaining` is Long.MaxValue and adding a nonzero
-    // settled floor would overflow negative, silently planning zero
-    // partitions.
+    // With NO reader-side filter the pushed OFFSET/LIMIT cut the fetch
+    // windows exactly at planning time: the sequence ledger knows each
+    // address's replayable span, so the planned windows skip the first
+    // `offset` rows and span at most `limit` more. Span arithmetic,
+    // never from+remaining: with no limit pushed `remaining` is
+    // Long.MaxValue and adding a nonzero settled floor would overflow
+    // negative, silently planning zero partitions.
     // Spark's contract applies the pushed LIMIT first, then OFFSET
     // within it (it rewrites `offset(k).limit(n)` to limit = k+n,
     // offset = k before pushing): cap the taken prefix at `limit`,
     // then skip `offset` rows inside that prefix.
-    var toTake = limit.map(_.toLong).getOrElse(Long.MaxValue)
-    var toSkip = offset.toLong
+    // WITH a reader-side filter (pushed predicates, or the
+    // startingTimestamp degrade) the windows cannot be pre-cut — they
+    // would count fetched rows, not survivors — so spans stay full and
+    // the readers stop at `limit` surviving rows (partial limit push).
+    val exactWindows = effFilters.isEmpty
+    if (!exactWindows && offset != 0)
+      // only reachable via the degrade filter (the builder refuses the
+      // predicate/offset combination): fail loudly rather than skip
+      // the wrong rows
+      throw new IllegalStateException(
+        "startingTimestamp needs the broker's timestamp probe to combine with a " +
+          "pushed OFFSET; this transport has no timestamp surface")
+    var toTake = if (exactWindows) limit.map(_.toLong).getOrElse(Long.MaxValue)
+                 else Long.MaxValue
+    var toSkip = if (exactWindows) offset.toLong else 0L
     cfg.addresses.flatMap { a =>
       val floor = b.settledUpTo(a)
       val latest = b.latestSeq(a)
       // startingTimestamp[Micros] positions batch reads too (Kafka's
       // startingOffsetsByTimestamp applies to batch queries, so must
-      // this): the span begins at the first in-bound sequence. A
-      // position cut, not a row filter — every planned row is fetched,
-      // so the limit/offset arithmetic below stays exact.
+      // this): the span begins at the first in-bound sequence — the
+      // probe's no-match answer is the ledger-head-anchored empty
+      // window, so `fromExclusive` is the start in every case, from
+      // one atomic broker snapshot. A position cut, not a row filter —
+      // every planned row is fetched, so the limit/offset arithmetic
+      // below stays exact.
       val startFloor = cfg.startingTimestampMicros match {
         case Some(t) => b.timestampWindow(a, t, Long.MaxValue) match {
-          case Some((fromExclusive, to)) if to > fromExclusive => math.max(floor, fromExclusive)
-          case Some(_) => latest // nothing at/after t: empty span
-          case None => floor    // no probe on this transport: full span
+          case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
+          case None => floor // no probe: full span + reader degrade filter
         }
         case None => floor
       }
@@ -678,64 +801,105 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
       val skip = math.min(take, toSkip)
       toSkip -= skip
       if (take - skip <= 0) None
-      else Some(AmqpInputPartition(cfg.endpoint, a,
-        from0 + skip, from0 + take): InputPartition)
+      else {
+        // bounded sub-partitions over the final (from, to] span
+        val from = from0 + skip
+        val to = from0 + take
+        Iterator.range(0L, to - from, cfg.maxRowsPerPartition).map { o =>
+          AmqpInputPartition(cfg.endpoint, a, from + o,
+            math.min(from + o + cfg.maxRowsPerPartition, to)): InputPartition
+        }
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AmqpReaderFactory(fields, pushed)
+    new AmqpReaderFactory(fields, effFilters, cfg.propertyColumns, cfg.fetchChunkRows,
+      // partial limit push: each reader stops at `limit` survivors
+      // (Spark's retained limit performs the global cut)
+      survivorLimit = if (effFilters.isEmpty) None else limit)
 }
 
 case class AmqpInputPartition(endpoint: String, address: String,
     fromExclusive: Long, toInclusive: Long) extends InputPartition
 
 class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
-    pushed: AmqpPushedFilters = AmqpPushedFilters())
+    pushed: AmqpPushedFilters = AmqpPushedFilters(),
+    propertyCols: Seq[String] = Nil,
+    chunkRows: Long = Long.MaxValue,
+    survivorLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields, pushed)
+    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields, pushed,
+      propertyCols, chunkRows, survivorLimit)
 }
 
 /** Pull-based reader for one (start, end] slice of a link's sequence.
   * The bounded handoff the reference needed between the Vert.x event
   * loop and Receiver.store (AMQPFlowController.scala:159-161) is
   * structural here: the endpoint buffers unsettled deliveries, the
-  * reader pulls exactly the planned slice. */
+  * reader pulls the planned slice in `chunkRows` chunks — the heap
+  * holds one chunk, never the slice (the memory bound that lets a
+  * batch sub-partition stay large without the reader materializing it
+  * whole).
+  *
+  * `survivorLimit` is the partial-LIMIT-push contract: with pushed
+  * predicates the planner cannot pre-cut windows, so the reader stops
+  * — and stops FETCHING — once that many rows survive the exact
+  * filter; a filtered limit(n) peek touches the prefix that yields n
+  * survivors instead of the span. */
 class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
-    pushed: AmqpPushedFilters = AmqpPushedFilters())
+    pushed: AmqpPushedFilters = AmqpPushedFilters(),
+    propertyCols: Seq[String] = Nil,
+    chunkRows: Long = Long.MaxValue,
+    survivorLimit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   // A connection of this reader's own (pooled; mem:// = the shared
   // broker): N link-partitions drain N sockets in parallel instead of
   // serializing on the JVM's one cached client — the per-executor-link
-  // topology a cluster runs. Returned to the pool in close().
+  // topology a cluster runs. Returned to the pool in close() — or
+  // CLOSED there instead if a fetch failed (the connection is then
+  // known-dead even after the client's one re-dial retry; pooling it
+  // would hand the next borrower a corpse).
   private val endpointConn = AmqpEndpointRegistry.readerEndpoint(p.endpoint)
+  private var fetchFailed = false
 
-  // Iterate — never index: endpoint implementations may return a
-  // linked Seq (2.13's ArrayBuffer.toSeq builds a List), where indexed
-  // access turns the scan O(n²). Measured: 40k messages took 5.4s via
-  // messages(idx), 14ms via iterator.
-  // If the constructor fetch throws (broker gone after the re-dial
-  // retry), Spark never registers the completion listener that calls
-  // close() — release the borrowed connection HERE or it leaks one
-  // socket per failed task attempt.
-  private val it =
-    try endpointConn.fetch(p.address, p.fromExclusive, p.toInclusive).iterator
-    catch { case e: Throwable =>
-      AmqpEndpointRegistry.releaseReaderEndpoint(p.endpoint, endpointConn)
-      throw e
-    }
+  // Chunked pull: fetches are lazy (first one happens inside next(),
+  // after Spark has registered the completion listener that guarantees
+  // close() — so a fetch failure can never leak the borrowed
+  // connection). Iterate — never index: endpoint implementations may
+  // return a linked Seq (2.13's ArrayBuffer.toSeq builds a List),
+  // where indexed access turns the scan O(n²). Measured: 40k messages
+  // took 5.4s via messages(idx), 14ms via iterator.
+  private var nextFrom = p.fromExclusive
+  private var chunk: Iterator[(Long, AmqpMessage, Long)] = Iterator.empty
   private var cur: (Long, AmqpMessage, Long) = _
   private val unfiltered = pushed.isEmpty
+  private var survivors = 0L
+  private val maxSurvivors = survivorLimit.map(_.toLong).getOrElse(Long.MaxValue)
 
   // Pushed predicates are evaluated here, BEFORE any envelope column is
   // materialized: a filtered-out message costs one timestamp/string
   // comparison, never body JSON-ification. Exact evaluation — the
-  // builder claimed complete handling, so no Spark-side re-filter runs.
+  // builder claimed complete handling, so no Spark-side re-filter runs
+  // (under a partial limit push Spark keeps only its limit operator).
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val c = it.next()
-      if (unfiltered || pushed.matches(c._2, c._3)) { cur = c; return true }
+    if (survivors >= maxSurvivors) return false
+    while (true) {
+      while (chunk.hasNext) {
+        val c = chunk.next()
+        if (unfiltered || pushed.matches(c._2, c._3)) {
+          cur = c; survivors += 1; return true
+        }
+      }
+      if (nextFrom >= p.toInclusive) return false
+      // overflow-safe chunk cut (chunkRows may be Long.MaxValue)
+      val to = if (nextFrom > p.toInclusive - chunkRows) p.toInclusive
+               else nextFrom + chunkRows
+      chunk =
+        try endpointConn.fetch(p.address, nextFrom, to).iterator
+        catch { case e: Throwable => fetchFailed = true; throw e }
+      nextFrom = to
     }
     false
   }
@@ -744,20 +908,29 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
   // the mapping cannot drift if the schema order changes); the row loop
   // below dispatches on a compiled int switch, not per-cell string
   // matching — this is the scan inner loop the ingest bench times.
-  private val ordinals: Array[Int] = fields.map {
-    case "message_id" => 0
-    case "to" => 1
-    case "subject" => 2
-    case "reply_to" => 3
-    case "correlation_id" => 4
-    case "application_properties" => 5
-    case "message_annotations" => 6
-    case "body_type" => 7
-    case "body" => 8
-    case "body_binary" => 9
-    case "ingest_timestamp" => 10
-    case other => throw new IllegalArgumentException(s"unknown envelope column: $other")
+  // Lifted property columns take ordinals 11+i (i = index into
+  // propertyCols).
+  private val ordinals: Array[Int] = {
+    val propIdx = propertyCols.zipWithIndex.toMap
+    fields.map {
+      case "message_id" => 0
+      case "to" => 1
+      case "subject" => 2
+      case "reply_to" => 3
+      case "correlation_id" => 4
+      case "application_properties" => 5
+      case "message_annotations" => 6
+      case "body_type" => 7
+      case "body" => 8
+      case "body_binary" => 9
+      case "ingest_timestamp" => 10
+      case other => propIdx.get(other) match {
+        case Some(i) => 11 + i
+        case None => throw new IllegalArgumentException(s"unknown envelope column: $other")
+      }
+    }
   }
+  private val propNames: Array[String] = propertyCols.toArray
 
   private def utf(o: Option[String]) = o.map(UTF8String.fromString).orNull
   private def smap(entries: Seq[(String, Any)]) =
@@ -789,6 +962,9 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
         case 8 => utf(bodyF._2)
         case 9 => bodyF._3.orNull
         case 10 => tsMicros
+        // lifted application property: same stringification as the map
+        // column, NULL when the message lacks the property
+        case k => utf(AmqpPushedFilters.field(msg, propNames(k - 11)))
       }
       i += 1
     }
@@ -796,5 +972,8 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
   }
 
   override def close(): Unit =
-    AmqpEndpointRegistry.releaseReaderEndpoint(p.endpoint, endpointConn)
+    if (fetchFailed)
+      AmqpEndpointRegistry.discardReaderEndpoint(p.endpoint, endpointConn)
+    else
+      AmqpEndpointRegistry.releaseReaderEndpoint(p.endpoint, endpointConn)
 }

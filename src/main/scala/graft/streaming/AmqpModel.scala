@@ -60,6 +60,27 @@ object AmqpEnvelope {
     StructField("body_binary", BinaryType, nullable = true),
     StructField("ingest_timestamp", TimestampType, nullable = false)))
 
+  /** The envelope schema plus one nullable string column per LIFTED
+    * application property (the source's `propertyColumns` option):
+    * values come from the property bag with the same String.valueOf
+    * stringification as the map column, NULL when absent. Lifting is
+    * what makes a property predicate prunable and pushable — V2
+    * predicates reference columns, never map lookups. Property names
+    * shadowing an envelope column are refused (the lifted column would
+    * be unreachable). */
+  def schemaWith(propertyColumns: Seq[String]): StructType =
+    if (propertyColumns.isEmpty) schema
+    else {
+      val base = schema.fieldNames.toSet
+      val clash = propertyColumns.filter(base)
+      require(clash.isEmpty,
+        s"propertyColumns ${clash.mkString(",")} shadow envelope columns")
+      require(propertyColumns.distinct == propertyColumns,
+        s"propertyColumns has duplicates: ${propertyColumns.mkString(",")}")
+      StructType(schema.fields ++
+        propertyColumns.map(p => StructField(p, StringType, nullable = true)))
+    }
+
   /** Minimal JSON writer for AmqpValue bodies — list/array/map bodies are
     * carried in the envelope's `body` column as JSON text, mirroring the
     * reference's Jackson serialization (AMQPJsonFunction.scala:122-135):

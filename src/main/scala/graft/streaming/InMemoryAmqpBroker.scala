@@ -87,12 +87,17 @@ trait AmqpEndpoint {
   /** Planning-time probe behind the scan's timestamp-predicate pushdown:
     * the tightest (fromExclusive, toInclusive] sequence window containing
     * EVERY replayable message whose enqueue timestamp (micros) lies in
-    * [loMicros, hiMicros] — Some((0, 0)) when none does. Timestamps are
-    * producer-supplied and NOT guaranteed monotone per link, so the
-    * window may contain non-matching messages; callers must re-filter
-    * rows (the partition reader does, exactly). None = this transport
-    * has no timestamp surface; callers fall back to the full replayable
-    * window (still correct, nothing pruned). */
+    * [loMicros, hiMicros]. When none does, the answer is the EMPTY
+    * window anchored at the ledger head — Some((latest, latest)) — from
+    * the SAME broker snapshot: a caller deriving a stream start from the
+    * no-match case must not race a concurrent enqueue between this probe
+    * and a separate latestSeq call (a qualifying message landing between
+    * the two would be skipped forever). Timestamps are producer-supplied
+    * and NOT guaranteed monotone per link, so the window may contain
+    * non-matching messages; callers must re-filter rows (the partition
+    * reader does, exactly). None = this transport has no timestamp
+    * surface; callers fall back to the full replayable window plus a
+    * reader-side timestamp re-filter (still correct, nothing pruned). */
   def timestampWindow(address: String, loMicros: Long, hiMicros: Long): Option[(Long, Long)] = None
   def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
   def settle(address: String, upTo: Long): Unit
@@ -185,7 +190,11 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
           if (s > hi) hi = s
         }
       }
-      if (lo == Long.MaxValue) Some((0L, 0L)) else Some((lo - 1, hi))
+      // no match: the empty window anchored at the CURRENT ledger head,
+      // under the same lock the scan took — an atomic "start at whatever
+      // exists right now" answer (a separate latestSeq call could race a
+      // concurrent enqueue and skip it forever)
+      if (lo == Long.MaxValue) Some((q.nextSeq - 1, q.nextSeq - 1)) else Some((lo - 1, hi))
     } finally q.lock.unlock()
   }
 
@@ -324,6 +333,17 @@ object AmqpEndpointRegistry {
   def broker(endpoint: String): InMemoryAmqpBroker =
     brokers.computeIfAbsent(endpoint, _ => new InMemoryAmqpBroker())
 
+  /** Test hook: install a specific broker behind a mem:// name (e.g. a
+    * probe-less subclass standing in for a third-party broker without
+    * the x-graft timestamp extension). */
+  private[streaming] def registerBroker(endpoint: String, b: InMemoryAmqpBroker): Unit =
+    brokers.put(endpoint, b)
+
+  /** Test observable: idle reader connections currently pooled for a
+    * socket endpoint (0 for mem://). */
+  private[streaming] def readerPoolSize(endpoint: String): Int =
+    Option(readerPools.get(endpoint)).map(_.size).getOrElse(0)
+
   private def parseHostPort(raw: String): (Option[(String, String)], String, Int) = {
     val at = raw.lastIndexOf('@')
     val (creds, hp) =
@@ -417,6 +437,19 @@ object AmqpEndpointRegistry {
       val pool = readerPools.computeIfAbsent(endpoint,
         _ => new java.util.concurrent.LinkedBlockingQueue[AmqpEndpoint with AutoCloseable](ReaderPoolCap))
       if (!pool.offer(c.asInstanceOf[AmqpEndpoint with AutoCloseable])) c.close()
+    case _ => ()
+  }
+
+  /** Dispose of a reader connection KNOWN to be bad (its fetch failed
+    * even after the client's one re-dial retry, i.e. the socket is
+    * dead or the broker is down). Pooling it would hand the next
+    * borrower a dead socket — and under a broker outage every failed
+    * task would park one more corpse in the pool, each costing a later
+    * borrower a failed call + re-dial before self-healing. Closing
+    * instead means the first borrow after the outage dials clean. */
+  def discardReaderEndpoint(endpoint: String, ep: AmqpEndpoint): Unit = ep match {
+    case c: AutoCloseable if isSocket(endpoint) =>
+      try c.close() catch { case _: Throwable => () }
     case _ => ()
   }
 

@@ -73,8 +73,8 @@ class Amqp10Spec extends SparkSpecBase {
       assert(client.timestampWindow("win", 10L, 20L) == Some((1L, 4L)),
         "covering span of the ts-matching seqs, computed broker-side")
       assert(client.timestampWindow("win", 25L, 35L) == Some((0L, 1L)))
-      assert(client.timestampWindow("win", 99L, 100L) == Some((0L, 0L)),
-        "no matching message = explicit empty window")
+      assert(client.timestampWindow("win", 99L, 100L) == Some((4L, 4L)),
+        "no matching message = empty window anchored at the ledger head")
       assert(client.timestampWindow("win", 10L, 20L)
         == backing.timestampWindow("win", 10L, 20L), "wire answer equals the broker's")
     }
@@ -887,5 +887,98 @@ class Amqp10Spec extends SparkSpecBase {
         assert(backing.latestSeq("full-addr") == 0L, "nothing enqueued")
       } finally peer.close()
     }
+  }
+
+  test("pooled reader lifecycle under broker failure: dead connections close, never pool") {
+    // own server lifecycle (not withServer): the broker is killed
+    // mid-drain and restarted on the same port
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing)
+    val port = server.port
+    val ep = s"amqp10://127.0.0.1:$port"
+    val fields = AmqpEnvelope.schema.fieldNames
+    def reader() = new AmqpPartitionReader(
+      AmqpInputPartition(ep, "fail-addr", 0L, 10L), fields,
+      AmqpPushedFilters(), Nil, chunkRows = 5L) // 2 chunks: kill lands mid-drain
+    try {
+      (1 to 400).foreach(i =>
+        backing.send("fail-addr", AmqpMessage(body = AmqpValueBody(s"b$i")), i.toLong))
+      // a healthy drain populates the pool with 4 released connections
+      val healthy = (1 to 4).map(_ => reader())
+      healthy.foreach(r => assert(r.next(), "healthy drain"))
+      healthy.foreach(_.close())
+      assert(AmqpEndpointRegistry.readerPoolSize(ep) == 4)
+      // 4 readers borrow all 4 pooled connections, drain their first
+      // chunk, then the broker dies mid-drain: the second chunk's fetch
+      // fails even after the client's one re-dial retry
+      val doomed = (1 to 4).map(_ => reader())
+      doomed.foreach { r => (1 to 5).foreach(_ => assert(r.next())) } // chunk 1 ok
+      assert(AmqpEndpointRegistry.readerPoolSize(ep) == 0, "all four borrowed")
+      server.close() // severs live connections too
+      doomed.foreach { r =>
+        intercept[Exception] { while (r.next()) () } // chunk 2: dead socket
+        r.close() // the failure path
+      }
+      assert(AmqpEndpointRegistry.readerPoolSize(ep) == 0,
+        "a connection whose fetch failed must be CLOSED on release, not pooled — " +
+          "pooling corpses hands every later borrower a failed call + re-dial")
+      // broker back on the SAME port: the next borrow finds an empty
+      // pool and dials clean — no inherited corpse, first try succeeds
+      val server2 = new Amqp10Server(backing, bindPort = port)
+      try {
+        val fresh = reader()
+        (1 to 10).foreach(_ => assert(fresh.next(), "clean dial after restart"))
+        fresh.close()
+        assert(AmqpEndpointRegistry.readerPoolSize(ep) == 1, "healthy release pools again")
+      } finally server2.close()
+    } finally { AmqpEndpointRegistry.reset(ep); server.close() }
+  }
+
+  test("server flushes deferred replies while a peer's next frame stalls mid-flight") {
+    // The lazy-flush hazard: the server defers reply flushes while
+    // input is pending, so a reply written just as the tail of a
+    // pipelined frame is still in flight used to strand in the buffer
+    // for as long as the peer's writer stalled (forever, for a crash).
+    // The poller-driven loop now flushes within its 250 ms poll
+    // timeout whenever a read stalls with replies buffered. This peer
+    // sends attach + HALF of a detach frame in one segment, stalls,
+    // and must still receive the attach echo promptly.
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing)
+    val sock = new Socket("127.0.0.1", server.port)
+    sock.setTcpNoDelay(true)
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      writeAll(out, HeaderAmqp)
+      val echo = new Array[Byte](8)
+      in.readFully(echo)
+      writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0,
+        described(Desc.Open, "stall-peer"), Array.emptyByteArray)))
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Open)
+      writeAll(out, encodeFrame(Frame(FrameTypeAmqp, 0,
+        described(Desc.Begin, null, UInt(0L), UInt(65535L), UInt(65535L)),
+        Array.emptyByteArray)))
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Begin)
+      val attach = encodeFrame(Frame(FrameTypeAmqp, 0,
+        described(Desc.Attach, "stall-rcv", UInt(0L), java.lang.Boolean.TRUE,
+          null, null, described(Desc.Source, "stall-addr")), Array.emptyByteArray))
+      val detach = encodeFrame(Frame(FrameTypeAmqp, 0,
+        described(Desc.Detach, UInt(0L), java.lang.Boolean.TRUE), Array.emptyByteArray))
+      // one segment: full attach + half the detach, then STALL
+      out.write(attach)
+      out.write(detach, 0, detach.length / 2)
+      out.flush()
+      sock.setSoTimeout(5000) // the old behavior never answers: fail fast
+      val t0 = System.nanoTime()
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Attach,
+        "attach echo must arrive while the next frame is still mid-flight")
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(waitedMs < 4000, s"echo took ${waitedMs}ms — flushed only on stall timeout?")
+      // complete the stalled frame: the link detaches normally
+      out.write(detach, detach.length / 2, detach.length - detach.length / 2)
+      out.flush()
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Detach)
+    } finally { sock.close(); server.close() }
   }
 }

@@ -581,13 +581,19 @@ class AmqpSourceSpec extends SparkSpecBase {
     val cfPlan = countedF.queryExecution.executedPlan.toString
     assert(!cfPlan.contains("AmqpCountScan"), cfPlan)
     assert(countedF.collect().head.getLong(0) == 25L)
-    // LIMIT must NOT push once predicates are in: a limit cut inside a
-    // filtered window would return too few rows
+    // LIMIT over pushed predicates is a PARTIAL push: the scan carries
+    // the limit (readers stop at 7 survivors) AND Spark keeps its own
+    // limit operator for the global cut — never a planning-time window
+    // cut, which would count fetched rows instead of survivors
     val limited = read().where(col("subject") === "k1").limit(7)
     val lScan = limited.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
     }.head
-    assert(!lScan.description().contains("PushedLimit"), lScan.description())
+    assert(lScan.description().contains("PushedLimit: 7"), lScan.description())
+    assert(lScan.description().contains("PushedFilters:"), lScan.description())
+    assert(limited.queryExecution.optimizedPlan.toString.contains("GlobalLimit")
+      || limited.queryExecution.executedPlan.toString.contains("Limit"),
+      s"partial push must keep Spark's limit:\n${limited.queryExecution.optimizedPlan}")
     assert(limited.collect().length == 7)
     // predicates the reader cannot evaluate exactly stay Spark-side
     val residual = read().where(col("body").startsWith("b1"))
@@ -674,7 +680,9 @@ class AmqpSourceSpec extends SparkSpecBase {
     // [10s, 20s] matches seqs 2, 4, 6 → covering span (1, 6] — seqs 3, 5
     // are fetched but must be dropped by the reader's exact re-filter
     assert(broker.timestampWindow("my_address", 10000000L, 20000000L) == Some((1L, 6L)))
-    assert(broker.timestampWindow("my_address", 60000000L, 70000000L) == Some((0L, 0L)))
+    // no match: the EMPTY window anchored at the ledger head (atomic
+    // "start here" answer — see AmqpEndpoint.timestampWindow)
+    assert(broker.timestampWindow("my_address", 60000000L, 70000000L) == Some((6L, 6L)))
     val got = spark.read.format("amqp")
       .option("endpoint", ep).option("address", "my_address").load()
       .where(col("ingest_timestamp") >= lit(java.time.Instant.ofEpochSecond(10))
@@ -743,5 +751,179 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(scanSchema(df.select(col("*"))).length == AmqpEnvelope.schema.length)
     assert(df.select(col("body")).collect().head.getString(0) ==
       """["expensive","json","body"]""")
+  }
+
+  test("deep link batch reads split into bounded sub-partitions (maxRowsPerPartition)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("subpart")
+    (1 to 100).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000L))
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("maxRowsPerPartition", "30")
+      .load()
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    val parts = scan.toBatch.planInputPartitions().map(_.asInstanceOf[AmqpInputPartition])
+    // 100 rows / 30 per partition = 4 sub-partitions: 30+30+30+10,
+    // contiguous and disjoint over the link's sequence span
+    assert(parts.length == 4, parts.toSeq.toString)
+    assert(parts.forall(p => p.toInclusive - p.fromExclusive <= 30L), parts.toSeq.toString)
+    assert(parts.map(p => p.toInclusive - p.fromExclusive).sum == 100L)
+    val sorted = parts.sortBy(_.fromExclusive)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.toInclusive == b.fromExclusive, "contiguous sub-spans")
+      case _ => ()
+    }
+    // no row lost or duplicated across the splits (batch reads carry no
+    // ordering contract, so a per-link split is semantics-free)
+    assert(df.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (1 to 100).toSeq)
+  }
+
+  test("filtered limit(n) composes as a partial push: fetch stops at n survivors") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("flimit")
+    (1 to 800).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        subject = Some(if (i % 2 == 0) "hit" else "miss"),
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000L))
+    val df = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("fetchChunkRows", "50")
+      .load()
+      .where(col("subject") === "hit").limit(5)
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("PushedFilters:"), scan.description())
+    assert(scan.description().contains("PushedLimit: 5"), scan.description())
+    assert(df.collect().length == 5)
+    // the reader stopped FETCHING once 5 rows survived the filter: the
+    // delivered watermark sits at the first chunk (50), not the 800-deep
+    // span — a filtered peek at a deep queue no longer drains it
+    assert(broker.inFlightCount("my_address") >= 700L,
+      s"span must not be drained; in-flight = ${broker.inFlightCount("my_address")}")
+  }
+
+  test("propertyColumns lifts application properties to pushable top-level columns") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("proplift")
+    (1 to 40).foreach { i =>
+      val props = Seq("region" -> (if (i % 4 == 0) "eu" else "us"), "pri" -> i) ++
+        (if (i % 5 == 0) Seq("tier" -> "gold") else Nil)
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        applicationProperties = props,
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000L)
+    }
+    def read() = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("propertyColumns", "region,tier")
+      .load()
+    // lifted columns append to the envelope schema, nullable strings
+    assert(read().schema.fieldNames.takeRight(2).toSeq == Seq("region", "tier"))
+    // values stringify exactly like the map column; absent property = NULL
+    val rows = read().select(col("message_id"), col("region"), col("tier")).collect()
+    assert(rows.forall(r => r.getString(1) == (if (r.getString(0).toInt % 4 == 0) "eu" else "us")))
+    assert(rows.count(_.isNullAt(2)) == 32, "tier NULL when the property is absent")
+    // equality on a lifted property PUSHES: PushedFilters carries it,
+    // Spark plans no re-filter, and the result is exact
+    val filtered = read().where(col("region") === "eu")
+    val scan = filtered.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("region = 'eu'"), scan.description())
+    val filterNodes = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filterNodes.isEmpty,
+      s"lifted-property predicate must not re-filter:\n${filtered.queryExecution.executedPlan}")
+    assert(filtered.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (4 to 40 by 4).toSeq)
+    // IS [NOT] NULL on a lifted property pushes too (absence tests are
+    // the other common queue-peek shape)
+    val gold = read().where(col("tier").isNotNull)
+    assert(gold.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty)
+    assert(gold.collect().length == 8)
+    // pruning composes: selecting one lifted column scans two columns
+    val narrow = read().where(col("region") === "eu").select(col("tier"))
+    val nScan = narrow.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(nScan.readSchema().fieldNames.toSet == Set("tier"), nScan.readSchema().toString)
+    // a property shadowing an envelope column is refused loudly
+    val e = intercept[Exception] {
+      spark.read.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("propertyColumns", "subject").load().collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("shadow"), e.toString)
+    // the streaming path lifts identically
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("propertyColumns", "region,tier")
+      .load()
+      .where(col("region") === "eu")
+      .select(col("message_id"))
+      .writeStream.format("memory").queryName("amqp_proplift").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll {
+        val got = spark.table("amqp_proplift").collect().map(_.getString(0).toInt).sorted.toSeq
+        assert(got == (4 to 40 by 4).toSeq)
+      }
+    } finally q.stop()
+  }
+
+  test("startingTimestamp degrades to an exact reader-side filter on a probe-less broker") {
+    // A third-party broker without the x-graft timestamp extension
+    // (timestampWindow = None): the option's contract — no message
+    // before T is ever returned — must hold anyway. The offsets cannot
+    // skip the backlog (nothing can prune without a ledger probe), so
+    // every reader applies ingest_timestamp >= T exactly.
+    class ProbelessBroker extends InMemoryAmqpBroker {
+      override def timestampWindow(address: String, loMicros: Long,
+          hiMicros: Long): Option[(Long, Long)] = None
+    }
+    val ep = "mem://probeless"
+    AmqpEndpointRegistry.reset(ep)
+    val broker = new ProbelessBroker
+    AmqpEndpointRegistry.registerBroker(ep, broker)
+    (1 to 20).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000000L))
+    def read() = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("startingTimestampMicros", (12 * 1000000L).toString)
+      .load()
+    assert(read().select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (12 to 20).toSeq,
+      "degrade path must deliver exactly the at/after-T suffix, not the backlog")
+    // the new stream honors T the same way (restart-safe: the filter is
+    // derived from config, not from initialOffset)
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("startingTimestampMicros", (12 * 1000000L).toString)
+      .load()
+      .select(col("message_id"))
+      .writeStream.format("memory").queryName("amqp_degrade").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("amqp_degrade").collect().map(_.getString(0).toInt).sorted.toSeq
+      assert(got == (12 to 20).toSeq, s"stream degrade must start at T, got $got")
+    } finally q.stop()
+    // a pushed OFFSET cannot compose with the degrade filter (the
+    // window arithmetic would skip fetched rows, not survivors): the
+    // query must FAIL loudly, not skip the wrong rows
+    val err = intercept[Throwable] {
+      read().offset(3).limit(5).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    assert(chain(err).exists(_.contains("startingTimestamp")), chain(err).mkString("\n"))
   }
 }

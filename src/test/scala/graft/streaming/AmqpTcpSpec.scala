@@ -47,7 +47,8 @@ class AmqpTcpSpec extends SparkSpecBase {
       assert(client.latestSeq("addr") == 2L)
       // timestampWindow probe (predicate-pushdown planning) over the RPC
       assert(client.timestampWindow("bulk-addr", 2L, 4L) == Some((1L, 4L)))
-      assert(client.timestampWindow("bulk-addr", 9L, 10L) == Some((0L, 0L)))
+      assert(client.timestampWindow("bulk-addr", 9L, 10L) == Some((5L, 5L)),
+        "no match: empty window anchored at the ledger head")
     }
   }
 
