@@ -256,6 +256,110 @@ class Amqp10GoldenFramesSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(encodeFrame(f), goldenSaslMechanisms))
   }
 
+  // --------------------------- §5.3.3.2-5 the full SCRAM exchange as frames
+  /** The RFC 5802 exchange, every frame hand-encoded: the four SASL
+    * performatives (§5.3.3.2 sasl-init, §5.3.3.3 sasl-challenge,
+    * §5.3.3.4 sasl-response, §5.3.3.5 sasl-outcome) carrying RFC 7677
+    * §3's PUBLISHED SCRAM-SHA-256 test exchange (user "user", password
+    * "pencil") byte for byte. Frame arithmetic, spelled out:
+    * sasl-init is list8 of [sym8 "SCRAM-SHA-256" (2+13B), vbin8
+    * initial-response (2+32B)] → content 49, size byte 50, body
+    * 3+2+1+49 = 55, frame 63 (0x3f); challenge/response are a single
+    * vbin8 of the 86/106-byte RFC strings; outcome is [ubyte 0 (2B),
+    * vbin8 server-final (2+46B)]. Beyond the bit-for-bit re-encode,
+    * the CRYPTO is cross-checked: the proof bytes inside the response
+    * fixture must verify against the salt/iterations inside the
+    * challenge fixture, and the outcome's v= must equal our computed
+    * ServerSignature — our SCRAM math reproduces the IETF's published
+    * bytes, not merely its own. */
+  private val goldenScramInit = hex(
+    """00 00 00 3f 02 01 00 00
+       00 53 41 c0 32 02 a3 0d 53 43 52 41 4d 2d 53 48
+       41 2d 32 35 36 a0 20 6e 2c 2c 6e 3d 75 73 65 72
+       2c 72 3d 72 4f 70 72 4e 47 66 77 45 62 65 52 57
+       67 62 4e 45 6b 71 4f""")
+  private val goldenScramChallenge = hex(
+    """00 00 00 66 02 01 00 00
+       00 53 42 c0 59 01 a0 56 72 3d 72 4f 70 72 4e 47
+       66 77 45 62 65 52 57 67 62 4e 45 6b 71 4f 25 68
+       76 59 44 70 57 55 61 32 52 61 54 43 41 66 75 78
+       46 49 6c 6a 29 68 4e 6c 46 24 6b 30 2c 73 3d 57
+       32 32 5a 61 4a 30 53 4e 59 37 73 6f 45 73 55 45
+       6a 62 36 67 51 3d 3d 2c 69 3d 34 30 39 36""")
+  private val goldenScramResponse = hex(
+    """00 00 00 7a 02 01 00 00
+       00 53 43 c0 6d 01 a0 6a 63 3d 62 69 77 73 2c 72
+       3d 72 4f 70 72 4e 47 66 77 45 62 65 52 57 67 62
+       4e 45 6b 71 4f 25 68 76 59 44 70 57 55 61 32 52
+       61 54 43 41 66 75 78 46 49 6c 6a 29 68 4e 6c 46
+       24 6b 30 2c 70 3d 64 48 7a 62 5a 61 70 57 49 6b
+       34 6a 55 68 4e 2b 55 74 65 39 79 74 61 67 39 7a
+       6a 66 4d 48 67 73 71 6d 6d 69 7a 37 41 6e 64 56
+       51 3d""")
+  private val goldenScramOutcome = hex(
+    """00 00 00 40 02 01 00 00
+       00 53 44 c0 33 02 50 00 a0 2e 76 3d 36 72 72 69
+       54 52 42 69 32 33 57 70 52 52 2f 77 74 75 70 2b
+       6d 4d 68 55 5a 55 6e 2f 64 42 35 6e 4c 54 4a 52
+       73 6a 6c 39 35 47 34 3d""")
+
+  test("golden: the RFC 7677 SCRAM exchange as hand-encoded SASL frames (§5.3.3.2-5)") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // sasl-init: mechanism symbol + gs2-prefixed client-first
+    val init = decodeFrame(goldenScramInit)
+    assert(init.frameType == FrameTypeSasl)
+    assert(descriptorCode(init.performative) == Desc.SaslInit)
+    assert(field(init.performative, 0) == Sym("SCRAM-SHA-256"))
+    val clientFirst =
+      new String(field(init.performative, 1).asInstanceOf[Array[Byte]], utf8)
+    assert(clientFirst == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    // sasl-challenge: the RFC's server-first message
+    val chal = decodeFrame(goldenScramChallenge)
+    assert(descriptorCode(chal.performative) == Desc.SaslChallenge)
+    val serverFirst =
+      new String(field(chal.performative, 0).asInstanceOf[Array[Byte]], utf8)
+    assert(serverFirst ==
+      "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    // sasl-response: the RFC's client-final message (with proof)
+    val resp = decodeFrame(goldenScramResponse)
+    assert(descriptorCode(resp.performative) == Desc.SaslResponse)
+    val clientFinal =
+      new String(field(resp.performative, 0).asInstanceOf[Array[Byte]], utf8)
+    assert(clientFinal ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    // sasl-outcome: code 0 (ok) + the RFC's server-final as
+    // additional-data (§5.3.3.5)
+    val outcome = decodeFrame(goldenScramOutcome)
+    assert(descriptorCode(outcome.performative) == Desc.SaslOutcome)
+    assert(field(outcome.performative, 0) == UByte(0))
+    val serverFinal =
+      new String(field(outcome.performative, 1).asInstanceOf[Array[Byte]], utf8)
+    assert(serverFinal == "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // bit-for-bit re-encode of every frame in the exchange
+    Seq(goldenScramInit, goldenScramChallenge, goldenScramResponse, goldenScramOutcome)
+      .foreach(g => assert(java.util.Arrays.equals(encodeFrame(decodeFrame(g)), g)))
+    // crypto cross-check: the fixtures are mutually consistent under
+    // OUR implementation of RFC 5802's formulas — proof verifies,
+    // server signature matches the outcome's v=
+    val attrs = Scram.parseAttrs(serverFirst)
+    val salt = Scram.unb64(attrs("s"))
+    val iters = attrs("i").toInt
+    val salted = Scram.saltedPassword("pencil", salt, iters)
+    val bare = clientFirst.drop(Scram.Gs2Header.length)
+    val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val authMsg = Scram.authMessage(bare, serverFirst, withoutProof)
+    val proof = Scram.unb64(Scram.parseAttrs(clientFinal)("p"))
+    assert(java.util.Arrays.equals(Scram.clientProof(salted, authMsg), proof),
+      "our ClientProof must reproduce the RFC's published proof bytes")
+    assert(Scram.verifyClientProof(
+      Scram.storedKey(Scram.clientKey(salted)), authMsg, proof),
+      "the server-side verification must accept the RFC's proof")
+    assert("v=" + Scram.b64(Scram.serverSignature(salted, authMsg)) == serverFinal,
+      "our ServerSignature must reproduce the RFC's published v=")
+  }
+
   // -------------------------------------- live server vs spec-authored peer
   /** The producer handshake hand-encoded end to end: header, open,
     * begin, attach (role=SENDER, target="gold-q"), one settled=false
