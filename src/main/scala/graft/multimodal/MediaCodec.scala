@@ -38,12 +38,15 @@ case class FrameSample(
     n_sampled: Int,
     sampled_bytes: Long)
 
-/** Media codec: REAL header-parsing decode for BMP and WAV payloads
-  * ([[MediaFiles]] — pure JVM, zero deps), byte-stat STUB for media
-  * types the sandbox has no decoder for (video containers). The stub
-  * remains clearly disclosed; everything around it — the typed binary
-  * schema, executor-side batching, frame slicing, resize metadata
-  * handling — is the Spark plumbing any further codec would plug into.
+/** Media codec: REAL header-parsing decode for BMP, WAV, and AVI
+  * payloads ([[MediaFiles]] — pure JVM, zero deps); the byte-stat STUB
+  * remains only as the disclosed fallback for payloads with no
+  * parsable container (and for the frame CONTENTS inside an AVI, which
+  * stay an opaque "raw codec" — the sandbox has no video codec
+  * library; a real decoder would plug into the per-frame bytes the
+  * container walk already isolates). Everything around it — the typed
+  * binary schema, executor-side batching, frame slicing, resize
+  * metadata handling — is the Spark plumbing such a codec plugs into.
   *
   * Batch shape: [[decodeBatch]] takes a whole batch so a real
   * implementation can amortize codec/model initialization per batch
@@ -82,16 +85,26 @@ object MediaCodec {
 
   /** REAL decode where the container is parsable: BMP payloads yield
     * header dims + channel-value stats, WAV payloads yield
-    * (sample_rate, bits) + PCM sample stats (signed). Anything that
-    * fails structural validation falls back to the byte-stat stub — a
-    * corrupt file still produces a row (with decoded_w = 0 marking the
-    * fallback) instead of killing the batch. */
+    * (sample_rate, bits) + PCM sample stats (signed), AVI payloads
+    * yield header dims + unsigned byte stats over the movi frame
+    * payloads (the container walk is real; the frame bytes stay an
+    * opaque "raw codec" — actual video frame decoding would plug in
+    * here). Anything that fails structural validation falls back to
+    * the byte-stat stub — a corrupt file still produces a row (with
+    * decoded_w = 0 marking the fallback) instead of killing the
+    * batch. */
   def decodeMedia(blob: MediaBlob): MediaFeatures = {
     val parsed = blob.media_type match {
       case "image" => MediaFiles.decodeBmp(blob.data).map(b =>
         stats(blob.doc_id, blob.media_type, b.width, b.height, b.channels))
       case "audio" => MediaFiles.decodeWav(blob.data).map(w =>
         stats(blob.doc_id, blob.media_type, w.sampleRate, w.bitsPerSample, w.samples))
+      case "video" => MediaFiles.decodeAvi(blob.data).map { a =>
+        val vals = new Array[Int](a.frames.iterator.map(_.length).sum)
+        var i = 0
+        a.frames.foreach(_.foreach { b => vals(i) = b & 0xff; i += 1 })
+        stats(blob.doc_id, blob.media_type, a.width, a.height, vals)
+      }
       case _ => None
     }
     parsed.getOrElse(decode(blob))
@@ -109,16 +122,27 @@ object MediaCodec {
       data = blob.data.take(math.min(blob.data.length, w * h)))
   }
 
-  /** Split payload into n_frames equal frames (tail remainder dropped)
-    * and keep every `stride`-th frame, starting at 0. */
-  def sampleFrames(blob: MediaBlob, stride: Int): FrameSample = {
-    val n = math.max(blob.n_frames, 1)
-    val frameLen = blob.data.length.toLong / n
-    val sampledIdx = 0 until n by stride
-    val sampledBytes = sampledIdx.map { i =>
-      val start = (i * frameLen).toInt
-      blob.data.slice(start, start + frameLen.toInt).length.toLong
-    }.sum
-    FrameSample(blob.doc_id, n, frameLen, sampledIdx.length, sampledBytes)
-  }
+  /** Keep every `stride`-th frame, starting at 0. For a parsable AVI
+    * container the frames are the REAL '00dc' movi chunks — boundaries
+    * come from the chunk walk, the frame count from the container, not
+    * from metadata (frame_len reports the first chunk's size; this
+    * engine's encoder emits equal-size chunks per file). Payloads with
+    * no parsable container fall back to metadata-driven equal slicing
+    * (tail remainder dropped) — the disclosed degraded path. */
+  def sampleFrames(blob: MediaBlob, stride: Int): FrameSample =
+    MediaFiles.decodeAvi(blob.data) match {
+      case Some(a) if a.frames.nonEmpty =>
+        val sampledIdx = 0 until a.frames.length by stride
+        FrameSample(blob.doc_id, a.frames.length, a.frames(0).length.toLong,
+          sampledIdx.length, sampledIdx.map(i => a.frames(i).length.toLong).sum)
+      case _ =>
+        val n = math.max(blob.n_frames, 1)
+        val frameLen = blob.data.length.toLong / n
+        val sampledIdx = 0 until n by stride
+        val sampledBytes = sampledIdx.map { i =>
+          val start = (i * frameLen).toInt
+          blob.data.slice(start, start + frameLen.toInt).length.toLong
+        }.sum
+        FrameSample(blob.doc_id, n, frameLen, sampledIdx.length, sampledBytes)
+    }
 }

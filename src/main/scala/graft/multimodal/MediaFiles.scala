@@ -26,6 +26,17 @@ object MediaFiles {
     * 'data' (signed 16-bit). */
   final case class Wav(sampleRate: Int, bitsPerSample: Int, samples: Array[Int])
 
+  /** Decoded AVI container: header fields from 'avih' (dimensions,
+    * frame timing, declared frame count) and the actual video frame
+    * chunks from the 'movi' list (per-frame payload bytes, in stream
+    * order). At 100 TB a decoder would stream offsets instead of
+    * copying payloads — the offsets are what [[decodeAvi]] walks; the
+    * copies here keep the API simple at test scale. */
+  final case class Avi(width: Int, height: Int, microSecPerFrame: Int,
+      totalFrames: Int, frames: Array[Array[Byte]]) {
+    def frameSizes: Array[Int] = frames.map(_.length)
+  }
+
   // ------------------------------------------------------------- BMP
 
   private def rowStride(w: Int): Int = ((3 * w + 3) / 4) * 4
@@ -160,6 +171,127 @@ object MediaFiles {
       var i = 0
       while (i < n) { out(i) = buf.getShort(off + 2 * i).toInt; i += 1 }
       Wav(rate, bits, out)
+    }
+  }
+
+  // ------------------------------------------------------------- AVI
+  // RIFF-AVI layout (Microsoft AVI RIFF form, the same public spec
+  // VfW/ffmpeg implement): RIFF('AVI ' LIST('hdrl' avih(56) LIST('strl'
+  // strh(56) strf(BITMAPINFOHEADER))) LIST('movi' '00dc' chunks)).
+  // avih field offsets (all u32le): 0 dwMicroSecPerFrame, 16
+  // dwTotalFrames, 24 dwStreams, 32 dwWidth, 36 dwHeight.
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode a minimal single-video-stream AVI: real header lists (avih
+    * + strl/strh/strf) and one '00dc' movi chunk per frame (word-
+    * aligned, as RIFF requires). Frame payloads are arbitrary bytes —
+    * the container is real, the codec inside it is "raw". */
+  def encodeAvi(w: Int, h: Int, microSecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && microSecPerFrame > 0, s"bad AVI params ${w}x$h")
+    val maxFrame = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    val moviContent = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    // sizes: avih chunk 8+56; strh 8+56; strf 8+40; strl list 8+4+strh+strf
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + 4 + moviContent)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc("RIFF")).putInt(riffSize).put(fourcc("AVI "))
+    buf.put(fourcc("LIST")).putInt(hdrlSize).put(fourcc("hdrl"))
+    buf.put(fourcc("avih")).putInt(56)
+    buf.putInt(microSecPerFrame)
+    buf.putInt(if (microSecPerFrame == 0) 0 else
+      (maxFrame.toLong * 1000000L / microSecPerFrame).toInt) // dwMaxBytesPerSec
+    buf.putInt(0) // dwPaddingGranularity
+    buf.putInt(0) // dwFlags: no idx1 written, so AVIF_HASINDEX stays clear
+    buf.putInt(frames.length) // dwTotalFrames
+    buf.putInt(0) // dwInitialFrames
+    buf.putInt(1) // dwStreams
+    buf.putInt(maxFrame) // dwSuggestedBufferSize
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    buf.put(fourcc("LIST")).putInt(strlSize).put(fourcc("strl"))
+    buf.put(fourcc("strh")).putInt(56)
+    buf.put(fourcc("vids")).put(fourcc("    ")) // raw handler
+    buf.putInt(0) // dwFlags
+    buf.putShort(0).putShort(0) // wPriority, wLanguage
+    buf.putInt(0) // dwInitialFrames
+    buf.putInt(microSecPerFrame) // dwScale
+    buf.putInt(1000000) // dwRate: fps = dwRate/dwScale = 1e6/uspf
+    buf.putInt(0) // dwStart
+    buf.putInt(frames.length) // dwLength (in frames)
+    buf.putInt(maxFrame) // dwSuggestedBufferSize
+    buf.putInt(0) // dwQuality
+    buf.putInt(0) // dwSampleSize
+    buf.putShort(0).putShort(0) // rcFrame left, top
+    buf.putShort(w.toShort).putShort(h.toShort) // rcFrame right, bottom
+    buf.put(fourcc("strf")).putInt(40)
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24) // planes, bpp
+    buf.putInt(0).putInt(w * h * 3) // BI_RGB, image size
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(fourcc("LIST")).putInt(4 + moviContent).put(fourcc("movi"))
+    frames.foreach { f =>
+      buf.put(fourcc("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte) // word alignment pad
+    }
+    buf.array()
+  }
+
+  /** Parse an AVI container by walking its RIFF lists — magic + 'AVI '
+    * form check, 'hdrl'/'avih' header fields, then every video/audio
+    * data chunk ('##dc'/'##db'/'##wb') inside 'movi' (unknown chunks
+    * and lists are skipped word-aligned, like the WAV walker); None on
+    * anything malformed. */
+  def decodeAvi(bytes: Array[Byte]): Option[Avi] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) "" else new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = {
+      val s = buf.getInt(4)
+      if (s < 4 || 8L + s > bytes.length) return None
+      8 + s
+    }
+    var header: Option[(Int, Int, Int, Int)] = None // (uspf, total, w, h)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isDataChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db" || id.substring(2) == "wb")
+    // walk one level of chunks in [pos, end); recurse into LISTs we know
+    def walk(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = tag(pos)
+        val size = buf.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return false
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            val listType = tag(pos + 8)
+            if (listType == "hdrl" || listType == "movi" || listType == "strl") {
+              if (!walk(pos + 12, pos + 8 + size)) return false
+            } // other lists (INFO, odml...) skipped whole
+          case "avih" =>
+            if (size < 56) return false
+            header = Some((buf.getInt(pos + 8), buf.getInt(pos + 8 + 16),
+              buf.getInt(pos + 8 + 32), buf.getInt(pos + 8 + 36)))
+          case c if isDataChunk(c) =>
+            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+          case _ => // strh/strf/idx1/JUNK...: structural presence only
+        }
+        pos += 8 + size + (size & 1) // word alignment
+      }
+      true
+    }
+    if (!walk(12, riffEnd)) return None
+    header match {
+      case Some((uspf, total, w, h))
+          if w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) && frames.nonEmpty =>
+        Some(Avi(w, h, uspf, total, frames.toArray))
+      case _ => None
     }
   }
 }

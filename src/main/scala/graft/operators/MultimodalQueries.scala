@@ -58,17 +58,17 @@ object MultimodalQueries {
   private val BytesSql = "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"
 
   // ------------------------------------------------------- mm_features
-  /** Batched REAL decode: image docs carry an actual 24-bpp BMP file
-    * and audio docs an actual RIFF/PCM16 WAV (encoded executor-side by
-    * [[graft.multimodal.MediaFiles]] from deterministic doc_id-derived
-    * content, so the oracle can recompute the expected stats); video
-    * docs keep the raw-byte payload and exercise the disclosed stub
-    * fallback. [[MediaCodec.decodeMedia]] parses the containers for
-    * real — magic, header fields, BMP row padding, RIFF chunk walk —
-    * so a green gate here checks decoded pixel/sample values, not just
-    * plumbing. Fixed-size batches inside each partition, one
-    * decodeBatch call per batch (batch shape is part of the contract —
-    * see MultimodalQueriesSpec).
+  /** Batched REAL decode: image docs carry an actual 24-bpp BMP file,
+    * audio docs an actual RIFF/PCM16 WAV, and video docs an actual
+    * RIFF-AVI container (avih/strl header lists + '00dc' movi chunks) —
+    * all encoded executor-side by [[graft.multimodal.MediaFiles]] from
+    * deterministic doc_id-derived content, so the oracle can recompute
+    * the expected stats. [[MediaCodec.decodeMedia]] parses the
+    * containers for real — magic, header fields, BMP row padding, RIFF
+    * chunk/list walks — so a green gate here checks decoded
+    * pixel/sample/frame values, not just plumbing. Fixed-size batches
+    * inside each partition, one decodeBatch call per batch (batch shape
+    * is part of the contract — see MultimodalQueriesSpec).
     *
     * Scale shape: unchanged — an embarrassingly parallel map; bytes
     * never leave the executor. */
@@ -88,7 +88,14 @@ object MultimodalQueries {
           val n = WavN(id)
           b.copy(data = MediaFiles.encodeWav(WavRate,
             Array.tabulate(n)(i => ((id * 31 + i * 17) % 4096).toInt - 2048)))
-        case _ => b // video: raw bytes, stub decode path
+        case _ =>
+          // video: a REAL RIFF-AVI container — avih/strl header lists +
+          // one '00dc' movi chunk per frame, deterministic doc_id-derived
+          // frame bytes so the oracle can recompute the decoded stats
+          val id = b.doc_id
+          b.copy(data = MediaFiles.encodeAvi(b.width, b.height, VidUspf,
+            Seq.tabulate(VidFrames(id))(f =>
+              Array.tabulate(VidFrameLen(id))(i => ((id + f * 31 + i * 7) % 256).toByte))))
       }
     }
   }
@@ -97,6 +104,9 @@ object MultimodalQueries {
   private def ImgH(id: Long): Int = 8 + (id % 5).toInt * 3
   private def WavN(id: Long): Int = 256 + (id % 7).toInt * 64
   private val WavRate = 16000
+  private def VidFrames(id: Long): Int = 1 + (id % 7).toInt
+  private def VidFrameLen(id: Long): Int = 48 + (id % 5).toInt * 16
+  private val VidUspf = 40000 // 25 fps
 
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -141,15 +151,24 @@ object MultimodalQueries {
        |    CAST(max(s) AS INTEGER) AS max_val,
        |    CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_val
        |  FROM asm GROUP BY doc_id),
+       |vk AS (
+       |  SELECT doc_id, $WidthSql AS w, $HeightSql AS h,
+       |    (48 + (doc_id % 5) * 16) AS flen,
+       |    unnest(range((1 + doc_id % 7) * (48 + (doc_id % 5) * 16))) AS k
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vsm AS (
+       |  SELECT doc_id, w, h,
+       |    (doc_id + (k // flen) * 31 + (k % flen) * 7) % 256 AS v FROM vk),
        |video_rows AS (
        |  SELECT doc_id, 'video' AS media_type,
-       |    CAST(0 AS INTEGER) AS decoded_w, CAST(0 AS INTEGER) AS decoded_h,
-       |    CAST(length(text) AS BIGINT) AS n_units,
-       |    CAST(list_sum($BytesSql) AS BIGINT) AS sum_vals,
-       |    CAST(list_min($BytesSql) AS INTEGER) AS min_val,
-       |    CAST(list_max($BytesSql) AS INTEGER) AS max_val,
-       |    CAST(list_sum($BytesSql) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS mean_val
-       |  FROM documents WHERE doc_id % 3 = 2)
+       |    CAST(any_value(w) AS INTEGER) AS decoded_w,
+       |    CAST(any_value(h) AS INTEGER) AS decoded_h,
+       |    CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(v) AS BIGINT) AS sum_vals,
+       |    CAST(min(v) AS INTEGER) AS min_val,
+       |    CAST(max(v) AS INTEGER) AS max_val,
+       |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_val
+       |  FROM vsm GROUP BY doc_id)
        |SELECT * FROM image_rows
        |UNION ALL SELECT * FROM audio_rows
        |UNION ALL SELECT * FROM video_rows""".stripMargin
@@ -176,12 +195,16 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
   // --------------------------------------------------- mm_frame_sample
-  /** Frame sampling of video payloads: slice into n_frames equal frames,
-    * keep every 2nd frame. Real byte slicing on the Spark side; the
-    * oracle reproduces the arithmetic. */
+  /** Frame sampling of video payloads, keeping every 2nd frame — over
+    * REAL AVI containers: [[MediaCodec.sampleFrames]] walks the RIFF
+    * 'movi' list and samples actual '00dc' chunks, so the frame count
+    * and byte totals come from parsed container structure (the n_frames
+    * METADATA column is deliberately not consulted on this path). The
+    * oracle reproduces the container arithmetic from the encode
+    * formulas: 1 + id%7 frames of 48 + (id%5)*16 bytes each. */
   def mmFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    mediaTableEncoded(s, d)
       .filter(_.media_type == "video")
       .map(b => MediaCodec.sampleFrames(b, stride = 2))
       .toDF()
@@ -189,9 +212,9 @@ object MultimodalQueries {
 
   val mmFrameSampleSql: String =
     s"""SELECT doc_id, CAST($FramesSql AS INTEGER) AS n_frames,
-       |  length(text) // $FramesSql AS frame_len,
+       |  CAST(48 + (doc_id % 5) * 16 AS BIGINT) AS frame_len,
        |  CAST(($FramesSql + 1) // 2 AS INTEGER) AS n_sampled,
-       |  (($FramesSql + 1) // 2) * (length(text) // $FramesSql) AS sampled_bytes
+       |  CAST((($FramesSql + 1) // 2) * (48 + (doc_id % 5) * 16) AS BIGINT) AS sampled_bytes
        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
   // ---------------------------------------------------- mm_dup_groups

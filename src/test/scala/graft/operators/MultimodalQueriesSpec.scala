@@ -81,7 +81,9 @@ class MultimodalQueriesSpec extends SparkSpecBase {
           s"doc $id: BMP header dims not recovered ($w x $h)")
       case (_, "audio", rate, bits) =>
         assert(rate == 16000 && bits == 16, "WAV fmt fields not recovered")
-      case (_, "video", w, h) => assert(w == 0 && h == 0) // stub path
+      case (id, "video", w, h) =>
+        assert(w == 32 + (id % 8) * 16 && h == 32 + (id % 5) * 16,
+          s"doc $id: AVI avih dims not recovered ($w x $h)")
       case other => fail(s"unexpected row $other")
     }
   }
@@ -153,10 +155,38 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     assert(got.nonEmpty, "the gradient fixtures must collide (aHash invariance)")
   }
 
-  test("frame sampling slices whole frames and drops the tail remainder") {
+  test("frame sampling falls back to equal slicing for container-less payloads") {
     // 10 bytes, 4 frames -> frame_len 2, frames at 0,2,4,6; stride 2 -> frames 0,2
     val s = MediaCodec.sampleFrames(blob(1, Array.range(0, 10).map(_.toByte), frames = 4), 2)
     assert(s.frame_len == 2 && s.n_sampled == 2 && s.sampled_bytes == 4)
+  }
+
+  test("AVI round-trip: header fields and every frame byte survive encode+decode") {
+    // odd frame sizes exercise the RIFF word-alignment padding walk
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](8))
+    val bytes = MediaFiles.encodeAvi(320, 240, 40000, frames)
+    val got = MediaFiles.decodeAvi(bytes).get
+    assert(got.width == 320 && got.height == 240)
+    assert(got.microSecPerFrame == 40000 && got.totalFrames == 3)
+    assert(got.frames.map(_.toSeq).toSeq == frames.map(_.toSeq),
+      "movi chunk walk mishandled sizes or padding")
+    // malformed containers never parse: truncated header, wrong form,
+    // garbage after a valid prefix
+    assert(MediaFiles.decodeAvi(bytes.take(11)).isEmpty)
+    assert(MediaFiles.decodeAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val corrupt = bytes.clone
+    corrupt(4) = 0x7f.toByte // RIFF size points past the buffer
+    corrupt(5) = 0x7f.toByte; corrupt(6) = 0x7f.toByte
+    assert(MediaFiles.decodeAvi(corrupt).isEmpty)
+  }
+
+  test("frame sampling walks REAL AVI movi chunks (container truth beats metadata)") {
+    val frames = Seq.tabulate(5)(f => Array.fill(10)(f.toByte))
+    val avi = MediaFiles.encodeAvi(64, 48, 40000, frames)
+    // metadata LIES (n_frames = 2): the container walk must win
+    val s = MediaCodec.sampleFrames(MediaBlob(9, "video", 64, 48, 2, avi), 2)
+    assert(s.n_frames == 5, "frame count must come from the parsed container")
+    assert(s.frame_len == 10 && s.n_sampled == 3 && s.sampled_bytes == 30)
   }
 
   test("resize halves dims and truncates payload to the pixel budget") {
