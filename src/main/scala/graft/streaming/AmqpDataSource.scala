@@ -653,11 +653,26 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     }.toMap)
   }
 
+  /** One partition per link per micro-batch — except that a span wider
+    * than maxRowsPerPartition splits into bounded sub-partitions, the
+    * same cut as the batch planner. Normal triggers never hit this
+    * (maxMessagesPerTrigger bounds the span first), but
+    * ReadAllAvailable (Trigger.Once) admits the WHOLE backlog in one
+    * batch — without the split, one task would fetch and hold a deep
+    * link's entire history. Intra-batch row order is not part of the
+    * streaming contract (stateful operators shuffle by key; watermarks
+    * aggregate min/max), so the split is semantics-free here too. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[AmqpOffset], end.asInstanceOf[AmqpOffset])
     cfg.addresses
       .filter(a => e.seqOf(a) > s.seqOf(a))
-      .map(a => AmqpInputPartition(cfg.endpoint, a, s.seqOf(a), e.seqOf(a)): InputPartition)
+      .flatMap { a =>
+        val (from, to) = (s.seqOf(a), e.seqOf(a))
+        Iterator.range(0L, to - from, cfg.maxRowsPerPartition).map { o =>
+          AmqpInputPartition(cfg.endpoint, a, from + o,
+            math.min(from + o + cfg.maxRowsPerPartition, to)): InputPartition
+        }
+      }
       .toArray
   }
 

@@ -781,6 +781,17 @@ class AmqpSourceSpec extends SparkSpecBase {
     // ordering contract, so a per-link split is semantics-free)
     assert(df.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
       == (1 to 100).toSeq)
+    // the MICRO-BATCH planner applies the same bound: an uncapped
+    // ReadAllAvailable batch (Trigger.Once admits the whole backlog)
+    // must not hand one task a deep link's entire span
+    val stream = new AmqpScan(AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = Long.MaxValue, maxPerSecond = 0L, maxRowsPerPartition = 30L))
+      .toMicroBatchStream("unused")
+    val mb = stream.planInputPartitions(
+        AmqpOffset.single("my_address", 0L), AmqpOffset.single("my_address", 100L))
+      .map(_.asInstanceOf[AmqpInputPartition])
+    assert(mb.length == 4 && mb.map(p => p.toInclusive - p.fromExclusive).sum == 100L,
+      mb.toSeq.toString)
   }
 
   test("filtered limit(n) composes as a partial push: fetch stops at n survivors") {
