@@ -114,13 +114,34 @@ object MediaCodec {
   def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = batch.map(decodeMedia)
 
   /** Stub resize: halves dimensions, truncates payload to the new pixel
-    * budget (a real implementation would re-encode). */
+    * budget — the fallback for payloads with no parsable container. */
   def resize(blob: MediaBlob): MediaBlob = {
     val w = math.max(blob.width / 2, 1)
     val h = math.max(blob.height / 2, 1)
     blob.copy(width = w, height = h,
       data = blob.data.take(math.min(blob.data.length, w * h)))
   }
+
+  /** REAL 2x box downsample for parsable BMP payloads: decode, average
+    * each 2x2 pixel block per channel (integer mean, floor — the
+    * deterministic arithmetic an oracle can replay), re-encode as an
+    * actual BMP. Odd trailing rows/columns are dropped (floor dims).
+    * Container-less or too-small payloads fall back to the metadata
+    * stub above. */
+  def resizeImage(blob: MediaBlob): MediaBlob =
+    MediaFiles.decodeBmp(blob.data) match {
+      case Some(bmp) if bmp.width >= 2 && bmp.height >= 2 =>
+        val w2 = bmp.width / 2
+        val h2 = bmp.height / 2
+        def ch(c: Int, x: Int, y: Int): Int = bmp.channels(3 * (y * bmp.width + x) + c)
+        def avg(c: Int, x: Int, y: Int): Int =
+          (ch(c, 2 * x, 2 * y) + ch(c, 2 * x + 1, 2 * y) +
+            ch(c, 2 * x, 2 * y + 1) + ch(c, 2 * x + 1, 2 * y + 1)) / 4
+        blob.copy(width = w2, height = h2,
+          data = MediaFiles.encodeBmp(w2, h2,
+            (x, y) => (avg(0, x, y), avg(1, x, y), avg(2, x, y))))
+      case _ => resize(blob)
+    }
 
   /** Keep every `stride`-th frame, starting at 0. For a parsable AVI
     * container the frames are the REAL '00dc' movi chunks — boundaries

@@ -1093,8 +1093,53 @@ object DedupQueries {
        |    // count(ta) AS recall_fp
        |FROM j""".stripMargin
 
+  // ------------------------------------------------------ dedup_novelty
+  /** Per-document n-gram NOVELTY score: the fraction of a document's
+    * distinct word-5-grams whose canonical FIRST carrier (min doc_id
+    * over the corpus) is the document itself. Novelty ~1 means the doc
+    * introduces its content; ~0 means everything in it was seen
+    * before — the per-doc ranking signal web-scale curation uses to
+    * demote boilerplate-heavy shards and prioritize fresh text under
+    * an ingestion budget (the doc-level complement of
+    * [[dedupSubstring]]'s pairwise screen). Docs with fewer than 5
+    * tokens carry no 5-gram and emit no row — identically on both
+    * engines.
+    *
+    * Scale shape: the same inverted-index discipline as every dedup
+    * screen — one shuffle keyed by shingle (size tracks corpus token
+    * mass, min-carrier is a map-side-combinable MIN), then a doc-keyed
+    * count; no pairwise join anywhere. The novelty ratio is one double
+    * division of two exact integers (cross-engine deterministic). */
+  def dedupNovelty(s: SparkSession, d: String): DataFrame = {
+    val inv = shingleStream(s, d, 5)
+    val firstCarrier = inv.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    inv.join(firstCarrier, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+  }
+
+  val dedupNoveltySql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingleSetSql(5)} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |fc AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle)
+       |SELECT i.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN fc.first_doc = i.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(sum(CASE WHEN fc.first_doc = i.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM inv i JOIN fc USING (shingle)
+       |GROUP BY i.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_novelty"          -> (dedupNovelty _),
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_cluster_star"     -> (dedupClusterStar _),
     "dedup_contamination"    -> (dedupContamination _),
@@ -1114,6 +1159,7 @@ object DedupQueries {
 
   // lazy for the same init-order reason as dedupWinnowSql
   lazy val oracleSql: Map[String, String] = Map(
+    "dedup_novelty"          -> dedupNoveltySql,
     "dedup_cluster"          -> dedupClusterSql,
     // different fixpoint algorithm, same labeling: same oracle
     "dedup_cluster_star"     -> dedupClusterSql,

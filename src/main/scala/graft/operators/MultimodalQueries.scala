@@ -174,25 +174,63 @@ object MultimodalQueries {
        |UNION ALL SELECT * FROM video_rows""".stripMargin
 
   // ------------------------------------------------------- mm_resize
-  /** Stub resize of image payloads: metadata update + payload truncation
-    * to the new pixel budget; only images are touched (metadata filter
-    * happens before any payload byte is read). */
+  /** REAL 2x box downsample of image payloads: decode the BMP, average
+    * each 2x2 pixel block per channel (integer floor mean), re-encode a
+    * real BMP, then DECODE THE RESIZED ARTIFACT AGAIN and hash its
+    * content — so the gate covers decode → resample → encode → decode,
+    * not just metadata arithmetic. The oracle replays the box averages
+    * closed-form from the pixel formulas (4 modular terms per channel,
+    * floor-divided by 4) and the BMP size arithmetic (54-byte headers +
+    * 4-byte-padded rows). Only images are touched — the media_type
+    * filter prunes on metadata before any payload byte is read.
+    *
+    * Scale shape: an embarrassingly parallel per-row map (decode +
+    * resample + encode); bytes never leave the executor, the output
+    * carries one row of scalars per image. */
   def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    mediaTableEncoded(s, d)
       .filter(_.media_type == "image")
-      .map(MediaCodec.resize)
-      .map(b => (b.doc_id, b.width, b.height, b.data.length.toLong))
-      .toDF("doc_id", "new_width", "new_height", "payload_bytes")
+      .map { b =>
+        val r = MediaCodec.resizeImage(b)
+        val back = MediaFiles.decodeBmp(r.data).getOrElse(
+          throw new IllegalStateException(s"resized BMP undecodable for doc ${b.doc_id}"))
+        var sum = 0L
+        back.channels.foreach(sum += _)
+        (r.doc_id, back.width, back.height, r.data.length.toLong, sum)
+      }
+      .toDF("doc_id", "new_width", "new_height", "payload_bytes", "sum_channels")
   }
 
+  // box-averaged channel value at resized pixel (xx, yy): the floor
+  // mean of the four source-pixel formula values
+  private def boxAvgSql(f: (String, String) => String): String =
+    s"(${f("2*xx", "2*yy")} + ${f("2*xx+1", "2*yy")} + " +
+      s"${f("2*xx", "2*yy+1")} + ${f("2*xx+1", "2*yy+1")}) // 4"
+  private def bPix(x: String, y: String) = s"(doc_id + 2*($x) + 3*($y)) % 256"
+  private def gPix(x: String, y: String) = s"(doc_id*2 + ($x) + 5*($y) + 1) % 256"
+  private def rPix(x: String, y: String) = s"(doc_id*3 + 4*($x) + ($y) + 2) % 256"
+
   val mmResizeSql: String =
-    s"""SELECT doc_id,
-       |  CAST(greatest($WidthSql // 2, 1) AS INTEGER) AS new_width,
-       |  CAST(greatest($HeightSql // 2, 1) AS INTEGER) AS new_height,
-       |  CAST(least(length(text),
-       |    greatest($WidthSql // 2, 1) * greatest($HeightSql // 2, 1)) AS BIGINT) AS payload_bytes
-       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+    s"""WITH img AS (
+       |  SELECT doc_id, (16 + (doc_id % 8) * 2) AS w, (8 + (doc_id % 5) * 3) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |r AS (SELECT doc_id, w // 2 AS w2, h // 2 AS h2 FROM img),
+       |px AS (
+       |  SELECT doc_id, w2, h2, unnest(range(w2 * h2)) AS i FROM r),
+       |xy AS (
+       |  SELECT doc_id, w2, h2, i % w2 AS xx, i // w2 AS yy FROM px),
+       |avgd AS (
+       |  SELECT doc_id, w2, h2,
+       |    ${boxAvgSql(bPix)} AS b, ${boxAvgSql(gPix)} AS g, ${boxAvgSql(rPix)} AS r
+       |  FROM xy)
+       |SELECT doc_id,
+       |  CAST(any_value(w2) AS INTEGER) AS new_width,
+       |  CAST(any_value(h2) AS INTEGER) AS new_height,
+       |  CAST(54 + ((3 * any_value(w2) + 3) // 4) * 4 * any_value(h2) AS BIGINT)
+       |    AS payload_bytes,
+       |  CAST(sum(b + g + r) AS BIGINT) AS sum_channels
+       |FROM avgd GROUP BY doc_id""".stripMargin
 
   // --------------------------------------------------- mm_frame_sample
   /** Frame sampling of video payloads, keeping every 2nd frame — over

@@ -1499,6 +1499,60 @@ object TextQueries {
        |  min(mean_mbits) AS lo_mbits, max(mean_mbits) AS hi_mbits
        |FROM b GROUP BY source, bucket""".stripMargin
 
+  // ------------------------------------------------------ corpus_quota
+  private val QuotaTokens = 800L
+
+  /** Per-source token QUOTA with quality-ranked truncation: each source
+    * may contribute at most [[QuotaTokens]] training tokens, filled in
+    * quality order (n_chars DESC — longer documents first — with
+    * doc_id as the deterministic tiebreak) under the same
+    * exclusive-prefix rule as shard packing: a document is kept iff the
+    * tokens BEFORE it fit the quota, so every source contributes at
+    * least its first document and overshoots by at most one straggler.
+    * This is the cap-not-sample counterpart of [[corpusMix]]: mixing
+    * plans cap low-value over-represented sources (boilerplate crawls)
+    * while sampling the rest.
+    *
+    * Scale shape: one shuffle keyed by source (the ranking window +
+    * running sum ride it), then a source-sized aggregate; the 100 TB
+    * concern is source skew — one giant crawl source makes one hot
+    * window partition — which a production plan handles by
+    * pre-aggregating per (source, shard) exactly like
+    * [[corpusPackSequences]]'s per-shard running sums. */
+  def corpusQuota(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).as("toks"))
+      .withColumn("before", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("kept", (col("before") < QuotaTokens).cast(IntegerType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(0L)).as("kept_tokens"),
+        sum(col("toks")).as("total_tokens"))
+  }
+
+  val corpusQuotaSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, n_chars, CAST(len($DTokens) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, toks,
+       |    sum(toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) - toks AS before
+       |  FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN before < $QuotaTokens THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN before < $QuotaTokens THEN toks ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY source""".stripMargin
+
   // ------------------------------------------------ corpus_token_budget
   private val BudgetTokens = 1000000L
 
@@ -1942,6 +1996,7 @@ object TextQueries {
     "split_kfold"      -> (splitKfold _),
     "txt_hash_features" -> (txtHashFeatures _),
     "corpus_blocklist" -> (corpusBlocklist _),
+    "corpus_quota"     -> (corpusQuota _),
     "corpus_pack_sequences" -> (corpusPackSequences _),
     "corpus_mix"       -> (corpusMix _),
     "txt_pii_scrub"    -> (txtPiiScrub _),
@@ -1982,6 +2037,7 @@ object TextQueries {
     "split_kfold"      -> splitKfoldSql,
     "txt_hash_features" -> txtHashFeaturesSql,
     "corpus_blocklist" -> corpusBlocklistSql,
+    "corpus_quota"     -> corpusQuotaSql,
     "corpus_pack_sequences" -> corpusPackSequencesSql,
     "corpus_mix"       -> corpusMixSql,
     "txt_pii_scrub"    -> txtPiiScrubSql,

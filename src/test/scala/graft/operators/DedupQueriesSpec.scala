@@ -390,4 +390,33 @@ class DedupQueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"winnow dedup went all-pairs:\n$plan")
   }
+
+  test("dedup_novelty equals a brute-force first-carrier recompute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" +").filter(_.nonEmpty)
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      grams(t).foreach(g => if (!first.contains(g)) first(g) = id)
+    }
+    val expected = docs.collect { case (id, t) if grams(t).nonEmpty =>
+      val g = grams(t)
+      val novel = g.count(first(_) == id).toLong
+      id -> (g.size.toLong, novel)
+    }.toMap
+    val got = DedupQueries.dedupNovelty(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size, "one row per 5-gram-carrying doc")
+    got.foreach { case (id, n, novel, ratio) =>
+      assert((n, novel) == expected(id), s"doc $id drifted")
+      assert(ratio == novel.toDouble / n.toDouble)
+    }
+    // planted near-dups mean SOME doc must be non-novel, and the
+    // earliest carrier of any shared gram must be fully attributed
+    assert(got.exists(_._4 < 1.0), "near-dup corpus must show non-novel docs")
+    assert(got.exists(_._4 == 1.0), "some doc introduces all its content")
+  }
 }

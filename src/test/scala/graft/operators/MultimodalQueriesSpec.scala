@@ -189,11 +189,31 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     assert(s.frame_len == 10 && s.n_sampled == 3 && s.sampled_bytes == 30)
   }
 
-  test("resize halves dims and truncates payload to the pixel budget") {
+  test("resize halves dims and truncates payload to the pixel budget (stub fallback)") {
     val r = MediaCodec.resize(MediaBlob(1, "image", 8, 4, 1, Array.fill(100)(1.toByte)))
     assert(r.width == 4 && r.height == 2 && r.data.length == 8)
     val small = MediaCodec.resize(MediaBlob(1, "image", 8, 4, 1, Array.fill(3)(1.toByte)))
     assert(small.data.length == 3)
+    // container-less payloads route resizeImage to the same stub
+    val viaReal = MediaCodec.resizeImage(MediaBlob(1, "image", 8, 4, 1, Array.fill(100)(1.toByte)))
+    assert(viaReal.width == 4 && viaReal.data.length == 8)
+  }
+
+  test("resizeImage box-averages 2x2 blocks for real BMPs (hand-computed pixels)") {
+    // 4x2 source -> 2x1 resized; channel values chosen so each 2x2
+    // average is exact or exercises the floor
+    val px = Map(
+      (0, 0) -> (10, 1, 0), (1, 0) -> (20, 2, 0), (2, 0) -> (7, 3, 255), (3, 0) -> (9, 4, 255),
+      (0, 1) -> (30, 5, 0), (1, 1) -> (40, 6, 0), (2, 1) -> (8, 7, 253), (3, 1) -> (11, 8, 252))
+    val bmp = MediaFiles.encodeBmp(4, 2, (x, y) => px((x, y)))
+    val r = MediaCodec.resizeImage(MediaBlob(5, "image", 4, 2, 1, bmp))
+    assert(r.width == 2 && r.height == 1)
+    val back = MediaFiles.decodeBmp(r.data).get
+    // pixel (0,0): b = (10+20+30+40)/4 = 25, g = (1+2+5+6)/4 = 3 (floor 3.5)
+    // pixel (1,0): b = (7+9+8+11)/4 = 8 (floor 8.75), g = (3+4+7+8)/4 = 5
+    //              (floor 5.5), r = (255+255+253+252)/4 = 253 (floor 253.75)
+    assert(back.channels.toSeq == Seq(25, 3, 0, 8, 5, 253),
+      s"box averages drifted: ${back.channels.toSeq}")
   }
 
   test("batched pipeline equals per-row decode regardless of batch boundaries") {

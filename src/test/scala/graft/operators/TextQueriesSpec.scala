@@ -735,4 +735,31 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(topEst - topExact <= counts.values.sum / 100,
       "top word estimate drifted more than 1% of the token mass")
   }
+
+  test("corpus_quota: exclusive-prefix quota fill equals a brute-force recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id", "n_chars", "text")
+      .as[(String, Long, Long, String)].collect()
+    def toks(t: String): Long = t.trim.split(" +").count(_.nonEmpty).toLong
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val ranked = g.sortBy(r => (-r._3, r._2)) // n_chars DESC, doc_id ASC
+      var cum = 0L; var kept = 0L; var keptToks = 0L; var lastKept = 0L
+      ranked.foreach { r =>
+        val n = toks(r._4)
+        if (cum < 800L) { kept += 1; keptToks += n; lastKept = n }
+        cum += n
+      }
+      // the exclusive-prefix contract, provable from the fill loop:
+      // every source keeps >= 1 doc and overshoots by < one straggler
+      assert(kept >= 1 && keptToks - lastKept < 800L, s"fill rule broken for $src")
+      src -> (g.length.toLong, kept, keptToks, ranked.map(r => toks(r._4)).sum)
+    }
+    val got = TextQueries.corpusQuota(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (src, nd, nk, kt, tt) =>
+      assert((nd, nk, kt, tt) == expected(src), s"source $src drifted")
+    }
+  }
 }
