@@ -1225,18 +1225,20 @@ object IngestQueries {
       |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'""".stripMargin
 
   // -------------------------------------------- amqp_property_pushdown
-  /** Lifted-application-property pushdown under the oracle gate: the
-    * `propertyColumns` source option surfaces named application
-    * properties as top-level string columns — prunable AND pushable,
-    * which the map column itself can never be (V2 predicates reference
-    * columns, not map lookups). The slice rides the wire with its
-    * event_type and a derived region as application properties; the
-    * read lifts both, pushes `kind = 'click'` into the scan (the
-    * partition reader evaluates it against the property bag before any
-    * envelope materialization), and groups by the lifted region. Any
-    * drift in lift order, NULL handling, or property stringification
-    * breaks the hash. AmqpSourceSpec separately pins the plan
-    * (PushedFilters on the lifted name, no residual Filter, pruning).
+  /** Lifted-application-property pushdown under the oracle gate — BOTH
+    * directions of the `propertyColumns` option: the producer is the
+    * DISTRIBUTED SINK writing plain string columns (`kind`, `region`)
+    * that the sink's property lift turns into application properties
+    * on the staged messages; the read lifts them back as top-level
+    * string columns — prunable AND pushable, which the map column
+    * itself can never be (V2 predicates reference columns, not map
+    * lookups) — pushes `kind = 'click'` into the scan (the partition
+    * reader evaluates it against the property bag before any envelope
+    * materialization), and groups by the lifted region. Any drift in
+    * the sink lift, lift-back order, NULL handling, or property
+    * stringification breaks the hash. AmqpSourceSpec separately pins
+    * the plan (PushedFilters on the lifted name, no residual Filter,
+    * pruning); AmqpSinkSpec pins the sink-side merge rules.
     *
     * Scale shape: THE common queue-peek predicate — "my property =
     * value" — now skips body decode for every non-matching message
@@ -1244,19 +1246,15 @@ object IngestQueries {
     * column it would fetch, decode, and stringify everything. */
   def amqpPropertyPushdown(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     val (ep, address) = gateTarget()
-    val client = AmqpEndpointRegistry.endpoint(ep)
-    val rows = Tables.events(s, d)
+    Tables.events(s, d)
       .filter(col("event_id") % 7 === 4)
-      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
-      .collect() // producer role: driver-side by design (reference test senders)
-    pumpAll(client, address, rows.toSeq.map { r =>
-        (AmqpMessage(
-          messageId = Some(r.getLong(0).toString),
-          applicationProperties = Seq(
-            "kind" -> r.getString(1),
-            "region" -> s"r${r.getLong(3) % 3}"),
-          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
-      })
+      .select(col("event_id").cast(StringType).as("message_id"),
+        col("event_type").as("kind"),
+        concat(lit("r"), (col("user_id") % 3).cast(StringType)).as("region"),
+        col("value").cast(StringType).as("body"))
+      .write.format("amqp").option("endpoint", ep).option("address", address)
+      .option("propertyColumns", "kind,region")
+      .mode("append").save()
     s.read.format("amqp")
       .option("endpoint", ep).option("address", address)
       .option("propertyColumns", "kind,region")

@@ -35,14 +35,27 @@ import org.apache.spark.sql.types._
   * `application_properties`/`message_annotations` (map<string,string>).
   * A bare single string column is also accepted as the body, so
   * `ds.select($"value").writeStream.format("amqp")` just works.
+  *
+  * With the `propertyColumns` option (the sink-side mirror of the
+  * source's property lift), each named string column becomes an
+  * application property on the outgoing message — so a frame read with
+  * lifted properties round-trips through the sink without rebuilding
+  * the map column. A lifted column overrides the same key in an
+  * `application_properties` map (the column is the more specific
+  * projection); a NULL lifted value means "property absent".
   */
 object AmqpSink {
 
   private[streaming] case class FieldIdx(
       body: Int, bodyBinary: Int, bodyType: Int, messageId: Int, to: Int,
-      subject: Int, replyTo: Int, correlationId: Int, appProps: Int, annotations: Int)
+      subject: Int, replyTo: Int, correlationId: Int, appProps: Int, annotations: Int,
+      props: Seq[(String, Int)] = Nil)
 
-  private[streaming] def resolve(schema: StructType): FieldIdx = {
+  private[streaming] def resolve(schema: StructType,
+      propertyColumns: Seq[String] = Nil): FieldIdx = {
+    // shadowing an envelope column is refused with the same rule as the
+    // source lift (the property would be unreachable / ambiguous)
+    AmqpEnvelope.schemaWith(propertyColumns)
     def idx(name: String, dt: DataType): Int =
       schema.fields.indexWhere(f =>
         f.name.equalsIgnoreCase(name) &&
@@ -62,7 +75,8 @@ object AmqpSink {
       replyTo = idx("reply_to", StringType),
       correlationId = idx("correlation_id", StringType),
       appProps = idx("application_properties", MapType(StringType, StringType)),
-      annotations = idx("message_annotations", MapType(StringType, StringType)))
+      annotations = idx("message_annotations", MapType(StringType, StringType)),
+      props = propertyColumns.map(p => p -> idx(p, StringType)).filter(_._2 >= 0))
   }
 
   private[streaming] def rowToMessage(row: InternalRow, ix: FieldIdx): AmqpMessage = {
@@ -86,10 +100,17 @@ object AmqpSink {
         AmqpDataBody(row.getBinary(ix.bodyBinary))
       case None => AmqpOtherBody
     }
+    // lifted property columns: override same-keyed map entries, skip
+    // NULLs (absent property), preserve map-then-lifted order otherwise
+    val lifted = ix.props.flatMap { case (name, i) => str(i).map(name -> _) }
+    val liftedKeys = lifted.map(_._1).toSet
+    val appProps =
+      if (lifted.isEmpty) entries(ix.appProps)
+      else entries(ix.appProps).filterNot(e => liftedKeys(e._1)) ++ lifted
     AmqpMessage(
       messageId = str(ix.messageId), to = str(ix.to), subject = str(ix.subject),
       replyTo = str(ix.replyTo), correlationId = str(ix.correlationId),
-      applicationProperties = entries(ix.appProps),
+      applicationProperties = appProps,
       messageAnnotations = entries(ix.annotations),
       body = body)
   }
@@ -168,7 +189,7 @@ class AmqpBatchWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String)
 class AmqpDataWriter(cfg: AmqpSourceConfig, schema: StructType, txn: String,
     partitionId: Int) extends DataWriter[InternalRow] {
 
-  private val ix = AmqpSink.resolve(schema)
+  private val ix = AmqpSink.resolve(schema, cfg.propertyColumns)
   private val buf = scala.collection.mutable.ArrayBuffer[AmqpMessage]()
 
   override def write(row: InternalRow): Unit = buf += AmqpSink.rowToMessage(row, ix)

@@ -183,4 +183,42 @@ class AmqpSinkSpec extends SparkSpecBase {
     assert(broker.commitStaged("q3#1", "q3", 1L, "out") == 0)
     assert(broker.latestSeq("out") == 0)
   }
+
+  test("sink propertyColumns lifts string columns to application properties") {
+    val (ep, broker) = freshEndpoint("proplift")
+    import spark.implicits._
+    // a map column AND lifted columns: the lifted value overrides the
+    // same-keyed map entry; NULL lifted value = property absent
+    Seq(
+      ("m1", "click", "r1", "b1"),
+      ("m2", "view", null, "b2"))
+      .toDF("message_id", "kind", "region", "body")
+      .withColumn("application_properties",
+        map(lit("kind"), lit("stale"), lit("extra"), lit("kept")))
+      .write.format("amqp").option("endpoint", ep).option("address", "out")
+      .option("propertyColumns", "kind,region")
+      .mode("append").save()
+    val byId = broker.fetch("out", 0, 2)
+      .map(m => m._2.messageId.get -> m._2.applicationProperties.toMap).toMap
+    assert(byId("m1") == Map("extra" -> "kept", "kind" -> "click", "region" -> "r1"),
+      s"lifted values must override the map entry: ${byId("m1")}")
+    assert(byId("m2") == Map("extra" -> "kept", "kind" -> "view"),
+      s"NULL lifted value must mean absent: ${byId("m2")}")
+    // source-side lift reads them straight back as columns
+    val back = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "out")
+      .option("propertyColumns", "kind,region").load()
+      .select(col("message_id"), col("kind"), col("region"))
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(back == Set(("m1", "click", Some("r1")), ("m2", "view", None)))
+    // shadowing an envelope column refuses on the sink too
+    val e = intercept[Exception] {
+      Seq(("x", "y")).toDF("subject", "body")
+        .write.format("amqp").option("endpoint", ep).option("address", "out2")
+        .option("propertyColumns", "subject").mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    assert(chain(e).exists(_.contains("shadow")), chain(e).mkString("\n"))
+  }
 }
