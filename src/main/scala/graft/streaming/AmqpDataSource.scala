@@ -355,7 +355,12 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * for the ungrouped single-COUNT(*) shape — anything else (group
     * keys, other aggregates, count(col) with its null semantics)
     * falls back to the row scan untouched. Refused when predicates or
-    * limit/offset are already pushed: the ledger count ignores both. */
+    * limit/offset are already pushed — the ledger count ignores both —
+    * and when startingTimestamp positions the read: the ledger count
+    * covers the whole replayable span, not the at/after-T suffix the
+    * row scan would return (the probe window could answer it for
+    * monotone timestamps, but the degrade path's reader-side filter
+    * could not — refusal is the always-correct form). */
   private def isGlobalCountStar(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
@@ -363,7 +368,8 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
   private def countPushable(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0
+    isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0 &&
+      cfg.startingTimestampMicros.isEmpty
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     countPushable(agg)

@@ -634,6 +634,13 @@ class AmqpSourceSpec extends SparkSpecBase {
       .load()
     assert(batch.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
       == ((12 to 20): Range), "batch read must start at the first in-bound sequence")
+    // COUNT(*) must NOT answer from the ledger on a timestamp-positioned
+    // read: the ledger covers the whole backlog, the query only the
+    // at/after-T suffix
+    val counted = batch.agg(count(lit(1)).as("n"))
+    assert(!counted.queryExecution.executedPlan.toString.contains("AmqpCountScan"),
+      counted.queryExecution.executedPlan.toString)
+    assert(counted.collect().head.getLong(0) == 9L, "count must cover the suffix only")
     val q = spark.readStream.format("amqp")
       .option("endpoint", ep).option("address", "my_address")
       .option("startingTimestampMicros", (12 * 1000000L).toString)
