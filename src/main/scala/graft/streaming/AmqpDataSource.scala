@@ -782,13 +782,16 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     // would count fetched rows, not survivors — so spans stay full and
     // the readers stop at `limit` surviving rows (partial limit push).
     val exactWindows = effFilters.isEmpty
-    if (!exactWindows && offset != 0)
-      // only reachable via the degrade filter (the builder refuses the
-      // predicate/offset combination): fail loudly rather than skip
-      // the wrong rows
+    if (degradeTsLo.isDefined && (limit.isDefined || offset != 0))
+      // the builder accepted the limit/offset as an EXACT push (it
+      // cannot see the degrade, which is decided at planning time) —
+      // Spark may therefore have dropped its own limit, and survivor
+      // counting per partition cannot honor a global exact cut; the
+      // offset case would skip fetched rows instead of survivors.
+      // Fail loudly rather than return wrong rows.
       throw new IllegalStateException(
         "startingTimestamp needs the broker's timestamp probe to combine with a " +
-          "pushed OFFSET; this transport has no timestamp surface")
+          "pushed LIMIT/OFFSET; this transport has no timestamp surface")
     var toTake = if (exactWindows) limit.map(_.toLong).getOrElse(Long.MaxValue)
                  else Long.MaxValue
     var toSkip = if (exactWindows) offset.toLong else 0L

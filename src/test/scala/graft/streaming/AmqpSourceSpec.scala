@@ -934,14 +934,15 @@ class AmqpSourceSpec extends SparkSpecBase {
       val got = spark.table("amqp_degrade").collect().map(_.getString(0).toInt).sorted.toSeq
       assert(got == (12 to 20).toSeq, s"stream degrade must start at T, got $got")
     } finally q.stop()
-    // a pushed OFFSET cannot compose with the degrade filter (the
-    // window arithmetic would skip fetched rows, not survivors): the
-    // query must FAIL loudly, not skip the wrong rows
-    val err = intercept[Throwable] {
-      read().offset(3).limit(5).collect()
-    }
+    // a pushed LIMIT or OFFSET cannot compose with the degrade filter:
+    // the builder accepted them as EXACT pushes (it cannot see the
+    // degrade), so honoring them against survivor counting would
+    // return wrong rows — the query must FAIL loudly instead
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    val err = intercept[Throwable] { read().offset(3).limit(5).collect() }
     assert(chain(err).exists(_.contains("startingTimestamp")), chain(err).mkString("\n"))
+    val errL = intercept[Throwable] { read().limit(5).collect() }
+    assert(chain(errL).exists(_.contains("startingTimestamp")), chain(errL).mkString("\n"))
   }
 }
