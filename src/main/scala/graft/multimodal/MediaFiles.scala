@@ -33,9 +33,7 @@ object MediaFiles {
     * copying payloads — the offsets are what [[decodeAvi]] walks; the
     * copies here keep the API simple at test scale. */
   final case class Avi(width: Int, height: Int, microSecPerFrame: Int,
-      totalFrames: Int, frames: Array[Array[Byte]]) {
-    def frameSizes: Array[Int] = frames.map(_.length)
-  }
+      totalFrames: Int, frames: Array[Array[Byte]])
 
   // ------------------------------------------------------------- BMP
 
@@ -240,10 +238,10 @@ object MediaFiles {
   }
 
   /** Parse an AVI container by walking its RIFF lists — magic + 'AVI '
-    * form check, 'hdrl'/'avih' header fields, then every video/audio
-    * data chunk ('##dc'/'##db'/'##wb') inside 'movi' (unknown chunks
-    * and lists are skipped word-aligned, like the WAV walker); None on
-    * anything malformed. */
+    * form check, 'hdrl'/'avih' header fields, then every VIDEO data
+    * chunk ('##dc'/'##db') inside 'movi'; audio '##wb' chunks and any
+    * unknown chunks/lists are skipped word-aligned, like the WAV
+    * walker. None on anything malformed. */
   def decodeAvi(bytes: Array[Byte]): Option[Avi] = {
     if (bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -257,16 +255,22 @@ object MediaFiles {
     }
     var header: Option[(Int, Int, Int, Int)] = None // (uspf, total, w, h)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def isDataChunk(id: String): Boolean =
+    // VIDEO data chunks only ('##dc' compressed / '##db' uncompressed):
+    // an interleaved audio stream's '##wb' chunks must not be counted
+    // as frames (they are walked over like any other chunk)
+    def isVideoChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
-        (id.substring(2) == "dc" || id.substring(2) == "db" || id.substring(2) == "wb")
+        (id.substring(2) == "dc" || id.substring(2) == "db")
     // walk one level of chunks in [pos, end); recurse into LISTs we know
     def walk(start: Int, end: Int): Boolean = {
       var pos = start
       while (pos + 8 <= end) {
         val id = tag(pos)
         val size = buf.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > end) return false
+        // Long arithmetic: a declared size near Int.MaxValue must fail
+        // the bound check, not overflow past it (a corrupt file returns
+        // None — it must never throw and kill the decode batch)
+        if (size < 0 || pos.toLong + 8L + size > end) return false
         id match {
           case "LIST" =>
             if (size < 4) return false
@@ -278,7 +282,7 @@ object MediaFiles {
             if (size < 56) return false
             header = Some((buf.getInt(pos + 8), buf.getInt(pos + 8 + 16),
               buf.getInt(pos + 8 + 32), buf.getInt(pos + 8 + 36)))
-          case c if isDataChunk(c) =>
+          case c if isVideoChunk(c) =>
             frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
           case _ => // strh/strf/idx1/JUNK...: structural presence only
         }

@@ -209,6 +209,10 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
       try {
         val sock = server.accept()
         conns.add(sock)
+        // close() may have run between accept() and add(): its sweep
+        // would then have missed this socket, so sever it here — the
+        // re-check after add() closes the race (double-close is a no-op)
+        if (!running.get()) { try sock.close() catch { case _: Throwable => () } }
         val t = new Thread(() => try serve(sock) finally conns.remove(sock),
           s"amqp10-conn-${sock.getPort}")
         t.setDaemon(true)

@@ -582,7 +582,13 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * reader applies an exact `ingest_timestamp >= T` degrade filter
     * (see [[createReaderFactory]]) — the backlog is fetched (nothing
     * can prune it without a ledger probe) yet no pre-start message is
-    * ever RETURNED, so the option's contract holds on any broker.
+    * ever RETURNED. Semantics note: the probed path is a POSITION cut
+    * (Kafka parity — a pre-T straggler enqueued after the start
+    * position is still delivered), the degrade path an EXACT filter
+    * (pre-T rows never appear); identical under monotone enqueue
+    * timestamps, intentionally divergent on stragglers — the degrade
+    * cannot know a position without a ledger probe, and delivering the
+    * whole backlog would be worse than either.
     *
     * Settlement caveat (prefix settlement is the broker contract):
     * the first offset commit settles — deletes — the skipped backlog
@@ -743,8 +749,11 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     * backlog — instead the spans stay full and every reader applies an
     * exact `ingest_timestamp >= T` degrade filter, so no pre-start
     * message is ever returned (it is still fetched: without a ledger
-    * probe nothing can prune the wire). Decided once per scan with a
-    * single full-range probe. */
+    * probe nothing can prune the wire). Exact-filter semantics, vs the
+    * probed path's position cut — see [[AmqpMicroBatchStream
+    * .initialOffset]] for the straggler divergence under non-monotone
+    * timestamps. Decided once per scan with a single full-range
+    * probe. */
   private lazy val degradeTsLo: Option[Long] = cfg.startingTimestampMicros.filter { _ =>
     AmqpEndpointRegistry.endpoint(cfg.endpoint)
       .timestampWindow(cfg.addresses.head, Long.MinValue, Long.MaxValue).isEmpty

@@ -76,7 +76,18 @@ object AmqpSink {
       correlationId = idx("correlation_id", StringType),
       appProps = idx("application_properties", MapType(StringType, StringType)),
       annotations = idx("message_annotations", MapType(StringType, StringType)),
-      props = propertyColumns.map(p => p -> idx(p, StringType)).filter(_._2 >= 0))
+      props = {
+        val resolved = propertyColumns.map(p => p -> idx(p, StringType))
+        // a configured property column that does not resolve is a
+        // misconfiguration (typo, wrong type) — silently writing every
+        // message without the property would be quiet data loss, the
+        // sink-side analog of the shadowing refusal above
+        val missing = resolved.collect { case (p, i) if i < 0 => p }
+        require(missing.isEmpty,
+          s"propertyColumns ${missing.mkString(",")} not present as string columns " +
+            s"in the write schema ${schema.simpleString}")
+        resolved
+      })
   }
 
   private[streaming] def rowToMessage(row: InternalRow, ix: FieldIdx): AmqpMessage = {
@@ -100,13 +111,15 @@ object AmqpSink {
         AmqpDataBody(row.getBinary(ix.bodyBinary))
       case None => AmqpOtherBody
     }
-    // lifted property columns: override same-keyed map entries, skip
-    // NULLs (absent property), preserve map-then-lifted order otherwise
+    // lifted property columns: a lifted column OWNS its key — it
+    // overrides a same-keyed map entry, and a NULL value means the
+    // property is ABSENT (so the map entry must not leak through
+    // either); map-then-lifted order otherwise
     val lifted = ix.props.flatMap { case (name, i) => str(i).map(name -> _) }
-    val liftedKeys = lifted.map(_._1).toSet
+    val ownedKeys = ix.props.map(_._1).toSet
     val appProps =
-      if (lifted.isEmpty) entries(ix.appProps)
-      else entries(ix.appProps).filterNot(e => liftedKeys(e._1)) ++ lifted
+      if (ix.props.isEmpty) entries(ix.appProps)
+      else entries(ix.appProps).filterNot(e => ownedKeys(e._1)) ++ lifted
     AmqpMessage(
       messageId = str(ix.messageId), to = str(ix.to), subject = str(ix.subject),
       replyTo = str(ix.replyTo), correlationId = str(ix.correlationId),

@@ -178,6 +178,46 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     corrupt(4) = 0x7f.toByte // RIFF size points past the buffer
     corrupt(5) = 0x7f.toByte; corrupt(6) = 0x7f.toByte
     assert(MediaFiles.decodeAvi(corrupt).isEmpty)
+    // an INNER chunk size near Int.MaxValue must fail the bound check,
+    // not overflow past it (returns None, never throws — a corrupt row
+    // must not kill the decode batch)
+    val innerOverflow = bytes.clone
+    val hdrlSizeOff = 16 // RIFF(12) + "LIST"(4) -> the hdrl list's size field
+    innerOverflow(hdrlSizeOff) = 0xf0.toByte
+    innerOverflow(hdrlSizeOff + 1) = 0xff.toByte
+    innerOverflow(hdrlSizeOff + 2) = 0xff.toByte
+    innerOverflow(hdrlSizeOff + 3) = 0x7f.toByte // 0x7ffffff0
+    assert(MediaFiles.decodeAvi(innerOverflow).isEmpty, "Int overflow must not escape")
+  }
+
+  test("decodeAvi skips interleaved audio chunks: only video chunks become frames") {
+    // hand-splice a '01wb' audio chunk between two video chunks inside
+    // movi (the standard interleaved A/V layout)
+    val frames = Seq(Array[Byte](1, 2), Array[Byte](3, 4))
+    val bytes = MediaFiles.encodeAvi(64, 48, 40000, frames)
+    // movi content currently: 00dc(2B) 00dc(2B); rebuild with an audio
+    // chunk in the middle by editing the container bytes directly
+    val audio = "01wb".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    // locate the second '00dc' tag and splice before it
+    def find(bs: Array[Byte], tag: String, from: Int): Int =
+      bs.indices.drop(from).find(i => i + 4 <= bs.length &&
+        new String(bs, i, 4, "US-ASCII") == tag).getOrElse(-1)
+    val first = find(bytes, "00dc", 0)
+    val second = find(bytes, "00dc", first + 4)
+    val spliced = bytes.take(second) ++ audio ++ bytes.drop(second)
+    // fix the RIFF and movi LIST sizes (both grew by 12)
+    def bump(bs: Array[Byte], off: Int, by: Int): Unit = {
+      val v = java.nio.ByteBuffer.wrap(bs, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      java.nio.ByteBuffer.wrap(bs, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v + by)
+    }
+    bump(spliced, 4, audio.length) // RIFF size
+    val moviList = find(spliced, "movi", 0) - 8 // its LIST size field
+    bump(spliced, moviList + 4, audio.length)
+    val got = MediaFiles.decodeAvi(spliced).get
+    assert(got.frames.map(_.toSeq).toSeq == frames.map(_.toSeq),
+      "audio '01wb' chunks must not be counted as video frames")
   }
 
   test("frame sampling walks REAL AVI movi chunks (container truth beats metadata)") {

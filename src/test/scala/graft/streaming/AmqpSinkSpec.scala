@@ -187,14 +187,16 @@ class AmqpSinkSpec extends SparkSpecBase {
   test("sink propertyColumns lifts string columns to application properties") {
     val (ep, broker) = freshEndpoint("proplift")
     import spark.implicits._
-    // a map column AND lifted columns: the lifted value overrides the
-    // same-keyed map entry; NULL lifted value = property absent
+    // a map column AND lifted columns: a lifted column OWNS its key —
+    // it overrides the same-keyed map entry, and a NULL lifted value
+    // means ABSENT even when the map carries that key (the map entry
+    // must not leak through)
     Seq(
       ("m1", "click", "r1", "b1"),
       ("m2", "view", null, "b2"))
       .toDF("message_id", "kind", "region", "body")
       .withColumn("application_properties",
-        map(lit("kind"), lit("stale"), lit("extra"), lit("kept")))
+        map(lit("kind"), lit("stale"), lit("region"), lit("stale2"), lit("extra"), lit("kept")))
       .write.format("amqp").option("endpoint", ep).option("address", "out")
       .option("propertyColumns", "kind,region")
       .mode("append").save()
@@ -203,7 +205,7 @@ class AmqpSinkSpec extends SparkSpecBase {
     assert(byId("m1") == Map("extra" -> "kept", "kind" -> "click", "region" -> "r1"),
       s"lifted values must override the map entry: ${byId("m1")}")
     assert(byId("m2") == Map("extra" -> "kept", "kind" -> "view"),
-      s"NULL lifted value must mean absent: ${byId("m2")}")
+      s"NULL lifted value must mean absent (no map leak-through): ${byId("m2")}")
     // source-side lift reads them straight back as columns
     val back = spark.read.format("amqp")
       .option("endpoint", ep).option("address", "out")
@@ -212,13 +214,22 @@ class AmqpSinkSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
     assert(back == Set(("m1", "click", Some("r1")), ("m2", "view", None)))
     // shadowing an envelope column refuses on the sink too
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
     val e = intercept[Exception] {
       Seq(("x", "y")).toDF("subject", "body")
         .write.format("amqp").option("endpoint", ep).option("address", "out2")
         .option("propertyColumns", "subject").mode("append").save()
     }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
     assert(chain(e).exists(_.contains("shadow")), chain(e).mkString("\n"))
+    // a configured property column missing from the schema (typo) or of
+    // the wrong type refuses loudly — silently writing every message
+    // without the property would be quiet data loss
+    val typo = intercept[Exception] {
+      Seq(("click", "y")).toDF("kind", "body")
+        .write.format("amqp").option("endpoint", ep).option("address", "out2")
+        .option("propertyColumns", "kinds").mode("append").save()
+    }
+    assert(chain(typo).exists(_.contains("not present")), chain(typo).mkString("\n"))
   }
 }
