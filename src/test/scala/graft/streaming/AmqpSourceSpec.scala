@@ -934,6 +934,27 @@ class AmqpSourceSpec extends SparkSpecBase {
       val got = spark.table("amqp_degrade").collect().map(_.getString(0).toInt).sorted.toSeq
       assert(got == (12 to 20).toSeq, s"stream degrade must start at T, got $got")
     } finally q.stop()
+    // the degrade filter survives a CHECKPOINTED RESTART mid-backlog:
+    // a restart constructs a FRESH stream instance and never calls
+    // initialOffset — the filter must come from config + a fresh probe.
+    // Simulated deterministically: a new stream planning from
+    // mid-backlog checkpoint offsets (seq 3, pre-T rows 4..11 still
+    // ahead) must hand every reader the ts >= T filter.
+    val restarted = new AmqpScan(AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = Long.MaxValue, maxPerSecond = 0L,
+        startingTimestampMicros = Some(12 * 1000000L)))
+      .toMicroBatchStream("unused")
+    val rsParts = restarted.planInputPartitions(
+      AmqpOffset.single("my_address", 3L), AmqpOffset.single("my_address", 20L))
+    val rsReader = restarted.createReaderFactory().createReader(rsParts.head)
+    val rsIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      while (rsReader.next())
+        rsIds += rsReader.get().getUTF8String(0).toString.toInt
+    } finally rsReader.close()
+    assert(rsIds.sorted.toSeq == (12 to 20).toSeq,
+      s"a restarted stream instance must keep filtering the backlog, got $rsIds")
+
     // a pushed LIMIT or OFFSET cannot compose with the degrade filter:
     // the builder accepted them as EXACT pushes (it cannot see the
     // degrade), so honoring them against survivor counting would
