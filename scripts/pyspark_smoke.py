@@ -67,7 +67,37 @@ plan = counted._jdf.queryExecution().executedPlan().toString()
 assert "AmqpCountScan" in plan, plan
 assert counted.collect()[0][0] == n
 
+# propertyColumns, both directions, from Python: string columns become
+# application properties on the way out, lifted pushable columns on the
+# way back (the pushed predicate shows in PushedFilters)
+(
+    spark.range(n)
+    .select(
+        F.col("id").cast("string").alias("message_id"),
+        F.concat(F.lit("t"), F.col("id") % 2).alias("tier"),
+        F.col("id").cast("string").alias("body"),
+    )
+    .write.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke-props")
+    .option("propertyColumns", "tier")
+    .mode("append")
+    .save()
+)
+lifted = (
+    spark.read.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke-props")
+    .option("propertyColumns", "tier")
+    .load()
+    .where(F.col("tier") == "t1")
+)
+lplan = lifted._jdf.queryExecution().executedPlan().toString()
+assert "tier = 't1'" in lplan, lplan
+assert lifted.count() == n // 2, lifted.count()
+
 spark.stop()
 print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
-      "envelope schema + grouped agg + COUNT(*) pushdown from Python")
+      "envelope schema + grouped agg + COUNT(*) pushdown + "
+      "propertyColumns lift/pushdown from Python")
 sys.exit(0)
