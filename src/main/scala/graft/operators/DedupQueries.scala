@@ -1106,10 +1106,13 @@ object DedupQueries {
     * engines.
     *
     * Scale shape: the same inverted-index discipline as every dedup
-    * screen — one shuffle keyed by shingle (size tracks corpus token
-    * mass, min-carrier is a map-side-combinable MIN), then a doc-keyed
-    * count; no pairwise join anywhere. The novelty ratio is one double
-    * division of two exact integers (cross-engine deterministic). */
+    * screen — a shingle-keyed shuffle builds the min-carrier side
+    * (map-side-combinable MIN), the index probes it (broadcast when
+    * the distinct-shingle set is small, a second shingle shuffle into
+    * a sort-merge join at corpus scale — both shuffles carry (shingle,
+    * doc_id) pairs, sized by corpus token mass, never pairs of docs),
+    * then a doc-keyed count. The novelty ratio is one double division
+    * of two exact integers (cross-engine deterministic). */
   def dedupNovelty(s: SparkSession, d: String): DataFrame = {
     val inv = shingleStream(s, d, 5)
     val firstCarrier = inv.groupBy(col("shingle"))
