@@ -290,31 +290,33 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     case "<=" => ">="
     case o => o
   }
-  private def acceptCmp(op: String, col: String, lit: VLiteral[_]): Boolean =
+  /** Pure acceptance: returns the filter set WITH this conjunct folded
+    * in, or None to reject — the caller owns the single mutation site,
+    * so a rejected predicate can never leave behind a partial update
+    * (matters once shapes stop being independent conjuncts, e.g. OR). */
+  private def acceptCmp(op: String, col: String, lit: VLiteral[_],
+      f: AmqpPushedFilters): Option[AmqpPushedFilters] =
     if (col == "ingest_timestamp" && lit.dataType == TimestampType &&
         lit.value.isInstanceOf[java.lang.Long]) {
       val v = lit.value.asInstanceOf[java.lang.Long].longValue
       op match {
         case "=" =>
-          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v),
-            tsHiMicros = math.min(filters.tsHiMicros, v)); true
-        case ">=" =>
-          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v)); true
-        case "<=" =>
-          filters = filters.copy(tsHiMicros = math.min(filters.tsHiMicros, v)); true
+          Some(f.copy(tsLoMicros = math.max(f.tsLoMicros, v),
+            tsHiMicros = math.min(f.tsHiMicros, v)))
+        case ">=" => Some(f.copy(tsLoMicros = math.max(f.tsLoMicros, v)))
+        case "<=" => Some(f.copy(tsHiMicros = math.min(f.tsHiMicros, v)))
         case ">" if v < Long.MaxValue =>
-          filters = filters.copy(tsLoMicros = math.max(filters.tsLoMicros, v + 1)); true
+          Some(f.copy(tsLoMicros = math.max(f.tsLoMicros, v + 1)))
         case "<" if v > Long.MinValue =>
-          filters = filters.copy(tsHiMicros = math.min(filters.tsHiMicros, v - 1)); true
-        case _ => false
+          Some(f.copy(tsHiMicros = math.min(f.tsHiMicros, v - 1)))
+        case _ => None
       }
     } else if (op == "=" && pushableStrings(col) &&
-        lit.dataType == StringType && lit.value != null) {
-      filters = filters.copy(stringEq = filters.stringEq :+ (col -> lit.value.toString))
-      true
-    } else false
+        lit.dataType == StringType && lit.value != null)
+      Some(f.copy(stringEq = f.stringEq :+ (col -> lit.value.toString)))
+    else None
 
-  private def tryAccept(p: Predicate): Boolean = {
+  private def tryAccept(p: Predicate, f: AmqpPushedFilters): Option[AmqpPushedFilters] = {
     val ch = p.children()
     // IS [NOT] NULL on the scalar string properties (Catalyst derives
     // isnotnull(c) from every c = 'v' constraint — rejecting it would
@@ -322,17 +324,17 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     // ingest_timestamp is non-nullable: IS NOT NULL on it is vacuous.
     if (ch.length == 1) colNameOf(ch(0)) match {
       case Some(c) if pushableStrings(c) && p.name() == "IS_NOT_NULL" =>
-        filters = filters.copy(notNull = filters.notNull :+ c); true
+        Some(f.copy(notNull = f.notNull :+ c))
       case Some(c) if pushableStrings(c) && p.name() == "IS_NULL" =>
-        filters = filters.copy(isNull = filters.isNull :+ c); true
-      case Some("ingest_timestamp") if p.name() == "IS_NOT_NULL" => true
-      case _ => false
+        Some(f.copy(isNull = f.isNull :+ c))
+      case Some("ingest_timestamp") if p.name() == "IS_NOT_NULL" => Some(f)
+      case _ => None
     }
-    else if (ch.length != 2) false
+    else if (ch.length != 2) None
     else (colNameOf(ch(0)), ch(1), colNameOf(ch(1)), ch(0)) match {
-      case (Some(c), l: VLiteral[_], _, _) => acceptCmp(p.name(), c, l)
-      case (_, _, Some(c), l: VLiteral[_]) => acceptCmp(flip(p.name()), c, l)
-      case _ => false
+      case (Some(c), l: VLiteral[_], _, _) => acceptCmp(p.name(), c, l, f)
+      case (_, _, Some(c), l: VLiteral[_]) => acceptCmp(flip(p.name()), c, l, f)
+      case _ => None
     }
   }
 
@@ -341,9 +343,18 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     // unreachable today — kept so an unexpected composition degrades to
     // Spark-side filtering instead of a wrong scan.
     if (countPushed || limit.isDefined || offset != 0) return predicates
-    val (ok, rest) = predicates.partition(tryAccept)
-    accepted = ok
-    rest // fully handled by the reader: nothing accepted needs re-evaluation
+    val ok = Array.newBuilder[Predicate]
+    val rest = Array.newBuilder[Predicate]
+    var acc = filters
+    predicates.foreach { p =>
+      tryAccept(p, acc) match {
+        case Some(next) => acc = next; ok += p
+        case None => rest += p
+      }
+    }
+    filters = acc
+    accepted = ok.result()
+    rest.result() // fully handled by the reader: nothing accepted needs re-evaluation
   }
   override def pushedPredicates(): Array[Predicate] = accepted
 
