@@ -1350,6 +1350,122 @@ object IngestQueries {
       |FROM events WHERE event_id % 7 = 6
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------- amqp_stream_tws_timer
+  /** EVENT-TIME TIMERS under the oracle gate — the second
+    * `transformWithState` capability (the first, typed ValueState, is
+    * gated by `amqp_stream_tws`): [[graft.streaming.AmqpStreamOps
+    * .sessionFlushTws]] runs per-event-type idle-session detection over
+    * the wire, flushing a session exactly when the watermark passes its
+    * (last event time + 30 min) deadline. The operator splits event-time
+    * islands IN-LINE within a batch (see its doc), so its output is a
+    * pure function of (events, gap) — which is precisely what lets
+    * DuckDB replay it as relational gaps-and-islands (lag + running
+    * island sum), like `amqp_stream_session` does for the built-in
+    * `session_window`. What's on the hash path here and nowhere else:
+    * StatefulProcessor timer registration/extension, stale-timer
+    * suppression, `handleExpiredTimer` firing from the watermark, and
+    * timer+state recovery across a checkpointed RESTART (phase 2 is a
+    * second AvailableNow run on the same checkpoint whose far anchor
+    * fires every surviving timer).
+    *
+    * Determinism: event times are truncated to WHOLE SECONDS before
+    * pumping (and the oracle islands on the same `epoch_us(ts) //
+    * 1000000` seconds — truncation is not monotone-equivalent across
+    * granularities, so both engines must cut islands on the identical
+    * integers); messages are pumped in ascending truncated-ts order so
+    * the 0-delay watermark never drops a row; break rule is STRICTLY
+    * MORE than the gap between consecutive truncated seconds, matching
+    * the processor's `ts_ms > armed deadline`. Anchor sessions (keys
+    * `zz_anchor*`) drive the watermark and are filtered from output.
+    *
+    * Scale shape: one (count, sum, timer) register per OPEN session key
+    * in RocksDB; completed islands never hold state across batches. */
+  def amqpStreamTwsTimer(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("(ts_ns div 1000000000) * 1000000").as("ts_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .collect()
+    require(rows.nonEmpty, "tws-timer gate slice is empty")
+    val maxTsUs = rows.last.getLong(3)
+    val anchor1 = maxTsUs + 36000L * 1000000L          // +10 h
+    val anchor2 = anchor1 + 36000L * 1000000L          // +20 h
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      } :+ (AmqpMessage(messageId = Some("a1"), subject = Some("zz_anchor1"),
+          body = AmqpValueBody("0")), anchor1))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-timer-gate").toString
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      def drain(): Unit = {
+        val env = s.readStream.format("amqp")
+          .option("endpoint", ep).option("address", address).load()
+          .withColumn("cents",
+            (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+        val q = graft.streaming.AmqpStreamOps
+          .sessionFlushTws(env, "subject", "cents", gapMs = 1800000L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.AmqpStreamOps.SessionFlush],
+             _: Long) =>
+              val got = b.collect().map(f => (f.key, f.n_events, f.sum_value))
+              emitted.synchronized { emitted ++= got }
+              ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(120000), "tws-timer gate query hung")
+        finally q.stop()
+      }
+      drain() // phase 1: data + anchor1 — most sessions flush here
+      // phase 2: restart from the checkpoint; anchor2's batch carries
+      // phase 1's watermark forward and fires every timer still armed
+      // (including any tail session phase 1's no-data batch missed)
+      pumpAll(client, address, Seq((AmqpMessage(messageId = Some("a2"),
+        subject = Some("zz_anchor2"), body = AmqpValueBody("0")), anchor2)))
+      drain()
+      emitted.toSeq
+        .filterNot(_._1.startsWith("zz_anchor"))
+        .toDF("event_type", "n_events", "sum_cents")
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  val amqpStreamTwsTimerSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents,
+      |    epoch_us(ts) // 1000000 AS ts_s, event_id
+      |  FROM events WHERE event_id % 11 = 5),
+      |flags AS (
+      |  SELECT event_type, cents, ts_s, event_id,
+      |    CASE WHEN ts_s - lag(ts_s) OVER
+      |           (PARTITION BY event_type ORDER BY ts_s, event_id) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |sessed AS (
+      |  SELECT event_type, cents,
+      |    sum(brk) OVER (PARTITION BY event_type ORDER BY ts_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flags)
+      |SELECT event_type, CAST(count(*) AS INTEGER) AS n_events,
+      |  CAST(sum(cents) AS INTEGER) AS sum_cents
+      |FROM sessed GROUP BY event_type, sess_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_property_pushdown" -> (amqpPropertyPushdown _),
     "amqp_stream_tws"       -> (amqpStreamTws _),
@@ -1368,6 +1484,7 @@ object IngestQueries {
     "amqp_stream_dedup_wm"  -> (amqpStreamDedupWm _),
     "amqp_stream_join"      -> (amqpStreamJoin _),
     "amqp_stream_session"   -> (amqpStreamSession _),
+    "amqp_stream_tws_timer" -> (amqpStreamTwsTimer _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1388,5 +1505,6 @@ object IngestQueries {
     "amqp_stream_dedup_wm"  -> amqpStreamDedupWmSql,
     "amqp_stream_join"      -> amqpStreamJoinSql,
     "amqp_stream_session"   -> amqpStreamSessionSql,
+    "amqp_stream_tws_timer" -> amqpStreamTwsTimerSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

@@ -99,9 +99,23 @@ object AmqpStreamOps {
     * timeout polling, no GroupStateTimeout coarseness — and state
     * clears on flush, so live state tracks OPEN sessions only.
     *
+    * BATCH-BOUNDARY INVARIANCE: sessions are event-time islands, so a
+    * batch whose rows span an idle gap is split IN-LINE — each completed
+    * island flushes from `handleInputRows` and only the tail session
+    * stays open under a timer. Without this, replaying a deep backlog
+    * (Trigger.AvailableNow lands it in few big batches) would merge
+    * every island of a key into one giant session — output would depend
+    * on how the micro-batch planner happened to cut batches, an
+    * operationally arbitrary boundary. With it, output is a pure
+    * function of (events, gap), which is what lets the DuckDB
+    * gaps-and-islands oracle gate this operator at all
+    * (`amqp_stream_tws_timer`).
+    *
     * Scale shape: one (count, sum, timer) register per live key in the
     * RocksDB store; timers are store-managed and fire from the
-    * watermark, so an idle key costs nothing per batch. */
+    * watermark, so an idle key costs nothing per batch; the in-line
+    * split sorts only one key's in-batch rows (bounded by the trigger
+    * budget), never cross-key data. */
   def sessionFlushTws(envelope: DataFrame, keyCol: String, valueCol: String,
       gapMs: Long, watermarkDelay: String = "0 seconds"): Dataset[SessionFlush] = {
     implicit val ee = Encoders.product[SessionEvent]
@@ -128,19 +142,34 @@ object AmqpStreamOps {
     override def handleInputRows(key: String, rows: Iterator[SessionEvent],
         timerValues: TimerValues): Iterator[SessionFlush] = {
       var (n, sum, timer) = if (agg.exists()) agg.get() else (0, 0, 0L)
-      var maxTs = 0L
-      rows.foreach { r => n += 1; sum += r.value; maxTs = math.max(maxTs, r.ts_ms) }
-      // the timer may only ever EXTEND: a late (within-watermark) event
-      // whose ts is below the session's stored high-water mark must not
-      // shrink the armed deadline — that would flush the session early
-      // and split it in two
-      val newTimer = math.max(timer, maxTs + gapMs)
-      if (newTimer != timer) {
-        if (timer > 0L) getHandle.deleteTimer(timer) // re-arm on activity
-        getHandle.registerTimer(newTimer)
+      val prevArmed = timer
+      // In-line island split: with an open session, timer == lastMaxTs
+      // + gap, so an event strictly AFTER the armed deadline is in a
+      // new session — flush the completed island immediately. Rows are
+      // sorted by event time first so islands inside one batch resolve
+      // identically however the micro-batch planner cut the stream. A
+      // LATE (within-watermark) event sorts below the deadline and
+      // merges into the open session without shrinking it — the timer
+      // may only ever EXTEND (a shrink would flush early and split the
+      // session in two).
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionFlush]
+      val sorted = rows.toArray
+      java.util.Arrays.sort(sorted, Ordering.by((e: SessionEvent) => e.ts_ms))
+      sorted.foreach { r =>
+        if (n > 0 && r.ts_ms > timer) {
+          out += SessionFlush(key, n, sum)
+          n = 0; sum = 0
+        }
+        n += 1
+        sum += r.value
+        timer = math.max(timer, r.ts_ms + gapMs)
       }
-      agg.update((n, sum, newTimer))
-      Iterator.empty
+      if (timer != prevArmed) {
+        if (prevArmed > 0L) getHandle.deleteTimer(prevArmed) // re-arm on activity
+        getHandle.registerTimer(timer)
+      }
+      agg.update((n, sum, timer))
+      out.iterator
     }
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):

@@ -372,6 +372,58 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("one batch spanning an idle gap splits into event-time islands (batch invariance)") {
+    // A deep-backlog replay (Trigger.AvailableNow) lands a key's whole
+    // timeline in ONE batch; sessions must still be the event-time
+    // islands — not one merged mega-session — or output would depend on
+    // where the micro-batch planner happened to cut batches.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ep, broker) = freshEndpoint("sessisland")
+      val base = 100000L * 1000000L
+      def send(k: String, v: Int, atSec: Long): Unit =
+        broker.send("my_address", AmqpMessage(subject = Some(k),
+          body = AmqpValueBody(v.toString)),
+          timestampMicros = base + atSec * 1000000L)
+      // ALL in one batch, DELIBERATELY out of ts order: three islands
+      // of sess-i (gap 60s): [0,10], [100,130], [300]
+      send("sess-i", 1, 100); send("sess-i", 2, 0); send("sess-i", 4, 300)
+      send("sess-i", 8, 10); send("sess-i", 16, 130)
+      val q = AmqpStreamOps.sessionFlushTws(stream(ep), "subject", "body",
+          gapMs = 60000L)
+        .writeStream.format("memory").queryName("ops_sessisland")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // the two COMPLETED islands flushed in-line from the data batch
+        poll {
+          val got = spark.table("ops_sessisland").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+          assert(got == Set(("sess-i", 2, 10), ("sess-i", 2, 17)), got.toString)
+        }
+        // the tail island [300] stays OPEN under its timer until the
+        // watermark passes 360s
+        send("anchor", 1, 10000)
+        q.processAllAvailable(); q.processAllAvailable()
+        poll {
+          val got = spark.table("ops_sessisland").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+            .filter(_._1 == "sess-i").toSet
+          assert(got == Set(("sess-i", 2, 10), ("sess-i", 2, 17), ("sess-i", 1, 4)),
+            got.toString)
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers flush idle sessions exactly once (transformWithState)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
