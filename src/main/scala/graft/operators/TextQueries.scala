@@ -1977,7 +1977,65 @@ object TextQueries {
        |GROUP BY t.w, t.n_exact""".stripMargin
   }
 
+  // ----------------------------------------------------- txt_rule_filter
+  /** Gopher-style composite RULE filter (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1; same shape as C4's heuristics): each
+    * document gets an explicit per-rule verdict plus the conjunction,
+    * so a pipeline can report WHICH rule rejected a document (the
+    * rejection ledger every production corpus filter keeps), not just
+    * that it vanished. Rules are re-parameterized to this corpus's
+    * observable ranges so every rule genuinely discriminates here
+    * (a rule that never fires would put nothing on the hash path):
+    * token count in [20,90], mean token length in [4.5,5.0], >= 2
+    * stopwords, type-token ratio >= 0.5 (the repetition screen).
+    *
+    * Determinism: every verdict is an integer cross-multiplication
+    * (e.g. mean-length >= 4.5 as `2*sum_len >= 9*n`) — no float
+    * thresholds, so both engines decide each boundary document
+    * identically.
+    *
+    * Scale shape: one narrow per-row projection over a single scan —
+    * four array HOFs per document, no shuffle, no state; the verdict
+    * frame is the input to every downstream funnel stage. */
+  def txtRuleFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, stopwordCount}
+    val tk = tokens(col("text"))
+    val n = size(tk).cast(LongType)
+    val sl = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val dn = size(array_distinct(tk)).cast(LongType)
+    val st = stopwordCount(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      (n >= 20 && n <= 90).as("r_len"),
+      (sl * 2 >= n * 9 && sl <= n * 5).as("r_wordlen"),
+      (st >= 2).as("r_stop"),
+      (dn * 2 >= n).as("r_ttr"),
+      (n >= 20 && n <= 90 && sl * 2 >= n * 9 && sl <= n * 5 &&
+        st >= 2 && dn * 2 >= n).as("pass"))
+  }
+
+  val txtRuleFilterSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len($DTokens) AS BIGINT) AS n,
+       |    CAST(coalesce(list_sum(list_transform($DTokens,
+       |      t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_distinct($DTokens)) AS BIGINT) AS dn,
+       |    CAST(len(list_filter($DTokens,
+       |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS st
+       |  FROM documents)
+       |SELECT doc_id, n AS n_tokens,
+       |  (n >= 20 AND n <= 90) AS r_len,
+       |  (sl * 2 >= n * 9 AND sl <= n * 5) AS r_wordlen,
+       |  (st >= 2) AS r_stop,
+       |  (dn * 2 >= n) AS r_ttr,
+       |  (n >= 20 AND n <= 90 AND sl * 2 >= n * 9 AND sl <= n * 5
+       |    AND st >= 2 AND dn * 2 >= n) AS pass
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_rule_filter" -> (txtRuleFilter _),
     "txt_cms_heavy" -> (txtCmsHeavy _),
     "corpus_filter_overlap" -> (corpusFilterOverlap _),
     "corpus_refresh" -> (corpusRefresh _),
@@ -2019,6 +2077,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_rule_filter" -> txtRuleFilterSql,
     "txt_cms_heavy" -> txtCmsHeavySql,
     "corpus_filter_overlap" -> corpusFilterOverlapSql,
     "corpus_refresh" -> corpusRefreshSql,
