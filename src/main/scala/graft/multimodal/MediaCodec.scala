@@ -143,6 +143,24 @@ object MediaCodec {
       case _ => resize(blob)
     }
 
+  /** REAL 2:1 audio downsample for parsable WAV payloads — the audio
+    * analog of [[resizeImage]]'s 2x2 box filter: decode, average each
+    * adjacent sample pair, re-encode an actual PCM16 WAV at HALF the
+    * sample rate. Pair means use truncate-toward-zero integer division
+    * (Scala `/`), which is exactly DuckDB's `//` on negative operands
+    * (-3/2 == -1 in both) — floor division would disagree on every
+    * odd negative pair sum, so the choice is load-bearing for the
+    * oracle. An odd trailing sample is dropped (floor length).
+    * Container-less or too-short payloads pass through unchanged. */
+  def downsampleAudio(blob: MediaBlob): MediaBlob =
+    MediaFiles.decodeWav(blob.data) match {
+      case Some(w) if w.samples.length >= 2 =>
+        val out = Array.tabulate(w.samples.length / 2)(j =>
+          (w.samples(2 * j) + w.samples(2 * j + 1)) / 2)
+        blob.copy(data = MediaFiles.encodeWav(w.sampleRate / 2, out))
+      case _ => blob
+    }
+
   /** Keep every `stride`-th frame, starting at 0. For a parsable AVI
     * container the frames are the REAL '00dc' movi chunks — boundaries
     * come from the chunk walk, the frame count from the container, not

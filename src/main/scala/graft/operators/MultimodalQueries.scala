@@ -492,6 +492,56 @@ object MultimodalQueries {
        |  CAST(min(CASE WHEN e = me THEN c END) AS BIGINT) AS max_chunk_idx
        |FROM m GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- mm_audio_resample
+  /** REAL 2:1 audio downsample round-trip — the audio sibling of
+    * `mm_resize`: decode the actual PCM16 WAV, floor-halve it with
+    * [[MediaCodec.downsampleAudio]] (adjacent-pair mean, re-encoded as
+    * a real WAV at 8 kHz), then decode the ARTIFACT again and hash its
+    * content — header rate, sample count, payload length (44-byte RIFF
+    * header + 2 bytes/sample), sample sum and energy all come from the
+    * re-decoded container, so encoder+decoder sit on the hash path
+    * twice. The oracle replays the pair means closed-form from the
+    * synth formula; pair division is truncate-toward-zero on both
+    * engines (Scala `/` == DuckDB `//`) — see the codec doc for why
+    * floor would break every odd negative pair.
+    *
+    * Scale shape: embarrassingly parallel per-row map, bytes never
+    * leave the executor; output is one narrow row per audio doc. */
+  def mmAudioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "audio")
+      .map { b =>
+        val r = MediaCodec.downsampleAudio(b)
+        val back = MediaFiles.decodeWav(r.data).getOrElse(
+          throw new IllegalStateException(s"downsampled WAV undecodable for doc ${b.doc_id}"))
+        var sum = 0L
+        var energy = 0L
+        back.samples.foreach { v => sum += v; energy += v.toLong * v }
+        (r.doc_id, back.sampleRate, back.samples.length.toLong,
+          r.data.length.toLong, sum, energy)
+      }
+      .toDF("doc_id", "new_rate", "n_samples", "payload_bytes",
+        "sum_samples", "energy")
+  }
+
+  val mmAudioResampleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, 256 + (doc_id % 7) * 64 AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |pr AS (SELECT doc_id, n, unnest(range(n // 2)) AS j FROM a),
+       |v AS (
+       |  SELECT doc_id, n,
+       |    (((doc_id * 31 + (2 * j) * 17) % 4096 - 2048)
+       |     + ((doc_id * 31 + (2 * j + 1) * 17) % 4096 - 2048)) // 2 AS s
+       |  FROM pr)
+       |SELECT doc_id, CAST(${WavRate / 2} AS INTEGER) AS new_rate,
+       |  CAST(any_value(n) // 2 AS BIGINT) AS n_samples,
+       |  CAST(44 + 2 * (any_value(n) // 2) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(s) AS BIGINT) AS sum_samples,
+       |  CAST(sum(s * s) AS BIGINT) AS energy
+       |FROM v GROUP BY doc_id""".stripMargin
+
   // --------------------------------------------------- mm_binary_files
   /** The `binaryFile` SOURCE under the gate: image docs are written out
     * as individual `.bmp` FILES (one real BMP container per file, named
@@ -712,6 +762,7 @@ object MultimodalQueries {
     "mm_image_hist"   -> (mmImageHist _),
     "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
+    "mm_audio_resample" -> (mmAudioResample _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -725,6 +776,7 @@ object MultimodalQueries {
     "mm_image_hist"   -> mmImageHistSql,
     "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,
+    "mm_audio_resample" -> mmAudioResampleSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -256,6 +256,22 @@ class MultimodalQueriesSpec extends SparkSpecBase {
       s"box averages drifted: ${back.channels.toSeq}")
   }
 
+  test("downsampleAudio pair means truncate toward zero (hand-computed samples)") {
+    // Negative odd pair sums are where truncate (-3/2 = -1, DuckDB //)
+    // and floor (-3/2 = -2, Python //) disagree — the oracle contract
+    // is truncate, so pin it on exactly such pairs. 7 samples: the odd
+    // tail (99) must be dropped.
+    val in = Array(-1, -2, 5, 4, -7, 2, 99) // pairs: -3/2, 9/2, -5/2
+    val wav = MediaFiles.encodeWav(16000, in)
+    val r = MediaCodec.downsampleAudio(MediaBlob(9, "audio", 0, 0, 1, wav))
+    val back = MediaFiles.decodeWav(r.data).get
+    assert(back.sampleRate == 8000)
+    assert(back.samples.toSeq == Seq(-1, 4, -2),
+      s"pair means drifted: ${back.samples.toSeq}")
+    // payload: 44-byte RIFF/fmt/data header + 2 bytes per sample
+    assert(r.data.length == 44 + 2 * 3)
+  }
+
   test("batched pipeline equals per-row decode regardless of batch boundaries") {
     import spark.implicits._
     val viaPipeline = MultimodalQueries.mmFeatures(spark, sfDir)
