@@ -469,7 +469,60 @@ object FormatQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ fmt_bloom_prune
+  /** Parquet BLOOM-FILTER row-group pruning under the gate — the point-
+    * lookup lever min/max stats cannot provide: documents are written
+    * sorted by (source, doc_id) into many SMALL row groups (16 KiB
+    * block size), so every row group's doc_id [min,max] spans nearly
+    * the whole id range (each source contributes ids from everywhere)
+    * and statistics pruning is useless for a doc_id point predicate.
+    * The writer attaches a split-block bloom filter to doc_id
+    * (`parquet.bloom.filter.enabled#doc_id`); a bloom-aware reader
+    * (Spark's row-group filter includes the bloom level when
+    * filterPushdown is on) then skips every row group whose bloom
+    * rejects the probed keys. The gate reads back a 5-key IN probe and
+    * hash-matches the surviving rows against DuckDB on the source
+    * table — so bloom hashing can only ever SKIP true-negative groups,
+    * never lose a row. The spec proves the prune-ability honestly: >1
+    * row group, wide per-group doc_id spans (stats useless), bloom
+    * present per group, and an absent key's hash rejected by EVERY
+    * row group's bloom via the parquet-hadoop API.
+    *
+    * Scale shape: at 100 TB a needle query over an unsorted id column
+    * is the difference between reading every row group of every file
+    * and reading ~bloom-false-positive-rate of them; blooms cost
+    * ~1 MiB per 1M distinct keys per row group and ride in the footer
+    * region. Z-order/compaction cover RANGE locality; blooms cover
+    * EQUALITY on whatever the layout was NOT sorted by. */
+  def fmtBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "bloom")
+    Tables.documents(s, d)
+      // text rides along so the 16 KiB block budget actually yields
+      // MANY row groups (the prune unit); the probe reads only the
+      // narrow columns — column pruning and bloom pruning compose
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+      .orderBy(col("source"), col("doc_id"))
+      .coalesce(1) // one file, many row groups: the prune unit on the hash path
+      .write.mode("overwrite")
+      .option("parquet.block.size", (16 * 1024).toString)
+      .option("parquet.page.size", (4 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "8192")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter(col("doc_id").isin(BloomProbeKeys: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  /** Probe keys exist at every gate SF (doc_id is 0-based). */
+  val BloomProbeKeys: Seq[Long] = Seq(11L, 97L, 211L, 303L, 444L)
+
+  private val bloomPruneSql: String =
+    s"""SELECT doc_id, source, lang, n_chars FROM documents
+       |WHERE doc_id IN (${BloomProbeKeys.mkString(", ")})""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -486,6 +539,7 @@ object FormatQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

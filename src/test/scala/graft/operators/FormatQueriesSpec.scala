@@ -324,4 +324,56 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(zy * 2 < xy, s"z-layout gy spans $zy not < half of x-layout's $xy")
     assert(zx * 2 < yx, s"z-layout gx spans $zx not < half of y-layout's $yx")
   }
+
+  test("bloom prune: stats useless, bloom present, absent key rejected by every row group") {
+    import scala.jdk.CollectionConverters._
+    // run the gate (writes the bloom-equipped file and probes it)
+    val got = FormatQueries.fmtBloomPrune(spark, sfDir)
+      .as[(Long, String, String, Long)].collect().map(_._1).toSet
+    assert(got == FormatQueries.BloomProbeKeys.toSet, s"probe lost rows: $got")
+    // open the written file with the parquet-hadoop API
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fmt_bloom_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val file = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq match {
+        case Seq(one) => one
+        case other => fail(s"expected exactly one parquet file, got $other")
+      }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // many row groups: the prune has units to skip
+      assert(blocks.size > 1, s"only ${blocks.size} row group — nothing to prune")
+      val absent = 1000000007L // no doc_id at any SF
+      blocks.foreach { b =>
+        val cc = b.getColumns.asScala.find(_.getPath.toDotString == "doc_id")
+          .getOrElse(fail("doc_id column chunk missing"))
+        // stats are USELESS for a point probe here: sorted by (source,
+        // doc_id) means every source contributes ids from the whole
+        // range to every group — the span must cover most of [0,499]
+        val st = cc.getStatistics
+        val span = st.genericGetMax.asInstanceOf[Long] -
+          st.genericGetMin.asInstanceOf[Long]
+        assert(span > 250, s"row-group doc_id span $span — stats would prune, " +
+          "bloom not exercised")
+        // the bloom is present and rejects the absent key => a
+        // bloom-aware reader skips EVERY row group for this probe
+        val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+        assert(bloom != null, "doc_id bloom filter missing from row group")
+        assert(!bloom.findHash(bloom.hash(absent)),
+          "absent key not rejected — bloom cannot prune")
+        // and a PRESENT key is found somewhere (no false negatives):
+        // checked across groups below
+      }
+      val present = FormatQueries.BloomProbeKeys.head
+      assert(blocks.exists { b =>
+        val cc = b.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+        val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+        bloom.findHash(bloom.hash(present))
+      }, "present key rejected by every bloom — false negative, rows would be lost")
+    } finally reader.close()
+  }
 }
