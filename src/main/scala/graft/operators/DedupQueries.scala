@@ -1141,7 +1141,59 @@ object DedupQueries {
        |GROUP BY i.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ------------------------------------------------------ dedup_fuzzy_er
+  /** Blocked ENTITY-RESOLUTION fuzzy dedup — the one dedup flavor the
+    * other fifteen screens don't cover: character-level EDIT DISTANCE
+    * between short entity strings (names/addresses/titles), the
+    * classic record-linkage primitive (Fellegi–Sunter blocking +
+    * within-block comparison). Records shuffle ONCE on the blocking
+    * key (here nation — at 100 TB the block key comes from LSH,
+    * sorted-neighborhood windows, or phonetic keys, but the join shape
+    * is identical); within a block, candidate pairs are ordered
+    * (k1 < k2), pre-screened by the length-difference lower bound
+    * (|len(a)-len(b)| <= d is necessary for lev <= d — a codegen'd
+    * integer test that discards pairs before any DP runs), and scored
+    * with Spark's BANDED levenshtein(l, r, threshold) — O(threshold *
+    * n) per pair instead of O(n^2), returning -1 past the band, so the
+    * expensive exact DP only ever runs inside the band. The corpus has
+    * no natural typo'd entities, so customer names (digit-bearing,
+    * fixed-width) stand in; lev <= 2 pairs are names whose digit
+    * blocks align within two edits.
+    *
+    * Determinism: classic Levenshtein DP yields identical integers in
+    * both engines (DuckDB `levenshtein` is the same unit-cost DP); the
+    * Spark-side band threshold (3) strictly exceeds the emit filter
+    * (<= 2), so no emitted distance is band-clipped.
+    *
+    * Scale shape: one shuffle on the block key; per-block work is
+    * |block|^2 bounded by the blocking design, never corpus^2; the
+    * length pre-screen and the banded DP keep the constant small. */
+  def dedupFuzzyEr(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.select(col("c_nationkey").as("nat"),
+      col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey").as("nat"),
+      col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, Seq("nat"))
+      .filter(col("k1") < col("k2"))
+      .filter(abs(length(col("n1")) - length(col("n2"))) <= 2)
+      .select(col("nat"), col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2"), 3).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+  }
+
+  val dedupFuzzyErSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nat, c_custkey AS k, c_name AS n FROM customer)
+      |SELECT a.nat, a.k AS k1, b.k AS k2,
+      |  CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+      |FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k
+      |WHERE abs(length(a.n) - length(b.n)) <= 2
+      |  AND levenshtein(a.n, b.n) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_er"         -> (dedupFuzzyEr _),
     "dedup_novelty"          -> (dedupNovelty _),
     "dedup_cluster"          -> (dedupCluster _),
     "dedup_cluster_star"     -> (dedupClusterStar _),
@@ -1162,6 +1214,7 @@ object DedupQueries {
 
   // lazy for the same init-order reason as dedupWinnowSql
   lazy val oracleSql: Map[String, String] = Map(
+    "dedup_fuzzy_er"         -> dedupFuzzyErSql,
     "dedup_novelty"          -> dedupNoveltySql,
     "dedup_cluster"          -> dedupClusterSql,
     // different fixpoint algorithm, same labeling: same oracle
