@@ -469,6 +469,59 @@ object FormatQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------- fmt_csv_malformed
+  /** MALFORMED-RECORD semantics under the gate — the operational CSV
+    * reality a 100 TB ingest actually faces (truncated lines, garbage
+    * fields) that the clean round-trip gate never exercises: documents
+    * are serialized to raw CSV text with TWO corruption kinds planted
+    * deterministically by doc_id — short rows (doc_id % 7 == 2: the
+    * n_chars column truncated away) and uncastable fields (doc_id % 7
+    * == 5: n_chars replaced by a word). The read uses an explicit
+    * schema with `mode=DROPMALFORMED`, so exactly the planted rows must
+    * vanish — one row over- or under-dropped (token-count padding rules,
+    * cast-failure leniency) and the per-source aggregate diverges from
+    * DuckDB computing the keep-set relationally from the parquet table.
+    * The spec pins the contrast: PERMISSIVE keeps every line and
+    * nulls the damage instead.
+    *
+    * Pruning interplay (spec-pinned): with CSV column pruning (default
+    * on) DROPMALFORMED judges malformedness ONLY on the columns the
+    * plan requires — a query projecting just `source` drops nothing.
+    * This gate's aggregate requires all three columns, so the full
+    * line is parsed and both damage kinds count as malformed.
+    *
+    * Scale shape: text write and schema-checked read are both
+    * distributed scans; malformed handling is per-record in the parser
+    * (no quarantine shuffle). At 100 TB DROPMALFORMED + a counted
+    * `_corrupt_record` sample is the standard quarantine pattern. */
+  def fmtCsvMalformed(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "csvmal")
+    Tables.documents(s, d)
+      .select(when(col("doc_id") % 7 === 2,
+          concat_ws(",", col("doc_id"), col("source")))       // short row
+        .when(col("doc_id") % 7 === 5,
+          concat_ws(",", col("doc_id"), col("source"), lit("garbage"))) // uncastable
+        .otherwise(concat_ws(",", col("doc_id"), col("source"), col("n_chars")))
+        .as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("mode", "DROPMALFORMED").csv(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val csvMalformedSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 7 NOT IN (2, 5)
+      |GROUP BY source""".stripMargin
+
   // ------------------------------------------------------ fmt_bloom_prune
   /** Parquet BLOOM-FILTER row-group pruning under the gate — the point-
     * lookup lever min/max stats cannot provide: documents are written
@@ -522,6 +575,7 @@ object FormatQueries {
        |WHERE doc_id IN (${BloomProbeKeys.mkString(", ")})""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_csv_malformed"  -> (fmtCsvMalformed _),
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
@@ -539,6 +593,7 @@ object FormatQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_csv_malformed"  -> csvMalformedSql,
     "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,

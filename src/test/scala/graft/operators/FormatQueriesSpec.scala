@@ -325,6 +325,42 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(zx * 2 < yx, s"z-layout gx spans $zx not < half of y-layout's $yx")
   }
 
+  test("malformed CSV: DROPMALFORMED drops exactly the planted rows; PERMISSIVE keeps all") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val total = graft.Tables.documents(spark, sfDir).count()
+    val planted = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 2 || col("doc_id") % 7 === 5).count()
+    // collect the gate frame as-is: an extra projection on top would
+    // PRUNE the scan (see the pruning assertion below) and change what
+    // counts as malformed
+    val kept = FormatQueries.fmtCsvMalformed(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(kept == total - planted,
+      s"DROPMALFORMED kept $kept of $total with $planted planted bad rows")
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fmt_csvmal_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    // PERMISSIVE: every line survives, the damage becomes nulls
+    val perm = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(dir)
+    assert(perm.count() == total)
+    assert(perm.filter(col("n_chars").isNull).count() == planted,
+      "PERMISSIVE should null exactly the damaged fields")
+    // THE FOOTGUN (found writing this spec): with CSV column pruning
+    // (default on), DROPMALFORMED judges malformedness only on the
+    // columns the plan actually REQUIRES — project just `source` and
+    // both damage kinds parse fine, so nothing drops. The gate is
+    // stable because its aggregate requires all three columns; any
+    // downstream count must therefore be taken off the gate frame, not
+    // a pruned re-read.
+    val pruned = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(dir)
+      .select(col("source")).count()
+    assert(pruned == total,
+      s"column-pruned DROPMALFORMED read dropped rows ($pruned of $total) — " +
+        "Spark's pruning semantics changed; re-check the gate's required columns")
+  }
+
   test("bloom prune: stats useless, bloom present, absent key rejected by every row group") {
     import scala.jdk.CollectionConverters._
     // run the gate (writes the bloom-equipped file and probes it)
