@@ -1142,55 +1142,69 @@ object DedupQueries {
 
   // ------------------------------------------------------------------
   // ------------------------------------------------------ dedup_fuzzy_er
-  /** Blocked ENTITY-RESOLUTION fuzzy dedup — the one dedup flavor the
-    * other fifteen screens don't cover: character-level EDIT DISTANCE
-    * between short entity strings (names/addresses/titles), the
-    * classic record-linkage primitive (Fellegi–Sunter blocking +
-    * within-block comparison). Records shuffle ONCE on the blocking
-    * key (here nation — at 100 TB the block key comes from LSH,
-    * sorted-neighborhood windows, or phonetic keys, but the join shape
-    * is identical); within a block, candidate pairs are ordered
-    * (k1 < k2), pre-screened by the length-difference lower bound
-    * (|len(a)-len(b)| <= d is necessary for lev <= d — a codegen'd
-    * integer test that discards pairs before any DP runs), and scored
-    * with Spark's BANDED levenshtein(l, r, threshold) — O(threshold *
-    * n) per pair instead of O(n^2), returning -1 past the band, so the
-    * expensive exact DP only ever runs inside the band. The corpus has
-    * no natural typo'd entities, so customer names (digit-bearing,
-    * fixed-width) stand in; lev <= 2 pairs are names whose digit
-    * blocks align within two edits.
+  /** SORTED-NEIGHBORHOOD entity-resolution fuzzy dedup (Hernández &
+    * Stolfo 1995) — the one dedup flavor the other fifteen screens
+    * don't cover: character-level EDIT DISTANCE between short entity
+    * strings (names/addresses/titles), the record-linkage primitive.
+    * Naive blocking compares |block|² pairs — measured 27.8 s at
+    * sf0.1 (4.5M banded DPs) before this rewrite — so instead each
+    * block (nation) SORTS by the match key and compares each record
+    * only to its next [[FuzzyWindow]] neighbors: candidate volume is
+    * |corpus|·w, LINEAR in the corpus, and near-duplicates sort
+    * adjacent by construction. The window is expressed as an
+    * EQUI-join: each left row explodes into w (rank+offset) probes
+    * that hash-join the rank-keyed right side — no range join, no
+    * BNL. Survivors are scored with Spark's BANDED
+    * levenshtein(l, r, threshold) — O(threshold·n) per pair, -1 past
+    * the band, with the band (3) strictly above the emit filter
+    * (<= 2) so no emitted distance is clipped. The corpus has no
+    * natural typo'd entities, so customer names (digit-bearing,
+    * fixed-width) stand in.
     *
-    * Determinism: classic Levenshtein DP yields identical integers in
-    * both engines (DuckDB `levenshtein` is the same unit-cost DP); the
-    * Spark-side band threshold (3) strictly exceeds the emit filter
-    * (<= 2), so no emitted distance is band-clipped.
+    * Determinism: the sort key (name) is unique within a block
+    * (custkey-derived), so ranks — and therefore the candidate set —
+    * are identical in both engines; DuckDB replays the windows with
+    * row_number and the same unit-cost DP.
     *
-    * Scale shape: one shuffle on the block key; per-block work is
-    * |block|^2 bounded by the blocking design, never corpus^2; the
-    * length pre-screen and the banded DP keep the constant small. */
+    * Scale shape: one shuffle to sort within blocks (at 100 TB:
+    * repartition by block + sortWithinPartitions, or a range
+    * partition on the match key itself), then |corpus|·w banded DPs;
+    * recall follows the SN guarantee — true near-dups sort within w
+    * — with multi-pass/multi-key SN the standard recall booster. */
   def dedupFuzzyEr(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val a = c.select(col("c_nationkey").as("nat"),
-      col("c_custkey").as("k1"), col("c_name").as("n1"))
-    val b = c.select(col("c_nationkey").as("nat"),
-      col("c_custkey").as("k2"), col("c_name").as("n2"))
-    a.join(b, Seq("nat"))
-      .filter(col("k1") < col("k2"))
-      .filter(abs(length(col("n1")) - length(col("n2"))) <= 2)
-      .select(col("nat"), col("k1"), col("k2"),
+    val w = Window.partitionBy(col("nat")).orderBy(col("n"))
+    val ranked = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nat"), col("c_custkey").as("k"),
+        col("c_name").as("n"))
+      .withColumn("rn", row_number().over(w))
+    val probes = ranked
+      .withColumn("off", explode(lit((1 to FuzzyWindow).toArray)))
+      .select(col("nat"), col("k").as("k1"), col("n").as("n1"),
+        (col("rn") + col("off")).as("rn2"))
+    probes.join(ranked.select(col("nat"), col("k").as("k2"),
+        col("n").as("n2"), col("rn").as("rn2")), Seq("nat", "rn2"))
+      .select(col("nat"), least(col("k1"), col("k2")).as("ka"),
+        greatest(col("k1"), col("k2")).as("kb"),
         levenshtein(col("n1"), col("n2"), 3).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("nat"), col("ka").as("k1"), col("kb").as("k2"), col("dist"))
   }
 
+  /** Sorted-neighborhood window width. */
+  val FuzzyWindow = 8
+
   val dedupFuzzyErSql: String =
-    """WITH c AS (
-      |  SELECT c_nationkey AS nat, c_custkey AS k, c_name AS n FROM customer)
-      |SELECT a.nat, a.k AS k1, b.k AS k2,
+    s"""WITH c AS (
+      |  SELECT c_nationkey AS nat, c_custkey AS k, c_name AS n,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn
+      |  FROM customer)
+      |SELECT a.nat,
+      |  CAST(least(a.k, b.k) AS BIGINT) AS k1,
+      |  CAST(greatest(a.k, b.k) AS BIGINT) AS k2,
       |  CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
-      |FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k
-      |WHERE abs(length(a.n) - length(b.n)) <= 2
-      |  AND levenshtein(a.n, b.n) <= 2""".stripMargin
+      |FROM c a JOIN c b
+      |  ON a.nat = b.nat AND b.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
+      |WHERE levenshtein(a.n, b.n) <= 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_er"         -> (dedupFuzzyEr _),
