@@ -1466,7 +1466,67 @@ object IngestQueries {
       |  CAST(sum(cents) AS INTEGER) AS sum_cents
       |FROM sessed GROUP BY event_type, sess_id""".stripMargin
 
+  // ---------------------------------------------------------- amqp_browse
+  /** BROWSE mode under the oracle gate: two independent streaming
+    * queries (fresh checkpoints) read the SAME backlog with
+    * `browse=true` — distribution-mode "copy", the non-destructive
+    * queue-peek — and both must see every message, because a browsing
+    * link never settles. If browse leaked a settle, the second query's
+    * half of the union would come up empty and the hash would break
+    * against the oracle's two-run cross join. The monitoring/analytics
+    * consumer shape: peek a production address without consuming it.
+    *
+    * Scale shape: identical to the consuming path (browse only skips
+    * the commit-time settle RPC); N browsers on one address cost the
+    * broker one ledger, not N copies. */
+  def amqpBrowse(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 9 === 4)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    val scratch = java.nio.file.Files.createTempDirectory("graft-browse-gate")
+    def drainTo(run: Int): String = {
+      val outDir = s"$scratch/out$run"
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("browse", "true").load()
+        .select(col("subject"), col("body"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", s"$scratch/ckpt$run")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), s"browse gate query $run hung")
+      finally q.stop()
+      outDir
+    }
+    val out1 = drainTo(1)
+    val out2 = drainTo(2) // fresh checkpoint: the backlog must still be there
+    s.read.parquet(out1).withColumn("run", lit(1))
+      .unionByName(s.read.parquet(out2).withColumn("run", lit(2)))
+      .select(col("run"), col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("run"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpBrowseSql: String =
+    """SELECT r.run, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (VALUES (1), (2)) AS r(run)
+      |WHERE event_id % 9 = 4
+      |GROUP BY r.run, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "amqp_browse"           -> (amqpBrowse _),
     "amqp_property_pushdown" -> (amqpPropertyPushdown _),
     "amqp_stream_tws"       -> (amqpStreamTws _),
     "amqp_count_pushdown"   -> (amqpCountPushdown _),
@@ -1488,6 +1548,7 @@ object IngestQueries {
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
+    "amqp_browse"           -> amqpBrowseSql,
     "amqp_property_pushdown" -> amqpPropertyPushdownSql,
     "amqp_stream_tws"       -> amqpStreamTwsSql,
     "amqp_count_pushdown"   -> amqpCountPushdownSql,

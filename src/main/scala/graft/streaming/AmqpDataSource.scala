@@ -83,7 +83,8 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     startingTimestampMicros: Option[Long] = None,
     propertyColumns: Seq[String] = Nil,
     maxRowsPerPartition: Long = 500000L,
-    fetchChunkRows: Long = 50000L) {
+    fetchChunkRows: Long = 50000L,
+    browse: Boolean = false) {
   /** The envelope schema plus one nullable string column per lifted
     * application property (see the propertyColumns option). */
   def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
@@ -125,8 +126,9 @@ object AmqpSourceConfig {
       // commit settles — i.e. the broker deletes — the skipped backlog
       // it never fetched, unlike Kafka where committing past skipped
       // data never destroys it. Point a timestamp-started query at an
-      // address whose pre-start backlog no other consumer still needs
-      // (or give each consumer its own address, the AMQP-native shape).
+      // address whose pre-start backlog no other consumer still needs,
+      // give each consumer its own address (the AMQP-native shape), or
+      // set `browse=true` — a browsing link never settles anything.
       startingTimestampMicros =
         Option(o.get("startingTimestampMicros")).map(_.toLong)
           .orElse(Option(o.get("startingTimestamp")).map { ts =>
@@ -149,7 +151,16 @@ object AmqpSourceConfig {
       maxRowsPerPartition = math.max(1L,
         o.getOrDefault("maxRowsPerPartition", "500000").toLong),
       fetchChunkRows = math.max(1L,
-        o.getOrDefault("fetchChunkRows", "50000").toLong))
+        o.getOrDefault("fetchChunkRows", "50000").toLong),
+      // Non-destructive BROWSE mode (AMQP 1.0 §3.5.3 source
+      // distribution-mode "copy" vs the default "move"): the streaming
+      // query checkpoints its own position but NEVER settles, so the
+      // broker keeps the backlog for its actual consumer. This is the
+      // queue-peek/monitoring shape — and the safe pairing for
+      // `startingTimestamp`, whose first commit on a "move" link
+      // settles away the skipped backlog (see the caveat above).
+      // Batch reads are browses already (they never settle).
+      browse = o.getOrDefault("browse", "false").toBoolean)
   }
 }
 
@@ -720,8 +731,13 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   }
 
   /** Settle-after-durable-commit: the epoch is checkpointed, release
-    * every link's unsettled window (the WAL-replacement contract). */
-  override def commit(end: Offset): Unit = {
+    * every link's unsettled window (the WAL-replacement contract).
+    * Under `browse=true` (distribution-mode "copy") settlement is
+    * skipped entirely — the query's position lives only in its own
+    * checkpoint and the broker's backlog is untouched, so any number
+    * of browsing queries can peek the same address while its real
+    * consumer still gets every message. */
+  override def commit(end: Offset): Unit = if (!cfg.browse) {
     val e = end.asInstanceOf[AmqpOffset]
     cfg.addresses.foreach(a => broker.settle(a, e.seqOf(a)))
   }

@@ -966,4 +966,71 @@ class AmqpSourceSpec extends SparkSpecBase {
     val errL = intercept[Throwable] { read().limit(5).collect() }
     assert(chain(errL).exists(_.contains("startingTimestamp")), chain(errL).mkString("\n"))
   }
+
+  test("browse=true never settles: backlog survives for other consumers") {
+    // Distribution-mode "copy" (OASIS AMQP 1.0 §3.5.3): a browsing
+    // query tracks its position in its own checkpoint but leaves the
+    // broker ledger untouched — the queue-peek/monitoring shape, and
+    // the safe pairing for startingTimestamp.
+    val (ep, broker) = freshEndpoint("browse")
+    (1 to 12).foreach(i =>
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        body = AmqpValueBody(s"m$i"))))
+    val ckpt = Files.createTempDirectory("amqp-browse-ckpt").toString
+    val out = Files.createTempDirectory("amqp-browse-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("browse", "true").load()
+        .select(col("message_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 12)
+    // settlement never moved: every message is still replayable
+    assert(broker.settledUpTo("my_address") == 0L,
+      "a browsing link must not settle")
+    // commit() fires while constructing the NEXT batch — nudge one
+    // message through a second drain and re-check the floor
+    broker.send("my_address", AmqpMessage(messageId = Some("13"),
+      body = AmqpValueBody("m13")))
+    drain()
+    assert(broker.settledUpTo("my_address") == 0L,
+      "settlement must stay at the floor across committed batches")
+    // the SAME query (checkpoint) saw no duplicates
+    assert(spark.read.parquet(out).count() == 13)
+    // an INDEPENDENT query (fresh checkpoint) re-reads the full backlog
+    val out2 = Files.createTempDirectory("amqp-browse-out2").toString
+    val ckpt2 = Files.createTempDirectory("amqp-browse-ckpt2").toString
+    val q2 = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("browse", "true").load()
+      .select(col("message_id"))
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out2).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (1 to 13).toSeq,
+      "a fresh browsing query must see the entire unsettled backlog")
+    // control: the default "move" link settles the prefix on commit
+    val ckpt3 = Files.createTempDirectory("amqp-move-ckpt").toString
+    val out3 = Files.createTempDirectory("amqp-move-out").toString
+    def consume(): Unit = {
+      val q = stream(ep).select(col("message_id"))
+        .writeStream.format("parquet")
+        .option("path", out3).option("checkpointLocation", ckpt3)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    consume()
+    broker.send("my_address", AmqpMessage(messageId = Some("14"),
+      body = AmqpValueBody("m14")))
+    consume() // second batch commits the first: settle advances
+    assert(broker.settledUpTo("my_address") >= 13L,
+      "the consuming control query must settle the delivered prefix")
+  }
 }
