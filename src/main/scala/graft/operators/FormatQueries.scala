@@ -574,9 +574,109 @@ object FormatQueries {
     s"""SELECT doc_id, source, lang, n_chars FROM documents
        |WHERE doc_id IN (${BloomProbeKeys.mkString(", ")})""".stripMargin
 
+  // ------------------------------------------------------ fmt_merge_upsert
+  /** MERGE INTO (CDC upsert) as COPY-ON-WRITE over a partitioned
+    * parquet snapshot — the lakehouse primitive Spark itself doesn't
+    * ship (Delta/Iceberg MERGE), re-expressed as plain relational ops
+    * plus a manifest-style two-version layout:
+    *
+    *  1. snapshot v1: orders keyed to integer cents, partitioned by
+    *     order YEAR;
+    *  2. a deterministic changeset (updates +10%, deletes, inserts
+    *     with fresh negative keys) touching only EVEN years;
+    *  3. the merge rewrites ONLY the touched partitions — anti-join
+    *     deletes, left-join + coalesce applies updates, union appends
+    *     inserts — into a v2 OVERLAY directory holding nothing but
+    *     the rewritten partitions;
+    *  4. the table read resolves overlay-first: v2 for touched years,
+    *     v1 (partition-pruned by the same touched list) for the rest.
+    *
+    * Untouched partitions are never read, rewritten, or copied —
+    * `require`d below by listing v2's partition dirs. That is the
+    * 100 TB contract: merge cost tracks the touched-partition volume
+    * (Iceberg/Delta do exactly this with file-level manifests instead
+    * of directory names; partition granularity is the same mechanic
+    * with coarser pruning). The touched-year list is driver-side but
+    * is bounded by |partitions| — the standard lakehouse metadata op.
+    *
+    * The oracle replays the merge relationally off the source table,
+    * so partition routing, overlay resolution, update arithmetic, and
+    * delete/insert membership are all under the hash. */
+  def fmtMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "merge")
+    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .write.mode("overwrite").partitionBy("yr").parquet(v1)
+
+    // CDC changeset against the source-of-record (even years only):
+    // op U = +10% price, D = delete, I = insert under a fresh key
+    val ch = s.read.parquet(v1)
+      .filter(col("yr") % 2 === 0 && col("o_orderkey") % 50 <= 2)
+      .withColumn("op",
+        when(col("o_orderkey") % 50 === 0, lit("U"))
+          .when(col("o_orderkey") % 50 === 1, lit("D"))
+          .otherwise(lit("I")))
+    val touched = ch.select("yr").distinct().collect().map(_.getInt(0)).sorted
+    require(touched.nonEmpty && touched.forall(_ % 2 == 0), touched.mkString(","))
+
+    val upd = ch.filter(col("op") === "U")
+      .select(col("o_orderkey"), col("yr"),
+        (col("cents") + expr("cents div 10")).as("new_cents"))
+    val del = ch.filter(col("op") === "D").select("o_orderkey", "yr")
+    val ins = ch.filter(col("op") === "I")
+      .select((-col("o_orderkey")).as("o_orderkey"), col("yr"), col("cents"))
+
+    s.read.parquet(v1).filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      .join(del, Seq("o_orderkey", "yr"), "left_anti")
+      .join(upd, Seq("o_orderkey", "yr"), "left")
+      .select(col("o_orderkey"), col("yr"),
+        coalesce(col("new_cents"), col("cents")).as("cents"))
+      .unionByName(ins)
+      .write.mode("overwrite").partitionBy("yr").parquet(v2)
+
+    // copy-on-write contract: the overlay holds EXACTLY the touched
+    // partitions — nothing untouched was copied or rewritten
+    val v2Years = new java.io.File(v2).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+    require(v2Years.sameElements(touched),
+      s"overlay must hold exactly the touched partitions: ${v2Years.toSeq} vs ${touched.toSeq}")
+
+    // overlay-first table resolution (manifest read): v2 for touched
+    // years, v1 partition-pruned to the rest
+    s.read.parquet(v2)
+      .unionByName(s.read.parquet(v1)
+        .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_malformed"  -> (fmtCsvMalformed _),
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
+    "fmt_merge_upsert"   -> (fmtMergeUpsert _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -595,6 +695,7 @@ object FormatQueries {
   val oracleSql: Map[String, String] = Map(
     "fmt_csv_malformed"  -> csvMalformedSql,
     "fmt_bloom_prune"    -> bloomPruneSql,
+    "fmt_merge_upsert"   -> mergeUpsertSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,
