@@ -174,6 +174,99 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // ------------------------------------------------------ sim_index_build
+  /** The OFFLINE-BUILD / ONLINE-SERVE split sim_topk_ivf elides: the
+    * IVF index is PERSISTED as a parquet table partitioned by cell id
+    * (`partitionBy("cid")`) — the index IS a data layout, the
+    * Spark-native form of FAISS's inverted lists — and a probe query
+    * then reads ONLY its nprobe cells via directory-level partition
+    * pruning. Build once, serve many: the build pays the full
+    * assignment scan; every serve opens nprobe/|cells| of the files
+    * and zero footers outside them (`require`d below: the probed cell
+    * set is a strict subset). A different query slice
+    * ([NumQueries, 2·NumQueries)) keeps the gate's answer disjoint
+    * from sim_topk_ivf's.
+    *
+    * Scale shape: at 100 TB the index table bucket-sorts within cells
+    * (mm_shard_layout's contract) and serves from object storage with
+    * no resident state — adding vectors is an append + periodic
+    * rebalance, and the probe cost is data-proportional to the probed
+    * cells alone. */
+  def simIndexBuild(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents"))
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfidx_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    // BUILD: assign every vector to its nearest cell, persist the
+    // inverted lists as one partition directory per cell
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("best", expr(
+        """array_min(transform(cents,
+          |  c -> named_struct(
+          |    'negsim', -(vec_dot(emb, c.cemb) / (nrm * c.cnrm)),
+          |    'cid', c.cid)))""".stripMargin))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("emb"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    // SERVE: probes pick their nprobe cells; the corpus scan prunes to
+    // exactly those partition directories
+    val probes = e.filter(col("vec_id") >= NumQueries && col("vec_id") < 2 * NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("query_id"), col("qemb"), col("qnrm"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> named_struct(
+             |    'negsim', -(vec_dot(qemb, c.cemb) / (qnrm * c.cnrm)),
+             |    'cid', c.cid))), 1, $NumProbes)""".stripMargin)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cid"), col("qemb"), col("qnrm"))
+    val cells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0).toInt).sorted // driver list, ≤ |cells|
+    require(cells.nonEmpty && cells.length < NumCells,
+      s"the probe set must prune the index scan: ${cells.toSeq} of $NumCells")
+    val served = s.read.parquet(idx) // partition col cid reads back as int
+      .filter(col("cid").isin(cells.map(Integer.valueOf): _*))
+      .withColumn("cid", col("cid").cast(LongType))
+    explodeTopK(
+      served.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+  }
+
+  val simIndexBuildSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $NumCells),
+       |assigned AS (
+       |  SELECT vec_id, cid, emb, nrm FROM (
+       |    SELECT n.vec_id, cents.cid, n.emb, n.nrm,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cents.cemb) / (n.nrm * cents.cnrm) DESC, cents.cid ASC) AS rnc
+       |    FROM n CROSS JOIN cents) t
+       |  WHERE rnc = 1),
+       |probes AS (
+       |  SELECT query_id, cid, qemb, qnrm FROM (
+       |    SELECT n.vec_id AS query_id, cents.cid, n.emb AS qemb, n.nrm AS qnrm,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cents.cemb) / (n.nrm * cents.cnrm) DESC, cents.cid ASC) AS rnp
+       |    FROM n CROSS JOIN cents
+       |    WHERE n.vec_id >= $NumQueries AND n.vec_id < ${2 * NumQueries}) t
+       |  WHERE rnp <= $NumProbes),
+       |scored AS (
+       |  SELECT probes.query_id, assigned.vec_id,
+       |    list_dot_product(assigned.emb, probes.qemb) / (assigned.nrm * probes.qnrm) AS cos
+       |  FROM probes JOIN assigned ON probes.cid = assigned.cid
+       |  WHERE assigned.vec_id <> probes.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $TopK""".stripMargin
+
   // -------------------------------------------------------- sim_mips_ivf
   /** MAXIMUM INNER PRODUCT search via norm augmentation (the public
     * Bachrach et al. 2014 / Shrivastava–Li reduction): append one
@@ -1789,6 +1882,7 @@ object SimilarityQueries {
     "sim_trunc_audit"     -> (simTruncAudit _),
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
+    "sim_index_build"     -> (simIndexBuild _),
     "sim_mips_ivf"        -> (simMipsIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
@@ -1818,6 +1912,7 @@ object SimilarityQueries {
     "sim_trunc_audit"     -> simTruncAuditSql,
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
+    "sim_index_build"     -> simIndexBuildSql,
     "sim_mips_ivf"        -> simMipsIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,

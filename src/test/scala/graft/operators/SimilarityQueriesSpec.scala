@@ -473,6 +473,34 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(ivf.size == exact.size)
   }
 
+  test("index build persists cid-partitioned lists and the serve scan prunes to probed cells") {
+    val df = SimilarityQueries.simIndexBuild(spark, sfDir)
+    val rows = df.as[(Long, Long, Double, Long)].collect()
+    // 10 probe queries x top-5, ranked by descending cosine
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a >= b case _ => true })
+    }
+    // the persisted index is a real partitioned layout: one cid= dir per
+    // non-empty inverted list, at most NumCells of them
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfidx_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val cellDirs = java.nio.file.Files.list(idx).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val dirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (cellDirs.hasNext) { val p = cellDirs.next().getFileName.toString; if (p.startsWith("cid=")) dirs += p }
+    assert(dirs.nonEmpty && dirs.size <= 16, s"unexpected cell layout: $dirs")
+    // the serve-side read is directory-pruned: the cid IN (...) predicate
+    // sits in PartitionFilters (no file outside a probed cell is opened)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cid"), pf)
+  }
+
   test("norm stats: one healthy row matching a driver-side recompute") {
     val Seq((nVecs, nDims, nZero, minN2, maxN2, meanFp)) =
       SimilarityQueries.simNormStats(spark, sfDir)
