@@ -603,15 +603,39 @@ object FormatQueries {
     * so partition routing, overlay resolution, update arithmetic, and
     * delete/insert membership are all under the hash. */
   def fmtMergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val dir = scratch(d, "merge")
-    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
+    val (v1, v2, touched) = buildMergeOverlay(s, d, scratch(d, "merge"))
+    // overlay-first table resolution (manifest read): v2 for touched
+    // years, v1 partition-pruned to the rest
+    s.read.parquet(v2)
+      .unionByName(s.read.parquet(v1)
+        .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  /** Shared by fmt_merge_upsert / fmt_time_travel: write snapshot v1,
+    * apply the deterministic CDC changeset as a copy-on-write overlay
+    * holding exactly the touched partitions, return (v1, v2, touched). */
+  private def buildMergeOverlay(s: SparkSession, d: String,
+      dir: String): (String, String, Array[Int]) = {
+    val v1 = writeMergeV1(s, d, dir)
+    val (v2, touched) = applyMergeOverlay(s, dir)
+    (v1, v2, touched)
+  }
+
+  private def writeMergeV1(s: SparkSession, d: String, dir: String): String = {
+    val v1 = s"$dir/v1"
     Tables.orders(s, d).select(
         col("o_orderkey"),
         year(col("o_orderdate")).cast(IntegerType).as("yr"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .write.mode("overwrite").partitionBy("yr").parquet(v1)
+    v1
+  }
 
+  private def applyMergeOverlay(s: SparkSession, dir: String): (String, Array[Int]) = {
+    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
     // CDC changeset against the source-of-record (even years only):
     // op U = +10% price, D = delete, I = insert under a fresh key
     val ch = s.read.parquet(v1)
@@ -645,15 +669,76 @@ object FormatQueries {
       .map(_.getName.stripPrefix("yr=").toInt).sorted
     require(v2Years.sameElements(touched),
       s"overlay must hold exactly the touched partitions: ${v2Years.toSeq} vs ${touched.toSeq}")
+    (v2, touched)
+  }
 
-    // overlay-first table resolution (manifest read): v2 for touched
-    // years, v1 partition-pruned to the rest
-    s.read.parquet(v2)
+  // ------------------------------------------------------ fmt_time_travel
+  /** TIME TRAVEL over the copy-on-write snapshot chain: after the merge
+    * writes its v2 overlay, BOTH versions stay readable — `VERSION AS OF
+    * 1` is the untouched v1 snapshot, `VERSION AS OF 2` the
+    * overlay-first resolution — because copy-on-write never mutates the
+    * files a prior version references (the Delta/Iceberg contract; an
+    * in-place upsert would have destroyed v1). The gate reads both
+    * versions AFTER the merge and emits version-tagged per-year
+    * aggregates, so the oracle's hash covers the pre-image and the
+    * post-image simultaneously; `require`s pin non-destruction
+    * physically — every v1 data file byte-identical (path + length)
+    * across the overlay write.
+    *
+    * Scale shape: a version read is pure manifest arithmetic (which
+    * partition dirs belong to the version) + partition-pruned scans —
+    * no data is copied to keep history, and retention GC would drop
+    * exactly the v1 partitions shadowed by v2. */
+  def fmtTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "ttravel")
+    // snapshot v1's physical files, before the overlay write
+    def listFiles(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    // v1 written fresh, listed, THEN the overlay applied — the listing
+    // brackets only the merge, so the require is authoritative
+    val v1 = writeMergeV1(s, d, dir)
+    val before = listFiles(v1)
+    val (v2, touched) = applyMergeOverlay(s, dir)
+    val after = listFiles(v1)
+    require(after == before,
+      s"copy-on-write must leave v1 untouched: ${before.size} files before, ${after.size} after")
+    val asOf1 = s.read.parquet(v1)
+    val asOf2 = s.read.parquet(v2)
       .unionByName(s.read.parquet(v1)
         .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
-      .groupBy(col("yr"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    def versioned(df: DataFrame, v: Int): DataFrame =
+      df.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("version", lit(v))
+    versioned(asOf1, 1).unionByName(versioned(asOf2, 2))
   }
+
+  private val timeTravelSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 1 AS version
+      |FROM base GROUP BY yr
+      |UNION ALL
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 2 AS version
+      |FROM merged GROUP BY yr""".stripMargin
 
   private val mergeUpsertSql =
     """WITH base AS (
@@ -677,6 +762,7 @@ object FormatQueries {
     "fmt_csv_malformed"  -> (fmtCsvMalformed _),
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_merge_upsert"   -> (fmtMergeUpsert _),
+    "fmt_time_travel"    -> (fmtTimeTravel _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -696,6 +782,7 @@ object FormatQueries {
     "fmt_csv_malformed"  -> csvMalformedSql,
     "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_merge_upsert"   -> mergeUpsertSql,
+    "fmt_time_travel"    -> timeTravelSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

@@ -44,7 +44,7 @@ object SimilarityQueries {
   private val NumCells = 16   // IVF centroids: vec_id < 16
   private val NumProbes = 3
 
-  private def embedded(s: SparkSession, d: String): DataFrame = {
+  private[operators] def embedded(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
@@ -192,26 +192,28 @@ object SimilarityQueries {
     * no resident state — adding vectors is an append + periodic
     * rebalance, and the probe cost is data-proportional to the probed
     * cells alone. */
-  def simIndexBuild(s: SparkSession, d: String): DataFrame = {
-    val e = embedded(s, d)
-    val centsArr = e.filter(col("vec_id") < NumCells)
+  /** One-row frame holding the sorted centroid array (broadcast constant). */
+  private[operators] def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents"))
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfidx_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
-    // BUILD: assign every vector to its nearest cell, persist the
-    // inverted lists as one partition directory per cell
-    e.crossJoin(broadcast(centsArr))
+
+  /** Assign each vector to its nearest centroid (ties → lowest cid). */
+  private def ivfAssign(vecs: DataFrame, centsArr: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centsArr))
       .withColumn("best", expr(
         """array_min(transform(cents,
           |  c -> named_struct(
           |    'negsim', -(vec_dot(emb, c.cemb) / (nrm * c.cnrm)),
           |    'cid', c.cid)))""".stripMargin))
       .select(col("vec_id"), col("best.cid").as("cid"), col("emb"), col("nrm"))
-      .write.mode("overwrite").partitionBy("cid").parquet(idx)
-    // SERVE: probes pick their nprobe cells; the corpus scan prunes to
-    // exactly those partition directories
-    val probes = e.filter(col("vec_id") >= NumQueries && col("vec_id") < 2 * NumQueries)
+
+  /** Serve queries [loQ, hiQ) against the persisted cid-partitioned
+    * index: nprobe cells per query, the corpus scan pruned to exactly
+    * the probed partition directories. */
+  private[operators] def ivfServe(s: SparkSession, e: DataFrame, centsArr: DataFrame,
+      idx: String, loQ: Long, hiQ: Long): DataFrame = {
+    val probes = e.filter(col("vec_id") >= loQ && col("vec_id") < hiQ)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
       .crossJoin(broadcast(centsArr))
       .select(col("query_id"), col("qemb"), col("qnrm"),
@@ -236,7 +238,71 @@ object SimilarityQueries {
         .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
   }
 
-  val simIndexBuildSql: String =
+  def simIndexBuild(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfidx_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    // BUILD: assign every vector to its nearest cell, persist the
+    // inverted lists as one partition directory per cell
+    ivfAssign(e, centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    // SERVE: probes pick their nprobe cells; the corpus scan prunes to
+    // exactly those partition directories
+    ivfServe(s, e, centsArr, idx, NumQueries, 2L * NumQueries)
+  }
+
+  // ---------------------------------------------------- sim_index_append
+  /** INCREMENTAL index maintenance — the "adds are append" claim of
+    * sim_index_build made physical: build the cid-partitioned index
+    * over the EVEN half of the corpus, then ingest the odd half with
+    * `mode("append")` into the same layout. Copy-on-write discipline is
+    * `require`d — every initial data file survives the append
+    * byte-identical (path + length), the append only ADDS files to the
+    * cell directories it touches. Serving (a third, disjoint query
+    * slice) then reads the merged index partition-pruned as usual, and
+    * the oracle replays the IVF over the FULL corpus — so the hash
+    * proves build-then-append converges to exactly the
+    * build-from-scratch index.
+    *
+    * Scale shape: daily vector ingest appends data-proportional files
+    * into the existing layout with zero rewrite of history; the
+    * compaction/rebalance cadence is a separate offline job
+    * (fmt_compaction's shape) — reads never stop while adds land. */
+  def simIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfapp_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    def dataFiles(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    // initial build over the even half (static overwrite resets the dir)
+    ivfAssign(e.filter(col("vec_id") % 2 === 0), centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    val before = dataFiles(idx)
+    // ingest: the odd half appends into the same partitioned layout
+    ivfAssign(e.filter(col("vec_id") % 2 === 1), centsArr)
+      .write.mode("append").partitionBy("cid").parquet(idx)
+    val after = dataFiles(idx)
+    require(before.forall { case (p, len) => after.get(p).contains(len) },
+      s"append must not rewrite history: ${before.size} initial files")
+    require(after.size > before.size,
+      s"append must add files: ${before.size} -> ${after.size}")
+    // 5 serve queries: ≤ 5·nprobe = 15 probed cells < 16, so the
+    // pruned-scan require holds by construction for this slice
+    ivfServe(s, e, centsArr, idx, 2L * NumQueries, 2L * NumQueries + 5)
+  }
+
+  /** DuckDB replay of the persisted-index IVF (build + serve) for the
+    * query slice [loQ, hiQ) — shared by sim_index_build (the one-shot
+    * build) and sim_index_append (whose build-then-append must converge
+    * to exactly this from-scratch index). */
+  private def ivfReplaySql(loQ: Long, hiQ: Long): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
@@ -255,7 +321,7 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY list_dot_product(n.emb, cents.cemb) / (n.nrm * cents.cnrm) DESC, cents.cid ASC) AS rnp
        |    FROM n CROSS JOIN cents
-       |    WHERE n.vec_id >= $NumQueries AND n.vec_id < ${2 * NumQueries}) t
+       |    WHERE n.vec_id >= $loQ AND n.vec_id < $hiQ) t
        |  WHERE rnp <= $NumProbes),
        |scored AS (
        |  SELECT probes.query_id, assigned.vec_id,
@@ -266,6 +332,9 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
+
+  val simIndexBuildSql: String = ivfReplaySql(NumQueries, 2L * NumQueries)
+  val simIndexAppendSql: String = ivfReplaySql(2L * NumQueries, 2L * NumQueries + 5)
 
   // -------------------------------------------------------- sim_mips_ivf
   /** MAXIMUM INNER PRODUCT search via norm augmentation (the public
@@ -1883,6 +1952,7 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_index_build"     -> (simIndexBuild _),
+    "sim_index_append"    -> (simIndexAppend _),
     "sim_mips_ivf"        -> (simMipsIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
@@ -1913,6 +1983,7 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_index_build"     -> simIndexBuildSql,
+    "sim_index_append"    -> simIndexAppendSql,
     "sim_mips_ivf"        -> simMipsIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,

@@ -2034,7 +2034,51 @@ object TextQueries {
        |    AND st >= 2 AND dn * 2 >= n) AS pass
        |FROM m""".stripMargin
 
+  // -------------------------------------------------- txt_quality_model
+  /** MODEL-BASED quality filter: a linear text classifier scored at
+    * data-pipeline scale — the fastText-style "quality model" stage
+    * (Joulin et al. 2016 arXiv:1607.01759; the CCNet/GPT-3 pipelines
+    * filter on exactly this shape) that complements the hand-rule
+    * filter (`txt_rule_filter`). Features are hashing-trick unigram
+    * buckets (char_fold_hash(token) % 64, the same featurizer as
+    * `txt_hash_features`); weights are a FIXED integer table keyed by
+    * bucket — ((bucket+1)·2654435761 mod 1001) − 500, i.e. a frozen
+    * model shipped as arithmetic, the way a trained model ships as a
+    * broadcast array. The document's logit is the sum of its tokens'
+    * weights (integer, exact on both engines — no sigmoid: the
+    * decision threshold commutes with any monotone link), verdict =
+    * logit > 0.
+    *
+    * Scale shape: scoring is a pure per-row projection — one
+    * `aggregate` HOF over the token array inside the scan, zero
+    * shuffle, zero joins; a real trained model only swaps the weight
+    * arithmetic for a broadcast lookup. This is the plan you want at
+    * 100 TB: inference at I/O speed. */
+  def txtQualityModel(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr(
+          """aggregate(
+            |  transform(filter(split(trim(text), ' +'), t -> t <> ''),
+            |    t -> (char_fold_hash(t) % 64 + 1) * 2654435761 % 1001 - 500),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("logit"))
+      .withColumn("kept", (col("logit") > 0).cast(IntegerType))
+  }
+
+  val txtQualityModelSql: String = {
+    import graft.functions.HashFunctions.charFoldHashSql
+    s"""SELECT doc_id, lang,
+       |  CAST(coalesce(list_sum(list_transform($DTokens,
+       |    tok -> (${charFoldHashSql("tok")} % 64 + 1) * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS logit,
+       |  CAST(CASE WHEN coalesce(list_sum(list_transform($DTokens,
+       |    tok -> (${charFoldHashSql("tok")} % 64 + 1) * 2654435761 % 1001 - 500)), 0) > 0
+       |    THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_quality_model" -> (txtQualityModel _),
     "txt_rule_filter" -> (txtRuleFilter _),
     "txt_cms_heavy" -> (txtCmsHeavy _),
     "corpus_filter_overlap" -> (corpusFilterOverlap _),
@@ -2077,6 +2121,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_quality_model" -> txtQualityModelSql,
     "txt_rule_filter" -> txtRuleFilterSql,
     "txt_cms_heavy" -> txtCmsHeavySql,
     "corpus_filter_overlap" -> corpusFilterOverlapSql,

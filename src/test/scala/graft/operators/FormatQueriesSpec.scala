@@ -412,4 +412,25 @@ class FormatQueriesSpec extends SparkSpecBase {
       }, "present key rejected by every bloom — false negative, rows would be lost")
     } finally reader.close()
   }
+
+  test("time travel: both versions readable after the merge, diff confined to touched years") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtTimeTravel(spark, sfDir)
+      .select(col("version"), col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Int, Long, Long)].collect()
+    val v1 = rows.filter(_._1 == 1).map(r => r._2 -> ((r._3, r._4))).toMap
+    val v2 = rows.filter(_._1 == 2).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(v1.nonEmpty && v1.keySet == v2.keySet, "both versions must cover every year")
+    // untouched years are byte-identical across versions; touched years
+    // (even + carrying changeset keys) must actually have changed
+    val touched = graft.Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) % 2 === 0 && col("o_orderkey") % 50 <= 2)
+      .select(year(col("o_orderdate")).cast("int")).distinct()
+      .as[Int].collect().toSet
+    v1.keys.foreach { yr =>
+      if (touched(yr)) assert(v1(yr) != v2(yr), s"touched year $yr shows no merge effect")
+      else assert(v1(yr) == v2(yr), s"untouched year $yr drifted")
+    }
+    assert(touched.nonEmpty && v1.keySet.exists(!touched(_)))
+  }
 }

@@ -501,6 +501,23 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(pf.contains("cid"), pf)
   }
 
+  test("append-maintained index serves identically to a from-scratch build") {
+    // build-from-scratch over the FULL corpus (sim_index_build's dir)...
+    SimilarityQueries.simIndexBuild(spark, sfDir)
+    val fullIdx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfidx_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val e = SimilarityQueries.embedded(spark, sfDir)
+    val cents = SimilarityQueries.ivfCentroids(e)
+    // ...served on the append gate's query slice [20, 25)
+    val scratch = SimilarityQueries.ivfServe(spark, e, cents, fullIdx, 20L, 25L)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // build-then-append must converge to the same physical answer
+    val appended = SimilarityQueries.simIndexAppend(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(appended == scratch, "append-maintained index diverged from from-scratch build")
+    assert(appended.size == 25)
+  }
+
   test("norm stats: one healthy row matching a driver-side recompute") {
     val Seq((nVecs, nDims, nZero, minN2, maxN2, meanFp)) =
       SimilarityQueries.simNormStats(spark, sfDir)

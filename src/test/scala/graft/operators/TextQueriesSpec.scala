@@ -762,4 +762,26 @@ class TextQueriesSpec extends SparkSpecBase {
       assert((nd, nk, kt, tt) == expected(src), s"source $src drifted")
     }
   }
+
+  test("quality model logit matches a driver-side scalar recompute") {
+    import spark.implicits._
+    val P = graft.functions.HashFunctions.P
+    def logitOf(text: String): Long =
+      text.trim.split(" +").filter(_.nonEmpty).map { tok =>
+        val h = tok.foldLeft(0L)((a, c) => (a * 131L + c.toLong) % P)
+        (h % 64L + 1L) * 2654435761L % 1001L - 500L
+      }.sum
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = TextQueries.txtQualityModel(spark, sfDir)
+      .select("doc_id", "logit", "kept").as[(Long, Long, Int)].collect()
+    assert(got.length == docs.size)
+    got.foreach { case (id, logit, kept) =>
+      assert(logit == logitOf(docs(id)), s"doc $id logit drifted")
+      assert(kept == (if (logit > 0) 1 else 0))
+    }
+    // a frozen model that keeps everything (or nothing) filters nothing
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
+      "model verdict is degenerate at this scale")
+  }
 }
