@@ -1525,8 +1525,160 @@ object IngestQueries {
       |WHERE event_id % 9 = 4
       |GROUP BY r.run, event_type""".stripMargin
 
+  // ------------------------------------------------- amqp_stream_cdc_merge
+  /** STREAMING CDC INTO THE LAKEHOUSE: change events (U/D/I) arrive
+    * over the AMQP 1.0 wire and `foreachBatch` applies each micro-batch
+    * as a COPY-ON-WRITE overlay version onto a partitioned parquet
+    * snapshot chain — the end-to-end shape (queue → merge → versioned
+    * table) that `fmt_merge_upsert` demonstrates for one batch and a
+    * real CDC pipeline runs forever. Two pumps + two drains on one
+    * checkpoint apply two disjoint changesets (even-year keys, then
+    * odd-year keys); every overlay holds ONLY its touched-year
+    * partitions, rewritten from the overlay-resolved current state, so
+    * the final read resolves each year to its highest version. The
+    * oracle replays both changesets relationally — partition routing,
+    * version resolution, update arithmetic, and delete/insert
+    * membership all sit under the hash. Batch-boundary-invariant by
+    * construction: each merge reads the RESOLVED current state of its
+    * touched years, so however AvailableNow splits a changeset the
+    * chain converges to the same table.
+    *
+    * Scale shape: per micro-batch cost is the changeset size plus a
+    * partition-pruned read+rewrite of the touched partitions — never
+    * the table; version resolution is directory/manifest arithmetic on
+    * the driver, bounded by |partitions|. This is the Delta/Iceberg
+    * streaming-MERGE loop with directory-granularity manifests. */
+  def amqpStreamCdcMerge(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-cdc-merge").toString
+
+    // snapshot v1: orders keyed to integer cents, partitioned by year
+    val base = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+    base.write.mode("overwrite").partitionBy("yr").parquet(s"$scratch/v1")
+
+    // version chain bookkeeping (the "manifest"): vN dirs, highest wins
+    val nextVersion = new java.util.concurrent.atomic.AtomicInteger(1)
+    def versions(): Seq[(Int, String)] =
+      new java.io.File(scratch).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(f => f.getName.drop(1).toInt -> f.getPath).sortBy(-_._1)
+    def yearsOf(dir: String): Set[Int] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+        .map(_.getName.stripPrefix("yr=").toInt).toSet
+    /** Overlay-first read: each year resolves to its highest version. */
+    def resolvedRead(): DataFrame = {
+      var seen = Set.empty[Int]
+      versions().map { case (_, dir) =>
+        val mine = yearsOf(dir) -- seen
+        seen ++= yearsOf(dir)
+        s.read.parquet(dir)
+          .filter(col("yr").isin(mine.toSeq.map(Integer.valueOf): _*))
+      }.reduce(_ unionByName _)
+    }
+
+    // the CDC changesets, derived from the source-of-record: U = +10%
+    // cents (producer ships the NEW value), D = delete, I = fresh
+    // negative key. Changeset A touches even years, B odd years.
+    val cdc = base.filter(col("o_orderkey") % 50 <= 2)
+      .select(
+        when(col("o_orderkey") % 50 === 0, lit("U"))
+          .when(col("o_orderkey") % 50 === 1, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        when(col("o_orderkey") % 50 === 2, -col("o_orderkey"))
+          .otherwise(col("o_orderkey")).as("key"),
+        col("yr"),
+        when(col("o_orderkey") % 50 === 0, col("cents") + expr("cents div 10"))
+          .otherwise(col("cents")).as("cents"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    def pump(evenYears: Boolean): Unit =
+      pumpAll(client, address, cdc.toSeq
+        .filter(r => (r.getInt(2) % 2 == 0) == evenYears)
+        .map { r =>
+          (AmqpMessage(
+            messageId = Some(s"${r.getString(0)}:${r.getLong(1)}"),
+            subject = Some(r.getString(0)),
+            body = AmqpValueBody(s"${r.getLong(1)},${r.getInt(2)},${r.getLong(3)}")),
+            r.getLong(1))
+        })
+
+    val ckpt = s"$scratch/ckpt"
+    def drain(): Unit = {
+      val reader = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+      // test hook: shrink micro-batches so one changeset splits across
+      // several merges — the spec proves the chain converges anyway
+      val q = sys.props.get("graft.cdc.maxPerTrigger")
+        .fold(reader)(n => reader.option("maxMessagesPerTrigger", n))
+        .load()
+        .select(col("subject").as("op"), split(col("body"), ",").as("f"))
+        .select(col("op"), col("f").getItem(0).cast(LongType).as("o_orderkey"),
+          col("f").getItem(1).cast(IntegerType).as("yr"),
+          col("f").getItem(2).cast(LongType).as("cents"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ops = b.persist()
+          try {
+            val touched = ops.select("yr").distinct()
+              .collect().map(_.getInt(0)).sorted
+            if (touched.nonEmpty) {
+              val dead = ops.filter(col("op").isin("D", "U"))
+                .select("o_orderkey", "yr")
+              val upserts = ops.filter(col("op").isin("U", "I"))
+                .select("o_orderkey", "yr", "cents")
+              val v = nextVersion.incrementAndGet()
+              resolvedRead()
+                .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+                .join(dead, Seq("o_orderkey", "yr"), "left_anti")
+                .unionByName(upserts)
+                .write.mode("overwrite").partitionBy("yr")
+                .parquet(s"$scratch/v$v")
+            }
+          } finally ops.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "cdc-merge gate query hung")
+      finally q.stop()
+    }
+
+    pump(evenYears = true); drain()
+    pump(evenYears = false); drain()
+    require(versions().size >= 3,
+      s"two drains must have produced overlays: ${versions().map(_._2)}")
+    versions().dropRight(1).foreach { case (_, dir) =>
+      require(yearsOf(dir).nonEmpty, s"empty overlay $dir") }
+
+    resolvedRead()
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val amqpStreamCdcMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base WHERE o_orderkey % 50 <> 1
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base WHERE o_orderkey % 50 = 2)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "amqp_browse"           -> (amqpBrowse _),
+    "amqp_stream_cdc_merge" -> (amqpStreamCdcMerge _),
     "amqp_property_pushdown" -> (amqpPropertyPushdown _),
     "amqp_stream_tws"       -> (amqpStreamTws _),
     "amqp_count_pushdown"   -> (amqpCountPushdown _),
@@ -1549,6 +1701,7 @@ object IngestQueries {
 
   val oracleSql: Map[String, String] = Map(
     "amqp_browse"           -> amqpBrowseSql,
+    "amqp_stream_cdc_merge" -> amqpStreamCdcMergeSql,
     "amqp_property_pushdown" -> amqpPropertyPushdownSql,
     "amqp_stream_tws"       -> amqpStreamTwsSql,
     "amqp_count_pushdown"   -> amqpCountPushdownSql,

@@ -256,4 +256,18 @@ class IngestQueriesSpec extends SparkSpecBase {
       s"late rows leaked into the output ($totalEmitted emitted)")
     assert(got.forall(_._1 % 3600 == 0))
   }
+
+  test("cdc merge converges to the same table regardless of micro-batch boundaries") {
+    import spark.implicits._
+    def run(): Map[Int, (Long, Long)] =
+      IngestQueries.amqpStreamCdcMerge(spark, sfDir)
+        .as[(Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val whole = run() // each drain lands as one (or few) micro-batches
+    System.setProperty("graft.cdc.maxPerTrigger", "7")
+    val shredded = try run() // every changeset splits across many merges
+    finally System.clearProperty("graft.cdc.maxPerTrigger")
+    assert(whole.nonEmpty && whole == shredded,
+      "version-chain resolution must be batch-boundary-invariant")
+  }
 }
