@@ -185,7 +185,8 @@ object Bench {
           }
         }
       }
-      def measure(label: String, ep: String, addresses: Seq[String], n: Long): Unit = {
+      def measure(label: String, ep: String, addresses: Seq[String], n: Long,
+          extraOpts: Seq[(String, String)] = Nil): Unit = {
         // Two phantom-number traps, both hit by earlier rounds:
         //  1. NOT df.count(): the COUNT(*) pushdown answers that from
         //     the sequence ledger (AmqpCountScan — a 1-row metadata
@@ -201,8 +202,10 @@ object Bench {
         //     id = the scan actually re-executes.
         import org.apache.spark.sql.functions.{col, count}
         def freshProbe() = {
-          val p = spark.read.format("amqp")
-            .option("endpoint", ep).option("addresses", addresses.mkString(",")).load()
+          val reader = spark.read.format("amqp")
+            .option("endpoint", ep).option("addresses", addresses.mkString(","))
+          val p = extraOpts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+            .load()
             .agg(count(col("body")).as("n"))
           p.queryExecution.executedPlan // plan + codegen outside the timed window
           p
@@ -264,6 +267,13 @@ object Bench {
           System.err.println(
             f"[bench] stream_ingest 1link_wire produce ${100000L / pSec}%.0f msg/s")
           measure("1link_wire", wireEp, Seq("l0"), 100000L)
+          // the SAME deep single-link backlog split into 4 bounded
+          // sub-partitions (maxRowsPerPartition): each slice drains its
+          // own pooled wire connection in parallel — the deep-backlog
+          // catch-up shape the sub-partition planner exists for. The
+          // delta vs 1link_wire is the measured value of the split.
+          measure("1link_wire_split4", wireEp, Seq("l0"), 100000L,
+            extraOpts = Seq("maxRowsPerPartition" -> "25000"))
           // 4 links over the wire: each partition reader drains its OWN
           // pooled connection, so the four framed drains run in
           // parallel instead of serializing on one socket — the

@@ -718,6 +718,55 @@ object FormatQueries {
     versioned(asOf1, 1).unionByName(versioned(asOf2, 2))
   }
 
+  // ----------------------------------------------------- fmt_retention_gc
+  /** RETENTION GC — the destructive companion of fmt_time_travel: once
+    * v1's retention lapses, the ONLY safe deletes are the v1 partitions
+    * SHADOWED by v2 (every other v1 partition is still live in the
+    * current version). The gate builds the chain, deletes exactly the
+    * shadowed directories, `require`s (a) the shadowed dirs are gone,
+    * (b) every unshadowed v1 partition survives untouched (path +
+    * length), and then re-runs the overlay-resolved read — which must
+    * hash-match the merge oracle even though history was vacuumed,
+    * because resolution never looked at the shadowed copies. Deleting
+    * one MORE partition would break the hash; one FEWER is storage
+    * leaked, pinned by (a).
+    *
+    * Scale shape: GC is driver-side manifest arithmetic (set
+    * difference of partition lists) + bulk directory deletes — cost
+    * \|partitions\|, zero data reads; the same mechanic as Delta VACUUM
+    * at directory granularity. */
+  def fmtRetentionGc(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "gc")
+    val (v1, v2, touched) = buildMergeOverlay(s, d, dir)
+    def v1Parts(): Map[Int, java.io.File] =
+      new java.io.File(v1).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+        .map(f => f.getName.stripPrefix("yr=").toInt -> f).toMap
+    val before = v1Parts()
+    val liveLens = before.filterNot(touched contains _._1)
+      .map { case (yr, f) => yr -> f.listFiles().map(_.length()).sorted.toSeq }
+    // vacuum: drop exactly the shadowed v1 partitions
+    touched.foreach { yr =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        require(f.delete(), s"gc failed to delete $f")
+      }
+      rm(before(yr))
+    }
+    val after = v1Parts()
+    require(touched.forall(!after.contains(_)), "shadowed partitions must be gone")
+    require(after.keySet == before.keySet -- touched, "gc deleted a live partition")
+    require(after.forall { case (yr, f) =>
+      f.listFiles().map(_.length()).sorted.toSeq == liveLens(yr) },
+      "gc touched a live partition's files")
+    // the current version reads identically off the vacuumed chain
+    s.read.parquet(v2)
+      .unionByName(s.read.parquet(v1)
+        .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
   private val timeTravelSql =
     """WITH base AS (
       |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -763,6 +812,7 @@ object FormatQueries {
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_merge_upsert"   -> (fmtMergeUpsert _),
     "fmt_time_travel"    -> (fmtTimeTravel _),
+    "fmt_retention_gc"   -> (fmtRetentionGc _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -783,6 +833,8 @@ object FormatQueries {
     "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_merge_upsert"   -> mergeUpsertSql,
     "fmt_time_travel"    -> timeTravelSql,
+    // the vacuumed chain must read identically to the live merge
+    "fmt_retention_gc"   -> mergeUpsertSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

@@ -1627,8 +1627,11 @@ object IngestQueries {
             val touched = ops.select("yr").distinct()
               .collect().map(_.getInt(0)).sorted
             if (touched.nonEmpty) {
-              val dead = ops.filter(col("op").isin("D", "U"))
-                .select("o_orderkey", "yr")
+              // anti-join ALL changed keys (I included): inserts land as
+              // upserts, so a foreachBatch RETRY that re-applies a batch
+              // whose overlay already committed stays idempotent instead
+              // of double-inserting the I rows
+              val dead = ops.select("o_orderkey", "yr")
               val upserts = ops.filter(col("op").isin("U", "I"))
                 .select("o_orderkey", "yr", "cents")
               val v = nextVersion.incrementAndGet()

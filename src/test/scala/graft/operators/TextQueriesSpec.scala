@@ -773,7 +773,12 @@ class TextQueriesSpec extends SparkSpecBase {
       }.sum
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
-    val got = TextQueries.txtQualityModel(spark, sfDir)
+    val model = TextQueries.txtQualityModel(spark, sfDir)
+    // inference at I/O speed: a pure per-row projection — no Exchange
+    // anywhere in the physical plan
+    val plan = model.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"model scoring must not shuffle:\n$plan")
+    val got = model
       .select("doc_id", "logit", "kept").as[(Long, Long, Int)].collect()
     assert(got.length == docs.size)
     got.foreach { case (id, logit, kept) =>
