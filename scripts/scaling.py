@@ -22,13 +22,18 @@ def family(q):
         "amqp": "amqp (streaming gates)", "corpus": "corpus", "dedup": "dedup",
         "fmt": "fmt (format round-trips)", "mm": "mm (multimodal)",
         "sim": "sim (vector/graph)", "split": "split", "txt": "txt",
-    }[q.split("_")[0]]
+    }.get(q.split("_")[0], "other")
 
 
 def main():
     small = json.load(open(sys.argv[1]))
     big = json.load(open(sys.argv[2]))
-    qs = sorted(set(small["queries"]) & set(big["queries"]))
+    # Bench writes -1.0 for a budget-skipped or failed query: a pairing
+    # that silently summed the sentinel would misstate every ratio
+    bad = {q for j in (small, big) for q, v in j["queries"].items() if v <= 0}
+    if bad:
+        print(f"EXCLUDED failed/skipped queries (value <= 0): {sorted(bad)}")
+    qs = sorted((set(small["queries"]) & set(big["queries"])) - bad)
     missing = set(small["queries"]) ^ set(big["queries"])
     fams = {}
     for q in qs:

@@ -25,6 +25,19 @@ import graft.Tables
   */
 object FormatQueries {
 
+  /** Physical layout snapshot: every .parquet data file under `root`,
+    * path -> length. Shared by the copy-on-write non-destruction
+    * requires (fmt_time_travel, sim_index_append). listFiles() is null
+    * on an I/O error — guarded so the require fails with ITS message,
+    * not an NPE. */
+  private[operators] def parquetFiles(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.length()).toMap
+  }
+
   private def scratch(d: String, fmt: String): String = {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_fmt_${fmt}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
@@ -691,20 +704,12 @@ object FormatQueries {
     * exactly the v1 partitions shadowed by v2. */
   def fmtTimeTravel(s: SparkSession, d: String): DataFrame = {
     val dir = scratch(d, "ttravel")
-    // snapshot v1's physical files, before the overlay write
-    def listFiles(root: String): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(root))
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.length()).toMap
-    }
     // v1 written fresh, listed, THEN the overlay applied — the listing
     // brackets only the merge, so the require is authoritative
     val v1 = writeMergeV1(s, d, dir)
-    val before = listFiles(v1)
+    val before = parquetFiles(v1)
     val (v2, touched) = applyMergeOverlay(s, dir)
-    val after = listFiles(v1)
+    val after = parquetFiles(v1)
     require(after == before,
       s"copy-on-write must leave v1 untouched: ${before.size} files before, ${after.size} after")
     val asOf1 = s.read.parquet(v1)

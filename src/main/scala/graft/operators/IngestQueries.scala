@@ -1551,7 +1551,16 @@ object IngestQueries {
   def amqpStreamCdcMerge(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
-    val scratch = java.nio.file.Files.createTempDirectory("graft-cdc-merge").toString
+    // deterministic scratch (like FormatQueries.scratch): warm Bench /
+    // Verify runs and the spec's repeat runs reuse one dir instead of
+    // leaking a table-sized version chain per invocation
+    val scratch = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cdc_merge_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    def rmTree(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      require(f.delete(), s"could not clear prior cdc scratch $f")
+    }
+    rmTree(new java.io.File(scratch)) // prior chain + checkpoint must not bleed in
 
     // snapshot v1: orders keyed to integer cents, partitioned by year
     val base = Tables.orders(s, d).select(

@@ -274,21 +274,14 @@ object SimilarityQueries {
     val centsArr = ivfCentroids(e)
     val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_sim_ivfapp_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
-    def dataFiles(root: String): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-      walk(new java.io.File(root))
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.length()).toMap
-    }
     // initial build over the even half (static overwrite resets the dir)
     ivfAssign(e.filter(col("vec_id") % 2 === 0), centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
-    val before = dataFiles(idx)
+    val before = FormatQueries.parquetFiles(idx)
     // ingest: the odd half appends into the same partitioned layout
     ivfAssign(e.filter(col("vec_id") % 2 === 1), centsArr)
       .write.mode("append").partitionBy("cid").parquet(idx)
-    val after = dataFiles(idx)
+    val after = FormatQueries.parquetFiles(idx)
     require(before.forall { case (p, len) => after.get(p).contains(len) },
       s"append must not rewrite history: ${before.size} initial files")
     require(after.size > before.size,

@@ -2068,13 +2068,15 @@ object TextQueries {
 
   val txtQualityModelSql: String = {
     import graft.functions.HashFunctions.charFoldHashSql
-    s"""SELECT doc_id, lang,
-       |  CAST(coalesce(list_sum(list_transform($DTokens,
-       |    tok -> (${charFoldHashSql("tok")} % 64 + 1) * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS logit,
-       |  CAST(CASE WHEN coalesce(list_sum(list_transform($DTokens,
-       |    tok -> (${charFoldHashSql("tok")} % 64 + 1) * 2654435761 % 1001 - 500)), 0) > 0
-       |    THEN 1 ELSE 0 END AS INT) AS kept
-       |FROM documents""".stripMargin
+    // logit computed ONCE in the subquery, kept derived from it — the
+    // weight formula has a single copy to keep in sync with the Spark side
+    s"""SELECT doc_id, lang, logit,
+       |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(coalesce(list_sum(list_transform($DTokens,
+       |      tok -> (${charFoldHashSql("tok")} % 64 + 1) * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS logit
+       |  FROM documents) m""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
