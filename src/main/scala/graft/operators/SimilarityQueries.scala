@@ -329,6 +329,120 @@ object SimilarityQueries {
   val simIndexBuildSql: String = ivfReplaySql(NumQueries, 2L * NumQueries)
   val simIndexAppendSql: String = ivfReplaySql(2L * NumQueries, 2L * NumQueries + 5)
 
+  // --------------------------------------------------- sim_ivf_rebalance
+  /** CELL REBALANCE — the "periodic rebalance" leg of the persisted-
+    * index lifecycle (build → append → REBALANCE → serve): the busiest
+    * inverted list (max count, ties to the lowest cid) SPLITS into two
+    * cells around deterministic anchors — its members with the lowest
+    * and highest vec_id — and every member joins the anchor it is
+    * cosine-closer to (ties to the low anchor). Physically a manifest
+    * op: ONLY the split cell's directory is rewritten (its survivors
+    * stay under the old cid, movers land under the fresh cid
+    * |cells|); `require`s pin that every other cell's files survive
+    * byte-identical and both halves are non-empty. The gate emits
+    * membership-sensitive per-cell stats (count / min / max / sum of
+    * vec_id) off a re-read of the REBALANCED layout, and the oracle
+    * replays assignment + split relationally — so cell choice, anchor
+    * choice, the cosine re-assignment, and the directory rewrite are
+    * all under the hash.
+    *
+    * Scale shape: rebalance cost is the split cell's volume, never the
+    * index; at 100 TB this is the background compaction that keeps
+    * serve-side cell reads bounded as appends skew the lists (a real
+    * system k-means-refines the two anchors — same data movement). */
+  def simIvfRebalance(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfreb_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    ivfAssign(e, centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    val before = FormatQueries.parquetFiles(idx)
+
+    // busiest cell + its two vec_id-extreme anchors: one tiny aggregate
+    val Seq((busy, aLo, aHi)) = s.read.parquet(idx)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("a_lo"), max(col("vec_id")).as("a_hi"))
+      .orderBy(col("n").desc, col("cid").asc).limit(1)
+      .select(col("cid").cast(LongType), col("a_lo"), col("a_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(aLo != aHi, s"busiest cell $busy has one member — nothing to split")
+    val anchors = e.filter(col("vec_id").isin(aLo, aHi))
+      .select(col("vec_id").as("a_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
+      .agg(array_sort(collect_list(struct(col("a_id"), col("aemb"), col("anrm")))).as("as_"))
+
+    // split: members re-assign to the cosine-nearer anchor (ties → low)
+    val members = s.read.parquet(s"$idx/cid=$busy")
+      .crossJoin(broadcast(anchors))
+      .withColumn("stay", expr(
+        """vec_dot(emb, as_[0].aemb) / (nrm * as_[0].anrm)
+          |  >= vec_dot(emb, as_[1].aemb) / (nrm * as_[1].anrm)""".stripMargin))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("stay"))
+      .persist()
+    try {
+      // materialize the cache BEFORE overwriting the directory it was
+      // read from (mode=overwrite deletes the source first), and write
+      // the movers' fresh dir before touching the old one
+      members.count()
+      val freshCid = NumCells.toLong // the one id the seeding never used
+      members.filter(!col("stay")).drop("stay")
+        .write.mode("overwrite").parquet(s"$idx/cid=$freshCid")
+      members.filter(col("stay")).drop("stay")
+        .write.mode("overwrite").parquet(s"$idx/cid=$busy")
+    } finally members.unpersist()
+
+    // manifest contract: nothing outside the split cell moved, and the
+    // split actually split
+    val after = FormatQueries.parquetFiles(idx)
+    val untouched = before.filterNot(_._1.contains(s"cid=$busy"))
+    require(untouched.forall { case (p, len) => after.get(p).contains(len) },
+      "rebalance must not touch cells outside the split")
+    def nonEmpty(cid: Long) = after.keys.exists(_.contains(s"cid=$cid"))
+    require(nonEmpty(busy) && nonEmpty(NumCells.toLong),
+      s"split produced an empty half (busy=$busy)")
+
+    s.read.parquet(idx)
+      .withColumn("cid", col("cid").cast(LongType))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"), sum(col("vec_id")).as("sum_vec"))
+  }
+
+  val simIvfRebalanceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $NumCells),
+       |assigned AS (
+       |  SELECT vec_id, cid, emb, nrm FROM (
+       |    SELECT n.vec_id, cents.cid, n.emb, n.nrm,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cents.cemb) / (n.nrm * cents.cnrm) DESC, cents.cid ASC) AS rnc
+       |    FROM n CROSS JOIN cents) t
+       |  WHERE rnc = 1),
+       |busy AS (
+       |  SELECT cid FROM assigned GROUP BY cid
+       |  ORDER BY count(*) DESC, cid ASC LIMIT 1),
+       |anch AS (
+       |  SELECT min(vec_id) AS a_lo, max(vec_id) AS a_hi FROM assigned
+       |  WHERE cid = (SELECT cid FROM busy)),
+       |alo AS (SELECT emb, nrm FROM n WHERE vec_id = (SELECT a_lo FROM anch)),
+       |ahi AS (SELECT emb, nrm FROM n WHERE vec_id = (SELECT a_hi FROM anch)),
+       |rebalanced AS (
+       |  SELECT a.vec_id,
+       |    CASE
+       |      WHEN a.cid <> (SELECT cid FROM busy) THEN a.cid
+       |      WHEN list_dot_product(a.emb, alo.emb) / (a.nrm * alo.nrm)
+       |        >= list_dot_product(a.emb, ahi.emb) / (a.nrm * ahi.nrm) THEN a.cid
+       |      ELSE $NumCells
+       |    END AS cid
+       |  FROM assigned a, alo, ahi)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_vec
+       |FROM rebalanced GROUP BY cid""".stripMargin
+
   // -------------------------------------------------------- sim_mips_ivf
   /** MAXIMUM INNER PRODUCT search via norm augmentation (the public
     * Bachrach et al. 2014 / Shrivastava–Li reduction): append one
@@ -1946,6 +2060,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_index_build"     -> (simIndexBuild _),
     "sim_index_append"    -> (simIndexAppend _),
+    "sim_ivf_rebalance"   -> (simIvfRebalance _),
     "sim_mips_ivf"        -> (simMipsIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
     "sim_range_search"    -> (simRangeSearch _),
@@ -1977,6 +2092,7 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_index_build"     -> simIndexBuildSql,
     "sim_index_append"    -> simIndexAppendSql,
+    "sim_ivf_rebalance"   -> simIvfRebalanceSql,
     "sim_mips_ivf"        -> simMipsIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,
     "sim_range_search"    -> simRangeSearchSql,

