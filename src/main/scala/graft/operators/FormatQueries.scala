@@ -723,6 +723,145 @@ object FormatQueries {
     versioned(asOf1, 1).unionByName(versioned(asOf2, 2))
   }
 
+  // ---------------------------------------------------- fmt_analyze_stats
+  /** ANALYZE TABLE under the oracle gate — the catalog-statistics leg
+    * of the cost-based-optimizer story: `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` populates the catalog with per-column
+    * stats, and this gate reads them BACK OUT of the catalog (via
+    * `DESCRIBE EXTENDED table column`) and hashes the exactly-defined
+    * fields — row count, per-column null count, min, max — against
+    * DuckDB computing the same aggregates from the raw parquet. The
+    * NDV field is deliberately NOT gated (Spark's ANALYZE estimates it
+    * with HyperLogLog++; an approximate field has no cross-engine
+    * hash), which is itself the documentation: everything the CBO
+    * trusts exactly is exact, and what it trusts approximately is
+    * disclosed as such.
+    *
+    * The stats are not decoration: FormatQueriesSpec proves they flip
+    * a plan — the same filtered join compiles to a sort-merge join
+    * stats-blind and to a broadcast join once ANALYZE + CBO give the
+    * filter a range-selectivity estimate under the broadcast
+    * threshold. That is the 100 TB point of ANALYZE: a nightly
+    * stats-collection scan (one pass, partial-aggregable min/max/null
+    * counts) buys every subsequent query's join strategy, join order,
+    * and broadcast decisions.
+    *
+    * Scale shape: ANALYZE itself is a single scan with a tiny
+    * fixed-width aggregate per column; the catalog write is metadata.
+    * Serving stats to the planner is free. */
+  def fmtAnalyzeStats(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val tbl = s"graft_stats_orders_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = scratch(d, "stats")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").option("path", path).saveAsTable(tbl)
+    s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey, o_totalprice")
+    val rowCount = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .stats.flatMap(_.rowCount).map(_.toLong)
+      .getOrElse(sys.error(s"ANALYZE left no row count on $tbl"))
+    val stats = Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      val info = s.sql(s"DESCRIBE EXTENDED $tbl $c").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      (c, rowCount, info("num_nulls").toLong,
+        info("min").toDouble, info("max").toDouble)
+    }
+    s.createDataFrame(stats.map(t =>
+      org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)).asJava,
+      StructType(Seq(
+        StructField("col_name", StringType), StructField("n_rows", LongType),
+        StructField("n_nulls", LongType), StructField("min_val", DoubleType),
+        StructField("max_val", DoubleType))))
+  }
+
+  private val analyzeStatsSql =
+    """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+      |  CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+      |  CAST(max(o_orderkey) AS DOUBLE) AS max_val
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(o_custkey) AS BIGINT),
+      |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+      |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------------ fmt_change_feed
+  /** CHANGE DATA FEED between snapshot versions — the read-side CDC the
+    * lakehouse chain owes its consumers (Delta's `readChangeFeed`,
+    * Iceberg's changelog scan): row-level `insert` / `delete` /
+    * `update_preimage` / `update_postimage` records derived from the
+    * copy-on-write chain itself, NOT from replaying the upstream
+    * changeset (the whole point of a change feed is that downstream
+    * consumers don't have access to the producer's CDC stream).
+    *
+    * Derivation: v2's overlay holds exactly the touched partitions, so
+    * the version diff is a full-outer join of the overlay against v1
+    * PRUNED TO THE SAME touched partitions — key in v1 only = delete,
+    * in v2 only = insert, in both with a changed value = an
+    * update pre/post pair, in both unchanged = no change row (the CDF
+    * contract: a rewritten-but-identical row emits nothing).
+    * Classification is a single pass — one `explode` of a per-key
+    * change array — not a union of four re-executions of the join.
+    *
+    * Scale shape: cost tracks the OVERLAY volume, never the table —
+    * both join sides are partition-pruned to the touched list, the
+    * join shuffles only overlay-sized inputs keyed by (key, partition),
+    * and untouched partitions are provably absent from the scan (the
+    * overlay's directory listing IS the touched list, `require`d by
+    * the merge builder). The oracle replays the changeset relationally,
+    * so change typing, pre/post imagery, and no-op suppression are all
+    * under the hash. */
+  def fmtChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "cdf")
+    val (v1, v2, touched) = buildMergeOverlay(s, d, dir)
+    val pre = s.read.parquet(v1)
+      .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      .select(col("o_orderkey"), col("yr"), col("cents").as("pre_cents"))
+    val post = s.read.parquet(v2)
+      .select(col("o_orderkey"), col("yr"), col("cents").as("post_cents"))
+    pre.join(post, Seq("o_orderkey", "yr"), "full_outer")
+      .select(col("o_orderkey"), col("yr"), explode(
+        when(col("post_cents").isNull, array(
+          struct(lit("delete").as("ct"), col("pre_cents").as("c"))))
+        .when(col("pre_cents").isNull, array(
+          struct(lit("insert").as("ct"), col("post_cents").as("c"))))
+        .when(col("pre_cents") =!= col("post_cents"), array(
+          struct(lit("update_preimage").as("ct"), col("pre_cents").as("c")),
+          struct(lit("update_postimage").as("ct"), col("post_cents").as("c"))))
+        .otherwise(array().cast("array<struct<ct:string,c:bigint>>")))
+        .as("chg"))
+      .select(col("o_orderkey"), col("yr"),
+        col("chg.ct").as("change_type"), col("chg.c").as("cents"))
+  }
+
+  private val changeFeedSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, yr, cents,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN 'U'
+      |         WHEN o_orderkey % 50 = 1 THEN 'D' ELSE 'I' END AS op
+      |  FROM base WHERE yr % 2 = 0 AND o_orderkey % 50 <= 2)
+      |SELECT o_orderkey, yr, 'delete' AS change_type, cents FROM ch WHERE op = 'D'
+      |UNION ALL
+      |SELECT -o_orderkey, yr, 'insert', cents FROM ch WHERE op = 'I'
+      |UNION ALL
+      |SELECT o_orderkey, yr, 'update_preimage', cents
+      |FROM ch WHERE op = 'U' AND cents // 10 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, yr, 'update_postimage', cents + cents // 10
+      |FROM ch WHERE op = 'U' AND cents // 10 <> 0""".stripMargin
+
   // ----------------------------------------------------- fmt_retention_gc
   /** RETENTION GC — the destructive companion of fmt_time_travel: once
     * v1's retention lapses, the ONLY safe deletes are the v1 partitions
@@ -817,6 +956,8 @@ object FormatQueries {
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_merge_upsert"   -> (fmtMergeUpsert _),
     "fmt_time_travel"    -> (fmtTimeTravel _),
+    "fmt_change_feed"    -> (fmtChangeFeed _),
+    "fmt_analyze_stats"  -> (fmtAnalyzeStats _),
     "fmt_retention_gc"   -> (fmtRetentionGc _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
@@ -838,6 +979,8 @@ object FormatQueries {
     "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_merge_upsert"   -> mergeUpsertSql,
     "fmt_time_travel"    -> timeTravelSql,
+    "fmt_change_feed"    -> changeFeedSql,
+    "fmt_analyze_stats"  -> analyzeStatsSql,
     // the vacuumed chain must read identically to the live merge
     "fmt_retention_gc"   -> mergeUpsertSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,

@@ -1170,6 +1170,106 @@ object IngestQueries {
       |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
       |GROUP BY l.u""".stripMargin
 
+  // --------------------------------------------- amqp_stream_join2_full
+  /** Watermarked stream-stream FULL OUTER join under the oracle gate —
+    * completes the join family (inner → left-outer → FULL): unmatched
+    * rows must now flush from BOTH sides' state, each under its own
+    * eviction rule derived from the band. A left row evicts (emitting
+    * right-nulls) once the watermark passes `l_ts + 24h`; a right row
+    * evicts (emitting left-nulls) once the watermark passes `r_ts` —
+    * because any future left row's `l_ts` is at least the watermark,
+    * so no band `[l_ts, l_ts+24h]` can still reach back to it. Both
+    * directions are driven by the same dual far-future anchors as the
+    * left-outer gate (global watermark = min over sources); both
+    * anchors are filtered from the collected output (each would
+    * otherwise surface as its side's unmatched row, or pin state).
+    *
+    * The oracle is the relational banded FULL JOIN grouped by
+    * `coalesce(l.u, r.u)` — a missing, duplicated, or premature null
+    * emission on EITHER side breaks the per-key row count, the side-
+    * specific null tallies, or the matched-pair cents sum.
+    *
+    * Scale shape: same as the inner/left gates — state keyed by user,
+    * bounded by watermark + band on both sides; full-outer adds no
+    * state beyond left-outer, only the extra right-side emission. */
+  def amqpStreamJoin2Full(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val (aL, aR) = (s"$address-L", s"$address-R")
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 6) // own per-run address: slice overlap is fine
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .collect()
+    val anchorTs = rows.map(_.getLong(3)).max + 60L * 24 * 3600 * 1000000L
+    for ((addr, parity, anchorKey) <- Seq((aL, 0L, "anchor-l"), (aR, 1L, "anchor-r"))) {
+      val side = rows.filter(r => (r.getLong(0) / 10) % 2 == parity)
+      pumpAll(client, addr, side.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getLong(1).toString),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
+      } :+ (AmqpMessage(messageId = Some(anchorKey), subject = Some(anchorKey),
+        body = AmqpValueBody("0.0")), anchorTs))
+    }
+    def side(addr: String, p: String): DataFrame =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", addr).load()
+        .select(col("subject").as(s"${p}_u"),
+          col("body").cast(DecimalType(18, 2)).as(s"${p}_v"),
+          col("ingest_timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    val joined = side(aL, "l").join(side(aR, "r"),
+      col("l_u") === col("r_u") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 24 HOURS"),
+      "full_outer")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Option[String], Option[Long])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-join2f-gate").toString
+    val q = joined
+      .select(col("l_u"), col("r_u"),
+        ((col("l_v") + col("r_v")) * 100).cast(LongType).as("cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r => (
+          if (r.isNullAt(0)) None else Some(r.getString(0)),
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        out.synchronized { out ++= got }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "full-outer stream-stream join gate hung")
+    finally q.stop()
+    out.toSeq
+      .filterNot(t => t._1.exists(_.startsWith("anchor")) || t._2.exists(_.startsWith("anchor")))
+      .toDF("l_u", "r_u", "cents")
+      .groupBy(coalesce(col("l_u"), col("r_u")).as("user_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_u"))).as("n_left_null"),
+        (count(lit(1)) - count(col("r_u"))).as("n_right_null"),
+        sum(col("cents")).as("sum_pair_cents"))
+  }
+
+  val amqpStreamJoin2FullSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS u,
+      |    CAST(value AS DECIMAL(18,2)) AS v, ts
+      |  FROM events WHERE event_id % 7 = 6),
+      |l AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 0),
+      |r AS (SELECT * FROM e WHERE (event_id // 10) % 2 = 1)
+      |SELECT coalesce(l.u, r.u) AS user_key,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) - count(l.u) AS BIGINT) AS n_left_null,
+      |  CAST(count(*) - count(r.u) AS BIGINT) AS n_right_null,
+      |  CAST(sum(CAST((l.v + r.v) * 100 AS BIGINT)) AS BIGINT) AS sum_pair_cents
+      |FROM l FULL JOIN r ON l.u = r.u
+      |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
+      |GROUP BY coalesce(l.u, r.u)""".stripMargin
+
   // ----------------------------------------------- amqp_filter_pushdown
   /** Predicate pushdown under the oracle gate: a timestamp-range +
     * subject-equality peek at a queue snapshot. The scan builder
@@ -1700,6 +1800,7 @@ object IngestQueries {
     "amqp_stream_corpus"    -> (amqpStreamCorpus _),
     "amqp_stream_join2"     -> (amqpStreamJoin2 _),
     "amqp_stream_join2_outer" -> (amqpStreamJoin2Outer _),
+    "amqp_stream_join2_full"  -> (amqpStreamJoin2Full _),
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
@@ -1723,6 +1824,7 @@ object IngestQueries {
     "amqp_stream_corpus"    -> amqpStreamCorpusSql,
     "amqp_stream_join2"     -> amqpStreamJoin2Sql,
     "amqp_stream_join2_outer" -> amqpStreamJoin2OuterSql,
+    "amqp_stream_join2_full"  -> amqpStreamJoin2FullSql,
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,

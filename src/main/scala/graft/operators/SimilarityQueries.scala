@@ -210,9 +210,12 @@ object SimilarityQueries {
 
   /** Serve queries [loQ, hiQ) against the persisted cid-partitioned
     * index: nprobe cells per query, the corpus scan pruned to exactly
-    * the probed partition directories. */
+    * the probed partition directories. `tombstones` (when present) is
+    * the logical-delete sidecar — an anti-join masks deleted vectors
+    * out of scoring without the data files ever being rewritten
+    * (sim_index_delete). */
   private[operators] def ivfServe(s: SparkSession, e: DataFrame, centsArr: DataFrame,
-      idx: String, loQ: Long, hiQ: Long): DataFrame = {
+      idx: String, loQ: Long, hiQ: Long, tombstones: Option[DataFrame] = None): DataFrame = {
     val probes = e.filter(col("vec_id") >= loQ && col("vec_id") < hiQ)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
       .crossJoin(broadcast(centsArr))
@@ -227,9 +230,14 @@ object SimilarityQueries {
       .collect().map(_.getLong(0).toInt).sorted // driver list, ≤ |cells|
     require(cells.nonEmpty && cells.length < NumCells,
       s"the probe set must prune the index scan: ${cells.toSeq} of $NumCells")
-    val served = s.read.parquet(idx) // partition col cid reads back as int
+    val scanned = s.read.parquet(idx) // partition col cid reads back as int
       .filter(col("cid").isin(cells.map(Integer.valueOf): _*))
       .withColumn("cid", col("cid").cast(LongType))
+    // deleted vectors are masked BEFORE scoring — at 100 TB the sidecar
+    // is delete-volume-sized (broadcast here; partition it by cid like
+    // the index when deletes outgrow a broadcast)
+    val served = tombstones.fold(scanned)(t =>
+      scanned.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     explodeTopK(
       served.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -291,11 +299,130 @@ object SimilarityQueries {
     ivfServe(s, e, centsArr, idx, 2L * NumQueries, 2L * NumQueries + 5)
   }
 
+  // ---------------------------------------------------- sim_index_delete
+  /** LOGICAL DELETES — the lifecycle leg between append and rebalance
+    * (build → append → DELETE → rebalance → serve): removing vectors
+    * from a persisted index must not rewrite the inverted lists (a
+    * delete-triggered rewrite of a 100 TB layout would dwarf the delete
+    * itself), so deletes land as a TOMBSTONE SIDECAR — a parquet set of
+    * deleted vec_ids next to the index — and serve anti-joins the
+    * broadcast sidecar out of the probed scan before scoring. This is
+    * Iceberg's merge-on-read delete-file / FAISS `remove_ids` mechanic
+    * in lakehouse form; the periodic compaction that physically drops
+    * tombstoned rows is fmt_compaction's shape and fmt_retention_gc's
+    * safety argument.
+    *
+    * `require`s pin the contract physically: every index data file
+    * survives the delete byte-identical (path + length), and the
+    * sidecar is non-empty. The oracle replays the IVF with the delete
+    * predicate applied to the corpus side, so the masking join — not
+    * just the sidecar write — is under the hash: a tombstoned vector
+    * leaking into any top-k breaks it, as does over-deleting a live
+    * one.
+    *
+    * Scale shape: delete cost is sidecar-write only; serve cost is
+    * unchanged (partition-pruned probe scan + a broadcast anti-join
+    * sized by the delete volume). */
+  def simIndexDelete(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfdel_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    ivfAssign(e, centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    val before = FormatQueries.parquetFiles(idx)
+    // logical delete: every vec_id ≡ 3 (mod 7) — written as a sidecar,
+    // never into the index layout
+    val tomb = s"${idx}_tombstones"
+    s.read.parquet(idx).filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).write.mode("overwrite").parquet(tomb)
+    val after = FormatQueries.parquetFiles(idx)
+    require(after == before,
+      s"logical delete must not rewrite index data files: ${before.size} files")
+    val t = s.read.parquet(tomb)
+    require(t.limit(1).count() == 1, "delete set must be non-empty")
+    ivfServe(s, e, centsArr, idx, 2L * NumQueries + 5, 2L * NumQueries + 10, Some(t))
+  }
+
+  // --------------------------------------------------- sim_index_compact
+  /** TOMBSTONE COMPACTION — the physical completion of
+    * [[simIndexDelete]]'s logical deletes (build → append → delete →
+    * COMPACT → rebalance → serve): the background job that rewrites
+    * each inverted list CONTAINING tombstoned rows without them, drops
+    * the sidecar, and must converge to exactly the serve the logical
+    * mask produced — the same convergence discipline sim_index_append
+    * pins for adds. Only cells that actually hold a deleted vector are
+    * rewritten (`require`d: every other cell's files survive
+    * byte-identical), the rewrite is persist-then-overwrite per cell
+    * (the directory being read is the directory being replaced —
+    * sim_ivf_rebalance's materialization order), and a post-compact
+    * `require` proves zero tombstoned rows survive anywhere. Serve
+    * then runs with NO tombstone mask on a fresh query slice, under
+    * the same oracle predicate as the logical gate — so a compaction
+    * that dropped a live row, kept a dead one, or disturbed a clean
+    * cell breaks the hash.
+    *
+    * Scale shape: compaction cost is the tombstone-BEARING cells'
+    * volume, never the index (cells without deletes are untouched
+    * metadata); at 100 TB this runs on fmt_compaction's cadence and
+    * restores serve to mask-free scans while bounding sidecar
+    * growth. */
+  def simIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val e = embedded(s, d)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfcmp_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    ivfAssign(e, centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    val before = FormatQueries.parquetFiles(idx)
+    val deletePred = col("vec_id") % 7 === 3 // same rule as sim_index_delete
+    // cells actually carrying a tombstoned vector — only these rewrite
+    val dirtyCells = s.read.parquet(idx).filter(deletePred)
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+    require(dirtyCells.nonEmpty, "compaction gate needs at least one dirty cell")
+    // ONE rewrite job for all dirty cells: dynamic partition overwrite
+    // replaces exactly the partitions present in the written data and
+    // leaves clean cells' directories untouched — no per-cell job loop
+    val survivors = s.read.parquet(idx)
+      .filter(col("cid").isin(dirtyCells.map(Integer.valueOf): _*) && !deletePred)
+      .persist()
+    try {
+      // materialize BEFORE the overwrite commit replaces the source
+      // files (sim_ivf_rebalance's ordering), and prove no dirty cell
+      // is FULLY tombstoned — an empty cell writes no partition under
+      // dynamic mode, so it needs a directory delete instead (the
+      // fmt_retention_gc mechanic), which this gate's data never hits
+      val perCell = survivors.groupBy(col("cid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(dirtyCells.forall(c => perCell.getOrElse(c, 0L) > 0L),
+        "fully-tombstoned cell: compact via directory delete, not rewrite")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("cid").parquet(idx)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    } finally survivors.unpersist()
+    val after = FormatQueries.parquetFiles(idx)
+    val clean = before.filterNot { case (p, _) =>
+      dirtyCells.exists(c => p.contains(s"cid=$c/")) }
+    require(clean.forall { case (p, len) => after.get(p).contains(len) },
+      "compaction must not rewrite cells without tombstones")
+    // only the rewritten cells can still hold a tombstone (clean cells'
+    // byte-identity above proves they never had one) — pruned probe
+    require(s.read.parquet(idx)
+        .filter(col("cid").isin(dirtyCells.map(Integer.valueOf): _*) && deletePred)
+        .limit(1).count() == 0,
+      "a tombstoned row survived compaction")
+    ivfServe(s, e, centsArr, idx, 2L * NumQueries + 10, 2L * NumQueries + 15)
+  }
+
   /** DuckDB replay of the persisted-index IVF (build + serve) for the
     * query slice [loQ, hiQ) — shared by sim_index_build (the one-shot
-    * build) and sim_index_append (whose build-then-append must converge
-    * to exactly this from-scratch index). */
-  private def ivfReplaySql(loQ: Long, hiQ: Long): String =
+    * build), sim_index_append (whose build-then-append must converge
+    * to exactly this from-scratch index), and sim_index_delete /
+    * sim_index_compact (whose `corpusFilter` drops the tombstoned ids
+    * from the scored side — the compacted layout must converge to the
+    * logically-masked one). */
+  private def ivfReplaySql(loQ: Long, hiQ: Long, corpusFilter: String = "TRUE"): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
@@ -320,7 +447,7 @@ object SimilarityQueries {
        |  SELECT probes.query_id, assigned.vec_id,
        |    list_dot_product(assigned.emb, probes.qemb) / (assigned.nrm * probes.qnrm) AS cos
        |  FROM probes JOIN assigned ON probes.cid = assigned.cid
-       |  WHERE assigned.vec_id <> probes.query_id)
+       |  WHERE assigned.vec_id <> probes.query_id AND ($corpusFilter))
        |SELECT query_id, vec_id, cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM scored) t
@@ -328,6 +455,10 @@ object SimilarityQueries {
 
   val simIndexBuildSql: String = ivfReplaySql(NumQueries, 2L * NumQueries)
   val simIndexAppendSql: String = ivfReplaySql(2L * NumQueries, 2L * NumQueries + 5)
+  val simIndexDeleteSql: String = ivfReplaySql(2L * NumQueries + 5, 2L * NumQueries + 10,
+    "assigned.vec_id % 7 <> 3")
+  val simIndexCompactSql: String = ivfReplaySql(2L * NumQueries + 10, 2L * NumQueries + 15,
+    "assigned.vec_id % 7 <> 3")
 
   // --------------------------------------------------- sim_ivf_rebalance
   /** CELL REBALANCE — the "periodic rebalance" leg of the persisted-
@@ -2060,6 +2191,8 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_index_build"     -> (simIndexBuild _),
     "sim_index_append"    -> (simIndexAppend _),
+    "sim_index_delete"    -> (simIndexDelete _),
+    "sim_index_compact"   -> (simIndexCompact _),
     "sim_ivf_rebalance"   -> (simIvfRebalance _),
     "sim_mips_ivf"        -> (simMipsIvf _),
     "sim_topk_lsh"        -> (simTopKLsh _),
@@ -2092,6 +2225,8 @@ object SimilarityQueries {
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_index_build"     -> simIndexBuildSql,
     "sim_index_append"    -> simIndexAppendSql,
+    "sim_index_delete"    -> simIndexDeleteSql,
+    "sim_index_compact"   -> simIndexCompactSql,
     "sim_ivf_rebalance"   -> simIvfRebalanceSql,
     "sim_mips_ivf"        -> simMipsIvfSql,
     "sim_topk_lsh"        -> simTopKLshSql,

@@ -433,4 +433,66 @@ class FormatQueriesSpec extends SparkSpecBase {
     }
     assert(touched.nonEmpty && v1.keySet.exists(!touched(_)))
   }
+
+  test("analyze stats flip a filtered join from sort-merge to broadcast under CBO") {
+    import org.apache.spark.sql.functions._
+    // the gate leaves the analyzed table registered; run it first
+    val stats = FormatQueries.fmtAnalyzeStats(spark, sfDir).collect()
+    assert(stats.length == 3 && stats.forall(_.getLong(1) > 0))
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_stats_orders_")).get
+    val maxKey = spark.table(tbl).agg(max(col("o_orderkey"))).head().getLong(0)
+    // a filter selecting ~1% of the table by key range: stats-blind the
+    // Filter keeps the child's full size estimate, stats+CBO shrink it
+    // by range selectivity to under the broadcast threshold
+    def plan(): String = {
+      val probe = spark.table(tbl).filter(col("o_orderkey") <= maxKey / 100)
+      spark.table(tbl).join(probe.select(col("o_orderkey"), col("o_totalprice").as("p2")), "o_orderkey")
+        .queryExecution.sparkPlan.toString
+    }
+    val fullBytes = new java.io.File(
+      spark.sql(s"DESCRIBE EXTENDED $tbl").collect()
+        .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+    ).listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val conf = spark.conf
+    val (cboBefore, thrBefore) = (conf.get("spark.sql.cbo.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      // threshold: between the ~1% stats estimate and the full size
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (fullBytes / 4).toString)
+      conf.set("spark.sql.cbo.enabled", "false")
+      val blind = plan()
+      conf.set("spark.sql.cbo.enabled", "true")
+      val informed = plan()
+      assert(blind.contains("SortMergeJoin") && !blind.contains("BroadcastHashJoin"),
+        s"stats-blind plan should shuffle:\n$blind")
+      assert(informed.contains("BroadcastHashJoin"),
+        s"CBO + column stats should broadcast the 1% side:\n$informed")
+    } finally {
+      conf.set("spark.sql.cbo.enabled", cboBefore)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thrBefore)
+    }
+  }
+
+  test("change feed: typed diff derived from the chain matches the changeset's own arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtChangeFeed(spark, sfDir)
+      .select(col("o_orderkey"), col("yr"), col("change_type"), col("cents"))
+      .as[(Long, Int, String, Long)].collect()
+    val byType = rows.groupBy(_._3)
+    assert(byType.keySet == Set("insert", "delete", "update_preimage", "update_postimage"),
+      s"unexpected change types: ${byType.keySet}")
+    // the changeset's op rule: key%50 == 0 -> U, 1 -> D, 2 -> I(-key)
+    byType("delete").foreach { case (k, _, _, _) => assert(k % 50 == 1, s"delete key $k") }
+    byType("insert").foreach { case (k, _, _, _) => assert(k < 0 && (-k) % 50 == 2, s"insert key $k") }
+    // update rows pair up: same key set, post = pre + pre/10 per key
+    val pre = byType("update_preimage").map(r => (r._1, r._2) -> r._4).toMap
+    val post = byType("update_postimage").map(r => (r._1, r._2) -> r._4).toMap
+    assert(pre.keySet == post.keySet && pre.nonEmpty, "update pre/post keys must pair")
+    pre.foreach { case (k, c) => assert(post(k) == c + c / 10, s"update arithmetic at $k") }
+    // no-op suppression: every emitted update actually changed the value
+    pre.foreach { case (k, c) => assert(post(k) != c, s"no-op update leaked at $k") }
+    // every change row lives in a touched (even-year) partition
+    rows.foreach { case (_, yr, _, _) => assert(yr % 2 == 0, s"change in untouched year $yr") }
+  }
 }

@@ -651,4 +651,19 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(got.length > 1, "more than one community expected on real data")
     got.foreach { case (_, size, _) => assert(size >= 1) }
   }
+
+  test("sim_index_delete: tombstoned ids never surface, ranks stay dense, masking changed answers") {
+    import spark.implicits._
+    val got = SimilarityQueries.simIndexDelete(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // the delete predicate: vec_id ≡ 3 (mod 7) must never appear
+    got.foreach { case (_, v, _, _) =>
+      assert(v % 7 != 3, s"tombstoned vector $v leaked into a top-k") }
+    // every query still fills its k slots with live vectors, densely ranked
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length), s"ranks not dense for query $q")
+      assert(rows.length == 5, s"query $q returned ${rows.length} of 5 slots")
+    }
+  }
 }
