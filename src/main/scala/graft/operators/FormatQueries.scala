@@ -647,11 +647,12 @@ object FormatQueries {
     v1
   }
 
-  private def applyMergeOverlay(s: SparkSession, dir: String): (String, Array[Int]) = {
-    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
-    // CDC changeset against the source-of-record (even years only):
-    // op U = +10% price, D = delete, I = insert under a fresh key
-    val ch = s.read.parquet(v1)
+  /** The deterministic CDC merge's post-image for the TOUCHED years
+    * only (even years carrying changeset keys): op U = +10% price,
+    * D = delete, I = insert under a fresh negative key. Shared by the
+    * overlay writer and fmt_stream_tail's mid-stream commit. */
+  private def mergedTouched(v1df: DataFrame): (DataFrame, Array[Int]) = {
+    val ch = v1df
       .filter(col("yr") % 2 === 0 && col("o_orderkey") % 50 <= 2)
       .withColumn("op",
         when(col("o_orderkey") % 50 === 0, lit("U"))
@@ -667,13 +668,19 @@ object FormatQueries {
     val ins = ch.filter(col("op") === "I")
       .select((-col("o_orderkey")).as("o_orderkey"), col("yr"), col("cents"))
 
-    s.read.parquet(v1).filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+    val content = v1df.filter(col("yr").isin(touched.map(Integer.valueOf): _*))
       .join(del, Seq("o_orderkey", "yr"), "left_anti")
       .join(upd, Seq("o_orderkey", "yr"), "left")
       .select(col("o_orderkey"), col("yr"),
         coalesce(col("new_cents"), col("cents")).as("cents"))
       .unionByName(ins)
-      .write.mode("overwrite").partitionBy("yr").parquet(v2)
+    (content, touched)
+  }
+
+  private def applyMergeOverlay(s: SparkSession, dir: String): (String, Array[Int]) = {
+    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
+    val (content, touched) = mergedTouched(s.read.parquet(v1))
+    content.write.mode("overwrite").partitionBy("yr").parquet(v2)
 
     // copy-on-write contract: the overlay holds EXACTLY the touched
     // partitions — nothing untouched was copied or rewritten
@@ -792,6 +799,104 @@ object FormatQueries {
       |  CAST(count(*) - count(o_totalprice) AS BIGINT),
       |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
       |FROM orders""".stripMargin
+
+  // ------------------------------------------------------ fmt_stream_tail
+  /** The SNAPSHOT CHAIN AS A STREAMING SOURCE — Delta's "table as
+    * stream" read made literal: a Structured Streaming file source
+    * tails the chain's commit directory with a checkpointed file log,
+    * so version commits become micro-batches and a consumer reads each
+    * version's files EXACTLY ONCE. Choreography: v1's files land →
+    * drain 1 (AvailableNow, checkpoint C) processes them → the merge
+    * commits its overlay files into the same directory → drain 2 (same
+    * checkpoint) processes ONLY the new files. The gate emits per-drain
+    * per-year aggregates; the oracle computes drain 1 = the base
+    * snapshot and drain 2 = the merge post-image of exactly the
+    * touched years — so a consumer that re-reads v1 (double-counting),
+    * misses overlay files, or sees them early breaks the hash. This is
+    * the read-side dual of `amqp_stream_cdc_merge` (stream merges IN →
+    * tail versions OUT), and the whole-file sibling of
+    * `fmt_change_feed`'s row-typed diff.
+    *
+    * Scale shape: the file-source log lists only files newer than its
+    * checkpoint (incremental listing, no table re-scan); each
+    * micro-batch costs the NEW version's volume. The flat layout here
+    * trades fmt_merge_upsert's partition pruning for streamability —
+    * a production chain keeps both by logging per-partition files, as
+    * Delta's transaction log does. */
+  def fmtStreamTail(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = scratch(d, "tail")
+    def rmTree(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      require(f.delete(), s"could not clear prior tail scratch $f")
+    }
+    rmTree(new java.io.File(dir)) // prior chain + checkpoint must not bleed in
+    val versions = s"$dir/versions"; val ckpt = s"$dir/ckpt"
+    val base = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+    base.write.mode("overwrite").parquet(versions) // v1 commit
+    val chainSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("yr", IntegerType),
+      StructField("cents", LongType)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    def drain(tag: Int): Unit = {
+      val q = s.readStream.schema(chainSchema).parquet(versions)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val got = b.groupBy(col("yr"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+            .collect().map(r => (tag, r.getInt(0), r.getLong(1), r.getLong(2)))
+          out.synchronized { out ++= got }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), s"stream-tail drain $tag hung")
+      finally q.stop()
+    }
+    drain(1)
+    val n1 = out.size
+    require(n1 > 0, "drain 1 must see the v1 snapshot")
+    // the merge commits its overlay files into the tailed directory
+    val (content, _) = mergedTouched(base)
+    content.write.mode("append").parquet(versions)
+    drain(2)
+    require(out.size > n1, "drain 2 must see the overlay commit")
+    // per-batch partials re-aggregate (AvailableNow may split a drain
+    // into several micro-batches; count/sum partials compose exactly)
+    out.toSeq.toDF("drain", "yr", "n", "s")
+      .groupBy(col("drain"), col("yr"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("sum_cents"))
+  }
+
+  private val streamTailSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2),
+      |touched AS (
+      |  SELECT DISTINCT yr FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 <= 2)
+      |SELECT 1 AS drain, yr, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM base GROUP BY yr
+      |UNION ALL
+      |SELECT 2 AS drain, yr, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged WHERE yr IN (SELECT yr FROM touched) GROUP BY yr""".stripMargin
 
   // ------------------------------------------------------ fmt_change_feed
   /** CHANGE DATA FEED between snapshot versions — the read-side CDC the
@@ -958,6 +1063,7 @@ object FormatQueries {
     "fmt_time_travel"    -> (fmtTimeTravel _),
     "fmt_change_feed"    -> (fmtChangeFeed _),
     "fmt_analyze_stats"  -> (fmtAnalyzeStats _),
+    "fmt_stream_tail"    -> (fmtStreamTail _),
     "fmt_retention_gc"   -> (fmtRetentionGc _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
@@ -981,6 +1087,7 @@ object FormatQueries {
     "fmt_time_travel"    -> timeTravelSql,
     "fmt_change_feed"    -> changeFeedSql,
     "fmt_analyze_stats"  -> analyzeStatsSql,
+    "fmt_stream_tail"    -> streamTailSql,
     // the vacuumed chain must read identically to the live merge
     "fmt_retention_gc"   -> mergeUpsertSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
