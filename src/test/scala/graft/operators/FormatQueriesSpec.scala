@@ -474,6 +474,51 @@ class FormatQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("analyze stats reorder a linear 3-table join so the big table joins last") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // linear join graph orders–customer–nation, written big-table-first;
+    // CBO's reorder should start from the cheap customer⋈nation pair
+    val scr = java.nio.file.Files.createTempDirectory("graft-cbo-reorder").toString
+    def mk(name: String, df: org.apache.spark.sql.DataFrame, statCols: String): String = {
+      val tbl = s"graft_cbo_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.write.mode("overwrite").option("path", s"$scr/$name").saveAsTable(tbl)
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS $statCols")
+      tbl
+    }
+    val o = mk("orders", graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")), "o_custkey")
+    val c = mk("customer", graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")), "c_custkey, c_nationkey")
+    val n = mk("nation", graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")), "n_nationkey")
+    def bottomJoinLeaves(reorder: Boolean): Seq[String] = {
+      val conf = spark.conf
+      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+      try {
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // cost the order, not the broadcast
+        val plan = spark.sql(
+          s"""SELECT count(*) AS cnt FROM $o
+             |JOIN $c ON o_custkey = c_custkey
+             |JOIN $n ON c_nationkey = n_nationkey""".stripMargin)
+          .queryExecution.optimizedPlan
+        val joins = plan.collect { case j: Join => j }
+        assert(joins.size == 2, s"expected 2 joins:\n$plan")
+        joins.last.collectLeaves().map(_.toString)
+      } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+    val blind = bottomJoinLeaves(reorder = false)
+    val informed = bottomJoinLeaves(reorder = true)
+    assert(blind.exists(_.contains("graft_cbo_orders")),
+      s"written order keeps the big table in the bottom join: $blind")
+    assert(!informed.exists(_.contains("graft_cbo_orders")),
+      s"stats reorder must start from customer⋈nation, big table last: $informed")
+  }
+
   test("change feed: typed diff derived from the chain matches the changeset's own arithmetic") {
     import org.apache.spark.sql.functions._
     val rows = FormatQueries.fmtChangeFeed(spark, sfDir)
