@@ -431,6 +431,56 @@ object TextQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ split_group_temporal
+  /** GROUP-AWARE TEMPORAL split — the leakage-free evaluation split for
+    * behavioral data: routing events to train/test by their OWN
+    * timestamp leaks a user's future into training (the model sees user
+    * U at 9:00 in train and is tested on U at 9:05), so each GROUP
+    * (user) is routed whole, by its FIRST event time vs the cutoff. No
+    * user straddles the boundary by construction. The tradeoff this
+    * buys is itself measured: `n_post_cutoff_train_events` counts
+    * train-user events that fall after the cutoff (they stay in train —
+    * the group contract — rather than leaking into test), so the gate's
+    * hash pins the exact semantic a naive reader of "temporal split"
+    * would get wrong in either direction.
+    *
+    * Scale shape: first-event-per-user is a map-side-combinable MIN;
+    * the routing join is user-keyed (the same shuffle a window over
+    * user would cost); accounting is a 2-row aggregate. No RNG, no
+    * stored split column — reproducible from (user_id, cutoff). */
+  def splitGroupTemporal(s: SparkSession, d: String): DataFrame = {
+    val cutoffUs = 1704096000000000L // 2024-01-01T08:00:00Z: splits users at every SF
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val first = e.groupBy(col("user_id")).agg(min(col("ts_us")).as("first_us"))
+    e.join(first, Seq("user_id"))
+      .withColumn("split",
+        when(col("first_us") < cutoffUs, lit("train")).otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum((col("v") * 100).cast(LongType)).as("sum_cents"),
+        sum(when(col("ts_us") >= cutoffUs && col("first_us") < cutoffUs, 1L)
+          .otherwise(0L)).as("n_post_cutoff_train_events"))
+  }
+
+  val splitGroupTemporalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |f AS (SELECT user_id, min(ts_us) AS first_us FROM e GROUP BY user_id)
+      |SELECT CASE WHEN f.first_us < 1704096000000000 THEN 'train' ELSE 'test' END AS split,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(e.v * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN e.ts_us >= 1704096000000000
+      |    AND f.first_us < 1704096000000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_post_cutoff_train_events
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------- txt_hash_features
   /** Hashing-trick bag-of-words features (D=64 buckets): each document
     * becomes a sparse term-frequency vector keyed by
@@ -2098,6 +2148,7 @@ object TextQueries {
     "txt_tfidf"        -> (txtTfidf _),
     "split_stratified" -> (splitStratified _),
     "split_kfold"      -> (splitKfold _),
+    "split_group_temporal" -> (splitGroupTemporal _),
     "txt_hash_features" -> (txtHashFeatures _),
     "corpus_blocklist" -> (corpusBlocklist _),
     "corpus_quota"     -> (corpusQuota _),
@@ -2141,6 +2192,7 @@ object TextQueries {
     "txt_tfidf"        -> txtTfidfSql,
     "split_stratified" -> splitStratifiedSql,
     "split_kfold"      -> splitKfoldSql,
+    "split_group_temporal" -> splitGroupTemporalSql,
     "txt_hash_features" -> txtHashFeaturesSql,
     "corpus_blocklist" -> corpusBlocklistSql,
     "corpus_quota"     -> corpusQuotaSql,
