@@ -143,6 +143,78 @@ object DedupQueries {
        |FROM pairs
        |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.85""".stripMargin
 
+  // ------------------------------------------------ dedup_containment
+  /** Asymmetric shingle-CONTAINMENT screen: pairs where the smaller
+    * document's word-4-gram set is near-contained in the larger's —
+    * C(inner→outer) = |S(inner) ∩ S(outer)| / |S(inner)| >= 0.9. This is
+    * the partial-copy detector the symmetric Jaccard screen structurally
+    * misses: a 100-token quote embedded verbatim in a 1000-token article
+    * has J <= ~0.1 (far under dedup_ngram_jaccard's 0.85) but C = 1.0.
+    * `symmetric_miss` = 1 marks exactly those rows (containment hit,
+    * Jaccard < 0.85) so the downstream funnel can count what the
+    * asymmetric pass adds over the symmetric one.
+    *
+    * Role assignment is total and engine-portable: the smaller shingle
+    * set is `inner`; equal sizes break by doc id (doc_a < doc_b always
+    * holds after the canonical pair orientation, so ties pick doc_a).
+    *
+    * Scale: identical complete candidate set to dedup_ngram_jaccard —
+    * C >= θ > 0 implies at least one shared shingle, so the inverted
+    * 4-gram self-join misses nothing and its size tracks TRUE overlap,
+    * not n². The ratio is two exact integers through one IEEE division,
+    * bit-equal on any engine and any partitioning. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val inv = shingleStream(s, d, 4)
+    val sizes = shingleSizes(inv)
+    val ia = inv.select(col("shingle"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("shingle"), col("doc_id").as("doc_b"))
+    val pairs = ia.join(ib, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    val sized = pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val innerIsA = col("n_a") <= col("n_b") // ties -> doc_a (the lower id)
+    sized
+      .withColumn("doc_inner", when(innerIsA, col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("doc_outer", when(innerIsA, col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("n_inner", least(col("n_a"), col("n_b")))
+      .withColumn("n_outer", greatest(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        col("shared").cast(DoubleType) / col("n_inner").cast(DoubleType))
+      .filter(col("containment") >= 0.9)
+      .withColumn("symmetric_miss",
+        (col("shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("shared")).cast(DoubleType) < 0.85)
+          .cast(IntegerType))
+      .select(col("doc_inner"), col("doc_outer"), col("n_inner"),
+        col("n_outer"), col("containment"), col("symmetric_miss"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingleSetSql(4)} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS shared,
+       |    len(a.sh) AS n_a, len(b.sh) AS n_b
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+       |roled AS (
+       |  SELECT
+       |    CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS doc_inner,
+       |    CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS doc_outer,
+       |    least(n_a, n_b) AS n_inner, greatest(n_a, n_b) AS n_outer,
+       |    shared, n_a, n_b
+       |  FROM pairs WHERE shared > 0)
+       |SELECT doc_inner, doc_outer, n_inner, n_outer,
+       |  CAST(shared AS DOUBLE) / CAST(n_inner AS DOUBLE) AS containment,
+       |  CAST(CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) < 0.85
+       |       AS INTEGER) AS symmetric_miss
+       |FROM roled
+       |WHERE CAST(shared AS DOUBLE) / CAST(n_inner AS DOUBLE) >= 0.9""".stripMargin
+
   // ------------------------------------------------- dedup_minhash_lsh
   /** MinHash (k=16) + LSH banding (r=2, b=8) over word-trigram shingles,
     * then exact-Jaccard verification of candidates at t=0.8. */
@@ -1215,6 +1287,7 @@ object DedupQueries {
     "dedup_contamination_bloom" -> (dedupContaminationBloom _),
     "dedup_exact"            -> (dedupExact _),
     "dedup_ngram_jaccard"    -> (dedupNgramJaccard _),
+    "dedup_containment"      -> (dedupContainment _),
     "dedup_minhash_lsh"      -> (dedupMinhashLsh _),
     "dedup_minhash_oph"      -> (dedupMinhashOph _),
     "dedup_cdc_chunks"       -> (dedupCdcChunks _),
@@ -1238,6 +1311,7 @@ object DedupQueries {
     "dedup_contamination_bloom" -> dedupContaminationSql,
     "dedup_exact"            -> dedupExactSql,
     "dedup_ngram_jaccard"    -> dedupNgramJaccardSql,
+    "dedup_containment"      -> dedupContainmentSql,
     "dedup_minhash_lsh"      -> dedupMinhashLshSql,
     "dedup_minhash_oph"      -> dedupMinhashOphSql,
     "dedup_cdc_chunks"       -> dedupCdcChunksSql,

@@ -730,6 +730,128 @@ object FormatQueries {
     versioned(asOf1, 1).unionByName(versioned(asOf2, 2))
   }
 
+  // ---------------------------------------------------------- fmt_clone
+  /** SHALLOW CLONE + divergent evolution — the zero-copy table-copy
+    * primitive (Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg
+    * snapshot refs) that makes experimentation affordable at 100 TB:
+    * cloning a table must cost METADATA, not a data copy, and writes to
+    * the clone must never touch the source.
+    *
+    * Mechanics over the copy-on-write snapshot chain:
+    *  1. build the merge chain (v1 + v2 overlay, as fmt_merge_upsert);
+    *  2. CLONE = a manifest file mapping every partition year to the
+    *     SOURCE directory that owns it (v2 for merge-touched years, v1
+    *     for the rest). `require`d: the clone root holds ZERO parquet
+    *     files at clone time — the clone is pure metadata;
+    *  3. the clone DIVERGES: its own changeset (+5% on keys %50=0,
+    *     delete keys %50=1, ODD years only — partitions the first merge
+    *     never touched) is written copy-on-write into the clone's OWN
+    *     overlay dir, and only the clone's manifest is repointed;
+    *  4. `require`d: the divergent write leaves every source data file
+    *     byte-identical (path + length) — clone isolation is physical,
+    *     not conventional;
+    *  5. both sides are then read THROUGH their manifests and emitted
+    *     side-tagged, so the oracle hash covers the source's
+    *     non-regression and the clone's post-image simultaneously.
+    *
+    * Scale shape: clone creation is O(|partitions|) driver-side
+    * metadata (the standard lakehouse catalog op); the divergent merge
+    * costs only its touched partitions; reads stay partition-pruned
+    * per manifest entry. Nothing is ever copied to make the clone. */
+  def fmtClone(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "clone")
+    val (v1, v2, touched) = buildMergeOverlay(s, d, dir)
+    val cloneRoot = new java.io.File(s"$dir/clone")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      require(f.delete(), s"failed to clear $f")
+    }
+    rm(cloneRoot) // fresh clone per run (scratch dirs persist)
+    Files.createDirectories(cloneRoot.toPath)
+
+    val years = new java.io.File(v1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+    def writeManifest(m: Map[Int, String]): Unit =
+      Files.write(cloneRoot.toPath.resolve("manifest.txt"),
+        m.toSeq.sorted.map { case (y, p) => s"$y,$p" }.mkString("\n").getBytes)
+    // clone creation: manifest only, zero data files
+    writeManifest(years.map(y =>
+      y -> (if (touched.contains(y)) v2 else v1)).toMap)
+    require(parquetFiles(cloneRoot.getPath).isEmpty,
+      "shallow clone must copy ZERO data files")
+
+    def sourceNow(): DataFrame =
+      s.read.parquet(v2).unionByName(
+        s.read.parquet(v1).filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+    val srcBefore = parquetFiles(v1) ++ parquetFiles(v2)
+
+    // divergence: the clone's own copy-on-write merge on ODD years
+    val touched2 = sourceNow()
+      .filter(col("yr") % 2 === 1 && col("o_orderkey") % 50 <= 1)
+      .select("yr").distinct().collect().map(_.getInt(0)).sorted
+    require(touched2.nonEmpty && touched2.forall(_ % 2 == 1), touched2.mkString(","))
+    val ov = s"${cloneRoot.getPath}/ov1"
+    sourceNow()
+      .filter(col("yr").isin(touched2.map(Integer.valueOf): _*))
+      .filter(!(col("o_orderkey") % 50 === 1))
+      .withColumn("cents", when(col("o_orderkey") % 50 === 0,
+        col("cents") + expr("cents div 20")).otherwise(col("cents")))
+      .write.mode("overwrite").partitionBy("yr").parquet(ov)
+    writeManifest(years.map(y =>
+      y -> (if (touched2.contains(y)) ov
+            else if (touched.contains(y)) v2 else v1)).toMap)
+
+    // physical isolation: the clone's merge mutated no source file
+    val srcAfter = parquetFiles(v1) ++ parquetFiles(v2)
+    require(srcAfter == srcBefore,
+      "divergent clone write must leave every source file byte-identical")
+
+    // read the clone THROUGH its manifest: per-referenced-dir pruned scans
+    import scala.jdk.CollectionConverters._
+    val entries = Files.readAllLines(cloneRoot.toPath.resolve("manifest.txt"))
+      .asScala.map { l =>
+        val Array(y, p) = l.split(",", 2); (y.toInt, p)
+      }
+    val cloneDf = entries.groupBy(_._2).map { case (p, ys) =>
+      s.read.parquet(p).filter(col("yr").isin(ys.map(e => Integer.valueOf(e._1)).toSeq: _*))
+    }.reduce(_ unionByName _)
+
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("side", lit(side))
+    sided(sourceNow(), "source").unionByName(sided(cloneDf, "clone"))
+  }
+
+  private val cloneSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2),
+      |cloned AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 1 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 20 ELSE cents END AS cents
+      |  FROM merged
+      |  WHERE NOT (yr % 2 = 1 AND o_orderkey % 50 = 1))
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'source' AS side
+      |FROM merged GROUP BY yr
+      |UNION ALL
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'clone' AS side
+      |FROM cloned GROUP BY yr""".stripMargin
+
   // ---------------------------------------------------- fmt_analyze_stats
   /** ANALYZE TABLE under the oracle gate — the catalog-statistics leg
     * of the cost-based-optimizer story: `ANALYZE TABLE ... COMPUTE
@@ -1065,6 +1187,7 @@ object FormatQueries {
     "fmt_analyze_stats"  -> (fmtAnalyzeStats _),
     "fmt_stream_tail"    -> (fmtStreamTail _),
     "fmt_retention_gc"   -> (fmtRetentionGc _),
+    "fmt_clone"          -> (fmtClone _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1090,6 +1213,7 @@ object FormatQueries {
     "fmt_stream_tail"    -> streamTailSql,
     // the vacuumed chain must read identically to the live merge
     "fmt_retention_gc"   -> mergeUpsertSql,
+    "fmt_clone"          -> cloneSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

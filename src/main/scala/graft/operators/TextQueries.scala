@@ -481,6 +481,100 @@ object TextQueries {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- split_cluster_hash
+  /** CLUSTER-AWARE leakage-free train/val/test split: near-duplicate
+    * documents must land on the SAME side, or evaluation leaks — the
+    * test set contains a near-copy of a training document and the
+    * metric silently inflates. Hash-routing each doc independently
+    * (split_stratified) cannot guarantee that; this split routes every
+    * near-dup CLUSTER whole, by hashing its canonical label (the
+    * [[DedupQueries.dedupCluster]] min-member id), and unclustered docs
+    * by their own id. The salt ('cs') keeps the bucketing independent
+    * of the other split primitives.
+    *
+    * The output carries its own leakage audit: every 4-gram-Jaccard dup
+    * pair is re-joined against the assignment and counted as
+    * `intra_pairs` (endpoints on the same side) or `straddle_pairs`
+    * (endpoints split — leakage). Cluster routing makes straddle_pairs
+    * STRUCTURALLY zero; the cross-engine hash pins that, so any routing
+    * regression (e.g. hashing doc_id instead of the cluster label)
+    * flips the audit and breaks the gate.
+    *
+    * Scale shape: cluster labels cost what dedup already paid (the pair
+    * graph tracks true duplicates); the assignment is a corpus-sized but
+    * SLIM frame (ids + one string), cached here because three branches
+    * read it — at 100 TB it would be persisted as a table, which is the
+    * split manifest a training run ships anyway. Accounting is a 3-row
+    * aggregate; the audit join is pair-graph-sized, not corpus-sized. */
+  def splitClusterHash(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
+    val labels = DedupQueries.dedupCluster(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val assign = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("route_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        expr("char_fold_hash(CONCAT('cs', CAST(route_key AS STRING))) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train")).when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .cache()
+    val pairs = DedupQueries.dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val audit = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(sum(when(col("split_a") === col("split_b"), 1L).otherwise(0L)).as("intra_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("straddle_pairs"))
+    assign.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+        countDistinct(col("route_key")).as("n_route_keys"),
+        sum(col("n_chars").cast(LongType)).as("total_chars"))
+      .join(audit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clustered_docs"),
+        col("n_route_keys"), col("total_chars"),
+        coalesce(col("intra_pairs"), lit(0L)).as("intra_pairs"),
+        coalesce(col("straddle_pairs"), lit(0L)).as("straddle_pairs"))
+  }
+
+  // lazy: pulls DedupQueries SQL across the object cycle (see the note
+  // on DedupQueries.dedupWinnowSql)
+  lazy val splitClusterHashSql: String = {
+    val bucket = graft.functions.HashFunctions.charFoldHashSql(
+      "'cs' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)") + " % 100"
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id
+       |  FROM (${DedupQueries.dedupClusterSql.replace("\n", "\n       ")}) c),
+       |assign AS (
+       |  SELECT d.doc_id, d.n_chars, c.cluster_id,
+       |    COALESCE(c.cluster_id, d.doc_id) AS route_key,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM (${DedupQueries.dedupNgramJaccardSql.replace("\n", "\n       ")}) p),
+       |audit AS (
+       |  SELECT a.split AS split,
+       |    CAST(sum(CASE WHEN a.split = b.split THEN 1 ELSE 0 END) AS BIGINT) AS intra_pairs,
+       |    CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS straddle_pairs
+       |  FROM pairs p
+       |  JOIN assign a ON p.doc_a = a.doc_id
+       |  JOIN assign b ON p.doc_b = b.doc_id
+       |  GROUP BY 1)
+       |SELECT s.split, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN s.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered_docs,
+       |  CAST(count(DISTINCT s.route_key) AS BIGINT) AS n_route_keys,
+       |  CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
+       |  CAST(COALESCE(any_value(a.intra_pairs), 0) AS BIGINT) AS intra_pairs,
+       |  CAST(COALESCE(any_value(a.straddle_pairs), 0) AS BIGINT) AS straddle_pairs
+       |FROM assign s LEFT JOIN audit a ON s.split = a.split
+       |GROUP BY s.split""".stripMargin
+  }
+
   // --------------------------------------------------- txt_hash_features
   /** Hashing-trick bag-of-words features (D=64 buckets): each document
     * becomes a sparse term-frequency vector keyed by
@@ -2149,6 +2243,7 @@ object TextQueries {
     "split_stratified" -> (splitStratified _),
     "split_kfold"      -> (splitKfold _),
     "split_group_temporal" -> (splitGroupTemporal _),
+    "split_cluster_hash" -> (splitClusterHash _),
     "txt_hash_features" -> (txtHashFeatures _),
     "corpus_blocklist" -> (corpusBlocklist _),
     "corpus_quota"     -> (corpusQuota _),
@@ -2193,6 +2288,7 @@ object TextQueries {
     "split_stratified" -> splitStratifiedSql,
     "split_kfold"      -> splitKfoldSql,
     "split_group_temporal" -> splitGroupTemporalSql,
+    "split_cluster_hash" -> splitClusterHashSql,
     "txt_hash_features" -> txtHashFeaturesSql,
     "corpus_blocklist" -> corpusBlocklistSql,
     "corpus_quota"     -> corpusQuotaSql,

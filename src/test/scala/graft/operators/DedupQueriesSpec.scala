@@ -419,4 +419,53 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(got.exists(_._4 < 1.0), "near-dup corpus must show non-novel docs")
     assert(got.exists(_._4 == 1.0), "some doc introduces all its content")
   }
+
+  test("containment surfaces a planted quote-inclusion pair Jaccard misses") {
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val article = quote + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                                  // 12 tokens -> 9 4-grams
+      (2L, article),                                // quote verbatim + 30 fillers
+      (3L, "unrelated words that never overlap with anything else at all")
+    ).map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.dedupContainment(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Int)].collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.toSeq}")
+    val (inner, outer, nIn, nOut, c, miss) = rows.head
+    assert(inner == 1L && outer == 2L, "smaller set is the inner role")
+    assert(nIn == 9L && nOut == 39L, // 42-token article -> 42-3 distinct 4-grams
+      s"shingle accounting drifted: $nIn/$nOut")
+    assert(c == 1.0, "verbatim quote => full containment")
+    // J = 9/42 ~ 0.21, far below the symmetric screen's 0.85
+    assert(miss == 1, "this is exactly the pair dedup_ngram_jaccard misses")
+    // and the symmetric screen really does miss it
+    val sym = DedupQueries.dedupNgramJaccard(spark, dir).count()
+    assert(sym == 0L, "planted pair must be invisible to symmetric Jaccard")
+  }
+
+  test("dedup_containment on the corpus: roles total, ratios exact, dups caught") {
+    val rows = DedupQueries.dedupContainment(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty, "planted dups must produce containment hits")
+    rows.foreach { case (inner, outer, nIn, nOut, c, miss) =>
+      assert(inner != outer)
+      assert(nIn <= nOut, s"role inversion: $inner/$outer")
+      assert(c >= 0.9 && c <= 1.0, s"containment out of range: $c")
+      assert(miss == 0 || miss == 1)
+    }
+    // C = shared/n_inner >= J always (n_inner <= union), so every
+    // symmetric-Jaccard pair at J >= 0.9 MUST also be a containment hit
+    val symHigh = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val hits = rows.map(r => (math.min(r._1, r._2), math.max(r._1, r._2))).toSet
+    assert(symHigh.nonEmpty, "sf0.001 plants J>=0.9 near-dup pairs")
+    symHigh.foreach { case (a, b) =>
+      assert(hits.contains((math.min(a, b), math.max(a, b))),
+        s"J>=0.9 pair ($a,$b) must be a containment hit")
+    }
+  }
 }

@@ -434,6 +434,41 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(touched.nonEmpty && v1.keySet.exists(!touched(_)))
   }
 
+  test("shallow clone: zero-copy creation, divergence isolated to the clone's odd years") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtClone(spark, sfDir)
+      .select(col("side"), col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(String, Int, Long, Long)].collect()
+    val src = rows.filter(_._1 == "source").map(r => r._2 -> ((r._3, r._4))).toMap
+    val cl  = rows.filter(_._1 == "clone").map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(src.nonEmpty && src.keySet == cl.keySet, "both sides cover every year")
+    // the clone's changeset touches odd years carrying %50<=1 keys;
+    // everything else must be byte-identical across the two tables
+    def oddYearsWith(m: Int): Set[Int] = graft.Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) % 2 === 1 && col("o_orderkey") % 50 === m)
+      .select(year(col("o_orderdate")).cast("int")).distinct()
+      .as[Int].collect().toSet
+    val delYears = oddYearsWith(1)  // clone deletes these keys
+    val updYears = oddYearsWith(0)  // clone bumps these +5%
+    src.keys.foreach { yr =>
+      if (delYears(yr))
+        assert(cl(yr)._1 < src(yr)._1,
+          s"odd year $yr must show the clone's deletes: ${src(yr)} vs ${cl(yr)}")
+      if (updYears(yr) && !delYears(yr))
+        assert(cl(yr)._2 > src(yr)._2,
+          s"odd year $yr must show the clone's +5%: ${src(yr)} vs ${cl(yr)}")
+      if (!delYears(yr) && !updYears(yr))
+        assert(src(yr) == cl(yr), s"year $yr leaked across the clone boundary")
+    }
+    assert(delYears.nonEmpty && src.keySet.exists(y => !delYears(y) && !updYears(y)))
+    // the source side is bit-equal to the plain merge gate: cloning and
+    // diverging the clone changed NOTHING about the source's content
+    val merge = FormatQueries.fmtMergeUpsert(spark, sfDir)
+      .select(col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(merge == src, "source table must be unaffected by clone evolution")
+  }
+
   test("analyze stats flip a filtered join from sort-merge to broadcast under CBO") {
     import org.apache.spark.sql.functions._
     // the gate leaves the analyzed table registered; run it first

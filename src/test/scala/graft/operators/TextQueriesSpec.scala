@@ -10,6 +10,7 @@ import graft.SparkSpecBase
   * actually composes (multi-rule words collapse to single tokens).
   */
 class TextQueriesSpec extends SparkSpecBase {
+  import spark.implicits._
 
   for ((name, fn) <- TextQueries.queries) {
     test(s"$name runs and returns rows") {
@@ -169,6 +170,55 @@ class TextQueriesSpec extends SparkSpecBase {
       .select(col("split"), col("n_docs")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("cluster routing keeps a near-dup pair together where doc-hash routing splits it") {
+    graft.expressions.CharFoldHash.register(spark)
+    // find two ids whose INDEPENDENT 'cs'-salted buckets land in different
+    // splits: per-doc hash routing would put this dup pair on both sides
+    // of the boundary (evaluation leakage); cluster routing must not.
+    val buckets = spark.range(1, 80)
+      .selectExpr("id", "char_fold_hash(CONCAT('cs', CAST(id AS STRING))) % 100 AS b")
+      .as[(Long, Long)].collect()
+    def sp(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val Some(((a, _), (c, _))) = (for {
+      x <- buckets; y <- buckets if x._1 < y._1 && sp(x._2) != sp(y._2)
+    } yield (x, y)).headOption
+    val dupText = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (a, dupText), (c, dupText), // exact dup pair straddling the doc-hash split
+      (77L, "completely different filler content here keeps the corpus honest"),
+      (78L, "another singleton document with its own unique run of words")
+    ).map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_clsplit").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.splitClusterHash(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._2).sum == 4L, "splits must partition the corpus")
+    assert(rows.map(_._3).sum == 2L, "exactly the dup pair is clustered")
+    assert(rows.map(_._6).sum == 1L, "the one dup pair must be intra-split")
+    assert(rows.map(_._7).sum == 0L,
+      "cluster routing must yield ZERO straddling pairs — doc-hash routing " +
+        s"would have split ($a,$c)")
+    // the clustered docs collapse to one route key in whichever split won
+    val clustered = rows.filter(_._3 > 0)
+    assert(clustered.length == 1 && clustered.head._3 == 2L,
+      s"pair must land whole in one split: ${rows.toSeq}")
+  }
+
+  test("split_cluster_hash partitions the corpus with zero leakage at sf0.001") {
+    val rows = TextQueries.splitClusterHash(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "splits must partition the corpus")
+    assert(rows.forall(_._7 == 0L), s"no straddling pairs ever: ${rows.toSeq}")
+    val nPairs = DedupQueries.dedupNgramJaccard(spark, sfDir).count()
+    assert(rows.map(_._6).sum == nPairs,
+      "every dup pair must be accounted intra-split")
+    assert(rows.map(_._3).sum > 0, "planted dups must show as clustered docs")
   }
 
   test("sequence packing conserves tokens and chunks each shard contiguously") {
