@@ -166,6 +166,63 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------- amqp_ttl_expiry
+  /** HEADER-SECTION TTL under the oracle gate: the AMQP 1.0 header's
+    * ttl field (§3.2.1, milliseconds from enqueue) rides the wire
+    * end-to-end — encoded as the leading header section by the
+    * producer, decoded back off the frame by the broker — and a
+    * `respectTtl` read DROPS expired messages exactly: three message
+    * classes (ttl long lapsed / ttl alive / no ttl) are pumped with
+    * producer-controlled enqueue timestamps, the scan is pinned to a
+    * fixed expiry instant (`ttlNowMicros`), and only the two surviving
+    * classes may reach the aggregate — one leaked expired message or
+    * one over-dropped live one breaks the hash.
+    *
+    * Expiry is enforced in the READER, like a pushed predicate: the
+    * broker ledger keeps its dense sequence numbering (settlement and
+    * offsets never renumber), which is why this mode refuses the
+    * COUNT(*)/OFFSET ledger-arithmetic pushdowns and turns a pushed
+    * LIMIT into the partial survivors push (spec-asserted). The expiry
+    * instant is snapshotted once per plan on the driver, so every
+    * partition and every task retry agrees on what is dead.
+    *
+    * Scale shape: expiry costs one long comparison per fetched row,
+    * before envelope materialization; nothing driver-side grows. */
+  def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 6)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    val nowMicros = 500000000000L // the pinned expiry instant
+    pumpAll(client, address, rows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val ttl = (id % 3) match {
+        case 0 => Some(1L)          // +1ms from an epoch-micros enqueue: long dead
+        case 1 => Some(1000000000L) // ~11.6 days: alive at the pinned instant
+        case _ => None              // no header ttl: never expires
+      }
+      (AmqpMessage(messageId = Some(id.toString), subject = Some(r.getString(1)),
+        body = AmqpValueBody(r.getDouble(2).toString), ttlMillis = ttl), id)
+    })
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("respectTtl", "true").option("ttlNowMicros", nowMicros.toString)
+      .load()
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpTtlExpirySql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 10 = 6 AND event_id % 3 <> 0
+      |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------ amqp_stream_parquet
   /** The FILE-SINK leg under the oracle gate: wire stream → Structured
     * Streaming → exactly-once PARQUET sink (`writeStream.format
@@ -1804,6 +1861,7 @@ object IngestQueries {
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
+    "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
     "amqp_stream_dedup_wm"  -> (amqpStreamDedupWm _),
@@ -1828,6 +1886,7 @@ object IngestQueries {
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
+    "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
     "amqp_stream_dedup_wm"  -> amqpStreamDedupWmSql,

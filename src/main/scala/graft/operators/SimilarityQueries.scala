@@ -1952,6 +1952,128 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= $TopK""".stripMargin
 
+  // -------------------------------------------------- sim_mmr_diversify
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): the retrieval-diversification pass between ANN search
+    * and what a RAG context / curation batch actually wants — k results
+    * that are RELEVANT but not five copies of the same near-duplicate.
+    * Per query: top-C relevance candidates, then K greedy rounds each
+    * picking argmax  λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)
+    * (λ=0.7, C=10, K=4; ties break by vec_id — a strict total order,
+    * so selection is engine-exact).
+    *
+    * Determinism discipline: every round's score is the SAME literal
+    * expression on both engines (0.7·rel − 0.3·pen, pen = an exact
+    * max over identically-computed pair cosines, pen=0.0 for the empty
+    * selected set) — argmax is over bit-identical doubles, so the
+    * greedy trajectory cannot diverge. The oracle unrolls the K rounds
+    * as explicit CTE stages (no recursion needed for a fixed K).
+    *
+    * Scale shape: stage 1 is the brute-force top-C (broadcast queries,
+    * corpus never shuffles, bounded top-k agg); the greedy rounds then
+    * run on the |Q|·C candidate frame ONLY — each round joins
+    * candidates against the ≤|Q|·K selected set and takes one
+    * |Q|-row argmax. Cost is |Q|·C·K pair cosines, independent of
+    * corpus size: the re-rank is free at 100 TB because the expensive
+    * part (candidate generation) is the ANN index's job. */
+  def simMmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val C = 10; val K = 4
+    val e = embedded(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    // stage 1: top-C relevance candidates per query, embeddings re-attached
+    // for the pairwise-penalty rounds (|Q|·C rows; cached — K rounds read it)
+    val cand = explodeTopK(
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+          .groupBy(col("query_id"))
+          .agg(topKAggN(s, C, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
+      .join(e.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+      .cache()
+    val pickStruct = expr("named_struct('negscore', -score, 'vec_id', vec_id)")
+    var selected: DataFrame = null // (query_id, vec_id, score, rank)
+    for (r <- 1 to K) {
+      val remaining =
+        if (r == 1) cand
+        else cand.join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val withPen =
+        if (r == 1) remaining.withColumn("pen", lit(0.0))
+        else {
+          val sel = selected.select(col("query_id"), col("vec_id").as("sel_id"))
+            .join(e.select(col("vec_id").as("sel_id"), col("emb").as("semb"),
+              col("nrm").as("snrm")), Seq("sel_id"))
+          remaining.join(sel, Seq("query_id"))
+            .withColumn("pcos", cosine(expr("vec_dot(emb, semb)"), col("nrm"), col("snrm")))
+            .groupBy(col("query_id"), col("vec_id"), col("rel"))
+            .agg(max(col("pcos")).as("pen"))
+        }
+      val pick = withPen
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("pen"))
+        .withColumn("p", pickStruct)
+        .groupBy(col("query_id")).agg(min(col("p")).as("best"))
+        .select(col("query_id"), col("best.vec_id").as("vec_id"),
+          (-col("best.negscore")).as("score"), lit(r.toLong).as("rank"))
+      selected = if (r == 1) pick else selected.unionByName(pick)
+      // each round's pick feeds the next round's anti-join and penalty:
+      // truncate the growing plan (4 rounds would replan a 12-join DAG)
+      selected = selected.localCheckpoint()
+    }
+    selected.select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  val simMmrDiversifySql: String = {
+    val C = 10; val K = 4
+    val stages = (2 to K).map { r =>
+      val prev = (1 to r - 1).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""sel$r AS ($prev),
+         |pen$r AS (
+         |  SELECT c.query_id, c.vec_id, c.rel,
+         |    max(list_dot_product(c.emb, se.emb) / (c.nrm * se.nrm)) AS pen
+         |  FROM cand c
+         |  JOIN sel$r sp ON sp.query_id = c.query_id
+         |  JOIN e se ON se.vec_id = sp.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$r x
+         |                    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.rel),
+         |s$r AS (
+         |  SELECT query_id, vec_id, 0.7 * rel - 0.3 * pen AS score, CAST($r AS BIGINT) AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id ASC) AS rn
+         |        FROM pen$r) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id, rel, emb, nrm FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm) AS rel,
+       |      e.emb, e.nrm,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm) DESC,
+       |                 e.vec_id ASC) AS rn
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) t
+       |  WHERE rn <= $C),
+       |cand AS (SELECT * FROM scored),
+       |s1 AS (
+       |  SELECT query_id, vec_id, 0.7 * rel - 0.3 * 0.0 AS score, CAST(1 AS BIGINT) AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, vec_id ASC) AS rn
+       |        FROM cand) t
+       |  WHERE rn = 1),
+       |$stages
+       |SELECT query_id, rank, vec_id, score
+       |FROM (${(1 to K).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}) u""".stripMargin
+  }
+
   // --------------------------------------------------- sim_recall_audit
   /** ANN quality audit: per-query recall@k of the IVF index against the
     * exact brute-force ground truth — the monitoring query every
@@ -2188,6 +2310,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_trunc_audit"     -> (simTruncAudit _),
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
+    "sim_mmr_diversify" -> (simMmrDiversify _),
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_index_build"     -> (simIndexBuild _),
     "sim_index_append"    -> (simIndexAppend _),
@@ -2222,6 +2345,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_trunc_audit"     -> simTruncAuditSql,
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
+    "sim_mmr_diversify" -> simMmrDiversifySql,
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_index_build"     -> simIndexBuildSql,
     "sim_index_append"    -> simIndexAppendSql,

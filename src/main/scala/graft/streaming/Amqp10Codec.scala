@@ -359,6 +359,13 @@ object Amqp10Codec {
   }
 
   private def writeMessage(w: Writer, m: AmqpMessage): Unit = {
+    // §3.2: the header section, when present, precedes every other
+    // section. Fields: durable, priority, ttl(uint ms), first-acquirer,
+    // delivery-count — only ttl carries model state here.
+    m.ttlMillis.foreach { t =>
+      require(t >= 0 && t <= 0xFFFFFFFFL, s"ttl out of uint range: $t")
+      writeValue(w, described(Desc.Header, null, null, UInt(t)))
+    }
     val anns = m.body match {
       case AmqpJsonBody(_) => m.messageAnnotations :+ (JsonBodyAnnotation -> true)
       case _ => m.messageAnnotations
@@ -470,7 +477,15 @@ object Amqp10Codec {
         case Desc.DeliveryAnnotations =>
           deliveryAnns = d.value.asInstanceOf[AmqpWireMap].entries
             .map { case (k, v) => (String.valueOf(wireToAny(k)), wireToAny(v)) }
-        case Desc.Header | Desc.Footer => ()
+        case Desc.Header =>
+          // field 3 (index 2) is ttl: uint milliseconds. Other header
+          // fields stay transport-level and dropped (as the reference's
+          // converter does — AMQPJsonFunction.scala:38-54 reads none).
+          field(d, 2) match {
+            case UInt(t) => m = m.copy(ttlMillis = Some(t))
+            case _ => ()
+          }
+        case Desc.Footer => ()
         case other => () // unknown section: keep the message, skip the section
       }
     }

@@ -84,10 +84,19 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     propertyColumns: Seq[String] = Nil,
     maxRowsPerPartition: Long = 500000L,
     fetchChunkRows: Long = 50000L,
-    browse: Boolean = false) {
+    browse: Boolean = false,
+    respectTtl: Boolean = false,
+    ttlNowMicros: Option[Long] = None) {
   /** The envelope schema plus one nullable string column per lifted
     * application property (see the propertyColumns option). */
   def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
+  /** The expiry clock a TTL-respecting read evaluates against. Called
+    * at PLANNING time (once per batch plan / reader-factory build, on
+    * the driver) so every partition and every task retry of the same
+    * plan sees one instant; `ttlNowMicros` pins it explicitly for
+    * deterministic replays and tests. */
+  def ttlClockMicros: Long =
+    ttlNowMicros.getOrElse(System.currentTimeMillis() * 1000L)
 }
 
 object AmqpSourceConfig {
@@ -160,7 +169,18 @@ object AmqpSourceConfig {
       // `startingTimestamp`, whose first commit on a "move" link
       // settles away the skipped backlog (see the caveat above).
       // Batch reads are browses already (they never settle).
-      browse = o.getOrDefault("browse", "false").toBoolean)
+      browse = o.getOrDefault("browse", "false").toBoolean,
+      // TTL enforcement (header-section ttl, §3.2.1): a respectTtl read
+      // DROPS expired messages — enqueue_ts + ttl <= now — exactly, in
+      // the reader, like a pushed predicate. The broker ledger is
+      // untouched (expiry never reorders or renumbers sequences), so
+      // COUNT(*)/OFFSET pushdowns are refused in this mode (ledger
+      // arithmetic counts expired rows) and a pushed LIMIT becomes the
+      // partial survivors push. `ttlNowMicros` pins the expiry instant
+      // for deterministic reads; unset, each plan snapshots the wall
+      // clock once on the driver.
+      respectTtl = o.getOrDefault("respectTtl", "false").toBoolean,
+      ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong))
   }
 }
 
@@ -174,13 +194,21 @@ object AmqpSourceConfig {
 case class AmqpPushedFilters(
     tsLoMicros: Long = Long.MinValue, tsHiMicros: Long = Long.MaxValue,
     stringEq: Seq[(String, String)] = Nil,
-    notNull: Seq[String] = Nil, isNull: Seq[String] = Nil) {
+    notNull: Seq[String] = Nil, isNull: Seq[String] = Nil,
+    /** TTL enforcement (the source's `respectTtl` option): when set, a
+      * message whose header ttl has lapsed at this instant — enqueue_ts
+      * + ttl*1000 <= ttlNowMicros — is dropped by the reader, exactly
+      * like a pushed predicate (and composing with them through the same
+      * survivors machinery). Messages without a ttl never expire. */
+    ttlNowMicros: Option[Long] = None) {
   def isEmpty: Boolean =
     tsLoMicros == Long.MinValue && tsHiMicros == Long.MaxValue &&
-      stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty
+      stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty && ttlNowMicros.isEmpty
   def hasTsBounds: Boolean = tsLoMicros != Long.MinValue || tsHiMicros != Long.MaxValue
   def matches(msg: AmqpMessage, tsMicros: Long): Boolean =
     tsMicros >= tsLoMicros && tsMicros <= tsHiMicros &&
+      ttlNowMicros.forall(now =>
+        !msg.ttlMillis.exists(t => tsMicros + t * 1000L <= now)) &&
       stringEq.forall { case (f, v) => AmqpPushedFilters.field(msg, f).contains(v) } &&
       notNull.forall(f => AmqpPushedFilters.field(msg, f).isDefined) &&
       isNull.forall(f => AmqpPushedFilters.field(msg, f).isEmpty)
@@ -189,7 +217,8 @@ case class AmqpPushedFilters(
      (if (tsHiMicros != Long.MaxValue) Seq(s"ingest_timestamp <= ${tsHiMicros}us") else Nil) ++
      stringEq.map { case (f, v) => s"$f = '$v'" } ++
      notNull.map(f => s"$f IS NOT NULL") ++
-     isNull.map(f => s"$f IS NULL")).mkString(", ")
+     isNull.map(f => s"$f IS NULL") ++
+     ttlNowMicros.map(now => s"ttl respected @ ${now}us").toSeq).mkString(", ")
 }
 
 object AmqpPushedFilters {
@@ -281,9 +310,13 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     * arithmetic can provide — Spark evaluates the offset itself. */
   override def pushLimit(n: Int): Boolean =
     if (countPushed) false else { limit = Some(n); true }
-  override def isPartiallyPushed(): Boolean = !filters.isEmpty
+  // respectTtl makes every scan reader-filtered (expired rows drop), so
+  // a pushed LIMIT is only ever the partial survivors push and OFFSET
+  // (skip k SURVIVORS) cannot be planned — same rules as predicates.
+  override def isPartiallyPushed(): Boolean = !filters.isEmpty || cfg.respectTtl
   override def pushOffset(n: Int): Boolean =
-    if (countPushed || !filters.isEmpty) false else { offset = n; true }
+    if (countPushed || !filters.isEmpty || cfg.respectTtl) false
+    else { offset = n; true }
 
   // ------------------------------------------------- predicate pushdown
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral, NamedReference}
@@ -391,7 +424,10 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   private def countPushable(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0 &&
-      cfg.startingTimestampMicros.isEmpty
+      cfg.startingTimestampMicros.isEmpty &&
+      // ledger arithmetic counts expired-but-unsettled rows a
+      // TTL-respecting scan would drop — only the row scan is correct
+      !cfg.respectTtl
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     countPushable(agg)
@@ -402,7 +438,17 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
 
   override def build(): Scan =
     if (countPushed) new AmqpCountScan(cfg)
-    else new AmqpScan(cfg, required, limit, offset, filters)
+    else {
+      // TTL fold: expiry joins the reader-side filter set here, so the
+      // batch planner, the micro-batch stream, and the survivors-limit
+      // machinery all see one filter surface. The expiry instant is
+      // snapshotted ONCE per built scan on the driver (or pinned by
+      // ttlNowMicros), so every partition — and every task retry — of
+      // this plan agrees on what is expired.
+      val eff = if (cfg.respectTtl)
+        filters.copy(ttlNowMicros = Some(cfg.ttlClockMicros)) else filters
+      new AmqpScan(cfg, required, limit, offset, eff)
+    }
 }
 
 /** The COUNT(*)-pushed scan: one metadata partition carrying the

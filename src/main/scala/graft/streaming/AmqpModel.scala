@@ -42,7 +42,12 @@ case class AmqpMessage(
     correlationId: Option[String] = None,
     applicationProperties: Seq[(String, Any)] = Nil,
     messageAnnotations: Seq[(String, Any)] = Nil,
-    body: AmqpBody = AmqpOtherBody)
+    body: AmqpBody = AmqpOtherBody,
+    /** Header-section ttl (§3.2.1 field 3): milliseconds from enqueue
+      * after which the message is expired and must not be delivered to
+      * a TTL-respecting consumer (the source's `respectTtl` option).
+      * None = no expiry. Rides the wire as the header section. */
+    ttlMillis: Option[Long] = None)
 
 object AmqpEnvelope {
 

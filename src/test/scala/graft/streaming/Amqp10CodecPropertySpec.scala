@@ -154,7 +154,8 @@ class Amqp10CodecPropertySpec extends AnyFunSuite {
     appProps <- genProps
     anns <- genProps.map(_.filterNot(_._1 == JsonBodyAnnotation))
     body <- genBody
-  } yield AmqpMessage(mid, to, subj, rto, cid, appProps, anns, body)
+    ttl <- Gen.option(Gen.chooseNum(0L, 0xFFFFFFFFL))
+  } yield AmqpMessage(mid, to, subj, rto, cid, appProps, anns, body, ttl)
 
   private def bodyEq(a: AmqpBody, b: AmqpBody): Boolean = (a, b) match {
     case (AmqpDataBody(x), AmqpDataBody(y)) => java.util.Arrays.equals(x, y)
@@ -169,8 +170,20 @@ class Amqp10CodecPropertySpec extends AnyFunSuite {
         d.replyTo == m.replyTo && d.correlationId == m.correlationId &&
         d.applicationProperties == m.applicationProperties &&
         d.messageAnnotations == m.messageAnnotations &&
-        bodyEq(d.body, m.body)
+        bodyEq(d.body, m.body) && d.ttlMillis == m.ttlMillis
     })
+  }
+
+  test("messages: a ttl-carrying bare message leads with the header section") {
+    check(Prop.forAll(genMessage, Gen.chooseNum(0L, 0xFFFFFFFFL)) { (m0, t) =>
+      val bs = encodeMessage(m0.copy(ttlMillis = Some(t)))
+      // §3.2: header precedes every other section — the bare message
+      // must open with the described-value marker (0x00) and the
+      // header descriptor as smallulong (0x53 0x70)
+      bs.length >= 3 && bs(0) == 0x00.toByte && bs(1) == 0x53.toByte &&
+        bs(2) == 0x70.toByte &&
+        decodeMessage(bs).ttlMillis.contains(t)
+    }, n = 60)
   }
 
   test("messages: delivery annotations ride the transfer payload, not the bare message") {

@@ -1033,4 +1033,46 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(broker.settledUpTo("my_address") >= 13L,
       "the consuming control query must settle the delivered prefix")
   }
+
+  test("respectTtl drops expired header-ttl messages exactly; pushdowns adapt") {
+    val (ep, broker) = freshEndpoint("ttl")
+    val now = 1000000L // the pinned expiry instant (micros)
+    // enqueue at t=0: 1ms ttl is long dead at t=1s, 10s ttl is alive,
+    // no ttl never expires
+    broker.send("my_address", AmqpMessage(messageId = Some("dead"),
+      ttlMillis = Some(1L)), 0L)
+    broker.send("my_address", AmqpMessage(messageId = Some("alive"),
+      ttlMillis = Some(10000L)), 0L)
+    broker.send("my_address", AmqpMessage(messageId = Some("nottl")), 0L)
+    // boundary: a deadline landing ON the instant is expired (<=)
+    broker.send("my_address", AmqpMessage(messageId = Some("edge"),
+      ttlMillis = Some(1L)), now - 1000L)
+    def read(respect: Boolean) = {
+      val b = spark.read.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+      (if (respect) b.option("respectTtl", "true")
+        .option("ttlNowMicros", now.toString) else b).load()
+    }
+    // default mode ignores ttl — all four deliver (a browse must be able
+    // to see what a broker still holds)
+    assert(read(respect = false).collect().length == 4)
+    val df = read(respect = true)
+    assert(df.select("message_id").collect().map(_.getString(0)).toSet ==
+      Set("alive", "nottl"), "exactly the unexpired classes survive")
+    // the expiry filter is visible on the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ttl respected"), plan)
+    // COUNT(*): the ledger-arithmetic pushdown is refused (it would
+    // count the dead rows) — the row scan answers with survivors
+    val counted = df.agg(count(lit(1)).as("n"))
+    val cplan = counted.queryExecution.executedPlan.toString
+    assert(!cplan.contains("AmqpCountScan"), s"ledger count leaked:\n$cplan")
+    assert(counted.collect().head.getLong(0) == 2L)
+    // LIMIT becomes the partial survivors push: one row, never expired
+    val one = df.select("message_id").limit(1).collect()
+    assert(one.length == 1 && Set("alive", "nottl")(one.head.getString(0)))
+    // OFFSET is refused (skip-k-survivors is not planning arithmetic):
+    // Spark evaluates it itself, over survivors only
+    assert(df.select("message_id").offset(1).collect().length == 1)
+  }
 }
