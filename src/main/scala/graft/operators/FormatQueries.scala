@@ -852,6 +852,91 @@ object FormatQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'clone' AS side
       |FROM cloned GROUP BY yr""".stripMargin
 
+  // -------------------------------------------------------- fmt_restore
+  /** RESTORE TO VERSION — rollback as a NEW commit (Delta `RESTORE TABLE
+    * ... TO VERSION AS OF`, Iceberg `rollback_to_snapshot`): undoing a
+    * bad merge must not delete history and must not copy data. The
+    * restore is a pure metadata commit: version 3's manifest points
+    * every partition back at the v1 directories, while version 2 (the
+    * merge it undoes) stays fully readable for audit — roll-FORWARD to
+    * the rolled-back state, never a destructive reset.
+    *
+    * Mechanics over the copy-on-write snapshot chain:
+    *  1. build the merge chain (v1 + v2 overlay, as fmt_merge_upsert) —
+    *     the live table is now version 2;
+    *  2. RESTORE = commit a version-3 manifest mapping EVERY partition
+    *     year to the v1 directory. `require`d: the restore writes ZERO
+    *     parquet anywhere under the table root — the physical layout
+    *     snapshot before and after the restore commit is identical;
+    *  3. the live read resolves THROUGH the v3 manifest (per-referenced-
+    *     dir partition-pruned scans, as fmt_clone reads) and must equal
+    *     the v1 content; version 2 re-resolves overlay-first off the
+    *     same untouched files.
+    * Both reads emit version-tagged, so one oracle hash covers the
+    * restored live image AND the preserved history simultaneously —
+    * a restore that copied, dropped, or half-applied breaks it.
+    *
+    * Scale shape: restore cost is O(|partitions|) driver-side manifest
+    * metadata — at 100 TB the rollback of a billion-row bad merge is a
+    * catalog write. History stays subject to fmt_retention_gc: GC'ing
+    * v2's overlay later is what actually reclaims the bad merge. */
+  def fmtRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "restore")
+    val (v1, v2, touched) = buildMergeOverlay(s, d, dir)
+    val years = new java.io.File(v1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+
+    // RESTORE commit: version 3 = every year repointed at v1. Pure
+    // metadata — the physical layout must not move by one byte.
+    val before = parquetFiles(dir)
+    Files.write(Paths.get(dir, "v3.manifest"),
+      years.map(y => s"$y,$v1").mkString("\n").getBytes)
+    require(parquetFiles(dir) == before,
+      "RESTORE must be a metadata commit: zero parquet written or moved")
+
+    // live read THROUGH the v3 manifest (fmt_clone's read shape)
+    import scala.jdk.CollectionConverters._
+    val entries = Files.readAllLines(Paths.get(dir, "v3.manifest"))
+      .asScala.map { l => val Array(y, p) = l.split(",", 2); (y.toInt, p) }
+    val live = entries.groupBy(_._2).map { case (p, ys) =>
+      s.read.parquet(p)
+        .filter(col("yr").isin(ys.map(e => Integer.valueOf(e._1)).toSeq: _*))
+    }.reduce(_ unionByName _)
+    // history: version 2 still resolves overlay-first off untouched files
+    val asOf2 = s.read.parquet(v2)
+      .unionByName(s.read.parquet(v1)
+        .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+
+    def versioned(df: DataFrame, v: Int): DataFrame =
+      df.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("version", lit(v))
+    versioned(asOf2, 2).unionByName(versioned(live, 3))
+  }
+
+  private val restoreSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 2 AS version
+      |FROM merged GROUP BY yr
+      |UNION ALL
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 3 AS version
+      |FROM base GROUP BY yr""".stripMargin
+
   // ---------------------------------------------------- fmt_analyze_stats
   /** ANALYZE TABLE under the oracle gate — the catalog-statistics leg
     * of the cost-based-optimizer story: `ANALYZE TABLE ... COMPUTE
@@ -1188,6 +1273,7 @@ object FormatQueries {
     "fmt_stream_tail"    -> (fmtStreamTail _),
     "fmt_retention_gc"   -> (fmtRetentionGc _),
     "fmt_clone"          -> (fmtClone _),
+    "fmt_restore"        -> (fmtRestore _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1214,6 +1300,7 @@ object FormatQueries {
     // the vacuumed chain must read identically to the live merge
     "fmt_retention_gc"   -> mergeUpsertSql,
     "fmt_clone"          -> cloneSql,
+    "fmt_restore"        -> restoreSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

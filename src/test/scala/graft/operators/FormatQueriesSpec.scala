@@ -434,6 +434,30 @@ class FormatQueriesSpec extends SparkSpecBase {
     assert(touched.nonEmpty && v1.keySet.exists(!touched(_)))
   }
 
+  test("restore: live image rolls back to v1 exactly, the undone merge stays readable") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtRestore(spark, sfDir)
+      .select(col("version"), col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Int, Long, Long)].collect()
+    val v2 = rows.filter(_._1 == 2).map(r => r._2 -> ((r._3, r._4))).toMap
+    val v3 = rows.filter(_._1 == 3).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(v2.nonEmpty && v2.keySet == v3.keySet, "both versions must cover every year")
+    // the restored live image is the pre-merge base, year for year
+    val base = graft.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v3 == base, "RESTORE must reproduce version 1 exactly")
+    // the undone merge (v2) is preserved history: identical to the
+    // merge gate's own output — rollback deleted nothing
+    val merge = FormatQueries.fmtMergeUpsert(spark, sfDir)
+      .select(col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v2 == merge, "version 2 must stay readable and exact after the restore")
+    assert(v2 != v3, "the rollback must actually undo something")
+  }
+
   test("shallow clone: zero-copy creation, divergence isolated to the clone's odd years") {
     import org.apache.spark.sql.functions._
     val rows = FormatQueries.fmtClone(spark, sfDir)
