@@ -223,6 +223,96 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 6 AND event_id % 3 <> 0
       |GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------- amqp_dead_letter
+  /** Previous run's DLQ address, settled at the next gate entry —
+    * gateTarget() only reclaims its own per-run addresses, so the
+    * side address this gate invents must reclaim itself (bounds broker
+    * memory across Bench's warm re-runs exactly like the main ledger). */
+  private var lastDlqAddress: Option[(String, String)] = None
+
+  /** DEAD-LETTERING under the oracle gate — the expiry ROUTING that
+    * completes amqp_ttl_expiry's drop semantics (RabbitMQ TTL + DLX /
+    * ActiveMQ expiry-address parity): expired messages are not lost,
+    * they MOVE to a dead-letter address for inspection and replay.
+    *
+    * The sweep is client-driven composition, no new broker surface:
+    *  1. an `expiredOnly` scan (the dual of `respectTtl` — delivers
+    *     exactly the messages whose header ttl lapsed at the pinned
+    *     instant) selects the dead,
+    *  2. stamped with `x-opt-dlq-reason`/`x-opt-dlq-source` message
+    *     annotations, they republish to the DLQ address through the
+    *     exactly-once AMQP sink (staged-transaction commit),
+    *  3. the gate then reads BOTH queues — the origin under
+    *     `respectTtl` (survivors), the DLQ plain — and aggregates
+    *     queue-tagged, so one oracle hash proves the partition is
+    *     exact: every message lands in exactly one queue, none lost,
+    *     none doubled.
+    *
+    * The origin ledger keeps its dense sequences (settlement is a
+    * prefix op; expiry HIDES rows from TTL-respecting consumers rather
+    * than renumbering) — the republished copies are new enqueues on
+    * the DLQ ledger, carrying no ttl so they never re-expire there.
+    *
+    * Scale shape: the sweep scan pays one long comparison per fetched
+    * row and emits only the dead; the republish is the sink's
+    * executor-side transactional publish, sized by the expired volume,
+    * never the backlog. */
+  def amqpDeadLetter(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val dlq = s"$address-dlq"
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    lastDlqAddress.foreach { case (pep, pdlq) =>
+      if (pep == ep) client.settle(pdlq, client.latestSeq(pdlq))
+    }
+    lastDlqAddress = Some((ep, dlq))
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 7)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    val nowMicros = 500000000000L // the pinned expiry instant
+    pumpAll(client, address, rows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val ttl = (id % 3) match {
+        case 0 => Some(1L)          // long dead at the pinned instant
+        case 1 => Some(1000000000L) // alive
+        case _ => None              // never expires
+      }
+      (AmqpMessage(messageId = Some(id.toString), subject = Some(r.getString(1)),
+        body = AmqpValueBody(r.getDouble(2).toString), ttlMillis = ttl), id)
+    })
+    // the sweep: expired-only scan -> annotate -> exactly-once republish
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("expiredOnly", "true").option("ttlNowMicros", nowMicros.toString)
+      .load()
+      .select(col("message_id"), col("subject"), col("body"),
+        map(lit("x-opt-dlq-reason"), lit("expired"),
+            lit("x-opt-dlq-source"), lit(address)).as("message_annotations"))
+      .write.format("amqp").option("endpoint", ep).option("address", dlq)
+      .mode("append").save()
+    def agg(df: DataFrame, q: String): DataFrame =
+      df.select(col("subject").as("event_type"),
+          col("body").cast(DoubleType).as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .withColumn("queue", lit(q))
+    val live = s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("respectTtl", "true").option("ttlNowMicros", nowMicros.toString)
+      .load()
+    val dead = s.read.format("amqp")
+      .option("endpoint", ep).option("address", dlq).load()
+    agg(live, "live").unionByName(agg(dead, "dlq"))
+  }
+
+  val amqpDeadLetterSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CASE WHEN event_id % 3 = 0 THEN 'dlq' ELSE 'live' END AS queue
+      |FROM events WHERE event_id % 10 = 7
+      |GROUP BY event_type, CASE WHEN event_id % 3 = 0 THEN 'dlq' ELSE 'live' END""".stripMargin
+
   // ------------------------------------------------ amqp_stream_parquet
   /** The FILE-SINK leg under the oracle gate: wire stream → Structured
     * Streaming → exactly-once PARQUET sink (`writeStream.format
@@ -1862,6 +1952,7 @@ object IngestQueries {
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
+    "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
     "amqp_stream_dedup_wm"  -> (amqpStreamDedupWm _),
@@ -1887,6 +1978,7 @@ object IngestQueries {
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
+    "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
     "amqp_stream_dedup_wm"  -> amqpStreamDedupWmSql,

@@ -86,7 +86,13 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     fetchChunkRows: Long = 50000L,
     browse: Boolean = false,
     respectTtl: Boolean = false,
+    expiredOnly: Boolean = false,
     ttlNowMicros: Option[Long] = None) {
+  require(!(respectTtl && expiredOnly),
+    "respectTtl and expiredOnly partition the backlog — pick one")
+  /** Either TTL mode makes the scan reader-filtered on the expiry
+    * predicate — same pushdown-composition rules for both. */
+  def ttlFiltered: Boolean = respectTtl || expiredOnly
   /** The envelope schema plus one nullable string column per lifted
     * application property (see the propertyColumns option). */
   def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
@@ -180,6 +186,11 @@ object AmqpSourceConfig {
       // for deterministic reads; unset, each plan snapshots the wall
       // clock once on the driver.
       respectTtl = o.getOrDefault("respectTtl", "false").toBoolean,
+      // The DLQ consumer's view: deliver ONLY the expired messages
+      // (enqueue_ts + ttl <= now) — the selection a dead-letter sweep
+      // reads before republishing to the DLQ address. Mutually
+      // exclusive with respectTtl (they partition the backlog).
+      expiredOnly = o.getOrDefault("expiredOnly", "false").toBoolean,
       ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong))
   }
 }
@@ -200,15 +211,21 @@ case class AmqpPushedFilters(
       * + ttl*1000 <= ttlNowMicros — is dropped by the reader, exactly
       * like a pushed predicate (and composing with them through the same
       * survivors machinery). Messages without a ttl never expire. */
-    ttlNowMicros: Option[Long] = None) {
+    ttlNowMicros: Option[Long] = None,
+    /** Flipped by the source's `expiredOnly` option (the dead-letter
+      * sweep's view): keep ONLY the messages whose ttl has lapsed at
+      * `ttlNowMicros`; ttl-less messages never qualify. */
+    ttlExpiredOnly: Boolean = false) {
   def isEmpty: Boolean =
     tsLoMicros == Long.MinValue && tsHiMicros == Long.MaxValue &&
       stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty && ttlNowMicros.isEmpty
   def hasTsBounds: Boolean = tsLoMicros != Long.MinValue || tsHiMicros != Long.MaxValue
   def matches(msg: AmqpMessage, tsMicros: Long): Boolean =
     tsMicros >= tsLoMicros && tsMicros <= tsHiMicros &&
-      ttlNowMicros.forall(now =>
-        !msg.ttlMillis.exists(t => tsMicros + t * 1000L <= now)) &&
+      ttlNowMicros.forall { now =>
+        val expired = msg.ttlMillis.exists(t => tsMicros + t * 1000L <= now)
+        if (ttlExpiredOnly) expired else !expired
+      } &&
       stringEq.forall { case (f, v) => AmqpPushedFilters.field(msg, f).contains(v) } &&
       notNull.forall(f => AmqpPushedFilters.field(msg, f).isDefined) &&
       isNull.forall(f => AmqpPushedFilters.field(msg, f).isEmpty)
@@ -218,7 +235,9 @@ case class AmqpPushedFilters(
      stringEq.map { case (f, v) => s"$f = '$v'" } ++
      notNull.map(f => s"$f IS NOT NULL") ++
      isNull.map(f => s"$f IS NULL") ++
-     ttlNowMicros.map(now => s"ttl respected @ ${now}us").toSeq).mkString(", ")
+     ttlNowMicros.map(now =>
+       if (ttlExpiredOnly) s"ttl expired-only @ ${now}us"
+       else s"ttl respected @ ${now}us").toSeq).mkString(", ")
 }
 
 object AmqpPushedFilters {
@@ -313,9 +332,9 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   // respectTtl makes every scan reader-filtered (expired rows drop), so
   // a pushed LIMIT is only ever the partial survivors push and OFFSET
   // (skip k SURVIVORS) cannot be planned — same rules as predicates.
-  override def isPartiallyPushed(): Boolean = !filters.isEmpty || cfg.respectTtl
+  override def isPartiallyPushed(): Boolean = !filters.isEmpty || cfg.ttlFiltered
   override def pushOffset(n: Int): Boolean =
-    if (countPushed || !filters.isEmpty || cfg.respectTtl) false
+    if (countPushed || !filters.isEmpty || cfg.ttlFiltered) false
     else { offset = n; true }
 
   // ------------------------------------------------- predicate pushdown
@@ -427,7 +446,7 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
       cfg.startingTimestampMicros.isEmpty &&
       // ledger arithmetic counts expired-but-unsettled rows a
       // TTL-respecting scan would drop — only the row scan is correct
-      !cfg.respectTtl
+      !cfg.ttlFiltered
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     countPushable(agg)
@@ -445,8 +464,10 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
       // snapshotted ONCE per built scan on the driver (or pinned by
       // ttlNowMicros), so every partition — and every task retry — of
       // this plan agrees on what is expired.
-      val eff = if (cfg.respectTtl)
-        filters.copy(ttlNowMicros = Some(cfg.ttlClockMicros)) else filters
+      val eff = if (cfg.ttlFiltered)
+        filters.copy(ttlNowMicros = Some(cfg.ttlClockMicros),
+          ttlExpiredOnly = cfg.expiredOnly)
+      else filters
       new AmqpScan(cfg, required, limit, offset, eff)
     }
 }

@@ -1075,4 +1075,39 @@ class AmqpSourceSpec extends SparkSpecBase {
     // Spark evaluates it itself, over survivors only
     assert(df.select("message_id").offset(1).collect().length == 1)
   }
+
+  test("expiredOnly is the exact dual of respectTtl: the two modes partition the backlog") {
+    val (ep, broker) = freshEndpoint("ttldual")
+    val now = 1000000L
+    broker.send("my_address", AmqpMessage(messageId = Some("dead"),
+      ttlMillis = Some(1L)), 0L)
+    broker.send("my_address", AmqpMessage(messageId = Some("alive"),
+      ttlMillis = Some(10000L)), 0L)
+    broker.send("my_address", AmqpMessage(messageId = Some("nottl")), 0L)
+    broker.send("my_address", AmqpMessage(messageId = Some("edge"),
+      ttlMillis = Some(1L)), now - 1000L)
+    def read(mode: String) = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option(mode, "true").option("ttlNowMicros", now.toString).load()
+    val dead = read("expiredOnly")
+    assert(dead.select("message_id").collect().map(_.getString(0)).toSet ==
+      Set("dead", "edge"), "expiredOnly must deliver exactly the lapsed classes")
+    // the sweep's selection is visible on the scan, distinct from respectTtl's
+    assert(dead.queryExecution.executedPlan.toString.contains("ttl expired-only"))
+    val live = read("respectTtl")
+    val union = dead.select("message_id").collect().map(_.getString(0)).toSet ++
+      live.select("message_id").collect().map(_.getString(0)).toSet
+    assert(union == Set("dead", "edge", "alive", "nottl"),
+      "the two modes together must cover the backlog exactly once")
+    // expiredOnly refuses the ledger COUNT(*) pushdown like respectTtl
+    val cplan = dead.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!cplan.contains("AmqpCountScan"), s"ledger count leaked:\n$cplan")
+    // the modes are mutually exclusive — asking for both is an error
+    val err = intercept[Exception] {
+      spark.read.format("amqp").option("endpoint", ep)
+        .option("address", "my_address").option("respectTtl", "true")
+        .option("expiredOnly", "true").load().collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
