@@ -666,4 +666,37 @@ class SimilarityQueriesSpec extends SparkSpecBase {
       assert(rows.length == 5, s"query $q returned ${rows.length} of 5 slots")
     }
   }
+
+  test("sim_mmr_diversify: greedy MMR rounds are well-formed and actually diversify") {
+    import spark.implicits._
+    // (query_id, rank, vec_id, score)
+    val got = SimilarityQueries.simMmrDiversify(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 4L), s"query $q ranks not 1..4")
+      assert(rows.map(_._3).distinct.length == 4, s"query $q repeated a pick")
+      assert(!rows.map(_._3).contains(q), s"query $q picked itself")
+      // each round's argmax is over penalties that only grow as the
+      // selected set grows, so the pick-score sequence is non-increasing
+      val scores = rows.sortBy(_._2).map(_._4)
+      scores.zip(scores.tail).foreach { case (a, b) =>
+        assert(a >= b - 1e-12, s"query $q MMR scores increased: $a -> $b") }
+    }
+    // round 1 has an empty selected set: pure relevance argmax = the
+    // brute-force top-1 (same tiebreak)
+    val top = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val top1 = top.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.find(_._2 == 1L).get._3 == top1(q),
+        s"query $q round-1 pick must equal the relevance top-1") }
+    // the penalty must bite somewhere: at least one query's MMR set
+    // differs from its plain top-4 by relevance (else the gate is vacuous)
+    val top4 = top.filter(_._4 <= 4L).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(byQ.exists { case (q, rows) => rows.map(_._3).toSet != top4(q) },
+      "MMR never diverged from plain top-k — diversification is vacuous")
+  }
 }
