@@ -188,27 +188,41 @@ object IngestQueries {
     *
     * Scale shape: expiry costs one long comparison per fetched row,
     * before envelope materialization; nothing driver-side grows. */
-  def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
-    val (ep, address) = gateTarget()
-    val client = AmqpEndpointRegistry.endpoint(ep)
-    val rows = Tables.events(s, d)
-      .filter(col("event_id") % 10 === 6)
+  /** The pinned expiry instant shared by both TTL gates — the class
+    * arithmetic below and the gates' oracle SQL both depend on it. */
+  private val TtlGateNowMicros = 500000000000L
+
+  /** Shared producer for the TTL gates: the slice rides the wire with
+    * id-classed header ttls — id%3==0 long dead at [[TtlGateNowMicros]]
+    * (+1ms from an epoch-micros enqueue), ==1 alive (~11.6 days), ==2
+    * no ttl (never expires). Both gates' oracles encode exactly this
+    * mapping (`event_id % 3 = 0` ⇔ expired); keep them in lockstep. */
+  private def pumpTtlClassed(client: graft.streaming.AmqpEndpoint,
+      address: String, slice: DataFrame): Unit = {
+    val rows = slice
       .select(col("event_id"), col("event_type"), col("value"))
       .collect() // producer role: driver-side by design (reference test senders)
-    val nowMicros = 500000000000L // the pinned expiry instant
     pumpAll(client, address, rows.toSeq.map { r =>
       val id = r.getLong(0)
       val ttl = (id % 3) match {
-        case 0 => Some(1L)          // +1ms from an epoch-micros enqueue: long dead
-        case 1 => Some(1000000000L) // ~11.6 days: alive at the pinned instant
-        case _ => None              // no header ttl: never expires
+        case 0 => Some(1L)
+        case 1 => Some(1000000000L)
+        case _ => None
       }
       (AmqpMessage(messageId = Some(id.toString), subject = Some(r.getString(1)),
         body = AmqpValueBody(r.getDouble(2).toString), ttlMillis = ttl), id)
     })
+  }
+
+  def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    pumpTtlClassed(client, address,
+      Tables.events(s, d).filter(col("event_id") % 10 === 6))
     s.read.format("amqp")
       .option("endpoint", ep).option("address", address)
-      .option("respectTtl", "true").option("ttlNowMicros", nowMicros.toString)
+      .option("respectTtl", "true")
+      .option("ttlNowMicros", TtlGateNowMicros.toString)
       .load()
       .select(col("subject").as("event_type"),
         col("body").cast(DoubleType).as("value"))
@@ -262,28 +276,21 @@ object IngestQueries {
     val dlq = s"$address-dlq"
     val client = AmqpEndpointRegistry.endpoint(ep)
     lastDlqAddress.foreach { case (pep, pdlq) =>
-      if (pep == ep) client.settle(pdlq, client.latestSeq(pdlq))
+      // reclaim through the OWNING endpoint — the gate transport can
+      // switch between runs (the specs flip amqps/mem), and skipping
+      // the settle would leak the old broker's DLQ slice forever
+      try {
+        val pc = AmqpEndpointRegistry.endpoint(pep)
+        pc.settle(pdlq, pc.latestSeq(pdlq))
+      } catch { case _: Exception => () } // old endpoint gone: nothing to reclaim
     }
     lastDlqAddress = Some((ep, dlq))
-    val rows = Tables.events(s, d)
-      .filter(col("event_id") % 10 === 7)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .collect() // producer role: driver-side by design (reference test senders)
-    val nowMicros = 500000000000L // the pinned expiry instant
-    pumpAll(client, address, rows.toSeq.map { r =>
-      val id = r.getLong(0)
-      val ttl = (id % 3) match {
-        case 0 => Some(1L)          // long dead at the pinned instant
-        case 1 => Some(1000000000L) // alive
-        case _ => None              // never expires
-      }
-      (AmqpMessage(messageId = Some(id.toString), subject = Some(r.getString(1)),
-        body = AmqpValueBody(r.getDouble(2).toString), ttlMillis = ttl), id)
-    })
+    pumpTtlClassed(client, address,
+      Tables.events(s, d).filter(col("event_id") % 10 === 7))
     // the sweep: expired-only scan -> annotate -> exactly-once republish
     s.read.format("amqp")
       .option("endpoint", ep).option("address", address)
-      .option("expiredOnly", "true").option("ttlNowMicros", nowMicros.toString)
+      .option("expiredOnly", "true").option("ttlNowMicros", TtlGateNowMicros.toString)
       .load()
       .select(col("message_id"), col("subject"), col("body"),
         map(lit("x-opt-dlq-reason"), lit("expired"),
@@ -299,7 +306,7 @@ object IngestQueries {
         .withColumn("queue", lit(q))
     val live = s.read.format("amqp")
       .option("endpoint", ep).option("address", address)
-      .option("respectTtl", "true").option("ttlNowMicros", nowMicros.toString)
+      .option("respectTtl", "true").option("ttlNowMicros", TtlGateNowMicros.toString)
       .load()
     val dead = s.read.format("amqp")
       .option("endpoint", ep).option("address", dlq).load()

@@ -1994,7 +1994,7 @@ object SimilarityQueries {
       .cache()
     val pickStruct = expr("named_struct('negscore', -score, 'vec_id', vec_id)")
     var selected: DataFrame = null // (query_id, vec_id, score, rank)
-    for (r <- 1 to K) {
+    try { for (r <- 1 to K) {
       val remaining =
         if (r == 1) cand
         else cand.join(selected.select(col("query_id"), col("vec_id")),
@@ -2020,7 +2020,7 @@ object SimilarityQueries {
       // each round's pick feeds the next round's anti-join and penalty:
       // truncate the growing plan (4 rounds would replan a 12-join DAG)
       selected = selected.localCheckpoint()
-    }
+    } } finally cand.unpersist() // checkpoints are eager: rounds are done
     selected.select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
 

@@ -346,26 +346,34 @@ object Amqp10Codec {
     * encodes avoids an extra array and copy on the hot path. */
   def encodeTransferPayload(deliveryAnns: Seq[(String, Any)], m: AmqpMessage): Array[Byte] = {
     val w = new Writer
+    // §3.2 section order: header, delivery-annotations, then the bare
+    // message — the header must lead the TRANSFER payload too, not just
+    // a standalone encode, or a spec-compliant peer parsing sections in
+    // order drops the ttl.
+    writeHeader(w, m)
     writeValue(w, Described(ULong(Desc.DeliveryAnnotations),
       AmqpWireMap(deliveryAnns.map { case (k, v) => (Sym(k): Any, anyToWire(v)) }.toVector)))
-    writeMessage(w, m)
+    writeBareSections(w, m)
     w.bytes
   }
 
   def encodeMessage(m: AmqpMessage): Array[Byte] = {
     val w = new Writer
-    writeMessage(w, m)
+    writeHeader(w, m)
+    writeBareSections(w, m)
     w.bytes
   }
 
-  private def writeMessage(w: Writer, m: AmqpMessage): Unit = {
-    // §3.2: the header section, when present, precedes every other
-    // section. Fields: durable, priority, ttl(uint ms), first-acquirer,
-    // delivery-count — only ttl carries model state here.
+  /** §3.2: the header section, when present, precedes every other
+    * section. Fields: durable, priority, ttl(uint ms), first-acquirer,
+    * delivery-count — only ttl carries model state here. */
+  private def writeHeader(w: Writer, m: AmqpMessage): Unit =
     m.ttlMillis.foreach { t =>
       require(t >= 0 && t <= 0xFFFFFFFFL, s"ttl out of uint range: $t")
       writeValue(w, described(Desc.Header, null, null, UInt(t)))
     }
+
+  private def writeBareSections(w: Writer, m: AmqpMessage): Unit = {
     val anns = m.body match {
       case AmqpJsonBody(_) => m.messageAnnotations :+ (JsonBodyAnnotation -> true)
       case _ => m.messageAnnotations

@@ -97,10 +97,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     * application property (see the propertyColumns option). */
   def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
   /** The expiry clock a TTL-respecting read evaluates against. Called
-    * at PLANNING time (once per batch plan / reader-factory build, on
-    * the driver) so every partition and every task retry of the same
-    * plan sees one instant; `ttlNowMicros` pins it explicitly for
-    * deterministic replays and tests. */
+    * at PLANNING time on the driver — once per batch plan, and once per
+    * MICRO-BATCH for streams (see AmqpMicroBatchStream.planInputPartitions:
+    * freezing the instant at query start would let messages that expire
+    * mid-stream live forever) — so every partition and every task retry
+    * of the same plan sees one instant; `ttlNowMicros` pins it
+    * explicitly for deterministic replays and tests. */
   def ttlClockMicros: Long =
     ttlNowMicros.getOrElse(System.currentTimeMillis() * 1000L)
 }
@@ -223,7 +225,13 @@ case class AmqpPushedFilters(
   def matches(msg: AmqpMessage, tsMicros: Long): Boolean =
     tsMicros >= tsLoMicros && tsMicros <= tsHiMicros &&
       ttlNowMicros.forall { now =>
-        val expired = msg.ttlMillis.exists(t => tsMicros + t * 1000L <= now)
+        // overflow-safe: deadline = ts + t*1000 can overflow Long for a
+        // model-level ttl beyond the uint32 the codec enforces (mem://
+        // skips the codec), so compare in divided space — for delta >= 0,
+        // t*1000 <= delta  <=>  t <= delta/1000 (floor); delta < 0 means
+        // the enqueue is already past `now`, so nothing has expired yet.
+        val delta = now - tsMicros
+        val expired = delta >= 0 && msg.ttlMillis.exists(_ <= delta / 1000L)
         if (ttlExpiredOnly) expired else !expired
       } &&
       stringEq.forall { case (f, v) => AmqpPushedFilters.field(msg, f).contains(v) } &&
@@ -765,13 +773,22 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * aggregate min/max), so the split is semantics-free here too. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[AmqpOffset], end.asInstanceOf[AmqpOffset])
+    // A wall-clock TTL read must not freeze expiry at query START — a
+    // long-running stream would then never drop messages that expire
+    // mid-stream. Re-snapshot the instant at each batch's planning (one
+    // instant per batch, shared by its partitions and retries); a
+    // pinned ttlNowMicros stays pinned for deterministic replays.
+    val ttlNow =
+      if (cfg.ttlFiltered && cfg.ttlNowMicros.isEmpty) Some(cfg.ttlClockMicros)
+      else None
     cfg.addresses
       .filter(a => e.seqOf(a) > s.seqOf(a))
       .flatMap { a =>
         val (from, to) = (s.seqOf(a), e.seqOf(a))
         Iterator.range(0L, to - from, cfg.maxRowsPerPartition).map { o =>
           AmqpInputPartition(cfg.endpoint, a, from + o,
-            math.min(from + o + cfg.maxRowsPerPartition, to)): InputPartition
+            math.min(from + o + cfg.maxRowsPerPartition, to),
+            ttlNowOverrideMicros = ttlNow): InputPartition
         }
       }
       .toArray
@@ -947,7 +964,12 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
 }
 
 case class AmqpInputPartition(endpoint: String, address: String,
-    fromExclusive: Long, toInclusive: Long) extends InputPartition
+    fromExclusive: Long, toInclusive: Long,
+    /** Streaming TTL refresh: the expiry instant re-snapshotted at THIS
+      * micro-batch's planning (driver-side, so every partition and task
+      * retry of the batch agrees), overriding the filter instant frozen
+      * at query start. None for batch reads and pinned-instant reads. */
+    ttlNowOverrideMicros: Option[Long] = None) extends InputPartition
 
 class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     pushed: AmqpPushedFilters = AmqpPushedFilters(),
@@ -955,9 +977,14 @@ class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     chunkRows: Long = Long.MaxValue,
     survivorLimit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AmqpPartitionReader(partition.asInstanceOf[AmqpInputPartition], fields, pushed,
-      propertyCols, chunkRows, survivorLimit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AmqpInputPartition]
+    val eff = p.ttlNowOverrideMicros match {
+      case some @ Some(_) => pushed.copy(ttlNowMicros = some)
+      case None => pushed
+    }
+    new AmqpPartitionReader(p, fields, eff, propertyCols, chunkRows, survivorLimit)
+  }
 }
 
 /** Pull-based reader for one (start, end] slice of a link's sequence.

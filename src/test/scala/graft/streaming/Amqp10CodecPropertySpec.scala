@@ -196,6 +196,22 @@ class Amqp10CodecPropertySpec extends AnyFunSuite {
     }, n = 150)
   }
 
+  test("messages: a ttl-carrying TRANSFER payload keeps §3.2 section order") {
+    check(Prop.forAll(genMessage, Gen.chooseNum(0L, 0xFFFFFFFFL),
+        Gen.chooseNum(0L, Long.MaxValue)) { (m0, t, seq) =>
+      val bs = encodeTransferPayload(Seq(Amqp10Wire.SeqAnnotation -> seq),
+        m0.copy(ttlMillis = Some(t)))
+      // header (0x00 0x53 0x70) must LEAD the payload, ahead of the
+      // delivery-annotations section (descriptor 0x71) — a compliant
+      // peer parses sections in order and would drop a late header
+      val (d, danns) = decodeTransferPayload(bs)
+      bs.length >= 3 && bs(0) == 0x00.toByte && bs(1) == 0x53.toByte &&
+        bs(2) == 0x70.toByte &&
+        d.ttlMillis.contains(t) &&
+        danns == Vector(Amqp10Wire.SeqAnnotation -> seq)
+    }, n = 60)
+  }
+
   test("messages: JSON-body provenance survives a wire hop (sink → source)") {
     val m = AmqpMessage(body = AmqpJsonBody("""{"a":[1,2],"b":"x"}"""),
       messageAnnotations = Seq("user-ann" -> "kept"))
