@@ -313,6 +313,53 @@ object IngestQueries {
     agg(live, "live").unionByName(agg(dead, "dlq"))
   }
 
+  // ---------------------------------------------------- amqp_stream_ttl
+  /** TTL enforcement in the MICRO-BATCH path: the same classed slice
+    * rides the wire and a `respectTtl` readStream (pinned instant) must
+    * deliver only the unexpired classes across a MULTI-BATCH drain —
+    * `maxMessagesPerTrigger` forces several micro-batches, so the expiry
+    * filter is applied per-batch by the partitions the stream planner
+    * emits, not by a one-shot batch scan. Offsets stay seq-dense over
+    * the dropped messages (settlement must advance past expired rows —
+    * the ledger never renumbers), which this gate exercises implicitly:
+    * an offset gap mis-accounted against dropped rows would stall or
+    * duplicate the drain and break the hash.
+    *
+    * The wall-clock variant re-snapshots the expiry instant at each
+    * batch's planning (a long stream must not freeze expiry at query
+    * start) — spec-pinned in AmqpSourceSpec; the gate pins the instant
+    * for cross-engine determinism. */
+  def amqpStreamTtl(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    pumpTtlClassed(client, address,
+      Tables.events(s, d).filter(col("event_id") % 10 === 2))
+    val qname = s"gate_stream_ttl_${gateRun.get}"
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("respectTtl", "true")
+      .option("ttlNowMicros", TtlGateNowMicros.toString)
+      .option("maxMessagesPerTrigger", "500") // force a multi-batch drain
+      .load()
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("body").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "stream-ttl gate query hung")
+    finally q.stop()
+    s.table(qname).select(col("subject").as("event_type"),
+      col("n_events"), col("sum_value"))
+  }
+
+  val amqpStreamTtlSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 10 = 2 AND event_id % 3 <> 0
+      |GROUP BY event_type""".stripMargin
+
   val amqpDeadLetterSql: String =
     """SELECT event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -1960,6 +2007,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
+    "amqp_stream_ttl" -> (amqpStreamTtl _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
     "amqp_stream_dedup_wm"  -> (amqpStreamDedupWm _),
@@ -1986,6 +2034,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
+    "amqp_stream_ttl" -> amqpStreamTtlSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
     "amqp_stream_dedup_wm"  -> amqpStreamDedupWmSql,

@@ -1076,6 +1076,41 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(df.select("message_id").offset(1).collect().length == 1)
   }
 
+  test("streaming TTL: the expiry instant re-snapshots at each micro-batch's planning") {
+    val (ep, _) = freshEndpoint("ttlplan")
+    def cfgWith(extra: (String, String)*): AmqpSourceConfig = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("endpoint", ep); m.put("address", "my_address")
+      extra.foreach { case (k, v) => m.put(k, v) }
+      AmqpSourceConfig(new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    }
+    val stream = new AmqpMicroBatchStream(cfgWith("respectTtl" -> "true"))
+    def plan() = stream.planInputPartitions(
+      AmqpOffset(Map("my_address" -> 0L)), AmqpOffset(Map("my_address" -> 10L)))
+    val p1 = plan().head.asInstanceOf[AmqpInputPartition]
+    assert(p1.ttlNowOverrideMicros.isDefined,
+      "a wall-clock TTL stream must carry a per-batch expiry instant")
+    Thread.sleep(5) // the clock is ms-granular; let it tick
+    val p2 = plan().head.asInstanceOf[AmqpInputPartition]
+    assert(p2.ttlNowOverrideMicros.get > p1.ttlNowOverrideMicros.get,
+      "each batch plan must re-snapshot the expiry clock — a frozen " +
+        "instant lets messages that expire mid-stream live forever")
+    // all partitions of ONE batch share the instant (task retries agree)
+    val batch = new AmqpMicroBatchStream(
+      cfgWith("respectTtl" -> "true", "maxRowsPerPartition" -> "3"))
+      .planInputPartitions(
+        AmqpOffset(Map("my_address" -> 0L)), AmqpOffset(Map("my_address" -> 10L)))
+      .map(_.asInstanceOf[AmqpInputPartition])
+    assert(batch.length > 1 &&
+      batch.map(_.ttlNowOverrideMicros).distinct.length == 1)
+    // a PINNED instant stays pinned: no per-batch override
+    val pinned = new AmqpMicroBatchStream(
+      cfgWith("respectTtl" -> "true", "ttlNowMicros" -> "123"))
+    assert(pinned.planInputPartitions(
+        AmqpOffset(Map("my_address" -> 0L)), AmqpOffset(Map("my_address" -> 10L)))
+      .head.asInstanceOf[AmqpInputPartition].ttlNowOverrideMicros.isEmpty)
+  }
+
   test("expiredOnly is the exact dual of respectTtl: the two modes partition the backlog") {
     val (ep, broker) = freshEndpoint("ttldual")
     val now = 1000000L
