@@ -937,6 +937,217 @@ object FormatQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents, 3 AS version
       |FROM base GROUP BY yr""".stripMargin
 
+  // ------------------------------------------------- fmt_schema_evolution
+  /** SCHEMA EVOLUTION across snapshot versions — the ADD COLUMN commit
+    * (Delta `ALTER TABLE ADD COLUMNS` + writer-side backfill, Iceberg
+    * schema evolution): a new column lands as part of a copy-on-write
+    * commit that rewrites ONLY the partitions it backfills; every other
+    * partition keeps its ORIGINAL files — and original on-disk schema —
+    * and reads resolve the union schema with NULL for rows served from
+    * pre-evolution files. That is the lakehouse contract: a schema
+    * change costs metadata plus the data it chooses to backfill, never
+    * a table rewrite.
+    *
+    * Mechanics over the snapshot chain:
+    *  1. snapshot v1 (o_orderkey, yr, cents), partitioned by year;
+    *  2. the evolution commit: EVEN-year partitions rewrite into a v2
+    *     overlay WITH the new column backfilled (bonus_cents =
+    *     cents div 20); odd years stay v1 — `require`d byte-identical —
+    *     and the overlay holds exactly the backfilled partitions;
+    *  3. `require`d: v1's on-disk footer schema LACKS bonus_cents and
+    *     v2's HAS it — the evolution is real in the files, not a
+    *     read-side cast;
+    *  4. the table read resolves overlay-first and unions BY NAME with
+    *     allowMissingColumns, so v1-served rows surface bonus_cents =
+    *     NULL (exactly how Delta/Iceberg readers widen old files).
+    *
+    * The gate aggregates count/sum/backfill-coverage per year: a NULL
+    * where a backfill belongs, a phantom backfill on an untouched year,
+    * or a dropped/retyped column all break the hash.
+    *
+    * Scale shape: the commit costs the backfilled partitions' volume;
+    * an unbackfilled ADD COLUMN (Delta's default) is the degenerate
+    * zero-partition case of the same mechanic — pure metadata. */
+  def fmtSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "evolve")
+    val v1 = writeMergeV1(s, d, dir)
+    val before = parquetFiles(v1)
+    val v1df = s.read.parquet(v1)
+    val touched = v1df.filter(col("yr") % 2 === 0)
+      .select("yr").distinct().collect().map(_.getInt(0)).sorted
+    require(touched.nonEmpty, "no even years at this scale factor")
+    val v2 = s"$dir/v2"
+    v1df.filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      .withColumn("bonus_cents", expr("cents div 20"))
+      .write.mode("overwrite").partitionBy("yr").parquet(v2)
+    require(parquetFiles(v1) == before,
+      "schema evolution must leave pre-evolution files byte-identical")
+    val v2Years = new java.io.File(v2).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+    require(v2Years.sameElements(touched),
+      s"overlay must hold exactly the backfilled partitions: ${v2Years.toSeq} vs ${touched.toSeq}")
+    require(!s.read.parquet(v1).schema.fieldNames.contains("bonus_cents"),
+      "pre-evolution files must not carry the new column")
+    require(s.read.parquet(v2).schema.fieldNames.contains("bonus_cents"),
+      "the evolution overlay must carry the new column on disk")
+    val resolved = s.read.parquet(v2)
+      .unionByName(
+        s.read.parquet(v1)
+          .filter(!col("yr").isin(touched.map(Integer.valueOf): _*)),
+        allowMissingColumns = true)
+    resolved.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        count(col("bonus_cents")).as("n_backfilled"),
+        sum(col("bonus_cents")).as("sum_bonus"))
+  }
+
+  private val schemaEvolutionSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |evolved AS (
+      |  SELECT o_orderkey, yr, cents,
+      |    CASE WHEN yr % 2 = 0 THEN cents // 20 ELSE NULL END AS bonus_cents
+      |  FROM base)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(count(bonus_cents) AS BIGINT) AS n_backfilled,
+      |  CAST(sum(bonus_cents) AS BIGINT) AS sum_bonus
+      |FROM evolved GROUP BY yr""".stripMargin
+
+  // ---------------------------------------------- fmt_concurrent_commit
+  /** OPTIMISTIC CONCURRENCY between snapshot commits (Delta's conflict
+    *-detection protocol, Iceberg's validate-and-swap): writers prepare
+    * overlays off the SAME base version; at commit time each validates
+    * its touched-partition set against every commit that landed after
+    * its base. Disjoint sets land without rework (the stale-base writer
+    * is serializable because the read/write sets never meet);
+    * overlapping sets CONFLICT and must re-derive from the current
+    * state before retrying. The commit log is the atomic swap point —
+    * a catalog compare-and-swap at 100 TB, a synchronized driver check
+    * here.
+    *
+    * Scenario (all three writers prepare off base v1):
+    *  - writer A: the CDC merge on EVEN years — lands first, as v2;
+    *  - writer B (stale base): deletes keys %50=3 in yr%4==1 years —
+    *    DISJOINT from v2's touched set, so validation admits it as v3
+    *    with zero rework;
+    *  - writer C (stale base): +5% on keys %50 IN (0,4) in EVEN years —
+    *    overlaps v2, `require`d to throw; the retry re-derives from the
+    *    CURRENT resolved state, so it compounds on A's +10% for %50=0
+    *    keys (a retry that silently re-read its stale base would lose
+    *    A's update and break the hash) and lands as v4.
+    *
+    * The final read resolves newest-commit-first per partition (v4:
+    * even years, v3: yr%4==1, v1: the rest — v2 is fully shadowed), so
+    * one hash covers conflict detection, disjoint-commit admission, and
+    * the retry's re-derivation simultaneously; `require`s pin that no
+    * commit ever rewrites another version's files.
+    *
+    * Scale shape: validation is |commits since base| × |touched| set
+    * arithmetic on the driver — catalog metadata, never data. The retry
+    * pays C's touched partitions once more: the OCC cost model
+    * (conflicts rare, re-derivation partition-pruned). */
+  def fmtConcurrentCommit(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "occ")
+    val v1 = writeMergeV1(s, d, dir)
+    val v1df = s.read.parquet(v1)
+    val allYears = new java.io.File(v1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+
+    // The commit log: (version, touched partitions, data dir). The base
+    // snapshot owns every partition; commits append, never mutate.
+    var log = Vector((1, allYears.toSet, v1))
+    // Newest-commit-first partition ownership (the manifest read).
+    def resolve(asOf: Vector[(Int, Set[Int], String)]): DataFrame = {
+      val owner = scala.collection.mutable.Map[Int, String]()
+      asOf.sortBy(-_._1).foreach { case (_, touched, p) =>
+        touched.foreach(y => if (!owner.contains(y)) owner(y) = p)
+      }
+      owner.toSeq.groupBy(_._2).map { case (p, ys) =>
+        s.read.parquet(p)
+          .filter(col("yr").isin(ys.map(e => Integer.valueOf(e._1)): _*))
+      }.reduce(_ unionByName _)
+    }
+    // Validate-and-swap: refuse when any commit after `base` touched a
+    // partition this writer touches (validation precedes any write, so
+    // a refused commit has zero physical footprint).
+    def commit(base: Int, touched: Set[Int], content: DataFrame): Unit = {
+      val conflicting = log.filter(c => c._1 > base && (c._2 & touched).nonEmpty)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit off base v$base touches ${touched.toSeq.sorted} already " +
+            s"rewritten by ${conflicting.map(c => s"v${c._1}").mkString(",")}")
+      val v = log.map(_._1).max + 1
+      val p = s"$dir/v$v"
+      content.write.mode("overwrite").partitionBy("yr").parquet(p)
+      val written = new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+        .map(_.getName.stripPrefix("yr=").toInt).toSet
+      require(written == touched,
+        s"overlay must hold exactly its declared partitions: $written vs $touched")
+      log :+= ((v, touched, p))
+    }
+
+    val (aContent, aTouched) = mergedTouched(v1df)
+    val bTouched = allYears.filter(_ % 4 == 1).toSet
+    require(bTouched.nonEmpty, "no yr%4==1 years at this scale factor")
+    val bContent = v1df
+      .filter(col("yr").isin(bTouched.toSeq.map(Integer.valueOf): _*))
+      .filter(!(col("o_orderkey") % 50 === 3))
+    val cTouched = aTouched.toSet
+    def cTransform(cur: DataFrame): DataFrame = cur
+      .filter(col("yr").isin(cTouched.toSeq.map(Integer.valueOf): _*))
+      .withColumn("cents",
+        when(col("o_orderkey") % 50 === 0 || col("o_orderkey") % 50 === 4,
+          col("cents") + expr("cents div 20")).otherwise(col("cents")))
+
+    commit(1, aTouched.toSet, aContent) // A lands: v2
+    commit(1, bTouched, bContent)       // B: stale base, disjoint -> v3
+    val clashed =
+      try { commit(1, cTouched, cTransform(v1df)); false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    require(clashed, "an overlapping stale-base commit must be refused")
+    // C retries off the CURRENT resolved state and lands as v4.
+    val beforeRetry = Seq(v1, s"$dir/v2", s"$dir/v3").map(parquetFiles).reduce(_ ++ _)
+    commit(log.map(_._1).max, cTouched, cTransform(resolve(log)))
+    require(Seq(v1, s"$dir/v2", s"$dir/v3").map(parquetFiles).reduce(_ ++ _) == beforeRetry,
+      "a commit must never rewrite another version's files")
+
+    resolve(log).groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private val concurrentCommitSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2),
+      |v3 AS (
+      |  SELECT * FROM v2
+      |  WHERE NOT (yr % 4 = 1 AND o_orderkey % 50 = 3)),
+      |v4 AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND (o_orderkey % 50 = 0 OR o_orderkey % 50 = 4)
+      |         THEN cents + cents // 20 ELSE cents END AS cents
+      |  FROM v3)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM v4 GROUP BY yr""".stripMargin
+
   // ---------------------------------------------------- fmt_analyze_stats
   /** ANALYZE TABLE under the oracle gate — the catalog-statistics leg
     * of the cost-based-optimizer story: `ANALYZE TABLE ... COMPUTE
@@ -1274,6 +1485,8 @@ object FormatQueries {
     "fmt_retention_gc"   -> (fmtRetentionGc _),
     "fmt_clone"          -> (fmtClone _),
     "fmt_restore"        -> (fmtRestore _),
+    "fmt_schema_evolution" -> (fmtSchemaEvolution _),
+    "fmt_concurrent_commit" -> (fmtConcurrentCommit _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1301,6 +1514,8 @@ object FormatQueries {
     "fmt_retention_gc"   -> mergeUpsertSql,
     "fmt_clone"          -> cloneSql,
     "fmt_restore"        -> restoreSql,
+    "fmt_schema_evolution" -> schemaEvolutionSql,
+    "fmt_concurrent_commit" -> concurrentCommitSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

@@ -166,6 +166,49 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------- amqp_sql_table
+  /** The SQL-DDL face of the source: `CREATE TABLE ... USING amqp` in
+    * the session catalog, then a pure-SQL aggregate over it — no
+    * DataFrame reader API anywhere on the query path. This is the
+    * surface a SQL-only consumer (JDBC/Thrift clients, notebook SQL
+    * cells, dbt-style tooling) sees; the reference's stream has no SQL
+    * identity at all. DSv2's TableProvider registration is what makes
+    * the DDL real: the catalog stores only the options, resolution
+    * flows through the same AmqpTable/AmqpScanBuilder the DataFrame
+    * path uses, so column pruning and every pushdown ride SQL
+    * untouched (the COUNT(*) plan assertion lives in AmqpSourceSpec's
+    * SQL-table test).
+    *
+    * Scale shape: identical to amqp_ingest_roundtrip — the catalog
+    * entry is metadata; the scan partitions per link as always. */
+  def amqpSqlTable(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+      (AmqpMessage(
+        messageId = Some(r.getLong(0).toString),
+        subject = Some(r.getString(1)),
+        body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+    })
+    s.sql("DROP TABLE IF EXISTS amqp_sql_gate")
+    s.sql(s"CREATE TABLE amqp_sql_gate USING amqp " +
+      s"OPTIONS (endpoint '$ep', address '$address')")
+    s.sql("""SELECT subject AS event_type, count(*) AS n_events,
+        CAST(sum(CAST(CAST(body AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM amqp_sql_gate
+      GROUP BY subject""")
+  }
+
+  val amqpSqlTableSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 11 = 0
+      |GROUP BY event_type""".stripMargin
+
   // --------------------------------------------------- amqp_ttl_expiry
   /** HEADER-SECTION TTL under the oracle gate: the AMQP 1.0 header's
     * ttl field (§3.2.1, milliseconds from enqueue) rides the wire
@@ -2005,6 +2048,7 @@ object IngestQueries {
     "amqp_sink_roundtrip"   -> (amqpSinkRoundtrip _),
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
+    "amqp_sql_table"        -> (amqpSqlTable _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
@@ -2032,6 +2076,7 @@ object IngestQueries {
     "amqp_sink_roundtrip"   -> amqpSinkRoundtripSql,
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
+    "amqp_sql_table"        -> amqpSqlTableSql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,

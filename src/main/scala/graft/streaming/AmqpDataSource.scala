@@ -69,10 +69,20 @@ class AmqpTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
+  /** Catalog-table access (`CREATE TABLE ... USING amqp`) hands scan /
+    * write builders only the PER-QUERY options — the creation-time
+    * OPTIONS live in this table's constructor map (the DataFrame path
+    * passes the same map to both, so the merge is a no-op there).
+    * Per-query keys override stored ones, like file-source reads. */
+  private def merged(opts: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String](options)
+    m.putAll(opts)
+    new CaseInsensitiveStringMap(m)
+  }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new AmqpScanBuilder(AmqpSourceConfig(opts))
+    new AmqpScanBuilder(AmqpSourceConfig(merged(opts)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AmqpWriteBuilder(AmqpSourceConfig(info.options()), info)
+    new AmqpWriteBuilder(AmqpSourceConfig(merged(info.options())), info)
 }
 
 /** `addresses` (plural) is the horizontal-scale surface: one AMQP link

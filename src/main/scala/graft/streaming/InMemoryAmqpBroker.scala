@@ -99,6 +99,14 @@ trait AmqpEndpoint {
     * surface; callers fall back to the full replayable window plus a
     * reader-side timestamp re-filter (still correct, nothing pruned). */
   def timestampWindow(address: String, loMicros: Long, hiMicros: Long): Option[(Long, Long)] = None
+
+  /** Address discovery behind pattern subscription (`addressPattern`
+    * source option): every existing address matching the glob (see
+    * [[AmqpAddressGlob]] — only `*` is special). None = this transport
+    * has no discovery surface; callers must FAIL LOUDLY rather than
+    * silently match nothing (a pattern that quietly resolves to zero
+    * queues would read an empty table forever). */
+  def listAddresses(pattern: String): Option[Seq[String]] = None
   def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
   def settle(address: String, upTo: Long): Unit
   def settledUpTo(address: String): Long
@@ -106,6 +114,17 @@ trait AmqpEndpoint {
   def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
       timestampMicros: Long = System.currentTimeMillis() * 1000L): Int
   def abortStaged(txn: String): Unit
+}
+
+/** The pattern dialect of the `addressPattern` source option: `*`
+  * matches any run of characters (including none), everything else is
+  * literal — the deliberately tiny glob every broker management surface
+  * can serve (ActiveMQ wildcard destinations / MQTT topic filters are
+  * the richer cousins; one wildcard covers the fleet-of-queues shape). */
+object AmqpAddressGlob {
+  def regex(pattern: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
 }
 
 /** An in-process AMQP-semantics endpoint: addresses hold ordered,
@@ -196,6 +215,23 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
       // concurrent enqueue and skip it forever)
       if (lo == Long.MaxValue) Some((q.nextSeq - 1, q.nextSeq - 1)) else Some((lo - 1, hi))
     } finally q.lock.unlock()
+  }
+
+  /** Discovery lists addresses that have EVER carried a message —
+    * implicit registry entries (a probe against a never-written address
+    * creates one) are invisible, so a discovered address is a real
+    * queue, not a probe artifact. Settled-empty queues stay listed:
+    * the queue exists even when momentarily drained. */
+  override def listAddresses(pattern: String): Option[Seq[String]] = {
+    val re = AmqpAddressGlob.regex(pattern)
+    import scala.jdk.CollectionConverters._
+    Some(addresses.entrySet().asScala
+      .filter { e =>
+        val q = e.getValue
+        q.lock.lock()
+        try q.nextSeq > 1L finally q.lock.unlock()
+      }
+      .map(_.getKey).filter(re.matcher(_).matches()).toSeq.sorted)
   }
 
   /** Deliveries in (fromExclusive, toInclusive]. Advances the delivered

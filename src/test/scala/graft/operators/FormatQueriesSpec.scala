@@ -599,4 +599,80 @@ class FormatQueriesSpec extends SparkSpecBase {
     // every change row lives in a touched (even-year) partition
     rows.foreach { case (_, yr, _, _) => assert(yr % 2 == 0, s"change in untouched year $yr") }
   }
+
+  test("schema evolution: backfilled years carry the column, old files surface NULL") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtSchemaEvolution(spark, sfDir)
+      .select(col("yr"), col("n_orders"), col("sum_cents"),
+        col("n_backfilled"), col("sum_bonus"))
+      .collect()
+    assert(rows.nonEmpty)
+    val (even, odd) = rows.partition(_.getInt(0) % 2 == 0)
+    assert(even.nonEmpty && odd.nonEmpty, "both generations must be present")
+    // backfilled partitions: every row carries the new column, and the
+    // backfill arithmetic is the declared cents div 20
+    even.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1), s"year ${r.getInt(0)} not fully backfilled")
+      assert(!r.isNullAt(4) && r.getLong(4) > 0, s"year ${r.getInt(0)} bonus sum missing")
+    }
+    // pre-evolution partitions: the column resolves, as NULL — no
+    // phantom backfill, no read failure against old-schema files
+    odd.foreach { r =>
+      assert(r.getLong(3) == 0L, s"phantom backfill in untouched year ${r.getInt(0)}")
+      assert(r.isNullAt(4), s"untouched year ${r.getInt(0)} must sum bonus to NULL")
+    }
+    // row counts and cents are untouched by the evolution commit
+    val base = graft.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { r =>
+      assert(base(r.getInt(0)) == ((r.getLong(1), r.getLong(2))),
+        s"evolution commit changed data in year ${r.getInt(0)}")
+    }
+  }
+
+  test("concurrent commits: disjoint lands, overlap conflicts, retry compounds on the winner") {
+    import org.apache.spark.sql.functions._
+    val got = FormatQueries.fmtConcurrentCommit(spark, sfDir)
+      .select(col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // relational replay of A (CDC merge, even yrs) -> B (delete %50=3 in
+    // yr%4==1) -> C retried (+5% on %50 in {0,4}, even yrs)
+    val base = graft.Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("yr"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val v2 = base
+      .filter(!(col("yr") % 2 === 0 && col("o_orderkey") % 50 === 1))
+      .withColumn("cents",
+        when(col("yr") % 2 === 0 && col("o_orderkey") % 50 === 0,
+          col("cents") + expr("cents div 10")).otherwise(col("cents")))
+      .unionByName(base.filter(col("yr") % 2 === 0 && col("o_orderkey") % 50 === 2)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("yr"), col("cents")))
+    val v3 = v2.filter(!(col("yr") % 4 === 1 && col("o_orderkey") % 50 === 3))
+    val v4 = v3.withColumn("cents",
+      when(col("yr") % 2 === 0 &&
+        (col("o_orderkey") % 50 === 0 || col("o_orderkey") % 50 === 4),
+        col("cents") + expr("cents div 20")).otherwise(col("cents")))
+    val want = v4.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want, "resolved table must equal the serialized A -> B -> C-retry replay")
+    // the three writers genuinely touched three distinct partition sets
+    assert(got.keySet.exists(_ % 2 == 0) && got.keySet.exists(_ % 4 == 1) &&
+      got.keySet.exists(_ % 4 == 3), "scenario needs all three ownership classes")
+    // C's compounding is visible: an even year with %50=0 keys must
+    // differ from applying C's +5% to the BASE cents (the stale read)
+    val staleWant = base.withColumn("cents",
+      when(col("yr") % 2 === 0 &&
+        (col("o_orderkey") % 50 === 0 || col("o_orderkey") % 50 === 4),
+        col("cents") + expr("cents div 20")).otherwise(col("cents")))
+      .filter(!(col("yr") % 4 === 1 && col("o_orderkey") % 50 === 3))
+      .groupBy(col("yr")).agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(want != staleWant,
+      "the scenario must distinguish retry-from-current from retry-from-stale-base")
+  }
 }

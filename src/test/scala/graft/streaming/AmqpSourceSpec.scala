@@ -530,6 +530,44 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(colCount.collect().head.getLong(0) == 5L)
   }
 
+  test("CREATE TABLE ... USING amqp: the SQL-DDL surface resolves through DSv2") {
+    val (ep, broker) = freshEndpoint("sqlddl")
+    (1 to 6).foreach(i =>
+      broker.send("sql_addr", AmqpMessage(messageId = Some(i.toString),
+        subject = Some(s"k${i % 2}"), body = AmqpValueBody(s"b$i"))))
+    spark.sql("DROP TABLE IF EXISTS amqp_spec_tbl")
+    spark.sql(s"CREATE TABLE amqp_spec_tbl USING amqp " +
+      s"OPTIONS (endpoint '$ep', address 'sql_addr')")
+    try {
+      // pure-SQL aggregate over the catalog table
+      val agg = spark.sql(
+        "SELECT subject, count(*) AS n FROM amqp_spec_tbl GROUP BY subject")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("k0", 3L), ("k1", 3L)))
+      // pushdowns ride the SQL path untouched: a bare COUNT(*) answers
+      // from the ledger scan, no row aggregate
+      val counted = spark.sql("SELECT count(*) AS n FROM amqp_spec_tbl")
+      val plan = counted.queryExecution.executedPlan.toString
+      assert(plan.contains("AmqpCountScan"), s"count not pushed through SQL:\n$plan")
+      assert(counted.collect().head.getLong(0) == 6L)
+      // and predicate pushdown: the WHERE lands in PushedFilters
+      val filtered = spark.sql(
+        "SELECT message_id FROM amqp_spec_tbl WHERE subject = 'k1'")
+      val fplan = filtered.queryExecution.executedPlan.toString
+      assert(fplan.contains("PushedFilters"), fplan)
+      assert(filtered.collect().map(_.getString(0).toInt).sorted.toSeq == Seq(1, 3, 5))
+      // SQL write path: INSERT INTO the catalog table publishes through
+      // the exactly-once sink (creation OPTIONS reach the write builder)
+      spark.sql("INSERT INTO amqp_spec_tbl (message_id, subject, body) " +
+        "VALUES ('7', 'k9', 'b7')")
+      val after = spark.sql(
+        "SELECT body FROM amqp_spec_tbl WHERE subject = 'k9'").collect()
+      assert(after.map(_.getString(0)).toSeq == Seq("b7"), after.mkString(","))
+      assert(spark.sql("SELECT count(*) FROM amqp_spec_tbl")
+        .collect().head.getLong(0) == 7L)
+    } finally spark.sql("DROP TABLE IF EXISTS amqp_spec_tbl")
+  }
+
   test("timestamp + string predicates push to the scan (SupportsPushDownV2Filters)") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val (ep, broker) = freshEndpoint("predpush")
