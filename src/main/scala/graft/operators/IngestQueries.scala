@@ -166,6 +166,53 @@ object IngestQueries {
       |FROM events WHERE event_id % 10 = 0
       |GROUP BY event_type""".stripMargin
 
+  // -------------------------------------------------- amqp_pattern_multi
+  /** PATTERN SUBSCRIPTION under the oracle gate (Kafka
+    * `subscribePattern` / ActiveMQ wildcard-destination parity): the
+    * events slice is SHARDED BY KEY across three addresses plus a
+    * decoy queue carrying the whole slice again, and the read
+    * subscribes with `addressPattern` — the three matching queues are
+    * DISCOVERED via the transport's address-listing probe (never named
+    * in the query), the decoy excluded by the glob. A queue missed by
+    * discovery loses a third of the rows; decoy leakage doubles every
+    * count — either breaks the hash.
+    *
+    * Scale shape: discovery is one driver-side probe per plan (like a
+    * file listing); each discovered address is its own link partition,
+    * so a fleet of queues parallelizes exactly like the static
+    * `addresses` list. */
+  def amqpPatternMulti(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    def msgs(pred: Long => Boolean) =
+      rows.toSeq.filter(r => pred(r.getLong(0))).map { r =>
+        (AmqpMessage(messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      }
+    (0 until 3).foreach(k =>
+      pumpAll(client, s"$address-shard$k", msgs(_ % 3 == k)))
+    pumpAll(client, s"$address-decoy", msgs(_ => true))
+    s.read.format("amqp")
+      .option("endpoint", ep)
+      .option("addressPattern", s"$address-shard*").load()
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpPatternMultiSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 13 = 0
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------- amqp_sql_table
   /** The SQL-DDL face of the source: `CREATE TABLE ... USING amqp` in
     * the session catalog, then a pure-SQL aggregate over it — no
@@ -2049,6 +2096,7 @@ object IngestQueries {
     "amqp_stream_state"     -> (amqpStreamState _),
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_sql_table"        -> (amqpSqlTable _),
+    "amqp_pattern_multi"    -> (amqpPatternMulti _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
@@ -2077,6 +2125,7 @@ object IngestQueries {
     "amqp_stream_state"     -> amqpStreamStateSql,
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_sql_table"        -> amqpSqlTableSql,
+    "amqp_pattern_multi"    -> amqpPatternMultiSql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,

@@ -395,6 +395,21 @@ class Amqp10Endpoint(host: String, port: Int,
     } yield (f, t)
   }
 
+  /** Address-discovery probe (pattern subscription): a probe attach on
+    * a reserved pseudo-address carrying the glob; the echo's list of
+    * matching addresses comes back as a wire list. A server without the
+    * extension omits the echo and this returns None — the source then
+    * fails the pattern subscription loudly instead of reading nothing. */
+  override def listAddresses(pattern: String): Option[Seq[String]] = call {
+    probe("graft:discovery", amqpWireMap(Sym(ProbeProp) -> true,
+      Sym(AddrPatternProp) -> pattern))
+      .get(Sym(AddrListProp)).map {
+        case xs: Seq[_] => xs.map(_.toString)
+        case other =>
+          throw new IllegalStateException(s"bad address-list echo: $other")
+      }
+  }
+
   override def fetch(address: String, fromExclusive: Long,
       toInclusive: Long): Seq[(Long, AmqpMessage, Long)] = call {
     if (toInclusive <= fromExclusive) Vector.empty

@@ -71,6 +71,14 @@ private[streaming] object Amqp10Wire {
   val TsWinFromProp = "x-graft-ts-from-seq"
   val TsWinToProp = "x-graft-ts-to-seq"
   val SettleUpToProp = "x-graft-settle-up-to"
+  /** Address-discovery probe (pattern subscription): a probe attach
+    * carrying a glob pattern is answered with the list of existing
+    * addresses matching it (a wire list of strings in the echo). A
+    * server without the extension omits the echo — pattern subscription
+    * then FAILS LOUDLY client-side (a silent zero-queue match would
+    * read an empty table forever). */
+  val AddrPatternProp = "x-graft-addr-pattern"
+  val AddrListProp = "x-graft-addr-list"
   val PartitionAnnotation = "x-graft-partition"
   val PartitionResetAnnotation = "x-graft-partition-reset"
   val EmptyStageAnnotation = "x-graft-stage-empty"
@@ -479,11 +487,15 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                     hi <- props.get(Sym(TsWinHiProp)).map(asLong)
                     w <- backing.timestampWindow(sourceAddr, lo, hi)
                   } yield w
+                  val addrList = props.get(Sym(AddrPatternProp))
+                    .flatMap(p => backing.listAddresses(p.toString))
                   amqpWireMap((Vector[(Any, Any)](
                     Sym(LatestProp) -> backing.latestSeq(sourceAddr),
                     Sym(SettledProp) -> backing.settledUpTo(sourceAddr)) ++
                     tsWin.toVector.flatMap { case (f, t) => Vector[(Any, Any)](
-                      Sym(TsWinFromProp) -> f, Sym(TsWinToProp) -> t) }): _*)
+                      Sym(TsWinFromProp) -> f, Sym(TsWinToProp) -> t) } ++
+                    addrList.toVector.map(as =>
+                      (Sym(AddrListProp): Any) -> (as.toVector: Any))): _*)
                 } else props.get(Sym(SettleUpToProp)) match {
                   case Some(upTo) =>
                     backing.settle(sourceAddr, asLong(upTo))

@@ -91,6 +91,7 @@ class AmqpTable(options: CaseInsensitiveStringMap)
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
     maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
     startingTimestampMicros: Option[Long] = None,
+    addressPattern: Option[String] = None,
     propertyColumns: Seq[String] = Nil,
     maxRowsPerPartition: Long = 500000L,
     fetchChunkRows: Long = 50000L,
@@ -106,6 +107,26 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
   /** The envelope schema plus one nullable string column per lifted
     * application property (see the propertyColumns option). */
   def schema: StructType = AmqpEnvelope.schemaWith(propertyColumns)
+
+  /** The read-side subscription: addresses DISCOVERED by the glob
+    * pattern (sorted — deterministic partition planning), or the static
+    * list. Driver-side at planning time, like a file-source listing; a
+    * streaming query re-resolves per trigger, so queues created
+    * mid-stream join the subscription (Kafka subscribePattern parity).
+    * A transport without the discovery probe FAILS LOUDLY — a pattern
+    * silently matching nothing would read an empty table forever. An
+    * empty match on a probing transport is an honest empty subscription
+    * (streaming picks the queues up once they exist). */
+  def subscription(b: AmqpEndpoint): Seq[String] = addressPattern match {
+    case Some(p) => b.listAddresses(p) match {
+      case Some(as) => as.sorted
+      case None => throw new IllegalStateException(
+        s"addressPattern '$p' requires a transport with the address-discovery " +
+          "probe; this endpoint has no listing surface — name addresses " +
+          "explicitly via the addresses option instead")
+    }
+    case None => addresses
+  }
   /** The expiry clock a TTL-respecting read evaluates against. Called
     * at PLANNING time on the driver — once per batch plan, and once per
     * MICRO-BATCH for streams (see AmqpMicroBatchStream.planInputPartitions:
@@ -162,6 +183,18 @@ object AmqpSourceConfig {
             val i = java.time.Instant.parse(ts)
             i.getEpochSecond * 1000000L + i.getNano / 1000L
           }),
+      // Pattern subscription (Kafka subscribePattern / ActiveMQ wildcard
+      // destination parity): subscribe to every address matching the
+      // glob (`*` = any run of characters) instead of a static list.
+      // Discovery re-runs per streaming trigger, so a queue created
+      // mid-stream joins the subscription and is read FROM ITS START
+      // (Kafka's new-partitions-from-earliest). Mutually exclusive with
+      // an explicit addresses list; the sink keeps using `address`.
+      addressPattern = Option(o.get("addressPattern")).map { p =>
+        require(o.get("addresses") == null,
+          "addressPattern and addresses are mutually exclusive")
+        p
+      },
       // Lifted application properties: each named property becomes a
       // top-level nullable string column (after the envelope columns),
       // making the most common queue-peek predicates — equality on an
@@ -502,7 +535,7 @@ class AmqpCountScan(cfg: AmqpSourceConfig) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val b = AmqpEndpointRegistry.endpoint(cfg.endpoint)
-      val n = cfg.addresses
+      val n = cfg.subscription(b)
         .map(a => math.max(0L, b.latestSeq(a) - b.settledUpTo(a))).sum
       Array(AmqpCountPartition(n))
     }
@@ -560,7 +593,7 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
         // broadcast-join benefit these stats exist for is forfeited.
         // Pushed predicates only shrink the count further — the
         // uncut number stays a valid upper bound for planning.
-        val replayable = cfg.addresses
+        val replayable = cfg.subscription(client)
           .map(a => math.max(0L, client.latestSeq(a) - client.settledUpTo(a))).sum
         math.max(0L,
           math.min(replayable, limit.map(_.toLong).getOrElse(Long.MaxValue)) - offset)
@@ -647,17 +680,28 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       case o: AmqpOffset => o
       case other => AmqpOffset.fromJson(other.json(), cfg.addresses.head)
     } else AmqpOffset(Map.empty)
-    val backlog = cfg.addresses.map(a =>
+    val links = (consumed.seqs.keySet ++ subscribed).toSeq.sorted
+    val backlog = links.map(a =>
       math.max(0L, broker.latestSeq(a) - consumed.seqOf(a))).sum
-    val unsettled = cfg.addresses.map(a =>
+    val unsettled = links.map(a =>
       math.max(0L, broker.latestSeq(a) - broker.settledUpTo(a))).sum
     java.util.Map.of(
       "backlogMessages", backlog.toString,
       "unsettledMessages", unsettled.toString,
-      "links", cfg.addresses.length.toString)
+      "links", links.length.toString)
   }
 
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  /** The current subscription: the static address list, or — under
+    * `addressPattern` — a fresh discovery probe. Called at most a few
+    * times per trigger, always on the driver; a queue created mid-stream
+    * is picked up by the next trigger's probe and consumed from its
+    * start (its checkpointed offset defaults to 0). An address once
+    * checkpointed is never dropped from the subscription even if a later
+    * probe misses it (offsets and settlement must keep advancing over
+    * it) — [[latestOffset(start*]] unions the checkpoint back in. */
+  private def subscribed: Seq[String] = cfg.subscription(broker)
 
   /** Trigger.AvailableNow: snapshot the backlog at query start; batches
     * (still capped by maxMessagesPerTrigger / rate budget) drain up to
@@ -665,7 +709,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * the same admission control as continuous execution. */
   private var availableNowCap: Option[Map[String, Long]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(cfg.addresses.map(a => a -> broker.latestSeq(a)).toMap)
+    availableNowCap = Some(subscribed.map(a => a -> broker.latestSeq(a)).toMap)
 
   private def latestFor(a: String): Long = {
     val live = broker.latestSeq(a)
@@ -701,7 +745,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * the first offset commit settles — deletes — the skipped backlog
     * below the start; see the option note in [[AmqpSourceConfig]]. */
   override def initialOffset(): Offset =
-    AmqpOffset(cfg.addresses.map { a =>
+    AmqpOffset(subscribed.map { a =>
       val start = cfg.startingTimestampMicros match {
         case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
           case Some((fromExclusive, _)) => fromExclusive
@@ -713,10 +757,10 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     }.toMap)
 
   override def latestOffset(): Offset =
-    AmqpOffset(cfg.addresses.map(a => a -> latestFor(a)).toMap)
+    AmqpOffset(subscribed.map(a => a -> latestFor(a)).toMap)
 
   override def reportLatestOffset(): Offset =
-    AmqpOffset(cfg.addresses.map(a => a -> broker.latestSeq(a)).toMap)
+    AmqpOffset(subscribed.map(a => a -> broker.latestSeq(a)).toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
 
@@ -751,6 +795,12 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[AmqpOffset]
+    // Active links = this trigger's subscription UNION every address the
+    // checkpoint already tracks: a pattern-discovered queue joins here
+    // (consumed from its start — seqOf defaults to 0), and an address a
+    // later probe misses is never dropped mid-stream.
+    val active = (startOff.seqs.keySet ++ subscribed).toSeq.sorted
+    if (active.isEmpty) return AmqpOffset(Map.empty)
     val triggerCap = limit match {
       case rl: streaming.ReadMaxRows => rl.maxRows()
       case _ => Long.MaxValue
@@ -759,8 +809,8 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     // equal share (at least 1), so a hot link cannot starve the others —
     // the multi-link generalization of the reference's per-link credit.
     val totalCap = math.min(triggerCap, rateBudget())
-    val perLink = math.max(1L, totalCap / cfg.addresses.length)
-    AmqpOffset(cfg.addresses.map { a =>
+    val perLink = math.max(1L, totalCap / active.length)
+    AmqpOffset(active.map { a =>
       val startSeq = startOff.seqOf(a)
       // saturating add: an uncapped limit (ReadAllAvailable under
       // Trigger.Once) makes perLink = Long.MaxValue, and a wrapped sum
@@ -791,7 +841,10 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     val ttlNow =
       if (cfg.ttlFiltered && cfg.ttlNowMicros.isEmpty) Some(cfg.ttlClockMicros)
       else None
-    cfg.addresses
+    // The batch's links are the END offset's keys (the admitted set —
+    // which under addressPattern may differ from cfg.addresses), sorted
+    // for deterministic partition order.
+    e.seqs.keys.toSeq.sorted
       .filter(a => e.seqOf(a) > s.seqOf(a))
       .flatMap { a =>
         val (from, to) = (s.seqOf(a), e.seqOf(a))
@@ -833,7 +886,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * consumer still gets every message. */
   override def commit(end: Offset): Unit = if (!cfg.browse) {
     val e = end.asInstanceOf[AmqpOffset]
-    cfg.addresses.foreach(a => broker.settle(a, e.seqOf(a)))
+    e.seqs.keys.foreach(a => broker.settle(a, e.seqOf(a)))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -925,7 +978,9 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     var toTake = if (exactWindows) limit.map(_.toLong).getOrElse(Long.MaxValue)
                  else Long.MaxValue
     var toSkip = if (exactWindows) offset.toLong else 0L
-    cfg.addresses.flatMap { a =>
+    // Pattern subscription resolves here, once per batch plan (sorted —
+    // the LIMIT/OFFSET cuts below walk addresses in deterministic order).
+    cfg.subscription(b).flatMap { a =>
       val floor = b.settledUpTo(a)
       val latest = b.latestSeq(a)
       // startingTimestamp[Micros] positions batch reads too (Kafka's

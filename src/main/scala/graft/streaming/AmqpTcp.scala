@@ -35,6 +35,7 @@ private[streaming] object AmqpTcpProtocol {
   case class SendManyReq(address: String, msgs: Seq[(AmqpMessage, Long)]) extends Req
   case class LatestReq(address: String) extends Req
   case class TsWindowReq(address: String, loMicros: Long, hiMicros: Long) extends Req
+  case class ListAddrReq(pattern: String) extends Req
   case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
   case class SettleReq(address: String, upTo: Long) extends Req
   case class SettledUpToReq(address: String) extends Req
@@ -95,6 +96,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case SendManyReq(a, ms)     => backing.sendMany(a, ms)
           case LatestReq(a)           => backing.latestSeq(a)
           case TsWindowReq(a, lo, hi) => backing.timestampWindow(a, lo, hi)
+          case ListAddrReq(p)         => backing.listAddresses(p)
           case FetchReq(a, f, t)      => backing.fetch(a, f, t)
           case SettleReq(a, u)        => backing.settle(a, u)
           case SettledUpToReq(a)      => backing.settledUpTo(a)
@@ -181,6 +183,8 @@ class TcpAmqpEndpoint(host: String, port: Int,
   override def timestampWindow(address: String, loMicros: Long,
       hiMicros: Long): Option[(Long, Long)] =
     call[Option[(Long, Long)]](TsWindowReq(address, loMicros, hiMicros))
+  override def listAddresses(pattern: String): Option[Seq[String]] =
+    call[Option[Seq[String]]](ListAddrReq(pattern))
   override def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)] =
     call[Seq[(Long, AmqpMessage, Long)]](FetchReq(address, fromExclusive, toInclusive))
   override def settle(address: String, upTo: Long): Unit =

@@ -80,6 +80,24 @@ class Amqp10Spec extends SparkSpecBase {
     }
   }
 
+  test("listAddresses probe round-trips over the wire (pattern subscription)") {
+    withServer { (backing, ep) =>
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      Seq("sensor-a", "sensor-b", "audit").foreach(a =>
+        client.send(a, AmqpMessage(body = AmqpValueBody("x")), 1L))
+      assert(client.listAddresses("sensor-*") == Some(Seq("sensor-a", "sensor-b")))
+      assert(client.listAddresses("*") == Some(Seq("audit", "sensor-a", "sensor-b")),
+        "probe pseudo-addresses and never-written entries are invisible")
+      assert(client.listAddresses("nomatch-*") == Some(Seq()),
+        "an honest empty match, distinct from a missing discovery surface")
+      assert(client.listAddresses("sensor-*") == backing.listAddresses("sensor-*"),
+        "wire answer equals the broker's")
+      // a drained (settled-empty) queue remains discoverable: it exists
+      client.settle("audit", client.latestSeq("audit"))
+      assert(client.listAddresses("audit").exists(_.contains("audit")))
+    }
+  }
+
   test("SASL-PLAIN: credentialed server accepts right creds, rejects wrong/anonymous") {
     val backing = new InMemoryAmqpBroker
     val server = new Amqp10Server(backing, credentials = Some(("alice", "s3cret")))

@@ -530,6 +530,64 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(colCount.collect().head.getLong(0) == 5L)
   }
 
+  test("address glob: '*' spans any run, everything else literal (regex metachars inert)") {
+    def m(p: String, a: String) = AmqpAddressGlob.regex(p).matcher(a).matches()
+    assert(m("sensor-*", "sensor-") && m("sensor-*", "sensor-x/1"))
+    assert(!m("sensor-*", "xsensor-a"), "pattern is anchored")
+    assert(m("*", "anything"))
+    assert(m("a.b", "a.b") && !m("a.b", "axb"), "dot is literal, not regex")
+    assert(m("a*b*c", "a-xx-b-yy-c") && !m("a*b*c", "a-c"))
+  }
+
+  test("addressPattern: batch read subscribes to every matching queue, decoys excluded") {
+    val (ep, broker) = freshEndpoint("patternbatch")
+    (1 to 4).foreach(i => broker.send("sensor-a",
+      AmqpMessage(messageId = Some(s"a$i"), body = AmqpValueBody("x"))))
+    (1 to 3).foreach(i => broker.send("sensor-b",
+      AmqpMessage(messageId = Some(s"b$i"), body = AmqpValueBody("x"))))
+    (1 to 5).foreach(i => broker.send("audit",
+      AmqpMessage(messageId = Some(s"d$i"), body = AmqpValueBody("x"))))
+    def read() = spark.read.format("amqp")
+      .option("endpoint", ep).option("addressPattern", "sensor-*").load()
+    val ids = read().select(col("message_id")).collect().map(_.getString(0)).toSet
+    assert(ids == ((1 to 4).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).toSet)
+    // a bare COUNT(*) answers from the ledger across the DISCOVERED set
+    val counted = read().agg(count(lit(1)))
+    assert(counted.queryExecution.executedPlan.toString.contains("AmqpCountScan"))
+    assert(counted.collect().head.getLong(0) == 7L)
+    // pattern and an explicit address list are mutually exclusive
+    val e = intercept[Exception] {
+      spark.read.format("amqp").option("endpoint", ep)
+        .option("addressPattern", "s*").option("addresses", "a,b").load()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
+  test("addressPattern: a queue created mid-stream joins the subscription from its start") {
+    val (ep, broker) = freshEndpoint("patternstream")
+    (1 to 3).foreach(i => broker.send("evt-a", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    broker.send("other", AmqpMessage(body = AmqpValueBody("decoy")))
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("addressPattern", "evt-*").load()
+      .select(AmqpConverters.amqpBody.as("b"))
+      .writeStream.format("memory").queryName("amqp_pattern")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("amqp_pattern").collect().map(_.getString(0)).toSet ==
+        Set("a1", "a2", "a3"))
+      // a NEW matching queue appears mid-stream: the next trigger's
+      // discovery probe picks it up and consumes it FROM ITS START
+      (1 to 2).foreach(i => broker.send("evt-b", AmqpMessage(body = AmqpValueBody(s"b$i"))))
+      broker.send("other", AmqpMessage(body = AmqpValueBody("decoy2")))
+      q.processAllAvailable()
+      poll {
+        assert(spark.table("amqp_pattern").collect().map(_.getString(0)).toSet ==
+          Set("a1", "a2", "a3", "b1", "b2"), "discovered queue must drain; decoys never")
+      }
+    } finally q.stop()
+  }
+
   test("CREATE TABLE ... USING amqp: the SQL-DDL surface resolves through DSv2") {
     val (ep, broker) = freshEndpoint("sqlddl")
     (1 to 6).foreach(i =>
