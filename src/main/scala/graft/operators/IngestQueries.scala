@@ -213,6 +213,68 @@ object IngestQueries {
       |FROM events WHERE event_id % 13 = 0
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------ amqp_stream_pattern
+  /** STREAMING pattern subscription under the oracle gate — the dynamic
+    * half of `amqp_pattern_multi`: two sharded queues exist when the
+    * first AvailableNow drain runs; a THIRD matching queue is created
+    * between drains and the second drain — same checkpoint — must
+    * DISCOVER it and consume it from its start, while a decoy queue
+    * carrying the whole slice again never matches the glob. A missed
+    * discovery loses a third of the rows; re-reading the first drain's
+    * shards doubles them; decoy leakage doubles everything — all break
+    * the hash against DuckDB replaying the slice.
+    *
+    * Scale shape: one discovery probe per trigger on the driver; each
+    * discovered queue is its own link partition. This is the
+    * fleet-of-queues catch-up shape (per-tenant/per-sensor addresses)
+    * where naming links statically cannot work. */
+  def amqpStreamPattern(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 5)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-pattern-gate")
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    def msgs(pred: Long => Boolean) =
+      rows.toSeq.filter(r => pred(r.getLong(0))).map { r =>
+        (AmqpMessage(messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      }
+    def drain(): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("addressPattern", s"$address-q*").load()
+        .select(col("message_id"), col("subject"), col("body"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "stream-pattern gate query hung")
+      finally q.stop()
+    }
+    pumpAll(client, s"$address-q0", msgs(_ % 3 == 0))
+    pumpAll(client, s"$address-q1", msgs(_ % 3 == 1))
+    pumpAll(client, s"$address-decoy", msgs(_ => true))
+    drain()
+    pumpAll(client, s"$address-q2", msgs(_ % 3 == 2))
+    drain() // same checkpoint: must discover q2, not re-read q0/q1
+    s.read.parquet(outDir)
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpStreamPatternSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 13 = 5
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------- amqp_sql_table
   /** The SQL-DDL face of the source: `CREATE TABLE ... USING amqp` in
     * the session catalog, then a pure-SQL aggregate over it — no
@@ -2097,6 +2159,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> (amqpIngestRoundtrip _),
     "amqp_sql_table"        -> (amqpSqlTable _),
     "amqp_pattern_multi"    -> (amqpPatternMulti _),
+    "amqp_stream_pattern"   -> (amqpStreamPattern _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
@@ -2126,6 +2189,7 @@ object IngestQueries {
     "amqp_ingest_roundtrip" -> amqpIngestRoundtripSql,
     "amqp_sql_table"        -> amqpSqlTableSql,
     "amqp_pattern_multi"    -> amqpPatternMultiSql,
+    "amqp_stream_pattern"   -> amqpStreamPatternSql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,

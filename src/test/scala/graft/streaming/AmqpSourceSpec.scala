@@ -623,6 +623,16 @@ class AmqpSourceSpec extends SparkSpecBase {
       assert(after.map(_.getString(0)).toSeq == Seq("b7"), after.mkString(","))
       assert(spark.sql("SELECT count(*) FROM amqp_spec_tbl")
         .collect().head.getLong(0) == 7L)
+      // the same catalog identity streams: readStream.table resolves the
+      // stored OPTIONS through toMicroBatchStream (last: commits settle)
+      val q = spark.readStream.table("amqp_spec_tbl")
+        .select(col("message_id"))
+        .writeStream.format("memory").queryName("amqp_sql_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("amqp_sql_stream").collect().length == 7)
+      } finally q.stop()
     } finally spark.sql("DROP TABLE IF EXISTS amqp_spec_tbl")
   }
 
