@@ -1840,6 +1840,78 @@ object TextQueries {
        |FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ---------------------------------------------- corpus_dsir_select
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * arXiv:2302.03169): score every candidate document by how
+    * target-like its token distribution is — the hashed-n-gram
+    * importance weight log p_target(x) − log p_source(x) — and keep the
+    * top-K. The pretraining-data curation move: given a small trusted
+    * target domain (here the `src0` pool), pull the most target-like
+    * documents out of the general crawl (every other source).
+    *
+    * Integer-exact adaptation (the txt_surprisal discipline — a real
+    * log-likelihood ratio is float-accumulation-ordered and would not
+    * hash across engines): per-token weight = floor(log2(tgt_c+1)) −
+    * floor(log2(src_c+1)) over POOL-level occurrence counts (+1 =
+    * add-one smoothing, so a token unseen in the target contributes
+    * its source-frequency penalty instead of −∞); per-doc score = sum
+    * over token OCCURRENCES; ranking is on the length-normalized
+    * mean (×1000, integral div — both engines truncate toward zero,
+    * pinned by mm_audio_resample) with doc_id as the strict tiebreak.
+    * Top-K = 40 via orderBy+limit (TakeOrderedAndProject).
+    *
+    * Scale shape: both count tables are VOCABULARY-sized (map-side
+    * combinable) and the per-token weight table broadcasts; scoring is
+    * one broadcast join over the token stream + a doc-keyed partial
+    * aggregate; selection is a bounded top-K — the corpus never
+    * all-pairs or re-shuffles. A trained hashed featurizer swaps the
+    * weight table's derivation, not the plan. */
+  def corpusDsirSelect(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), " +")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tgtCounts = tok.filter(col("source") === "src0")
+      .groupBy(col("tok")).agg(count(lit(1)).as("tgt_c"))
+    val srcCounts = tok.filter(col("source") =!= "src0")
+      .groupBy(col("tok")).agg(count(lit(1)).as("src_c"))
+    // per-token log-ratio weights: every candidate token is in srcCounts
+    // by construction, so the left join only fills missing TARGET counts
+    val weights = srcCounts.join(tgtCounts, Seq("tok"), "left")
+      .select(col("tok"),
+        (floor(log2(coalesce(col("tgt_c"), lit(0L)) + 1)) -
+          floor(log2(col("src_c") + 1))).cast(LongType).as("bits"))
+    tok.filter(col("source") =!= "src0")
+      .join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("bits")).as("score_bits"), count(lit(1)).as("n_toks"))
+      .withColumn("mean_mbits", expr("score_bits * 1000 div n_toks"))
+      .orderBy(col("mean_mbits").desc, col("doc_id"))
+      .limit(40)
+  }
+
+  val corpusDsirSelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest($DTokens) AS tok FROM documents),
+       |tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS tgt_c
+       |  FROM toks WHERE source = 'src0' GROUP BY tok),
+       |srcc AS (SELECT tok, CAST(count(*) AS BIGINT) AS src_c
+       |  FROM toks WHERE source <> 'src0' GROUP BY tok),
+       |weights AS (
+       |  SELECT srcc.tok,
+       |    CAST(floor(log2(COALESCE(tgt_c, 0) + 1)) AS BIGINT)
+       |      - CAST(floor(log2(src_c + 1)) AS BIGINT) AS bits
+       |  FROM srcc LEFT JOIN tgt ON srcc.tok = tgt.tok),
+       |scored AS (
+       |  SELECT doc_id, source, CAST(sum(bits) AS BIGINT) AS score_bits,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
+       |  FROM toks JOIN weights USING (tok)
+       |  WHERE source <> 'src0'
+       |  GROUP BY doc_id, source)
+       |SELECT doc_id, source, score_bits, n_toks, mean_mbits
+       |FROM scored ORDER BY mean_mbits DESC, doc_id LIMIT 40""".stripMargin
+
+  // ------------------------------------------------------------------
   // -------------------------------------------------- corpus_refresh
   /** Incremental crawl refresh: merge an OLD corpus snapshot with a NEW
     * one, preferring the new copy on doc_id collisions — the
@@ -2229,6 +2301,7 @@ object TextQueries {
     "txt_cms_heavy" -> (txtCmsHeavy _),
     "corpus_filter_overlap" -> (corpusFilterOverlap _),
     "corpus_refresh" -> (corpusRefresh _),
+    "corpus_dsir_select" -> (corpusDsirSelect _),
     "txt_dup_segments" -> (txtDupSegments _),
     "txt_boilerplate_scrub" -> (txtBoilerplateScrub _),
     "txt_freq_spectrum" -> (txtFreqSpectrum _),
@@ -2274,6 +2347,7 @@ object TextQueries {
     "txt_cms_heavy" -> txtCmsHeavySql,
     "corpus_filter_overlap" -> corpusFilterOverlapSql,
     "corpus_refresh" -> corpusRefreshSql,
+    "corpus_dsir_select" -> corpusDsirSelectSql,
     "txt_dup_segments" -> txtDupSegmentsSql,
     "txt_boilerplate_scrub" -> txtBoilerplateScrubSql,
     "txt_freq_spectrum" -> txtFreqSpectrumSql,

@@ -839,4 +839,40 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
       "model verdict is degenerate at this scale")
   }
+
+  test("corpus_dsir_select: scores recompute from raw pool counts, top-K strictly ordered") {
+    val rows = TextQueries.corpusDsirSelect(spark, sfDir)
+      .select("doc_id", "source", "score_bits", "n_toks", "mean_mbits")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_._2 != "src0"), "the target pool must never select itself")
+    // strict ranking order as emitted
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 > b._5 || (a._5 == b._5 && a._1 < b._1), s"order broke at $a -> $b")
+    }
+    // recompute the integer weight formula driver-side from raw text
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def toks(t: String) = t.trim.split(" +").filter(_.nonEmpty)
+    val tgtC = docs.filter(_._2 == "src0").flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val srcC = docs.filter(_._2 != "src0").flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def flog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val byId = docs.map(d => d._1 -> d).toMap
+    rows.foreach { case (id, _, score, n, mean) =>
+      val ts = toks(byId(id)._3)
+      val want = ts.map(t =>
+        flog2(tgtC.getOrElse(t, 0L) + 1).toLong - flog2(srcC(t) + 1)).sum
+      assert(score == want, s"doc $id score drifted: $score vs $want")
+      assert(n == ts.length.toLong)
+      assert(mean == score * 1000 / n, s"doc $id mean_mbits drifted")
+    }
+    // the cut is real: some candidate scored below the selected floor
+    val floor = rows.last._5
+    val selected = rows.map(_._1).toSet
+    assert(docs.exists(d => d._2 != "src0" && !selected(d._1)),
+      "top-K must actually exclude candidates")
+    assert(floor > Long.MinValue)
+  }
 }
