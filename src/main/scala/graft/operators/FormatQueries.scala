@@ -1018,6 +1018,157 @@ object FormatQueries {
       |  CAST(sum(bonus_cents) AS BIGINT) AS sum_bonus
       |FROM evolved GROUP BY yr""".stripMargin
 
+  // ---------------------------------------------- fmt_hidden_partition
+  /** HIDDEN PARTITIONING (Iceberg's flagship layout feature): the table
+    * is laid out by a DERIVED value — yr = year(o_orderdate) — but
+    * queries filter the RAW column; the read path derives the partition
+    * predicate from the raw range via the transform's monotonicity
+    * (year is monotone in time), so directory-level pruning happens
+    * without the user ever naming — or knowing about — the partition
+    * column. Spark alone cannot infer year(ts) bounds from a ts range
+    * (the partition column is just data to it); Iceberg's scan performs
+    * this derivation inside planning, and [[hiddenPartitionRead]] is
+    * that derivation as a read-path helper.
+    *
+    * The raw predicate still applies in full: the derived cut is a
+    * SUPERSET (year boundaries are coarser than day bounds) — exactly
+    * Iceberg's contract that transforms prune and row filters finish.
+    * The gate's range deliberately starts AND ends mid-year, so an
+    * off-by-one derivation or a prune that replaced the row filter
+    * breaks the hash; the spec pins PartitionFilters in the plan and
+    * that pruned years' files are never opened.
+    *
+    * Scale shape: derivation is O(1) driver arithmetic per predicate;
+    * the scan then reads |matching partitions| directories. At 100 TB
+    * this is the difference between a 4-year scan and a full-history
+    * scan for every dashboard query written against raw timestamps. */
+  def hiddenPartitionRead(s: SparkSession, path: String,
+      lo: String, hi: String): DataFrame = {
+    // the transform derivation: year() is monotone, so the covering
+    // partition range is [year(lo), year(hi)] — planning-time arithmetic
+    val (yLo, yHi) = (lo.take(4).toInt, hi.take(4).toInt)
+    s.read.parquet(path)
+      .filter(col("yr").between(yLo, yHi)) // pruned: directory-level
+      .filter(col("o_orderdate") >= lit(lo).cast(TimestampType) &&
+        col("o_orderdate") <= lit(hi).cast(TimestampType)) // exact: row-level
+  }
+
+  private[operators] def hiddenPartitionTable(s: SparkSession, d: String): String = {
+    val dir = s"${scratch(d, "hidden")}/t"
+    Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    dir
+  }
+
+  def fmtHiddenPartition(s: SparkSession, d: String): DataFrame =
+    hiddenPartitionRead(s, hiddenPartitionTable(s, d),
+      "1996-03-15 00:00:00", "1999-10-01 00:00:00")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+
+  private val hiddenPartitionSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-03-15 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1999-10-01 00:00:00'
+      |GROUP BY yr""".stripMargin
+
+  // -------------------------------------------------- fmt_mor_delete
+  /** MERGE-ON-READ row-level DELETE (Delta deletion vectors, Iceberg
+    * positional/equality delete files): a DELETE lands as a TOMBSTONE
+    * SIDECAR — a small parquet set of deleted keys — with ZERO data
+    * files rewritten; reads anti-join the broadcast sidecar out of the
+    * scan. Later, COMPACTION converts merge-on-read to copy-on-write:
+    * ONLY the partitions that actually contain tombstoned rows rewrite
+    * (the delete predicate is year-selective so this is a real subset),
+    * every other file stays byte-identical, the compacted version needs
+    * no sidecar (physically dropping it is retention GC's job — prior
+    * versions still reference it), and a mask-free read MUST converge
+    * to exactly the masked read.
+    *
+    * The gate emits both stages version-tagged under ONE hash — the
+    * merge-on-read view and the post-compaction view each replayed by
+    * the oracle's relational delete — so a tombstone leaking into
+    * either read, an over-delete, or a compaction that diverged from
+    * the mask all break it. `require`s pin the physics: sidecar-only
+    * delete (v1 byte-identical), compaction confined to tombstoned
+    * years, zero tombstoned rows surviving it.
+    *
+    * This is the TABLE-side twin of sim_index_delete/-compact (the
+    * vector-index lifecycle), completing row-level deletes on the
+    * snapshot chain next to partition-level MERGE.
+    *
+    * Scale shape: delete cost is sidecar-write only (bytes ∝ deleted
+    * keys); the masked read adds one broadcast anti-join; compaction
+    * pays the tombstoned partitions' volume, never the table. */
+  def fmtMorDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "mordel")
+    val v1 = writeMergeV1(s, d, dir)
+    val v1df = s.read.parquet(v1)
+
+    // DELETE WHERE yr%4==2 AND key%50==7 — as a tombstone sidecar
+    val before = parquetFiles(v1)
+    val sidecar = s"$dir/deletes"
+    v1df.filter(col("yr") % 4 === 2 && col("o_orderkey") % 50 === 7)
+      .select(col("o_orderkey"), col("yr"))
+      .write.mode("overwrite").parquet(sidecar)
+    require(parquetFiles(v1) == before,
+      "a merge-on-read delete must rewrite ZERO data files")
+    val tomb = s.read.parquet(sidecar)
+    val tombYears = tomb.select("yr").distinct().collect().map(_.getInt(0)).sorted
+    require(tombYears.nonEmpty && tombYears.forall(_ % 4 == 2),
+      s"tombstones must exist and stay year-selective: ${tombYears.toSeq}")
+
+    // merge-on-read view: scan minus the broadcast tombstone set
+    def morRead(): DataFrame =
+      v1df.join(broadcast(tomb), Seq("o_orderkey", "yr"), "left_anti")
+
+    // COMPACTION: rewrite ONLY the tombstoned years, retire the sidecar
+    val compacted = s"$dir/v2"
+    morRead().filter(col("yr").isin(tombYears.map(Integer.valueOf): _*))
+      .write.mode("overwrite").partitionBy("yr").parquet(compacted)
+    val v2Years = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+    require(v2Years.sameElements(tombYears),
+      s"compaction must rewrite exactly the tombstoned partitions: ${v2Years.toSeq}")
+    require(parquetFiles(v1) == before,
+      "compaction must leave the untombstoned files byte-identical")
+    // mask-free read off the compacted chain (overlay-first resolution)
+    val clean = s.read.parquet(compacted)
+      .unionByName(v1df.filter(!col("yr").isin(tombYears.map(Integer.valueOf): _*)))
+    require(clean.join(tomb, Seq("o_orderkey", "yr"), "left_semi").count() == 0L,
+      "zero tombstoned rows may survive compaction")
+
+    def staged(df: DataFrame, stage: String): DataFrame =
+      df.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("stage", lit(stage))
+    staged(morRead(), "mor").unionByName(staged(clean, "compacted"))
+  }
+
+  private val morDeleteSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |live AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (yr % 4 = 2 AND o_orderkey % 50 = 7))
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'mor' AS stage
+      |FROM live GROUP BY yr
+      |UNION ALL
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'compacted' AS stage
+      |FROM live GROUP BY yr""".stripMargin
+
   // ---------------------------------------------- fmt_concurrent_commit
   /** OPTIMISTIC CONCURRENCY between snapshot commits (Delta's conflict
     *-detection protocol, Iceberg's validate-and-swap): writers prepare
@@ -1487,6 +1638,8 @@ object FormatQueries {
     "fmt_restore"        -> (fmtRestore _),
     "fmt_schema_evolution" -> (fmtSchemaEvolution _),
     "fmt_concurrent_commit" -> (fmtConcurrentCommit _),
+    "fmt_mor_delete"     -> (fmtMorDelete _),
+    "fmt_hidden_partition" -> (fmtHiddenPartition _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1516,6 +1669,8 @@ object FormatQueries {
     "fmt_restore"        -> restoreSql,
     "fmt_schema_evolution" -> schemaEvolutionSql,
     "fmt_concurrent_commit" -> concurrentCommitSql,
+    "fmt_mor_delete"     -> morDeleteSql,
+    "fmt_hidden_partition" -> hiddenPartitionSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

@@ -600,6 +600,36 @@ class FormatQueriesSpec extends SparkSpecBase {
     rows.foreach { case (_, yr, _, _) => assert(yr % 2 == 0, s"change in untouched year $yr") }
   }
 
+  test("hidden partitioning: raw-range query prunes directories, row filter finishes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = FormatQueries.hiddenPartitionTable(spark, sfDir)
+    val read = FormatQueries.hiddenPartitionRead(spark, path,
+      "1996-03-15 00:00:00", "1999-10-01 00:00:00")
+    // the derived partition predicate lands as PartitionFilters
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val pf = scan.partitionFilters.mkString(", ")
+    assert(pf.contains("yr"), s"no derived partition filter in: $pf")
+    // pruned years' files are never opened: the scan's file count equals
+    // exactly the covering years' on-disk files, a strict table subset
+    read.collect() // execute so scan metrics populate
+    val prunedFiles = scan.metrics("numFiles").value
+    val coveringFiles = (1996 to 1999)
+      .map(y => FormatQueries.parquetFiles(s"$path/yr=$y").size).sum
+    val totalFiles = FormatQueries.parquetFiles(path).size
+    assert(prunedFiles == coveringFiles,
+      s"scan must open exactly the covering years' files: $prunedFiles vs $coveringFiles")
+    assert(coveringFiles < totalFiles, "pruning must be non-vacuous")
+    // the row filter finishes the mid-year boundaries: the 1996 slice
+    // read is strictly smaller than the full 1996 partition
+    val got1996 = read.filter(col("yr") === 1996).count()
+    val all1996 = spark.read.parquet(path).filter(col("yr") === 1996).count()
+    assert(got1996 > 0 && got1996 < all1996,
+      s"mid-year boundary must cut inside the partition: $got1996 vs $all1996")
+  }
+
   test("schema evolution: backfilled years carry the column, old files surface NULL") {
     import org.apache.spark.sql.functions._
     val rows = FormatQueries.fmtSchemaEvolution(spark, sfDir)
