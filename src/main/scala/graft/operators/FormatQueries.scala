@@ -1018,6 +1018,131 @@ object FormatQueries {
       |  CAST(sum(bonus_cents) AS BIGINT) AS sum_bonus
       |FROM evolved GROUP BY yr""".stripMargin
 
+  // ------------------------------------------------------------ fmt_wap
+  /** WRITE–AUDIT–PUBLISH (Iceberg's WAP pattern / Delta staging-branch
+    * workflow): a changeset is STAGED as an overlay that no live reader
+    * can see (it is not in the manifest), AUDITED against invariants by
+    * reading the staged resolution, and only then PUBLISHED — a pure
+    * metadata commit that flips the manifest. A candidate that fails
+    * audit is dropped without the live table ever having been wrong.
+    *
+    * The gate runs the full workflow:
+    *  1. stage a POISONED candidate (the CDC merge with its inserted
+    *     rows' cents negated) — the audit (`cents > 0` invariant over
+    *     the staged resolution) catches it, `require`d, and the staging
+    *     dir is dropped; the live manifest never changed (`require`d
+    *     byte-identical);
+    *  2. stage the good candidate — audit passes (`require`d zero
+    *     violations, read from the staged files);
+    *  3. PUBLISH: the manifest repoints touched years at the staged
+    *     dir — `require`d zero parquet written or moved by the commit.
+    *
+    * Emitted under ONE hash: the rejected candidate's per-year
+    * violation ledger (replayed relationally by the oracle — the
+    * poison is deterministic) plus the published live state read
+    * THROUGH the manifest. A leaked poisoned row, a wrong audit, or a
+    * half-applied publish all break it.
+    *
+    * Scale shape: staging costs the changeset's partitions (it IS the
+    * merge write, just invisible); the audit is any query over the
+    * staged resolution — here one scan; publish and reject are
+    * O(|partitions|) metadata. The pattern is what makes bad loads
+    * free at 100 TB: rejection happens before visibility, so there is
+    * nothing to roll back. */
+  def fmtWap(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "wap")
+    def rmTree(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      require(f.delete(), s"failed to clear $f")
+    }
+    rmTree(new java.io.File(dir)) // fresh workflow per run (scratch persists)
+    val v1 = writeMergeV1(s, d, dir)
+    val v1df = s.read.parquet(v1)
+    val years = new java.io.File(v1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr="))
+      .map(_.getName.stripPrefix("yr=").toInt).sorted
+    val manifest = Paths.get(dir, "manifest.txt")
+    def writeManifest(m: Map[Int, String]): Unit =
+      Files.write(manifest,
+        m.toSeq.sorted.map { case (y, p) => s"$y,$p" }.mkString("\n").getBytes)
+    writeManifest(years.map(y => y -> v1).toMap) // live = base
+    def liveRead(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(manifest).asScala
+        .map { l => val Array(y, p) = l.split(",", 2); (y.toInt, p) }
+        .groupBy(_._2).map { case (p, ys) =>
+          s.read.parquet(p)
+            .filter(col("yr").isin(ys.map(e => Integer.valueOf(e._1)).toSeq: _*))
+        }.reduce(_ unionByName _)
+    }
+
+    val (good, touched) = mergedTouched(v1df)
+    // the poisoned candidate: inserted rows (negative keys) get negative
+    // cents — the planted invariant violation the audit must catch
+    val bad = good.withColumn("cents",
+      when(col("o_orderkey") < 0, -col("cents")).otherwise(col("cents")))
+    def stageCandidate(name: String, content: DataFrame): String = {
+      val p = s"$dir/stage_$name"
+      content.write.mode("overwrite").partitionBy("yr").parquet(p)
+      p
+    }
+    // audit = invariant query over the STAGED RESOLUTION (staged
+    // partitions overlay-first, base for the rest) — reads staged files
+    def audit(p: String): Long =
+      s.read.parquet(p)
+        .unionByName(v1df.filter(!col("yr").isin(touched.map(Integer.valueOf): _*)))
+        .filter(col("cents") <= 0).count()
+
+    val manifestBytes = Files.readAllBytes(manifest).toSeq
+    val badPath = stageCandidate("bad", bad)
+    require(audit(badPath) > 0, "the audit must catch the planted violation")
+    require(Files.readAllBytes(manifest).toSeq == manifestBytes,
+      "a staged candidate must be invisible to the live manifest")
+    rmTree(new java.io.File(badPath)) // REJECT: drop, nothing to roll back
+
+    val goodPath = stageCandidate("good", good)
+    require(audit(goodPath) == 0L, "the good candidate must pass audit")
+    // PUBLISH: metadata-only manifest flip
+    val before = parquetFiles(dir)
+    writeManifest(years.map(y =>
+      y -> (if (touched.contains(y)) goodPath else v1)).toMap)
+    require(parquetFiles(dir) == before,
+      "publish must be a metadata commit: zero parquet written or moved")
+
+    val rejected = bad.filter(col("cents") <= 0)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("stage", lit("rejected_violations"))
+    val published = liveRead()
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("stage", lit("published"))
+    rejected.unionByName(published)
+  }
+
+  private val wapSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, yr,
+      |    CASE WHEN yr % 2 = 0 AND o_orderkey % 50 = 0
+      |         THEN cents + cents // 10 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (yr % 2 = 0 AND o_orderkey % 50 = 1)
+      |  UNION ALL
+      |  SELECT -o_orderkey, yr, cents FROM base
+      |  WHERE yr % 2 = 0 AND o_orderkey % 50 = 2)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(-cents) AS BIGINT) AS sum_cents,
+      |  'rejected_violations' AS stage
+      |FROM base WHERE yr % 2 = 0 AND o_orderkey % 50 = 2 GROUP BY yr
+      |UNION ALL
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, 'published' AS stage
+      |FROM merged GROUP BY yr""".stripMargin
+
   // ---------------------------------------------- fmt_hidden_partition
   /** HIDDEN PARTITIONING (Iceberg's flagship layout feature): the table
     * is laid out by a DERIVED value — yr = year(o_orderdate) — but
@@ -1640,6 +1765,7 @@ object FormatQueries {
     "fmt_concurrent_commit" -> (fmtConcurrentCommit _),
     "fmt_mor_delete"     -> (fmtMorDelete _),
     "fmt_hidden_partition" -> (fmtHiddenPartition _),
+    "fmt_wap"            -> (fmtWap _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1671,6 +1797,7 @@ object FormatQueries {
     "fmt_concurrent_commit" -> concurrentCommitSql,
     "fmt_mor_delete"     -> morDeleteSql,
     "fmt_hidden_partition" -> hiddenPartitionSql,
+    "fmt_wap"            -> wapSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,
