@@ -492,6 +492,79 @@ object MultimodalQueries {
        |  CAST(min(CASE WHEN e = me THEN c END) AS BIGINT) AS max_chunk_idx
        |FROM m GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- mm_audio_pitch
+  /** Periodicity / pitch detection over DECODED samples — the integer
+    * autocorrelation argmax every VAD / pitch front-end computes. Each
+    * audio doc synthesizes a square wave whose FULL PERIOD is
+    * doc-derived (2p, p = 4 + id%13, so the true period sweeps the
+    * whole candidate grid), encodes it as a real PCM16 WAV, decodes the
+    * artifact — both codec directions sit on the hash path — and scores
+    * R(L) = Σ x[i]·x[i+L] for every lag L ∈ [8, 32]: the winner (ties
+    * to the SHORTEST lag — a strict total order) must be the planted
+    * period, found by the detector, never read from metadata. All
+    * arithmetic is int64 sums of int16 products — engine-exact; the
+    * oracle replays the waveform closed-form, so one wrong decoded
+    * sample shifts some R(L) and breaks the hash.
+    *
+    * Scale shape: embarrassingly parallel per-row map (|lags|·n
+    * multiplies per doc), bytes never leave the executor; one narrow
+    * row per audio doc. A production pitch tracker swaps the square
+    * wave for real frames and adds windowing — the plan is unchanged. */
+  def mmAudioPitch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .filter(_ % 3 == 1) // the corpus's audio docs
+      .map { id =>
+        val p = 4 + (id % 13).toInt
+        val amp = 512 + (id % 97).toInt
+        val n = 400 + (id % 5).toInt * 40
+        val wav = MediaFiles.encodeWav(16000,
+          Array.tabulate(n)(i => if ((i / p) % 2 == 0) amp else -amp))
+        val x = MediaFiles.decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"undecodable WAV for doc $id")).samples
+        var r0 = 0L
+        var i = 0
+        while (i < x.length) { val v = x(i).toLong; r0 += v * v; i += 1 }
+        var bestL = -1L
+        var bestR = Long.MinValue
+        var lag = 8
+        while (lag <= 32) {
+          var r = 0L
+          var j = 0
+          while (j + lag < x.length) { r += x(j).toLong * x(j + lag); j += 1 }
+          if (r > bestR) { bestR = r; bestL = lag } // strict >: ties keep the shorter lag
+          lag += 1
+        }
+        (id, x.length.toLong, r0, bestL, bestR)
+      }
+      .toDF("doc_id", "n_samples", "r0", "best_lag", "best_r")
+  }
+
+  val mmAudioPitchSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 4 + (doc_id % 13) AS p, 512 + (doc_id % 97) AS amp,
+      |    400 + (doc_id % 5) * 40 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |x AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, n),
+      |      i -> CASE WHEN (i // p) % 2 = 0 THEN amp ELSE -amp END) AS xs
+      |  FROM a),
+      |lags AS (SELECT unnest(range(8, 33)) AS lag),
+      |rl AS (
+      |  SELECT doc_id, lag,
+      |    CAST(list_sum(list_transform(range(0, n - lag),
+      |      i -> xs[i + 1] * xs[i + lag + 1])) AS BIGINT) AS r
+      |  FROM x, lags),
+      |best AS (
+      |  SELECT doc_id, lag, r,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, lag ASC) AS rn
+      |  FROM rl)
+      |SELECT x.doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(xs, v -> v * v)) AS BIGINT) AS r0,
+      |  CAST(b.lag AS BIGINT) AS best_lag, b.r AS best_r
+      |FROM x JOIN best b ON x.doc_id = b.doc_id AND b.rn = 1""".stripMargin
+
   // ------------------------------------------------- mm_audio_resample
   /** REAL 2:1 audio downsample round-trip — the audio sibling of
     * `mm_resize`: decode the actual PCM16 WAV, floor-halve it with
@@ -762,6 +835,7 @@ object MultimodalQueries {
     "mm_image_hist"   -> (mmImageHist _),
     "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
+    "mm_audio_pitch"  -> (mmAudioPitch _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
@@ -776,6 +850,7 @@ object MultimodalQueries {
     "mm_image_hist"   -> mmImageHistSql,
     "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,
+    "mm_audio_pitch"  -> mmAudioPitchSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,

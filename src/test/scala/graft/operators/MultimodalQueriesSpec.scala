@@ -353,4 +353,23 @@ class MultimodalQueriesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("mm_audio_pitch: the detector recovers every planted period through the codec") {
+    import spark.implicits._
+    val rows = MultimodalQueries.mmAudioPitch(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 % 3 == 1), "audio docs only")
+    rows.foreach { case (id, n, r0, bestL, bestR) =>
+      val p = 4 + (id % 13)
+      val amp = 512 + (id % 97)
+      assert(n == 400 + (id % 5) * 40, s"doc $id sample count")
+      assert(r0 == n * amp * amp, s"doc $id zero-lag energy")
+      // the argmax IS the planted full period — detection, not metadata
+      assert(bestL == 2 * p, s"doc $id: found lag $bestL, planted ${2 * p}")
+      // perfect alignment at the true period: every product is +amp^2
+      assert(bestR == (n - 2 * p) * amp * amp, s"doc $id best_r")
+    }
+    // the grid genuinely discriminates: different docs find different periods
+    assert(rows.map(_._4).distinct.length == 13, "expected all 13 planted periods")
+  }
 }
