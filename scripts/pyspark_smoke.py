@@ -96,8 +96,38 @@ lplan = lifted._jdf.queryExecution().executedPlan().toString()
 assert "tier = 't1'" in lplan, lplan
 assert lifted.count() == n // 2, lifted.count()
 
+# pattern subscription from Python: the glob discovers both shard
+# queues written above and never the unrelated ones
+for shard in ("fleet-a", "fleet-b"):
+    (
+        spark.range(10)
+        .select(F.col("id").cast("string").alias("body"))
+        .write.format("amqp")
+        .option("endpoint", ep).option("address", shard)
+        .mode("append").save()
+    )
+fleet = (
+    spark.read.format("amqp")
+    .option("endpoint", ep)
+    .option("addressPattern", "fleet-*")
+    .load()
+)
+assert fleet.count() == 20, fleet.count()
+
+# SQL DDL from Python: the catalog identity resolves through DSv2 and
+# the stored OPTIONS reach the scan
+spark.sql("DROP TABLE IF EXISTS amqp_py_tbl")
+spark.sql(
+    f"CREATE TABLE amqp_py_tbl USING amqp "
+    f"OPTIONS (endpoint '{ep}', address 'smoke')"
+)
+sql_n = spark.sql("SELECT count(*) FROM amqp_py_tbl").collect()[0][0]
+assert sql_n == n, sql_n
+spark.sql("DROP TABLE amqp_py_tbl")
+
 spark.stop()
 print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
       "envelope schema + grouped agg + COUNT(*) pushdown + "
-      "propertyColumns lift/pushdown from Python")
+      "propertyColumns lift/pushdown + addressPattern discovery + "
+      "SQL DDL from Python")
 sys.exit(0)

@@ -1849,39 +1849,49 @@ object TextQueries {
     * target domain (here the `src0` pool), pull the most target-like
     * documents out of the general crawl (every other source).
     *
+    * Features are HASHED token buckets — `char_fold_hash(tok) % 4096`,
+    * the same zero-vocabulary featurizer as txt_hash_features and
+    * exactly the paper's move: the weight table is FIXED-size (≤4096
+    * rows) no matter how large the corpus vocabulary grows, so the
+    * broadcast below is safe at any scale, not just gate scale.
+    *
     * Integer-exact adaptation (the txt_surprisal discipline — a real
     * log-likelihood ratio is float-accumulation-ordered and would not
-    * hash across engines): per-token weight = floor(log2(tgt_c+1)) −
+    * hash across engines): per-bucket weight = floor(log2(tgt_c+1)) −
     * floor(log2(src_c+1)) over POOL-level occurrence counts (+1 =
-    * add-one smoothing, so a token unseen in the target contributes
+    * add-one smoothing, so a bucket unseen in the target contributes
     * its source-frequency penalty instead of −∞); per-doc score = sum
     * over token OCCURRENCES; ranking is on the length-normalized
     * mean (×1000, integral div — both engines truncate toward zero,
     * pinned by mm_audio_resample) with doc_id as the strict tiebreak.
     * Top-K = 40 via orderBy+limit (TakeOrderedAndProject).
     *
-    * Scale shape: both count tables are VOCABULARY-sized (map-side
-    * combinable) and the per-token weight table broadcasts; scoring is
+    * Scale shape: both count tables are BUCKET-bounded (≤4096 rows,
+    * map-side combinable) and the weight table broadcasts; scoring is
     * one broadcast join over the token stream + a doc-keyed partial
     * aggregate; selection is a bounded top-K — the corpus never
-    * all-pairs or re-shuffles. A trained hashed featurizer swaps the
-    * weight table's derivation, not the plan. */
+    * all-pairs or re-shuffles. A trained featurizer swaps the weight
+    * derivation, not the plan. */
   def corpusDsirSelect(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharFoldHash.register(s)
     val tok = Tables.documents(s, d).select(col("doc_id"), col("source"),
         explode(split(trim(col("text")), " +")).as("tok"))
       .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("source"),
+        expr("char_fold_hash(tok) % 4096").cast(IntegerType).as("bucket"))
     val tgtCounts = tok.filter(col("source") === "src0")
-      .groupBy(col("tok")).agg(count(lit(1)).as("tgt_c"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tgt_c"))
     val srcCounts = tok.filter(col("source") =!= "src0")
-      .groupBy(col("tok")).agg(count(lit(1)).as("src_c"))
-    // per-token log-ratio weights: every candidate token is in srcCounts
-    // by construction, so the left join only fills missing TARGET counts
-    val weights = srcCounts.join(tgtCounts, Seq("tok"), "left")
-      .select(col("tok"),
+      .groupBy(col("bucket")).agg(count(lit(1)).as("src_c"))
+    // per-bucket log-ratio weights: every candidate bucket is in
+    // srcCounts by construction, so the left join only fills missing
+    // TARGET counts
+    val weights = srcCounts.join(tgtCounts, Seq("bucket"), "left")
+      .select(col("bucket"),
         (floor(log2(coalesce(col("tgt_c"), lit(0L)) + 1)) -
           floor(log2(col("src_c") + 1))).cast(LongType).as("bits"))
     tok.filter(col("source") =!= "src0")
-      .join(broadcast(weights), Seq("tok"))
+      .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("bits")).as("score_bits"), count(lit(1)).as("n_toks"))
       .withColumn("mean_mbits", expr("score_bits * 1000 div n_toks"))
@@ -1889,27 +1899,31 @@ object TextQueries {
       .limit(40)
   }
 
-  val corpusDsirSelectSql: String =
+  lazy val corpusDsirSelectSql: String = {
+    import graft.functions.HashFunctions.charFoldHashSql
     s"""WITH toks AS (
-       |  SELECT doc_id, source, unnest($DTokens) AS tok FROM documents),
-       |tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS tgt_c
-       |  FROM toks WHERE source = 'src0' GROUP BY tok),
-       |srcc AS (SELECT tok, CAST(count(*) AS BIGINT) AS src_c
-       |  FROM toks WHERE source <> 'src0' GROUP BY tok),
+       |  SELECT doc_id, source,
+       |    CAST(${charFoldHashSql("tok")} % 4096 AS INT) AS bucket
+       |  FROM (SELECT doc_id, source, unnest($DTokens) AS tok FROM documents)),
+       |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_c
+       |  FROM toks WHERE source = 'src0' GROUP BY bucket),
+       |srcc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS src_c
+       |  FROM toks WHERE source <> 'src0' GROUP BY bucket),
        |weights AS (
-       |  SELECT srcc.tok,
+       |  SELECT srcc.bucket,
        |    CAST(floor(log2(COALESCE(tgt_c, 0) + 1)) AS BIGINT)
        |      - CAST(floor(log2(src_c + 1)) AS BIGINT) AS bits
-       |  FROM srcc LEFT JOIN tgt ON srcc.tok = tgt.tok),
+       |  FROM srcc LEFT JOIN tgt ON srcc.bucket = tgt.bucket),
        |scored AS (
        |  SELECT doc_id, source, CAST(sum(bits) AS BIGINT) AS score_bits,
        |    CAST(count(*) AS BIGINT) AS n_toks,
        |    CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
-       |  FROM toks JOIN weights USING (tok)
+       |  FROM toks JOIN weights USING (bucket)
        |  WHERE source <> 'src0'
        |  GROUP BY doc_id, source)
        |SELECT doc_id, source, score_bits, n_toks, mean_mbits
        |FROM scored ORDER BY mean_mbits DESC, doc_id LIMIT 40""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // -------------------------------------------------- corpus_refresh

@@ -818,7 +818,11 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       // nothing and checkpointing a corrupt offset
       val cap = if (startSeq > Long.MaxValue - perLink) Long.MaxValue
                 else startSeq + perLink
-      a -> math.min(latestFor(a), cap)
+      // floor at the checkpointed start: an AvailableNow snapshot that
+      // missed a previously-tracked address (or a reset broker) must
+      // never move an end offset BACKWARD — Spark would re-read the
+      // regression as fresh data on the next batch
+      a -> math.max(startSeq, math.min(latestFor(a), cap))
     }.toMap)
   }
 

@@ -850,22 +850,23 @@ class TextQueriesSpec extends SparkSpecBase {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a._5 > b._5 || (a._5 == b._5 && a._1 < b._1), s"order broke at $a -> $b")
     }
-    // recompute the integer weight formula driver-side from raw text
+    // recompute the hashed-feature integer weights driver-side from raw text
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text").as[(Long, String, String)].collect()
-    def toks(t: String) = t.trim.split(" +").filter(_.nonEmpty)
-    val tgtC = docs.filter(_._2 == "src0").flatMap(d => toks(d._3))
+    def buckets(t: String) = t.trim.split(" +").filter(_.nonEmpty)
+      .map(tok => graft.expressions.CharFoldHash.hash(tok) % 4096) // hash is non-negative
+    val tgtC = docs.filter(_._2 == "src0").flatMap(d => buckets(d._3))
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
-    val srcC = docs.filter(_._2 != "src0").flatMap(d => toks(d._3))
+    val srcC = docs.filter(_._2 != "src0").flatMap(d => buckets(d._3))
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     def flog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
     val byId = docs.map(d => d._1 -> d).toMap
     rows.foreach { case (id, _, score, n, mean) =>
-      val ts = toks(byId(id)._3)
-      val want = ts.map(t =>
-        flog2(tgtC.getOrElse(t, 0L) + 1).toLong - flog2(srcC(t) + 1)).sum
+      val bs = buckets(byId(id)._3)
+      val want = bs.map(b =>
+        flog2(tgtC.getOrElse(b, 0L) + 1).toLong - flog2(srcC(b) + 1)).sum
       assert(score == want, s"doc $id score drifted: $score vs $want")
-      assert(n == ts.length.toLong)
+      assert(n == bs.length.toLong)
       assert(mean == score * 1000 / n, s"doc $id mean_mbits drifted")
     }
     // the cut is real: some candidate scored below the selected floor
