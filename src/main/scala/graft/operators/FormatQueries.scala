@@ -1204,6 +1204,78 @@ object FormatQueries {
       |  AND o_orderdate <= TIMESTAMP '1999-10-01 00:00:00'
       |GROUP BY yr""".stripMargin
 
+  // ------------------------------------------- fmt_partition_evolution
+  /** PARTITION-SPEC EVOLUTION (Iceberg's second evolution axis, beside
+    * schema evolution): the table's layout spec changes over time —
+    * history stays under the OLD spec (partitionBy yr), data appended
+    * after the evolution lands under the FINER one (partitionBy yr, m)
+    * — and one read plans against BOTH: the raw date range derives a
+    * year cut for old-spec directories and a (year, month) cut for
+    * new-spec ones, with the raw predicate finishing rows either way.
+    * No rewrite of history ever happens: evolving the spec costs zero
+    * bytes, exactly Iceberg's contract (each manifest remembers the
+    * spec its files were written under).
+    *
+    * The gate's range straddles the spec boundary AND starts/ends
+    * mid-month, so a derivation that misses either spec's cut, prunes
+    * too eagerly, or forgets the row-level finisher breaks the hash;
+    * the spec proves the new-spec scan opens exactly the covering
+    * months' files — strictly fewer than the whole boundary year.
+    *
+    * Scale shape: spec evolution is why month-grained pruning can be
+    * ADOPTED on a 100 TB table without rewriting history — new data
+    * gets the finer cut immediately, old data keeps year pruning, and
+    * the planner arithmetic is O(1) per directory family. */
+  def specEvolvedRead(s: SparkSession, v1: String, v2: String,
+      lo: String, hi: String): DataFrame = {
+    val (yLo, yHi) = (lo.take(4).toInt, hi.take(4).toInt)
+    val (mLo, mHi) = (lo.substring(5, 7).toInt, hi.substring(5, 7).toInt)
+    val raw = col("o_orderdate") >= lit(lo).cast(TimestampType) &&
+      col("o_orderdate") <= lit(hi).cast(TimestampType)
+    // month cut only where the year sits ON a range boundary
+    val monthCut = (col("yr") > yLo || col("m") >= mLo) &&
+      (col("yr") < yHi || col("m") <= mHi)
+    val oldSide = s.read.parquet(v1)
+      .filter(col("yr").between(yLo, yHi)).filter(raw)
+      .select("o_orderkey", "o_orderdate", "cents", "yr")
+    val newSide = s.read.parquet(v2)
+      .filter(col("yr").between(yLo, yHi) && monthCut).filter(raw)
+      .select("o_orderkey", "o_orderdate", "cents", "yr")
+    oldSide.unionByName(newSide)
+  }
+
+  private[operators] def specEvolvedTable(s: SparkSession, d: String): (String, String) = {
+    val dir = scratch(d, "specevo")
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderdate"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"),
+      year(col("o_orderdate")).cast(IntegerType).as("yr"),
+      month(col("o_orderdate")).cast(IntegerType).as("m"))
+    val v1 = s"$dir/v1"; val v2 = s"$dir/v2"
+    base.filter(col("yr") < 1999).drop("m")
+      .write.mode("overwrite").partitionBy("yr").parquet(v1)
+    base.filter(col("yr") >= 1999)
+      .write.mode("overwrite").partitionBy("yr", "m").parquet(v2)
+    (v1, v2)
+  }
+
+  def fmtPartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = specEvolvedTable(s, d)
+    specEvolvedRead(s, v1, v2, "1998-03-10 00:00:00", "1999-08-20 00:00:00")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private val partitionEvolutionSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-03-10 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1999-08-20 00:00:00'
+      |GROUP BY yr""".stripMargin
+
   // -------------------------------------------------- fmt_mor_delete
   /** MERGE-ON-READ row-level DELETE (Delta deletion vectors, Iceberg
     * positional/equality delete files): a DELETE lands as a TOMBSTONE
@@ -1766,6 +1838,7 @@ object FormatQueries {
     "fmt_mor_delete"     -> (fmtMorDelete _),
     "fmt_hidden_partition" -> (fmtHiddenPartition _),
     "fmt_wap"            -> (fmtWap _),
+    "fmt_partition_evolution" -> (fmtPartitionEvolution _),
     "fmt_hilbert_layout" -> (fmtHilbertLayout _),
     "fmt_zorder_layout"  -> (fmtZorderLayout _),
     "fmt_schema_merge"   -> (fmtSchemaMerge _),
@@ -1798,6 +1871,7 @@ object FormatQueries {
     "fmt_mor_delete"     -> morDeleteSql,
     "fmt_hidden_partition" -> hiddenPartitionSql,
     "fmt_wap"            -> wapSql,
+    "fmt_partition_evolution" -> partitionEvolutionSql,
     "fmt_hilbert_layout" -> hilbertLayoutSql,
     "fmt_zorder_layout"  -> zorderLayoutSql,
     "fmt_schema_merge"   -> schemaMergeSql,

@@ -630,6 +630,45 @@ class FormatQueriesSpec extends SparkSpecBase {
       s"mid-year boundary must cut inside the partition: $got1996 vs $all1996")
   }
 
+  test("partition-spec evolution: month-grained pruning on new data, year pruning on history") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (v1, v2) = FormatQueries.specEvolvedTable(spark, sfDir)
+    val (lo, hi) = ("1998-03-10 00:00:00", "1999-08-20 00:00:00")
+    // correctness: the two-spec read equals the raw-predicate scan
+    val got = FormatQueries.specEvolvedRead(spark, v1, v2, lo, hi)
+      .agg(count(lit(1)), sum(col("cents"))).as[(Long, Long)].collect().head
+    val want = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .agg(count(lit(1)),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .as[(Long, Long)].collect().head
+    assert(got == want, s"two-spec read drifted: $got vs $want")
+    // physics: the NEW-spec side opens exactly the covering months'
+    // files (yr=1999, m<=8) — strictly fewer than the whole year
+    val newSide = spark.read.parquet(v2)
+      .filter(col("yr").between(1998, 1999) &&
+        (col("yr") > 1998 || col("m") >= 3) && (col("yr") < 1999 || col("m") <= 8))
+    val scan = newSide.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    newSide.collect()
+    val openedNew = scan.metrics("numFiles").value
+    val coveringNew = (1 to 8)
+      .map(m => FormatQueries.parquetFiles(s"$v2/yr=1999/m=$m").size).sum
+    val all1999 = FormatQueries.parquetFiles(s"$v2/yr=1999").size
+    assert(openedNew == coveringNew,
+      s"new-spec scan must open exactly the covering months: $openedNew vs $coveringNew")
+    assert(coveringNew < all1999, "month pruning must be non-vacuous")
+    // and the OLD-spec side still year-prunes (1998 only)
+    val oldSide = spark.read.parquet(v1).filter(col("yr").between(1998, 1999))
+    val oscan = oldSide.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    oldSide.collect()
+    assert(oscan.metrics("numFiles").value ==
+      FormatQueries.parquetFiles(s"$v1/yr=1998").size,
+      "old-spec scan must read exactly its covering year")
+  }
+
   test("schema evolution: backfilled years carry the column, old files surface NULL") {
     import org.apache.spark.sql.functions._
     val rows = FormatQueries.fmtSchemaEvolution(spark, sfDir)
