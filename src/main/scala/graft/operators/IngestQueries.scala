@@ -350,7 +350,7 @@ object IngestQueries {
     * no ttl (never expires). Both gates' oracles encode exactly this
     * mapping (`event_id % 3 = 0` ⇔ expired); keep them in lockstep. */
   private def pumpTtlClassed(client: graft.streaming.AmqpEndpoint,
-      address: String, slice: DataFrame): Unit = {
+      address: String, slice: DataFrame): Int = {
     val rows = slice
       .select(col("event_id"), col("event_type"), col("value"))
       .collect() // producer role: driver-side by design (reference test senders)
@@ -364,6 +364,7 @@ object IngestQueries {
       (AmqpMessage(messageId = Some(id.toString), subject = Some(r.getString(1)),
         body = AmqpValueBody(r.getDouble(2).toString), ttlMillis = ttl), id)
     })
+    rows.length
   }
 
   def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
@@ -484,14 +485,19 @@ object IngestQueries {
   def amqpStreamTtl(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
-    pumpTtlClassed(client, address,
+    val n = pumpTtlClassed(client, address,
       Tables.events(s, d).filter(col("event_id") % 10 === 2))
     val qname = s"gate_stream_ttl_${gateRun.get}"
+    // Force a multi-batch drain at EVERY scale factor: the cap tracks
+    // the slice (~4 batches) instead of a fixed row count — a fixed 500
+    // meant 200 micro-batches at sf0.1 (26 s of trigger overhead for a
+    // 2 s query; per-batch cost is scheduling, not data).
+    val perTrigger = math.max(500, (n + 3) / 4)
     val q = s.readStream.format("amqp")
       .option("endpoint", ep).option("address", address)
       .option("respectTtl", "true")
       .option("ttlNowMicros", TtlGateNowMicros.toString)
-      .option("maxMessagesPerTrigger", "500") // force a multi-batch drain
+      .option("maxMessagesPerTrigger", perTrigger.toString)
       .load()
       .groupBy(col("subject"))
       .agg(count(lit(1)).as("n_events"),

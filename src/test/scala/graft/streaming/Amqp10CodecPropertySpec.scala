@@ -229,4 +229,37 @@ class Amqp10CodecPropertySpec extends AnyFunSuite {
     assert(d.messageId.contains("seq-1"))
     assert(d.body == AmqpOtherBody)
   }
+
+  // ------------------------------------------------------- live-wire layer
+  test("wire: random envelopes survive sendMany -> drain fetch over a live server, forAll") {
+    // the codec properties above are loopback; this one crosses a real
+    // socket — framing, pipelined transfers, credit grants, drain-mode
+    // flow, and both codec directions on both peers sit under the fuzz
+    val backing = new InMemoryAmqpBroker
+    val server = new Amqp10Server(backing)
+    val client = new Amqp10Endpoint("127.0.0.1", server.port)
+    val ctr = new java.util.concurrent.atomic.AtomicLong()
+    try {
+      check(Prop.forAll(Gen.listOfN(5, genMessage),
+          Gen.chooseNum(0L, 1L << 40)) { (ms, ts0) =>
+        val addr = s"fuzz-${ctr.incrementAndGet()}"
+        val seqs = client.sendMany(addr,
+          ms.zipWithIndex.map { case (m, i) => (m, ts0 + i) })
+        val got = client.fetch(addr, 0L, client.latestSeq(addr))
+        seqs.forall(_ > 0) && got.length == ms.length &&
+          got.zip(ms.zipWithIndex).forall { case ((_, g, ts), (w, i)) =>
+            ts == ts0 + i &&
+              g.messageId == w.messageId && g.to == w.to &&
+              g.subject == w.subject && g.replyTo == w.replyTo &&
+              g.correlationId == w.correlationId &&
+              g.ttlMillis == w.ttlMillis &&
+              g.applicationProperties == w.applicationProperties &&
+              g.messageAnnotations == w.messageAnnotations &&
+              bodyEq(g.body, w.body)
+          }
+      }, n = 60)
+    } finally {
+      try client.close() finally server.close()
+    }
+  }
 }
