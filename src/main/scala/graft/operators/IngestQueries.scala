@@ -213,6 +213,74 @@ object IngestQueries {
       |FROM events WHERE event_id % 13 = 0
       |GROUP BY event_type""".stripMargin
 
+  // -------------------------------------------------- amqp_stream_relay
+  /** Queue-to-queue streaming ETL — the source+sink COMPOSITION no
+    * other gate exercises: ONE streaming query reads the wire source
+    * and writes the exactly-once AMQP sink
+    * (`readStream.format("amqp")` → filter/enrich →
+    * `writeStream.format("amqp")`), relaying a slice from address A to
+    * address B with `click` events dropped and the survivors re-tagged.
+    * The slice is pumped in two halves with an AvailableNow drain after
+    * each on ONE checkpoint, plus an empty third drain: a relay that
+    * re-delivered the first half on restart, or lost the sink's
+    * transactional epoch dedup on retry, doubles B's counts; a leak of
+    * the dropped class surfaces as an extra group — either breaks the
+    * hash. The final read aggregates B back through the source.
+    *
+    * Scale shape: the relay is the routing/fan-out shape of a message
+    * fabric (per-tenant splitting, PII scrubbing between queues) — per
+    * trigger it costs the admitted slice through one filter map; the
+    * sink's staged transactional publish batches per partition. */
+  def amqpStreamRelay(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val dst = s"$address-relay"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 7)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-relay-gate").toString
+    def pump(rs: Array[org.apache.spark.sql.Row]): Unit =
+      pumpAll(client, address, rs.toSeq.map { r =>
+        (AmqpMessage(messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    def drain(): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address).load()
+        .filter(col("subject") =!= "click")
+        .select(col("message_id"),
+          concat(lit("relayed-"), col("subject")).as("subject"),
+          col("body"))
+        .writeStream.format("amqp")
+        .option("endpoint", ep).option("address", dst)
+        .option("checkpointLocation", s"$ckpt/c")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "relay gate query hung")
+      finally q.stop()
+    }
+    val (a, b) = rows.splitAt(rows.length / 2)
+    pump(a); drain()
+    pump(b); drain() // same checkpoint: only the second half relays
+    drain()          // nothing new: exactly-once means B gains nothing
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", dst).load()
+      .select(col("subject").as("event_type"),
+        col("body").cast(DoubleType).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpStreamRelaySql: String =
+    """SELECT 'relayed-' || event_type AS event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 13 = 7 AND event_type <> 'click'
+      |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------ amqp_stream_pattern
   /** STREAMING pattern subscription under the oracle gate — the dynamic
     * half of `amqp_pattern_multi`: two sharded queues exist when the
@@ -2166,6 +2234,7 @@ object IngestQueries {
     "amqp_sql_table"        -> (amqpSqlTable _),
     "amqp_pattern_multi"    -> (amqpPatternMulti _),
     "amqp_stream_pattern"   -> (amqpStreamPattern _),
+    "amqp_stream_relay"     -> (amqpStreamRelay _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
@@ -2196,6 +2265,7 @@ object IngestQueries {
     "amqp_sql_table"        -> amqpSqlTableSql,
     "amqp_pattern_multi"    -> amqpPatternMultiSql,
     "amqp_stream_pattern"   -> amqpStreamPatternSql,
+    "amqp_stream_relay"     -> amqpStreamRelaySql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,
