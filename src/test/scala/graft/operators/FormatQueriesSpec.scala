@@ -630,6 +630,58 @@ class FormatQueriesSpec extends SparkSpecBase {
       s"mid-year boundary must cut inside the partition: $got1996 vs $all1996")
   }
 
+  test("merge-on-read delete: both stages equal the relational delete, confined to its years") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtMorDelete(spark, sfDir)
+      .select(col("stage"), col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(String, Int, Long, Long)].collect()
+    val mor = rows.filter(_._1 == "mor").map(r => r._2 -> ((r._3, r._4))).toMap
+    val compacted = rows.filter(_._1 == "compacted").map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(mor.nonEmpty && mor == compacted,
+      "compaction must converge to exactly the masked view")
+    val want = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter(!(col("yr") % 4 === 2 && col("o_orderkey") % 50 === 7))
+      .groupBy("yr").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mor == want, "masked read must equal the relational delete")
+    // the delete actually bit, and only in its declared years
+    val base = graft.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    mor.foreach { case (yr, (n, _)) =>
+      if (yr % 4 == 2) assert(n < base(yr), s"year $yr shows no delete effect")
+      else assert(n == base(yr), s"delete leaked into year $yr")
+    }
+  }
+
+  test("WAP: the rejected ledger is exactly the planted poison, publish equals the merge") {
+    import org.apache.spark.sql.functions._
+    val rows = FormatQueries.fmtWap(spark, sfDir)
+      .select(col("stage"), col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(String, Int, Long, Long)].collect()
+    val rejected = rows.filter(_._1 == "rejected_violations")
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    val published = rows.filter(_._1 == "published")
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // the violation ledger = the poisoned inserts (negated cents of the
+    // %50==2 even-year keys), nothing else
+    val poison = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter(col("yr") % 2 === 0 && col("o_orderkey") % 50 === 2)
+      .groupBy("yr").agg(count(lit(1)).as("n"), sum(-col("cents")).as("c"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rejected == poison, "rejected ledger must be exactly the planted poison")
+    // the published state is the clean CDC merge — same as the merge gate
+    val merge = FormatQueries.fmtMergeUpsert(spark, sfDir)
+      .select(col("yr"), col("n_orders"), col("sum_cents"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(published == merge, "published state must equal the audited merge")
+  }
+
   test("partition-spec evolution: month-grained pruning on new data, year pruning on history") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
