@@ -98,7 +98,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     browse: Boolean = false,
     respectTtl: Boolean = false,
     expiredOnly: Boolean = false,
-    ttlNowMicros: Option[Long] = None) {
+    ttlNowMicros: Option[Long] = None,
+    /** Whether `address` was NAMED by the user (vs the default): the
+      * sink refuses to write a pattern-subscribed table whose target
+      * was never named — the glob has no single write target, and
+      * silently publishing to the default address would lose data. */
+    addressExplicit: Boolean = true) {
   require(!(respectTtl && expiredOnly),
     "respectTtl and expiredOnly partition the backlog — pick one")
   /** Either TTL mode makes the scan reader-filtered on the expiry
@@ -236,7 +241,8 @@ object AmqpSourceConfig {
       // reads before republishing to the DLQ address. Mutually
       // exclusive with respectTtl (they partition the backlog).
       expiredOnly = o.getOrDefault("expiredOnly", "false").toBoolean,
-      ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong))
+      ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong),
+      addressExplicit = o.get("address") != null)
   }
 }
 

@@ -138,6 +138,13 @@ class AmqpWriteBuilder(cfg: AmqpSourceConfig, info: LogicalWriteInfo)
     extends WriteBuilder
     with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
     with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // A pattern-subscribed table has no single write target: refuse unless
+  // the user NAMED the sink address (pattern reads + an explicit address
+  // sink on one catalog table is the legitimate combination) — silently
+  // publishing to the default address would strand the data.
+  require(cfg.addressPattern.isEmpty || cfg.addressExplicit,
+    "writing needs an explicit `address` option when addressPattern is set — " +
+      "a glob subscription has no single write target")
   override def truncate(): WriteBuilder = this
   override def build(): Write = new AmqpWrite(cfg, info.schema(), info.queryId())
 }

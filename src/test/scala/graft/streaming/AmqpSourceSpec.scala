@@ -561,6 +561,20 @@ class AmqpSourceSpec extends SparkSpecBase {
         .option("addressPattern", "s*").option("addresses", "a,b").load()
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // a glob has no single write target: writes refuse unless the sink
+    // address is NAMED alongside the pattern
+    val w = intercept[Exception] {
+      spark.range(1).selectExpr("CAST(id AS STRING) AS body")
+        .write.format("amqp").option("endpoint", ep)
+        .option("addressPattern", "sensor-*").mode("append").save()
+    }
+    assert(w.getMessage.contains("no single write target"), w.getMessage)
+    // ...and proceeds when it is
+    spark.range(1).selectExpr("CAST(id AS STRING) AS body")
+      .write.format("amqp").option("endpoint", ep)
+      .option("addressPattern", "sensor-*").option("address", "sensor-a")
+      .mode("append").save()
+    assert(read().count() == 8, "the named-target write must land in the subscription")
   }
 
   test("addressPattern: a queue created mid-stream joins the subscription from its start") {
