@@ -707,6 +707,81 @@ object RelationalQueries {
       |    FROM events) flags) sessed
       |GROUP BY user_id, sess_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** NATIVE session windows — `session_window(ts, gap)`, the Spark-4
+    * operator form of q28's hand-built gaps-and-islands: the engine
+    * merges events whose timestamps fall within the 30-minute gap and
+    * emits [start, last+gap) windows per user. The oracle replays the
+    * islands relationally with the operator's OWN boundary rule —
+    * sessions merge on diff < gap, STRICT (two events exactly one gap
+    * apart do NOT merge; q28's manual form uses <=, so the two gates
+    * pin both boundary conventions) — plus the end = last + gap
+    * arithmetic. Timestamps ride as integral µs into timestamp_micros
+    * and back out through unix_micros, so the hash is exact.
+    *
+    * Scale shape: one shuffle on user_id; the session merge is a
+    * per-key sorted pass inside the aggregation — no self-join, no
+    * window-function second pass. The same operator is the streaming
+    * sessionizer (amqp_stream_session's relative), so batch and stream
+    * share semantics. */
+  def q71SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        expr("timestamp_micros(ts_ns div 1000)").as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), outd(sum(dec(col("value")))).as("sum_value"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  val q71Sql: String =
+    """SELECT user_id, min(ts_us) AS start_us,
+      |  max(ts_us) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) < 1800000000
+      |           THEN 0 ELSE 1 END AS new_sess
+      |    FROM events) flags) sessed
+      |GROUP BY user_id, sess_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** The VARIANT type (Spark 4's semi-structured column): props JSON is
+    * parsed ONCE into the binary variant encoding with `parse_json`,
+    * then fields extract with `variant_get` path expressions — the
+    * shredded-JSON path that replaces per-query string re-parsing
+    * (q12's get_json_object reparses the text for every extraction; a
+    * variant column parses at ingest and every downstream read is a
+    * binary field probe). The oracle replays the extraction with
+    * DuckDB's JSON reader.
+    *
+    * Scale shape: parse-once-read-many is the 100 TB win — a variant
+    * column in parquet stores the binary encoding, so N dashboard
+    * queries pay N binary probes instead of N text parses; extraction
+    * stays inside whole-stage codegen. */
+  def q72VariantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  val q72Sql: String =
+    """SELECT event_type,
+      |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2545,6 +2620,8 @@ object RelationalQueries {
     "q26_range_join_binned" -> (q26RangeJoinBinned _),
     "q27_window_frames"   -> (q27WindowFrames _),
     "q28_sessionize"      -> (q28Sessionize _),
+    "q71_session_window"  -> (q71SessionWindow _),
+    "q72_variant_json"    -> (q72VariantJson _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2609,6 +2686,8 @@ object RelationalQueries {
     "q26_range_join_binned" -> q26Sql,
     "q27_window_frames"   -> q27Sql,
     "q28_sessionize"      -> q28Sql,
+    "q71_session_window"  -> q71Sql,
+    "q72_variant_json"    -> q72Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,

@@ -639,4 +639,44 @@ class RelationalQueriesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q71: native session_window reproduces the manual gaps-and-islands sessions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val native = RelationalQueries.q71SessionWindow(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+    val manual = RelationalQueries.q28Sessionize(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+    // on data without exact-gap boundary pairs the two conventions agree:
+    // same sessions, native end = manual last-event + gap
+    assert(native.length == manual.length,
+      s"session counts differ: ${native.length} vs ${manual.length}")
+    val nset = native.map(r => (r._1, r._2, r._4)).toSet
+    val mset = manual.map(r => (r._1, r._2, r._4)).toSet
+    assert(nset == mset, "session (user, start, size) sets must agree")
+    val gapUs = 30L * 60 * 1000000
+    val mEnd = manual.map(r => (r._1, r._2) -> r._3).toMap
+    native.foreach { case (u, st, end, _) =>
+      assert(end == mEnd((u, st)) + gapUs, s"end arithmetic at ($u, $st)")
+    }
+  }
+
+  test("q72: variant extraction equals the string re-parse path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaVariant = RelationalQueries.q72VariantJson(spark, sfDir)
+      .select("event_type", "n_k", "sum_k", "max_k")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val viaString = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaVariant == viaString, "variant_get must agree with get_json_object")
+    assert(viaVariant.nonEmpty && viaVariant.forall(_._2 > 0))
+  }
 }
