@@ -255,6 +255,73 @@ object MultimodalQueries {
        |  CAST((($FramesSql + 1) // 2) * (48 + (doc_id % 5) * 16) AS BIGINT) AS sampled_bytes
        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  // ------------------------------------------------ mm_video_scene_cut
+  /** Scene-cut detection over DECODED video frame CONTENT — the shot
+    * segmentation every video training pipeline runs before sampling:
+    * decode the real RIFF-AVI container, walk consecutive '00dc' frame
+    * payloads, score each transition by the integer sum of absolute
+    * byte differences, and call a transition a CUT when its difference
+    * exceeds the per-doc threshold (64 × frame_len, scaling with frame
+    * size). Emits per doc: frames, transitions, cuts, total and max
+    * difference. The oracle replays the synthetic frame bytes
+    * closed-form, so one wrong decoded byte in any frame shifts a
+    * difference and breaks the hash; single-frame videos must emit the
+    * all-zero row, pinning the empty-transition edge.
+    *
+    * Scale shape: embarrassingly parallel per-row map, |frames| ×
+    * frame_len byte ops per doc, bytes never leave the executor; a
+    * production detector swaps the byte diff for a histogram/SSIM
+    * distance — same plan. */
+  def mmVideoSceneCut(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "video")
+      .map { b =>
+        val avi = MediaFiles.decodeAvi(b.data).getOrElse(
+          throw new IllegalStateException(s"undecodable AVI for doc ${b.doc_id}"))
+        val fs = avi.frames
+        val threshold = if (fs.nonEmpty) 64L * fs(0).length else 0L
+        var total = 0L
+        var maxD = 0L
+        var cuts = 0L
+        var f = 1
+        while (f < fs.length) {
+          val (a, c) = (fs(f - 1), fs(f))
+          var diff = 0L
+          var i = 0
+          while (i < c.length) {
+            diff += math.abs((c(i) & 0xff) - (a(i) & 0xff)); i += 1
+          }
+          total += diff
+          if (diff > maxD) maxD = diff
+          if (diff > threshold) cuts += 1
+          f += 1
+        }
+        (b.doc_id, fs.length.toLong, (fs.length - 1).toLong, cuts, total, maxD)
+      }
+      .toDF("doc_id", "n_frames", "n_transitions", "n_cuts", "total_diff", "max_diff")
+  }
+
+  val mmVideoSceneCutSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 1 + (doc_id % 7) AS nf, 48 + (doc_id % 5) * 16 AS flen
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |t AS (
+      |  SELECT doc_id, flen, unnest(range(1, nf)) AS f FROM v),
+      |d AS (
+      |  SELECT doc_id, 64 * flen AS thr,
+      |    CAST(list_sum(list_transform(range(0, flen),
+      |      i -> abs((doc_id + f * 31 + i * 7) % 256
+      |             - (doc_id + (f - 1) * 31 + i * 7) % 256))) AS BIGINT) AS diff
+      |  FROM t)
+      |SELECT v.doc_id, CAST(v.nf AS BIGINT) AS n_frames,
+      |  CAST(v.nf - 1 AS BIGINT) AS n_transitions,
+      |  COALESCE(CAST(sum(CASE WHEN diff > thr THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cuts,
+      |  COALESCE(CAST(sum(diff) AS BIGINT), 0) AS total_diff,
+      |  COALESCE(CAST(max(diff) AS BIGINT), 0) AS max_diff
+      |FROM v LEFT JOIN d USING (doc_id)
+      |GROUP BY v.doc_id, v.nf""".stripMargin
+
   // ---------------------------------------------------- mm_dup_groups
   /** Duplicate screening over OPAQUE BINARY payloads by HEAD-BLOCK
     * fingerprint: fold the first [[HeadBytes]] payload bytes into a
@@ -836,6 +903,7 @@ object MultimodalQueries {
     "mm_binary_files" -> (mmBinaryFiles _),
     "mm_wav_energy"   -> (mmWavEnergy _),
     "mm_audio_pitch"  -> (mmAudioPitch _),
+    "mm_video_scene_cut" -> (mmVideoSceneCut _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
@@ -851,6 +919,7 @@ object MultimodalQueries {
     "mm_binary_files" -> mmBinaryFilesSql,
     "mm_wav_energy"   -> mmWavEnergySql,
     "mm_audio_pitch"  -> mmAudioPitchSql,
+    "mm_video_scene_cut" -> mmVideoSceneCutSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,
