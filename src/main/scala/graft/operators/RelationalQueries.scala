@@ -2472,6 +2472,37 @@ object RelationalQueries {
     s.sql(q67Sql)
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Correlated LATERAL subquery with LIMIT — SQL's per-row-subtable
+    * join (`FROM c, LATERAL (SELECT ... WHERE key = c.key ORDER BY ...
+    * LIMIT 2)`), the standard-SQL spelling of top-k-per-group that
+    * q07/q47/q66 express with window functions or the native TopKAgg.
+    * Catalyst must DECORRELATE the lateral (DecorrelateInnerQuery +
+    * the per-group limit rewrite) instead of re-running the inner
+    * query per outer row; both engines run the identical text, so the
+    * correlation semantics, the per-group ORDER BY ... LIMIT cut, and
+    * the tiebreak all sit under one hash. Customers with fewer than
+    * two orders contribute fewer rows — the lateral's inner-join
+    * semantics, also pinned.
+    *
+    * Scale shape: decorrelation turns this into a grouped top-k over
+    * ONE orders shuffle — the same bounded shape as q47; per-row
+    * re-execution (what a naive engine does with LATERAL) would be
+    * |customers| × orders-scan. */
+  val q73Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin
+
+  def q73LateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q73Sql)
+  }
+
   // ---------------------------------------------------------------- q68
   /** NOT IN through the NULL-AWARE anti-join path: SQL's `NOT IN
     * (subquery)` is NOT a plain anti join when the subquery column is
@@ -2622,6 +2653,7 @@ object RelationalQueries {
     "q28_sessionize"      -> (q28Sessionize _),
     "q71_session_window"  -> (q71SessionWindow _),
     "q72_variant_json"    -> (q72VariantJson _),
+    "q73_lateral_topk"    -> (q73LateralTopk _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2688,6 +2720,7 @@ object RelationalQueries {
     "q28_sessionize"      -> q28Sql,
     "q71_session_window"  -> q71Sql,
     "q72_variant_json"    -> q72Sql,
+    "q73_lateral_topk"    -> q73Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,

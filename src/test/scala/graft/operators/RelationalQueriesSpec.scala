@@ -663,6 +663,26 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q73: the correlated LATERAL decorrelates — one orders scan, no product") {
+    val df = RelationalQueries.q73LateralTopk(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"lateral went all-pairs:\n$plan")
+    // decorrelation plans ONE pass over orders (grouped top-k + join),
+    // never a per-customer re-execution
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, s"extra scans:\n$plan")
+    // inner-join + LIMIT semantics, exactly: each customer contributes
+    // min(2, its order count) rows
+    val byCust = df.collect().groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val orderCounts = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).foreach { c =>
+        assert(byCust.getOrElse(c, 0L) == math.min(2L, orderCounts.getOrElse(c, 0L)),
+          s"customer $c row count")
+      }
+  }
+
   test("q72: variant extraction equals the string re-parse path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
