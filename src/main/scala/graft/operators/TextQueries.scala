@@ -368,6 +368,105 @@ object TextQueries {
        |  FROM scored) t
        |WHERE rn <= 3""".stripMargin
 
+  // ------------------------------------------------------------ txt_bm25
+  /** BM25 keyword retrieval (Robertson's probabilistic ranking, the
+    * Okapi form): top-5 documents per query for a fixed keyword query
+    * set — the SPARSE-retrieval counterpart of the dense ANN family
+    * (`sim_topk_*`). Where txt_tfidf extracts per-document salient
+    * terms, BM25 answers queries: per-term saturated TF damped by
+    * document-length normalization, summed over the query's matched
+    * terms.
+    *
+    * ENGINE-EXACT: k1 = 6/5 and b = 3/4 are RATIONAL, so both factors
+    * reduce to integer ratios — multiplying the saturation term through
+    * by 20·S gives
+    *   sat = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)
+    * and the Robertson idf (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1).
+    * Each is floored to int64 fixed point via integer division (DIV /
+    * DuckDB //) BEFORE the per-document sum, so scores are bit-identical
+    * at any partitioning. Bounds: 44·tf·S·1e5 needs tf·S < 2×10¹² —
+    * rescale the saturation fixed point for corpora past ~10¹⁰ tokens.
+    *
+    * Scale shape: the inverted index is the one (doc_id, term) shuffle
+    * every text gate pays; postings are pruned to the query vocabulary
+    * by a broadcast join BEFORE scoring, document length rides a window
+    * over the TF frame (no second corpus scan), corpus-level scalars
+    * (N, S) stay in-plan as a broadcast 1-row frame, and the final
+    * top-5 cut windows over |matched postings| rows only. The corpus
+    * itself never joins or re-shuffles. */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "fast scan", 2 -> "hash join column", 3 -> "customer order data",
+    4 -> "slow merge batch", 5 -> "window group vector")
+
+  private val Bm25SatScale = 100000L  // saturation fixed point (1e5)
+  private val Bm25IdfScale = 1000000L // idf fixed point (1e6)
+
+  def txtBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = s.createDataFrame(Bm25Queries).toDF("query_id", "query")
+      .withColumn("term", explode(split(col("query"), " ")))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = tf.agg(
+      countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("s"))
+    val dfq = tf
+      .join(broadcast(queries.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    withDl
+      .join(broadcast(queries), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sat_fp", expr(
+        s"(44 * tf * s * $Bm25SatScale) DIV (20 * tf * s + 6 * s + 18 * dl * n)"))
+      .withColumn("idf_fp", expr(
+        s"((2 * n - 2 * df + 1) * $Bm25IdfScale) DIV (2 * df + 1)"))
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("idf_fp") * col("sat_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("query"), col("doc_id"),
+        col("n_terms_matched"), col("score_fp"), col("rank"))
+  }
+
+  val txtBm25Sql: String = {
+    val values = Bm25Queries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+    s"""WITH q(query_id, query) AS (VALUES $values),
+       |qt AS (SELECT query_id, query, unnest(string_split(query, ' ')) AS term FROM q),
+       |toks AS (SELECT doc_id, unnest($DTokens) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+       |hits AS (
+       |  SELECT qt.query_id, qt.query, tf.doc_id, tf.tf, dl.dl, dfq.df, stats.n, stats.s
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats),
+       |terms AS (
+       |  SELECT query_id, query, doc_id,
+       |    (44 * tf * s * $Bm25SatScale) // (20 * tf * s + 6 * s + 18 * dl * n) AS sat_fp,
+       |    ((2 * n - 2 * df + 1) * $Bm25IdfScale) // (2 * df + 1) AS idf_fp
+       |  FROM hits),
+       |scored AS (
+       |  SELECT query_id, query, doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |    CAST(sum(idf_fp * sat_fp) AS BIGINT) AS score_fp
+       |  FROM terms GROUP BY query_id, query, doc_id)
+       |SELECT query_id, query, doc_id, n_terms_matched, score_fp, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // ----------------------------------------------------- split_stratified
   /** Deterministic hash-based train/val/test split with per-stratum
     * accounting — the corpus-management primitive every training run
@@ -2327,6 +2426,7 @@ object TextQueries {
     "txt_bigram_lm"    -> (txtBigramLm _),
     "txt_repetition"   -> (txtRepetition _),
     "txt_tfidf"        -> (txtTfidf _),
+    "txt_bm25"         -> (txtBm25 _),
     "split_stratified" -> (splitStratified _),
     "split_kfold"      -> (splitKfold _),
     "split_group_temporal" -> (splitGroupTemporal _),
@@ -2373,6 +2473,7 @@ object TextQueries {
     "txt_bigram_lm"    -> txtBigramLmSql,
     "txt_repetition"   -> txtRepetitionSql,
     "txt_tfidf"        -> txtTfidfSql,
+    "txt_bm25"         -> txtBm25Sql,
     "split_stratified" -> splitStratifiedSql,
     "split_kfold"      -> splitKfoldSql,
     "split_group_temporal" -> splitGroupTemporalSql,

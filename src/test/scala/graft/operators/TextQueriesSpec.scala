@@ -41,6 +41,31 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("txt_bm25: dense ranks, monotone scores, matches are real postings") {
+    val rows = TextQueries.txtBm25(spark, sfDir)
+      .select(col("query_id"), col("query"), col("doc_id"),
+        col("n_terms_matched"), col("score_fp"), col("rank"))
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == 5, "every query returns results")
+    rows.groupBy(_._1).values.foreach { hits =>
+      val byRank = hits.sortBy(_._6)
+      // ranks dense from 1, scores non-increasing in rank order
+      assert(byRank.map(_._6).toSeq == (1L to hits.length.toLong))
+      assert(byRank.map(_._5).toSeq == byRank.map(_._5).sortBy(-_).toSeq)
+      val qTerms = byRank.head._2.split(" ").toSet
+      byRank.foreach { h =>
+        assert(h._4 >= 1 && h._4 <= qTerms.size, "matched-term count in range")
+      }
+    }
+    // matched counts are honest: re-derive one hit's term overlap from text
+    val top = rows.filter(_._1 == 2).minBy(_._6) // "hash join column"
+    val text = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === top._3).select(col("text")).as[String].head()
+    val overlap = Set("hash", "join", "column")
+      .count(text.split(" +").toSet.contains)
+    assert(overlap.toLong == top._4, "n_terms_matched equals true overlap")
+  }
+
   test("bpe merge chain composes: multi-rule words collapse to one token") {
     val toks = TextQueries.txtBpeVocab(spark, sfDir)
       .select(col("token")).collect().map(_.getString(0)).toSet
