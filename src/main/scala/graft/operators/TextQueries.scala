@@ -467,6 +467,124 @@ object TextQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // -------------------------------------------------------- txt_bpe_train
+  /** BPE merge TRAINING (Sennrich et al. 2016, arXiv:1508.07909): learn
+    * the first 4 merge rules from corpus pair statistics — the trainer
+    * that EMITS the merge table txt_bpe_vocab consumes. Each round
+    * counts adjacent symbol pairs weighted by word frequency, picks the
+    * argmax (count desc, pair asc — a pinned total order where real
+    * trainers break ties arbitrarily), and applies the merge to every
+    * occurrence GREEDILY left-to-right without overlap ("a a a" merges
+    * positions 1-2, not 2-3), exactly the reference BPE semantics.
+    *
+    * Greedy non-overlap as relational algebra: candidate positions are
+    * ranked by a running count per word; runs of CONSECUTIVE candidate
+    * positions share an island id (pos − rank, the gaps-and-islands
+    * move), and within an island only candidates at even offset from
+    * the island's first candidate merge — position p+1 consumed by a
+    * kept merge at p is then dropped and positions re-densified. The
+    * oracle unrolls all 4 rounds as explicit CTE stages over the same
+    * window algebra.
+    *
+    * Scale shape: classic BPE trains on the WORD-FREQUENCY table, not
+    * the corpus — after the one corpus-scan aggregate every round is
+    * vocabulary-sized (pair counting is map-side combinable, the argmax
+    * a 1-row broadcast, application three windows over the same
+    * (word, pos) sort), independent of corpus size. Lineage is
+    * truncated per round (localCheckpoint) like the iterative graph
+    * operators. */
+  private val BpeTrainRounds = 4
+
+  def txtBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    var frame = words
+      .withColumn("pos",
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(length(word) AS BIGINT))")))
+      .withColumn("sym", expr("substring(word, CAST(pos AS INT), 1)"))
+      .select(col("word"), col("wc"), col("pos"), col("sym"))
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var merges: DataFrame = null
+    for (r <- 1 to BpeTrainRounds) {
+      val withNext = frame.withColumn("next_sym", lead(col("sym"), 1).over(wOrd))
+      val best = withNext.filter(col("next_sym").isNotNull)
+        .groupBy(col("sym").as("bl"), col("next_sym").as("br"))
+        .agg(sum(col("wc")).as("bc"))
+        .orderBy(col("bc").desc, col("bl").asc, col("br").asc).limit(1)
+      val roundMerge = best.select(lit(r.toLong).as("round"),
+        col("bl").as("merge_left"), col("br").as("merge_right"),
+        col("bc").as("pair_count"))
+      merges = if (merges == null) roundMerge else merges.unionAll(roundMerge)
+      val stepped = withNext.crossJoin(broadcast(best))
+        .withColumn("is_cand", coalesce(
+          col("sym") === col("bl") && col("next_sym") === col("br"), lit(false)))
+        .withColumn("crank",
+          sum(when(col("is_cand"), 1L).otherwise(0L)).over(wOrd))
+        .withColumn("isl", col("pos") - col("crank"))
+      val wIsl = Window.partitionBy(col("word"), col("isl"))
+      frame = stepped
+        .withColumn("min_cand",
+          min(when(col("is_cand"), col("crank"))).over(wIsl))
+        .withColumn("keep",
+          col("is_cand") && (col("crank") - col("min_cand")) % 2 === 0)
+        .withColumn("prev_keep", lag(col("keep"), 1, false).over(wOrd))
+        .filter(!coalesce(col("prev_keep"), lit(false)))
+        .withColumn("sym",
+          when(col("keep"), concat(col("bl"), col("br"))).otherwise(col("sym")))
+        .withColumn("pos", row_number().over(wOrd).cast(LongType))
+        .select(col("word"), col("wc"), col("pos"), col("sym"))
+        .localCheckpoint()
+    }
+    merges
+  }
+
+  val txtBpeTrainSql: String = {
+    val rounds = (0 until BpeTrainRounds).map { k =>
+      s"""nx$k AS (SELECT word, wc, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS next_sym FROM frame$k),
+         |best$k AS (
+         |  SELECT sym AS bl, next_sym AS br, CAST(sum(wc) AS BIGINT) AS bc
+         |  FROM nx$k WHERE next_sym IS NOT NULL GROUP BY sym, next_sym
+         |  ORDER BY bc DESC, bl ASC, br ASC LIMIT 1),
+         |st$k AS (
+         |  SELECT n.word, n.wc, n.pos, n.sym, b.bl, b.br,
+         |    COALESCE(n.sym = b.bl AND n.next_sym = b.br, FALSE) AS is_cand
+         |  FROM nx$k n CROSS JOIN best$k b),
+         |rk$k AS (SELECT *,
+         |    sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY pos) AS crank FROM st$k),
+         |isl$k AS (SELECT *, pos - crank AS isl FROM rk$k),
+         |kp$k AS (SELECT *,
+         |    is_cand AND ((crank - min(CASE WHEN is_cand THEN crank END)
+         |      OVER (PARTITION BY word, isl)) % 2 = 0) AS keep FROM isl$k),
+         |pv$k AS (SELECT *,
+         |    lag(keep, 1, FALSE) OVER (PARTITION BY word ORDER BY pos) AS prev_keep
+         |  FROM kp$k),
+         |frame${k + 1} AS (
+         |  SELECT word, wc,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN keep THEN bl || br ELSE sym END AS sym
+         |  FROM pv$k WHERE NOT COALESCE(prev_keep, FALSE))""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until BpeTrainRounds).map { k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS round, bl AS merge_left, br AS merge_right, bc AS pair_count FROM best$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')) AS word
+       |    FROM documents) t WHERE word <> '' GROUP BY word),
+       |frame0 AS (
+       |  SELECT word, wc, CAST(pos AS BIGINT) AS pos,
+       |    substr(word, CAST(pos AS INT), 1) AS sym
+       |  FROM (SELECT word, wc,
+       |    unnest(generate_series(1, length(word))) AS pos FROM words) t),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   // ----------------------------------------------------- split_stratified
   /** Deterministic hash-based train/val/test split with per-stratum
     * accounting — the corpus-management primitive every training run
@@ -2427,6 +2545,7 @@ object TextQueries {
     "txt_repetition"   -> (txtRepetition _),
     "txt_tfidf"        -> (txtTfidf _),
     "txt_bm25"         -> (txtBm25 _),
+    "txt_bpe_train"    -> (txtBpeTrain _),
     "split_stratified" -> (splitStratified _),
     "split_kfold"      -> (splitKfold _),
     "split_group_temporal" -> (splitGroupTemporal _),
@@ -2474,6 +2593,7 @@ object TextQueries {
     "txt_repetition"   -> txtRepetitionSql,
     "txt_tfidf"        -> txtTfidfSql,
     "txt_bm25"         -> txtBm25Sql,
+    "txt_bpe_train"    -> txtBpeTrainSql,
     "split_stratified" -> splitStratifiedSql,
     "split_kfold"      -> splitKfoldSql,
     "split_group_temporal" -> splitGroupTemporalSql,

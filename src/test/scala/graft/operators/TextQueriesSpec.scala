@@ -66,6 +66,43 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(overlap.toLong == top._4, "n_terms_matched equals true overlap")
   }
 
+  test("txt_bpe_train: learned merges equal a scalar greedy reference trainer") {
+    // Reference BPE trainer (Sennrich et al.): count adjacent pairs over
+    // the word-frequency table, argmax with the pinned (count desc, pair
+    // asc) tie-break, apply greedily left-to-right without overlap.
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), " +")).as("word"))
+      .filter(col("word") =!= "").groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    var syms: Map[String, (Vector[String], Long)] =
+      words.map { case (w, c) => w -> (w.split("").toVector, c) }
+    val expected = (1 to 4).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((_, (v, c)) <- syms; i <- 0 until v.length - 1)
+        counts((v(i), v(i + 1))) += c
+      val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      syms = syms.map { case (w, (v, wc)) =>
+        val buf = Vector.newBuilder[String]; var i = 0
+        while (i < v.length) {
+          if (i < v.length - 1 && v(i) == l && v(i + 1) == r) {
+            buf += (l + r); i += 2
+          } else { buf += v(i); i += 1 }
+        }
+        w -> (buf.result(), wc)
+      }
+      (l, r, c)
+    }
+    val got = TextQueries.txtBpeTrain(spark, sfDir)
+      .orderBy(col("round")).as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3, m._4)).toSeq
+    assert(got == expected, s"distributed trainer diverged: $got vs $expected")
+    // merge counts can only shrink round over round (a new pair created
+    // by a merge inherits at most the merged pair's count)
+    val cs = got.map(_._3)
+    assert(cs == cs.sortBy(-_), "pair counts non-increasing over rounds")
+  }
+
   test("bpe merge chain composes: multi-rule words collapse to one token") {
     val toks = TextQueries.txtBpeVocab(spark, sfDir)
       .select(col("token")).collect().map(_.getString(0)).toSet
