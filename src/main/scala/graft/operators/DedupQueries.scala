@@ -1278,7 +1278,126 @@ object DedupQueries {
       |  ON a.nat = b.nat AND b.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
       |WHERE levenshtein(a.n, b.n) <= 2""".stripMargin
 
+  // ----------------------------------------------------- dedup_url_canonical
+  /** URL canonicalization + dedup by canonical form — the crawl-dedup
+    * stage that runs BEFORE any content hashing: the same page arrives
+    * under scheme/host case variants, explicit default ports, tracking
+    * parameters (utm_*, ref), shuffled query-parameter order, trailing
+    * slashes, and fragments. The canonicalizer normalizes all six
+    * (lowercase scheme+host, strip :443/:80 per scheme, drop utm_* and
+    * ref params, sort survivors, strip trailing path slash, drop fragment)
+    * and dedup groups by the canonical form.
+    *
+    * The corpus has no URL column, so each document's raw URL is
+    * SYNTHESIZED deterministically from its fields with all six
+    * variance kinds planted by doc_id arithmetic (disclosed, same move
+    * as the multimodal gates synthesizing media payloads); the ORACLE
+    * replays synthesis AND canonicalization independently, so a
+    * canonicalization step that over- or under-normalizes breaks the
+    * hash.
+    *
+    * Scale shape: canonicalization is a pure per-row projection (regex
+    * + one bounded list sort over query params — no parse_url UDF, no
+    * driver round trip); dedup is one canonical-key shuffle, identical
+    * to dedup_exact's. At 100 TB this is the cheapest dedup pass and
+    * runs first precisely because it needs no content reads. */
+  def dedupUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).withColumn("raw_url", expr(
+      """concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+        |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+        |  source, '.Example.COM',
+        |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+        |  '/docs/', CAST(doc_id % 13 AS STRING),
+        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN concat('?id=', CAST(doc_id % 13 AS STRING),
+        |                '&utm_source=feed&ref=', lang)
+        |    ELSE concat('?utm_source=feed&id=', CAST(doc_id % 13 AS STRING),
+        |                '&ref=', lang) END,
+        |  '#sec', CAST(doc_id % 9 AS STRING))""".stripMargin))
+    raw
+      .withColumn("no_frag", regexp_replace(col("raw_url"), "#.*$", ""))
+      .withColumn("scheme",
+        lower(regexp_extract(col("no_frag"), "^([A-Za-z]+)://", 1)))
+      .withColumn("authority",
+        lower(regexp_extract(col("no_frag"), "^[A-Za-z]+://([^/?#]+)", 1)))
+      .withColumn("host", expr(
+        """CASE WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+          |     WHEN scheme = 'http'  THEN regexp_replace(authority, ':80$', '')
+          |     ELSE authority END""".stripMargin))
+      .withColumn("pathq",
+        regexp_replace(col("no_frag"), "^[A-Za-z]+://[^/?#]+", ""))
+      .withColumn("path", regexp_extract(col("pathq"), "^([^?]*)", 1))
+      .withColumn("path_norm", expr(
+        "CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/' " +
+          "ELSE regexp_replace(path, '/+$', '') END"))
+      .withColumn("query_raw", regexp_extract(col("pathq"), "\\?(.*)$", 1))
+      .withColumn("params", expr(
+        """array_join(array_sort(filter(split(query_raw, '&'),
+          |  p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+          |    AND substring(p, 1, 4) <> 'ref=')), '&')""".stripMargin))
+      .withColumn("canonical_url", expr(
+        """concat(scheme, '://', host, path_norm,
+          |  CASE WHEN params <> '' THEN concat('?', params) ELSE '' END)""".stripMargin))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_variants"),
+        min(col("doc_id")).as("keeper"))
+  }
+
+  val dedupUrlCanonicalSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+      |    source, '.Example.COM',
+      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+      |    '/docs/', CAST(doc_id % 13 AS VARCHAR),
+      |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN concat('?id=', CAST(doc_id % 13 AS VARCHAR),
+      |                  '&utm_source=feed&ref=', lang)
+      |      ELSE concat('?utm_source=feed&id=', CAST(doc_id % 13 AS VARCHAR),
+      |                  '&ref=', lang) END,
+      |    '#sec', CAST(doc_id % 9 AS VARCHAR)) AS raw_url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, raw_url,
+      |    regexp_replace(raw_url, '#.*$', '') AS no_frag
+      |  FROM raw),
+      |fields AS (
+      |  SELECT doc_id, raw_url,
+      |    lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(no_frag, '^[A-Za-z]+://([^/?#]+)', 1)) AS authority,
+      |    regexp_replace(no_frag, '^[A-Za-z]+://[^/?#]+', '') AS pathq
+      |  FROM parts),
+      |norm AS (
+      |  SELECT doc_id, raw_url, scheme,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+      |         WHEN scheme = 'http'  THEN regexp_replace(authority, ':80$', '')
+      |         ELSE authority END AS host,
+      |    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+      |         THEN '/'
+      |         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path_norm,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+      |        AND substr(p, 1, 4) <> 'ref=')), '&') AS params
+      |  FROM fields),
+      |canon AS (
+      |  SELECT doc_id, raw_url,
+      |    concat(scheme, '://', host, path_norm,
+      |      CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canonical_url
+      |  FROM norm)
+      |SELECT canonical_url,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper
+      |FROM canon GROUP BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical"    -> (dedupUrlCanonical _),
     "dedup_fuzzy_er"         -> (dedupFuzzyEr _),
     "dedup_novelty"          -> (dedupNovelty _),
     "dedup_cluster"          -> (dedupCluster _),
@@ -1301,6 +1420,7 @@ object DedupQueries {
 
   // lazy for the same init-order reason as dedupWinnowSql
   lazy val oracleSql: Map[String, String] = Map(
+    "dedup_url_canonical"    -> dedupUrlCanonicalSql,
     "dedup_fuzzy_er"         -> dedupFuzzyErSql,
     "dedup_novelty"          -> dedupNoveltySql,
     "dedup_cluster"          -> dedupClusterSql,

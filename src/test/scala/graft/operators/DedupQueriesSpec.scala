@@ -8,6 +8,30 @@ import graft.functions.HashFunctions._
 class DedupQueriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("url canonicalization: every variance kind normalized, groups honest") {
+    val rows = DedupQueries.dedupUrlCanonical(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "every doc lands in exactly one group")
+    // the canonicalizer genuinely collapsed distinct raw forms
+    assert(rows.exists(r => r._2 > 1 && r._3 > 1),
+      "some group holds multiple docs under multiple raw variants")
+    rows.map(_._1).foreach { u =>
+      assert(!u.contains("#"), s"fragment survived: $u")
+      assert(!u.contains(":443"), s"default port survived: $u")
+      assert(!u.contains("utm_") && !u.contains("ref="), s"tracking param survived: $u")
+      assert(u == u.toLowerCase, s"case variance survived: $u")
+      assert(!u.split("\\?")(0).endsWith("/") || u.startsWith("https:///"),
+        s"trailing slash survived: $u")
+      assert(u.startsWith("https://www."), s"unexpected shape: $u")
+    }
+    // raw variants within a group really differ only by normalized parts:
+    // group count equals the count of distinct (source, doc_id % 13) keys
+    val expectGroups = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), (col("doc_id") % 13).as("m")).distinct().count()
+    assert(rows.length.toLong == expectGroups)
+  }
+
   test("shingles builds ordered word n-grams; short docs yield none") {
     def sh(text: String, n: Int): Seq[String] =
       Seq(text).toDF("text").select(shingles(col("text"), n).as("s"))
