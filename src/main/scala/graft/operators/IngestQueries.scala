@@ -534,6 +534,98 @@ object IngestQueries {
     agg(live, "live").unionByName(agg(dead, "dlq"))
   }
 
+  // ------------------------------------------------- amqp_request_reply
+  /** Previous run's reply/overflow addresses, reclaimed at next entry
+    * (same discipline as lastDlqAddress — these side addresses are this
+    * gate's own inventions, so it settles them itself). */
+  private var lastReplyAddresses: Seq[(String, String)] = Nil
+
+  /** REQUEST–REPLY over the envelope's addressing fields — the RPC
+    * shape of AMQP messaging (§3.2.4 properties: to / reply-to /
+    * correlation-id), driven end to end by PER-ROW SINK ROUTING (the
+    * Kafka sink's `topic` column, here `routeByTo=true`):
+    *
+    *  1. requests pump to the request queue, each carrying a
+    *     `reply_to` naming one of TWO reply queues (split by key) and
+    *     a unique `correlation_id`;
+    *  2. the responder is a BATCH Spark job: read the request queue
+    *     through the source, compute the response, and publish through
+    *     the exactly-once sink with `to` = the request's `reply_to` —
+    *     one write fans out across both reply queues in one staged
+    *     transaction;
+    *  3. the gate reads each reply queue SEPARATELY and tags rows by
+    *     the queue it physically read them from, so a response routed
+    *     to the wrong queue (not merely labeled wrong) flips a tag and
+    *     breaks the hash; correlation ids are counted distinct per
+    *     group, pinning the id round-trip.
+    *
+    * An overflow fallback address stays registered for null `to` rows;
+    * any leak there is a missing reply in the gated aggregate.
+    *
+    * Scale shape: the responder is one scan → projection → staged
+    * transactional publish, all executor-side; routing adds no extra
+    * shuffle (the commit walks each staged message to its own queue
+    * under sorted per-queue locks). A reply-queue fleet scales like
+    * the pattern-subscription fleet: one address = one link. */
+  def amqpRequestReply(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    lastReplyAddresses.foreach { case (pep, paddr) =>
+      try {
+        val pc = AmqpEndpointRegistry.endpoint(pep)
+        pc.settle(paddr, pc.latestSeq(paddr))
+      } catch { case _: Exception => () }
+    }
+    val replies = Seq(s"$address-reply0", s"$address-reply1")
+    val overflow = s"$address-reply-overflow"
+    lastReplyAddresses = (replies :+ overflow).map((ep, _))
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 3)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+    pumpAll(client, address, rows.toSeq.map { r =>
+      val id = r.getLong(0)
+      (AmqpMessage(
+        messageId = Some(id.toString),
+        subject = Some(r.getString(1)),
+        replyTo = Some(replies((id % 2).toInt)),
+        correlationId = Some(s"corr-$id"),
+        body = AmqpValueBody(r.getDouble(2).toString)), id)
+    })
+    // the responder: batch read -> response projection -> routed publish
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address).load()
+      .select(
+        col("reply_to").as("to"), // route each response to its caller
+        col("correlation_id"),
+        col("subject"),
+        col("body"))
+      .write.format("amqp")
+      .option("endpoint", ep).option("address", overflow)
+      .option("routeByTo", "true")
+      .mode("append").save()
+    def readReply(a: String, tag: String): DataFrame =
+      s.read.format("amqp")
+        .option("endpoint", ep).option("address", a).load()
+        .select(col("subject").as("event_type"),
+          col("body").cast(DoubleType).as("value"), col("correlation_id"))
+        .withColumn("reply_queue", lit(tag))
+    readReply(replies(0), "reply0").unionByName(readReply(replies(1), "reply1"))
+      .groupBy(col("reply_queue"), col("event_type"))
+      .agg(count(lit(1)).as("n_replies"),
+        countDistinct(col("correlation_id")).as("n_corr"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
+  val amqpRequestReplySql: String =
+    """SELECT concat('reply', CAST(event_id % 2 AS VARCHAR)) AS reply_queue,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n_replies,
+      |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_corr,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 11 = 3
+      |GROUP BY concat('reply', CAST(event_id % 2 AS VARCHAR)), event_type""".stripMargin
+
   // ---------------------------------------------------- amqp_stream_ttl
   /** TTL enforcement in the MICRO-BATCH path: the same classed slice
     * rides the wire and a `respectTtl` readStream (pinned instant) must
@@ -2237,6 +2329,7 @@ object IngestQueries {
     "amqp_stream_relay"     -> (amqpStreamRelay _),
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
+    "amqp_request_reply" -> (amqpRequestReply _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
@@ -2268,6 +2361,7 @@ object IngestQueries {
     "amqp_stream_relay"     -> amqpStreamRelaySql,
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
+    "amqp_request_reply" -> amqpRequestReplySql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,

@@ -577,10 +577,11 @@ class Amqp10Endpoint(host: String, port: Int,
   }
 
   override def commitStaged(txn: String, queryId: String, epochId: Long,
-      address: String, timestampMicros: Long): Int = call {
+      address: String, timestampMicros: Long, routeByTo: Boolean): Int = call {
     val state = discharge(txn, fail = false, Seq(
       QueryAnnotation -> queryId, EpochAnnotation -> epochId,
-      AddressAnnotation -> address, TsAnnotation -> timestampMicros))
+      AddressAnnotation -> address, TsAnnotation -> timestampMicros) ++
+      (if (routeByTo) Seq(RouteAnnotation -> true) else Nil))
     declaredTxns -= txn
     descriptorCode2(state) match {
       case Right(CommittedOutcome) => asLong(field(state, 0)).toInt

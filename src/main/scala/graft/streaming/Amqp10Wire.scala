@@ -85,6 +85,9 @@ private[streaming] object Amqp10Wire {
   val QueryAnnotation = "x-graft-query"
   val EpochAnnotation = "x-graft-epoch"
   val AddressAnnotation = "x-graft-address"
+  /** Presence-only marker on the discharge: route each staged message by
+    * its own properties.to (fallback = AddressAnnotation's address). */
+  val RouteAnnotation = "x-graft-route-by-to"
   val StagingTarget = "graft:staging"
   val EnqueuedOutcome = "graft:enqueued:list"
   val CommittedOutcome = "graft:committed:list"
@@ -613,7 +616,8 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                             String.valueOf(anns(QueryAnnotation)),
                             asLong(anyToWire(anns(EpochAnnotation))),
                             String.valueOf(anns(AddressAnnotation)),
-                            asLong(anyToWire(anns(TsAnnotation))))
+                            asLong(anyToWire(anns(TsAnnotation))),
+                            anns.contains(RouteAnnotation))
                           txnStage.filterInPlace { case ((t, _), _) => t != txn }
                           Described(Sym(CommittedOutcome), Vector(n))
                         }

@@ -99,6 +99,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     respectTtl: Boolean = false,
     expiredOnly: Boolean = false,
     ttlNowMicros: Option[Long] = None,
+    /** Sink-side per-row routing (the Kafka sink's `topic` column as
+      * AMQP §3.2.4 addressing): with `routeByTo=true` each written
+      * message publishes to its OWN `to` column's address, falling back
+      * to the `address` option when the column is null/absent. Off by
+      * default — without it `to` rides as envelope metadata only. */
+    routeByTo: Boolean = false,
     /** Whether `address` was NAMED by the user (vs the default): the
       * sink refuses to write a pattern-subscribed table whose target
       * was never named — the glob has no single write target, and
@@ -242,6 +248,7 @@ object AmqpSourceConfig {
       // exclusive with respectTtl (they partition the backlog).
       expiredOnly = o.getOrDefault("expiredOnly", "false").toBoolean,
       ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong),
+      routeByTo = o.getOrDefault("routeByTo", "false").toBoolean,
       addressExplicit = o.get("address") != null)
   }
 }

@@ -183,7 +183,8 @@ class AmqpStreamingWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: Str
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     AmqpEndpointRegistry.endpoint(cfg.endpoint)
-      .commitStaged(txn(epochId), queryId, epochId, cfg.address)
+      .commitStaged(txn(epochId), queryId, epochId, cfg.address,
+        routeByTo = cfg.routeByTo)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     AmqpEndpointRegistry.endpoint(cfg.endpoint).abortStaged(txn(epochId))
@@ -198,7 +199,8 @@ class AmqpBatchWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String)
     AmqpBatchWriterFactory(cfg, schema, queryId)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     AmqpEndpointRegistry.endpoint(cfg.endpoint)
-      .commitStaged(s"$queryId#batch", queryId, 0L, cfg.address)
+      .commitStaged(s"$queryId#batch", queryId, 0L, cfg.address,
+        routeByTo = cfg.routeByTo)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     AmqpEndpointRegistry.endpoint(cfg.endpoint).abortStaged(s"$queryId#batch")
 }

@@ -41,7 +41,7 @@ private[streaming] object AmqpTcpProtocol {
   case class SettledUpToReq(address: String) extends Req
   case class StageReq(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]) extends Req
   case class CommitStagedReq(txn: String, queryId: String, epochId: Long,
-      address: String, tsMicros: Long) extends Req
+      address: String, tsMicros: Long, routeByTo: Boolean) extends Req
   case class AbortReq(txn: String) extends Req
 }
 
@@ -101,7 +101,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case SettleReq(a, u)        => backing.settle(a, u)
           case SettledUpToReq(a)      => backing.settledUpTo(a)
           case StageReq(x, p, ms)     => backing.stage(x, p, ms)
-          case CommitStagedReq(x, q, e, a, ts) => backing.commitStaged(x, q, e, a, ts)
+          case CommitStagedReq(x, q, e, a, ts, rt) => backing.commitStaged(x, q, e, a, ts, rt)
           case AbortReq(x)            => backing.abortStaged(x)
         }
         out.writeObject(resp)
@@ -193,8 +193,8 @@ class TcpAmqpEndpoint(host: String, port: Int,
   override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
     call[Any](StageReq(txn, partitionId, msgs))
   override def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
-      timestampMicros: Long): Int =
-    call[Int](CommitStagedReq(txn, queryId, epochId, address, timestampMicros))
+      timestampMicros: Long, routeByTo: Boolean): Int =
+    call[Int](CommitStagedReq(txn, queryId, epochId, address, timestampMicros, routeByTo))
   override def abortStaged(txn: String): Unit = call[Any](AbortReq(txn))
 
   override def close(): Unit = synchronized {

@@ -111,8 +111,17 @@ trait AmqpEndpoint {
   def settle(address: String, upTo: Long): Unit
   def settledUpTo(address: String): Long
   def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit
+
+  /** Atomically publish a staged transaction. By default every message
+    * lands on `address`; with `routeByTo` each message routes to its
+    * OWN envelope `to` field (falling back to `address` when unset) —
+    * the Kafka sink's per-row `topic` column, as AMQP addressing
+    * semantics (§3.2.4 properties.to names the destination node). Epoch
+    * idempotence stays keyed by (queryId, default address): one sink
+    * query owns one commit ledger regardless of fan-out. */
   def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
-      timestampMicros: Long = System.currentTimeMillis() * 1000L): Int
+      timestampMicros: Long = System.currentTimeMillis() * 1000L,
+      routeByTo: Boolean = false): Int
   def abortStaged(txn: String): Unit
 }
 
@@ -317,29 +326,39 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     * accounting still records the sends so consumption-side re-issue
     * stays consistent. */
   def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
-      timestampMicros: Long): Int = {
+      timestampMicros: Long, routeByTo: Boolean): Int = {
     val parts = staged.remove(txn)
     val key = s"$queryId/$address"
-    val q = addr(address)
-    q.lock.lock()
+    val pids: Array[Int] =
+      if (parts == null) Array.empty
+      else parts.keySet().toArray(new Array[Integer](0)).map(_.intValue).sorted
+    // Resolve each message's target up front: its own `to` when routing,
+    // else the commit address. Locks are taken on every distinct target
+    // queue in SORTED order (two concurrent routed commits with
+    // overlapping target sets can never deadlock), so the multi-queue
+    // publish is atomic and the epoch check-and-set races nothing.
+    val routed: Seq[(String, AmqpMessage)] = pids.toSeq.flatMap { pid =>
+      parts.get(pid).map { m =>
+        (if (routeByTo) m.to.getOrElse(address) else address) -> m
+      }
+    }
+    val targets = (routed.map(_._1) :+ address).distinct.sorted.map(addr)
+    targets.foreach(_.lock.lock())
     try {
       val last = committedEpochs.getOrDefault(key, Long.MinValue)
       if (epochId <= last) return -1
       committedEpochs.put(key, epochId)
-      if (parts == null) return 0
       var n = 0
-      val pids = parts.keySet().toArray(new Array[Integer](0)).map(_.intValue).sorted
-      pids.foreach { pid =>
-        parts.get(pid).foreach { msg =>
-          q.flow.sendUnconditionally()
-          val seq = q.nextSeq
-          q.nextSeq += 1
-          q.messages += ((seq, msg, timestampMicros))
-          n += 1
-        }
+      routed.foreach { case (a, msg) =>
+        val q = addr(a)
+        q.flow.sendUnconditionally()
+        val seq = q.nextSeq
+        q.nextSeq += 1
+        q.messages += ((seq, msg, timestampMicros))
+        n += 1
       }
       n
-    } finally q.lock.unlock()
+    } finally targets.reverse.foreach(_.lock.unlock())
   }
 
   /** Discard a staged transaction (epoch abort). */

@@ -51,6 +51,70 @@ class AmqpSinkSpec extends SparkSpecBase {
     assert(m.applicationProperties.toMap == Map("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("routeByTo off (default): to column rides as metadata, all rows land on the address") {
+    val (ep, broker) = freshEndpoint("route-off")
+    import spark.implicits._
+    Seq(("a", "q-a"), ("b", "q-b"), ("c", null))
+      .toDF("body", "to")
+      .write.format("amqp").option("endpoint", ep).option("address", "out")
+      .mode("append").save()
+    assert(broker.latestSeq("out") == 3, "everything on the default address")
+    assert(broker.latestSeq("q-a") == 0 && broker.latestSeq("q-b") == 0)
+    val tos = broker.fetch("out", 0, 3).map(_._2.to)
+    assert(tos.toSet == Set(Some("q-a"), Some("q-b"), None), "to kept as metadata")
+  }
+
+  test("routeByTo: each row publishes to its own to address, null falls back") {
+    val (ep, broker) = freshEndpoint("route-on")
+    import spark.implicits._
+    Seq(("a1", "q-a"), ("a2", "q-a"), ("b1", "q-b"), ("f1", null))
+      .toDF("body", "to")
+      .write.format("amqp").option("endpoint", ep).option("address", "fallback")
+      .option("routeByTo", "true").mode("append").save()
+    def bodies(a: String) = broker.fetch(a, 0, broker.latestSeq(a)).map(_._2.body)
+      .collect { case AmqpValueBody(s: String) => s }.toSet
+    assert(bodies("q-a") == Set("a1", "a2"))
+    assert(bodies("q-b") == Set("b1"))
+    assert(bodies("fallback") == Set("f1"), "null to falls back to the address option")
+  }
+
+  test("routed commit is epoch-idempotent across ALL target queues") {
+    val (ep, broker) = freshEndpoint("route-replay")
+    val msgs = Seq(
+      AmqpMessage(to = Some("r-a"), body = AmqpValueBody("x")),
+      AmqpMessage(to = Some("r-b"), body = AmqpValueBody("y")),
+      AmqpMessage(body = AmqpValueBody("z")))
+    broker.stage("txn-1", 0, msgs)
+    assert(broker.commitStaged("txn-1", "q", 5L, "r-def", 1000L, routeByTo = true) == 3)
+    // a replayed epoch (restart) publishes NOTHING anywhere, even though
+    // the commit ledger is keyed by the default address only
+    broker.stage("txn-1b", 0, msgs)
+    assert(broker.commitStaged("txn-1b", "q", 5L, "r-def", 1000L, routeByTo = true) == -1)
+    assert(broker.latestSeq("r-a") == 1 && broker.latestSeq("r-b") == 1 &&
+      broker.latestSeq("r-def") == 1)
+    // the next epoch lands normally
+    broker.stage("txn-2", 0, Seq(AmqpMessage(to = Some("r-a"), body = AmqpValueBody("w"))))
+    assert(broker.commitStaged("txn-2", "q", 6L, "r-def", 1000L, routeByTo = true) == 1)
+    assert(broker.latestSeq("r-a") == 2)
+  }
+
+  test("routeByTo routes over the amqp10 wire transport too") {
+    val server = new Amqp10Server(new InMemoryAmqpBroker)
+    val ep = s"amqp10://127.0.0.1:${server.port}"
+    try {
+      import spark.implicits._
+      Seq(("w1", "wq-a"), ("w2", "wq-b"))
+        .toDF("body", "to")
+        .write.format("amqp").option("endpoint", ep).option("address", "wq-def")
+        .option("routeByTo", "true").mode("append").save()
+      val client = AmqpEndpointRegistry.endpoint(ep)
+      def bodies(a: String) = client.fetch(a, 0, client.latestSeq(a)).map(_._2.body)
+        .collect { case AmqpValueBody(s: String) => s }.toSet
+      assert(bodies("wq-a") == Set("w1") && bodies("wq-b") == Set("w2"))
+      assert(client.latestSeq("wq-def") == 0, "nothing leaked to the fallback")
+    } finally server.close()
+  }
+
   test("source → sink → source round-trips the envelope, including JSON bodies") {
     val (epIn, brokerIn) = freshEndpoint("rt-in")
     val (epOut, _) = freshEndpoint("rt-out")
