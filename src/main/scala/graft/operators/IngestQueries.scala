@@ -626,6 +626,91 @@ object IngestQueries {
       |FROM events WHERE event_id % 11 = 3
       |GROUP BY concat('reply', CAST(event_id % 2 AS VARCHAR)), event_type""".stripMargin
 
+  // --------------------------------------------------- amqp_lag_report
+  private var lastLagAddresses: Seq[(String, String)] = Nil
+
+  /** CONSUMER LAG under the oracle gate (Kafka consumer-group lag
+    * parity) — the monitoring surface every production queue pipeline
+    * dashboards: per address, head (ledger's latest sequence) vs
+    * committed (the query's durable checkpoint position) vs lag (the
+    * unconsumed backlog).
+    *
+    * The gate makes all three numbers LOAD-BEARING: slice A is pumped
+    * across two shard queues and drained by a checkpointed streaming
+    * query, then slice B is pumped as the not-yet-consumed backlog.
+    * The report (which reads the CHECKPOINT's commit log — the
+    * consumer-group position — plus one head probe per address) must
+    * show head = |A|+|B|, committed = |A|, lag = |B| per shard: a
+    * drain that under-consumed, a commit log read off the wrong batch,
+    * or per-address offsets crossed between shards each move a number
+    * and break the hash against the oracle computing the same counts
+    * relationally.
+    *
+    * Scale shape: the report is two tiny checkpoint files + one
+    * metadata probe per address, driver-side like a file listing —
+    * |addresses| rows regardless of backlog depth; nothing fetched or
+    * decoded. */
+  def amqpLagReport(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    lastLagAddresses.foreach { case (pep, paddr) =>
+      try {
+        val pc = AmqpEndpointRegistry.endpoint(pep)
+        pc.settle(paddr, pc.latestSeq(paddr))
+      } catch { case _: Exception => () }
+    }
+    val shards = Seq(s"$address-lag0", s"$address-lag1")
+    lastLagAddresses = shards.map((ep, _))
+    def slice(m: Long) = Tables.events(s, d)
+      .filter(col("event_id") % 9 === m)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect() // producer role: driver-side by design (reference test senders)
+      .toSeq
+    def pumpSharded(rows: Seq[org.apache.spark.sql.Row]): Seq[Long] =
+      (0 to 1).map { k =>
+        val part = rows.filter(_.getLong(0) % 2 == k)
+        pumpAll(client, shards(k), part.map { r =>
+          (AmqpMessage(messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getString(1)),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+        })
+        part.length.toLong
+      }
+    pumpSharded(slice(2L))
+    // the consumer: a checkpointed streaming drain of slice A
+    val qname = s"gate_lag_${gateRun.get}"
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-lag-ckpt").toString
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep)
+      .option("addresses", shards.mkString(",")).load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "lag gate drain hung")
+    finally q.stop()
+    pumpSharded(slice(6L)) // the backlog the report must surface as lag
+    graft.streaming.AmqpStreamOps.lagReport(s, ep, ckpt)
+      .withColumn("queue",
+        when(col("address") === shards(0), lit("shard0")).otherwise(lit("shard1")))
+      .select(col("queue"), col("head_seq"), col("committed_seq"), col("lag"))
+  }
+
+  val amqpLagReportSql: String =
+    """WITH a AS (
+      |  SELECT event_id % 2 AS sh, CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_id % 9 = 2 GROUP BY event_id % 2),
+      |b AS (
+      |  SELECT event_id % 2 AS sh, CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_id % 9 = 6 GROUP BY event_id % 2)
+      |SELECT concat('shard', CAST(sh AS VARCHAR)) AS queue,
+      |  CAST(a.c + b.c AS BIGINT) AS head_seq,
+      |  CAST(a.c AS BIGINT) AS committed_seq,
+      |  CAST(b.c AS BIGINT) AS lag
+      |FROM a JOIN b USING (sh)""".stripMargin
+
   // ---------------------------------------------------- amqp_stream_ttl
   /** TTL enforcement in the MICRO-BATCH path: the same classed slice
     * rides the wire and a `respectTtl` readStream (pinned instant) must
@@ -2330,6 +2415,7 @@ object IngestQueries {
     "amqp_ttl_expiry" -> (amqpTtlExpiry _),
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_request_reply" -> (amqpRequestReply _),
+    "amqp_lag_report" -> (amqpLagReport _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
@@ -2362,6 +2448,7 @@ object IngestQueries {
     "amqp_ttl_expiry" -> amqpTtlExpirySql,
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_request_reply" -> amqpRequestReplySql,
+    "amqp_lag_report" -> amqpLagReportSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,

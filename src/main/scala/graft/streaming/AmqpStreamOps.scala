@@ -187,6 +187,45 @@ object AmqpStreamOps {
     }
   }
 
+  case class LagRow(address: String, head_seq: Long, committed_seq: Long, lag: Long)
+
+  /** CONSUMER-LAG report (Kafka `kafka-consumer-groups --describe`
+    * parity): per subscribed address, how far consumption trails
+    * production — head = the broker ledger's latest sequence,
+    * committed = the query's durably committed position, lag = the
+    * unconsumed backlog. Where Kafka keeps the group's position
+    * broker-side, a Structured Streaming query's position IS its
+    * checkpoint, so the report reads the checkpoint's commit log (the
+    * last batch present under commits/, then that batch's offsets
+    * entry) — NOT broker settlement, which by design lags one batch
+    * behind the commit (settle fires when the next batch constructs).
+    * Works offline: the query need not be running, exactly like
+    * describing a stopped consumer group.
+    *
+    * Scale shape: two tiny checkpoint files + one metadata probe per
+    * address, all driver-side — |addresses| rows regardless of backlog
+    * depth; no message is fetched or decoded. */
+  def lagReport(spark: org.apache.spark.sql.SparkSession, endpoint: String,
+      checkpointDir: String): DataFrame = {
+    val client = AmqpEndpointRegistry.endpoint(endpoint)
+    val commits = new java.io.File(s"$checkpointDir/commits").listFiles()
+    require(commits != null && commits.exists(_.getName.forall(_.isDigit)),
+      s"no committed batches under $checkpointDir")
+    val lastBatch = commits.map(_.getName).filter(f => f.nonEmpty && f.forall(_.isDigit))
+      .map(_.toLong).max
+    import scala.jdk.CollectionConverters._
+    val offsetLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$checkpointDir/offsets/$lastBatch")).asScala.toSeq
+    // v1 offset log: line 0 = version, line 1 = batch metadata, then one
+    // offset JSON per source (this source is the only one)
+    val off = AmqpOffset.fromJson(offsetLines.drop(2).mkString("\n").trim, "")
+    val rows = off.seqs.toSeq.sortBy(_._1).map { case (a, committed) =>
+      val head = client.latestSeq(a)
+      LagRow(a, head, committed, head - committed)
+    }
+    spark.createDataFrame(rows)
+  }
+
   private class RunningMaxProcessor extends StatefulProcessor[String, Reading, MaxUpdate] {
     @transient private var maxState: ValueState[Int] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

@@ -25,6 +25,35 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     spark.readStream.format("amqp")
       .option("endpoint", ep).option("address", "my_address").load()
 
+  test("lagReport: lag tracks the backlog, returns to zero after catch-up, refuses a virgin checkpoint") {
+    val (ep, broker) = freshEndpoint("lag")
+    val ckpt = java.nio.file.Files.createTempDirectory("ops-lag-ckpt").toString
+    // a checkpoint with no committed batch is a refusal, not a zero row
+    intercept[IllegalArgumentException] {
+      AmqpStreamOps.lagReport(spark, ep, ckpt)
+    }
+    (1 to 7).foreach(i => broker.send("my_address",
+      AmqpMessage(body = AmqpValueBody(s"a-$i"))))
+    def drain(): Unit = {
+      val q = stream(ep).groupBy().count()
+        .writeStream.format("memory").queryName("ops_lag")
+        .option("checkpointLocation", ckpt).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(60000)) finally q.stop()
+    }
+    drain()
+    (1 to 3).foreach(i => broker.send("my_address",
+      AmqpMessage(body = AmqpValueBody(s"b-$i"))))
+    val r1 = AmqpStreamOps.lagReport(spark, ep, ckpt).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[String]("address") == "my_address")
+    assert(r1(0).getAs[Long]("head_seq") == 10 &&
+      r1(0).getAs[Long]("committed_seq") == 7 && r1(0).getAs[Long]("lag") == 3)
+    drain() // catch up: the consumer's position advances to the head
+    val r2 = AmqpStreamOps.lagReport(spark, ep, ckpt).collect()
+    assert(r2(0).getAs[Long]("committed_seq") == 10 && r2(0).getAs[Long]("lag") == 0)
+  }
+
   test("dedupByMessageId drops redelivered ids within the watermark") {
     val (ep, broker) = freshEndpoint("dedup")
     val base = 100L * 1000000L
