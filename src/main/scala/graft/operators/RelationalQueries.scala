@@ -782,6 +782,46 @@ object RelationalQueries {
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Exact DISCRETE percentiles per group (`percentile_disc ... WITHIN
+    * GROUP`, SQL:2008): p50/p90/p99 of order value in integer cents —
+    * the latency/size distribution readout every operational dashboard
+    * runs. DISC (not CONT) is deliberate: the answer is an actual data
+    * value picked by the standard's cume_dist>=q rule, so int64 survives
+    * and the hash is engine-exact, where CONT's interpolation arithmetic
+    * (a + (b-a)·f vs (1-f)·a + f·b) can differ in the last ulp across
+    * engines. At 100 TB the same readout typically runs approximate
+    * (approx_percentile's mergeable sketch — q33's territory); the exact
+    * form here is also the audit the sketch is judged against.
+    *
+    * Scale shape: one groupBy shuffle; percentile_disc buffers per-group
+    * values — fine for bounded groups (5 priorities), the documented
+    * reason the sketch path exists for high-cardinality keys. */
+  def q74PercentileDisc(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_pctl_v")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p50_cents,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p90_cents,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p99_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders_pctl_v)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val q74Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p50_cents,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p90_cents,
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p99_cents,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT o_orderpriority,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM orders) t
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2654,6 +2694,7 @@ object RelationalQueries {
     "q71_session_window"  -> (q71SessionWindow _),
     "q72_variant_json"    -> (q72VariantJson _),
     "q73_lateral_topk"    -> (q73LateralTopk _),
+    "q74_percentile_disc" -> (q74PercentileDisc _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2721,6 +2762,7 @@ object RelationalQueries {
     "q71_session_window"  -> q71Sql,
     "q72_variant_json"    -> q72Sql,
     "q73_lateral_topk"    -> q73Sql,
+    "q74_percentile_disc" -> q74Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,

@@ -10,6 +10,18 @@ import graft.SparkSpecBase
   */
 class RelationalQueriesSpec extends SparkSpecBase {
 
+  test("percentile_disc follows the SQL-standard cume_dist>=q rule at a boundary") {
+    import spark.implicits._
+    // n=4, q=0.6: cume_dist is .25/.5/.75/1.0 — the smallest value with
+    // cume_dist >= 0.6 is 30 (a floor((n-1)q)-indexed convention would
+    // pick 20); this pins the convention the oracle gate relies on
+    Seq(10L, 20L, 30L, 40L).toDF("x").createOrReplaceTempView("pctl_probe")
+    val got = spark.sql(
+      "SELECT CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY x) AS BIGINT) FROM pctl_probe")
+      .head().getLong(0)
+    assert(got == 30L, s"unexpected discrete-percentile convention: $got")
+  }
+
   for ((name, fn) <- RelationalQueries.queries) {
     test(s"$name runs and returns rows") {
       val df = fn(spark, sfDir)
