@@ -105,6 +105,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
       * to the `address` option when the column is null/absent. Off by
       * default — without it `to` rides as envelope metadata only. */
     routeByTo: Boolean = false,
+    /** Kafka-parity data-loss handling: a restarted stream whose
+      * checkpointed position lies BELOW the broker's settlement prefix
+      * (a competing "move"-mode consumer or retention settled past us)
+      * cannot fetch the gap — with `failOnDataLoss=true` (default) the
+      * query fails loudly; `false` skips to the prefix and continues. */
+    failOnDataLoss: Boolean = true,
     /** Whether `address` was NAMED by the user (vs the default): the
       * sink refuses to write a pattern-subscribed table whose target
       * was never named — the glob has no single write target, and
@@ -249,6 +255,7 @@ object AmqpSourceConfig {
       expiredOnly = o.getOrDefault("expiredOnly", "false").toBoolean,
       ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong),
       routeByTo = o.getOrDefault("routeByTo", "false").toBoolean,
+      failOnDataLoss = o.getOrDefault("failOnDataLoss", "true").toBoolean,
       addressExplicit = o.get("address") != null)
   }
 }
@@ -864,7 +871,22 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     e.seqs.keys.toSeq.sorted
       .filter(a => e.seqOf(a) > s.seqOf(a))
       .flatMap { a =>
-        val (from, to) = (s.seqOf(a), e.seqOf(a))
+        val (from0, to) = (s.seqOf(a), e.seqOf(a))
+        // Data-loss detection (Kafka failOnDataLoss parity): the broker
+        // can only replay the unsettled window, so a start below the
+        // settlement prefix — a competing "move"-mode consumer or
+        // retention settled past our checkpoint — is a gap fetch()
+        // would silently skip. Fail loudly by default; with
+        // failOnDataLoss=false advance to the prefix and continue.
+        val floor = math.min(broker.settledUpTo(a), to)
+        val from =
+          if (floor <= from0) from0
+          else if (cfg.failOnDataLoss) throw new IllegalStateException(
+            s"data loss on '$a': checkpointed position $from0 is below the " +
+              s"broker's settlement prefix $floor — messages ($from0, $floor] " +
+              "were settled away by another consumer or retention. Set " +
+              "failOnDataLoss=false to skip the gap and continue.")
+          else floor
         Iterator.range(0L, to - from, cfg.maxRowsPerPartition).map { o =>
           AmqpInputPartition(cfg.endpoint, a, from + o,
             math.min(from + o + cfg.maxRowsPerPartition, to),

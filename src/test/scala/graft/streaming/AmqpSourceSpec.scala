@@ -296,6 +296,43 @@ class AmqpSourceSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 15)
   }
 
+  test("failOnDataLoss: a restart below the settlement prefix fails loudly; =false skips the gap") {
+    val (ep, broker) = freshEndpoint("dataloss")
+    val ckpt = Files.createTempDirectory("amqp-loss-ckpt").toString
+    val out = Files.createTempDirectory("amqp-loss-out").toString
+    def run(extra: Map[String, String]): Unit = {
+      var rdr = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+      extra.foreach { case (k, v) => rdr = rdr.option(k, v) }
+      val q = rdr.load().select(AmqpConverters.amqpBody.as("b"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (1 to 5).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    run(Map.empty) // committed position: 5
+    assert(spark.read.parquet(out).count() == 5)
+    (6 to 10).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    // a competing consumer settles past our checkpoint: (5, 8] is gone
+    broker.settle("my_address", 8)
+    val ex = intercept[Exception] { run(Map.empty) } // default: fail loudly
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("data loss on 'my_address'")),
+      s"expected a data-loss failure, got: $ex")
+    assert(spark.read.parquet(out).count() == 5, "failing run wrote nothing")
+    // opt-in skip: resume from the prefix, deliver only what survives
+    run(Map("failOnDataLoss" -> "false"))
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+    assert(got == (1 to 5).map(i => s"a$i").toSet ++ Set("a9", "a10"),
+      s"skip path should append exactly the surviving tail, got $got")
+  }
+
   test("windowed-agg STATE survives a restart (WAL + getOrCreate parity)") {
     // The reference's recovery story is StreamingContext.getOrCreate over
     // a checkpoint (AMQPTemperature.scala:61) with the receiver WAL: after
