@@ -1800,6 +1800,72 @@ object TextQueries {
     s"""WITH $surprisalCtes
        |SELECT doc_id, n_bigrams, total_bits, mean_mbits FROM sc""".stripMargin
 
+  // ---------------------------------------------- corpus_curriculum
+  /** CURRICULUM schedule (Bengio et al. 2009, easy-first training
+    * order): the corpus ordered by the engine-exact surprisal
+    * difficulty score and cut into three sequential training phases of
+    * ~equal token mass — the data-ORDERING manifest a curriculum run
+    * consumes, distinct from txt_ppl_buckets' per-source quality
+    * filter (which documents to KEEP vs in which order to FEED them).
+    *
+    * Phase boundaries fall on DIFFICULTY-GROUP boundaries: token mass
+    * aggregates per distinct score first, the cumulative walk runs over
+    * that score histogram, and a group lands in the phase its
+    * cumulative start falls in (3·cum_before DIV total, capped at 2) —
+    * equal-difficulty documents always share a phase, and the whole
+    * rule is integer arithmetic on exact counts, bit-portable at any
+    * partitioning.
+    *
+    * Scale shape: the per-doc frame reduces map-side to a ≤|distinct
+    * scores| histogram (mean_mbits is integral milli-bits, so a few
+    * thousand rows at ANY corpus size); the cumulative walk windows
+    * over that tiny frame only and the phase verdicts broadcast-join
+    * back — no global per-document sort anywhere, which is exactly how
+    * a 100 TB curriculum manifest must be derived. */
+  def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = surprisalPerDoc(s, d)
+      .select(col("doc_id"), col("mean_mbits"),
+        (col("n_bigrams") + 1).as("toks"))
+    val hist = perDoc.groupBy(col("mean_mbits"))
+      .agg(count(lit(1)).as("g_docs"), sum(col("toks")).as("g_toks"))
+    val wCum = Window.orderBy(col("mean_mbits"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phased = hist
+      .withColumn("cum", sum(col("g_toks")).over(wCum))
+      .crossJoin(broadcast(hist.agg(sum(col("g_toks")).as("t"))))
+      .withColumn("phase",
+        least(lit(2L), expr("(3 * (cum - g_toks)) DIV t")))
+    phased.groupBy(col("phase"))
+      .agg(sum(col("g_docs")).as("n_docs"),
+        count(lit(1)).as("n_score_groups"),
+        sum(col("g_toks")).as("total_tokens"),
+        min(col("mean_mbits")).as("min_mbits"),
+        max(col("mean_mbits")).as("max_mbits"))
+  }
+
+  val corpusCurriculumSql: String =
+    s"""WITH $surprisalCtes,
+       |perdoc AS (
+       |  SELECT doc_id, mean_mbits, n_bigrams + 1 AS toks FROM sc),
+       |hist AS (
+       |  SELECT mean_mbits, CAST(count(*) AS BIGINT) AS g_docs,
+       |    CAST(sum(toks) AS BIGINT) AS g_toks
+       |  FROM perdoc GROUP BY mean_mbits),
+       |cum AS (
+       |  SELECT *, CAST(sum(g_toks) OVER (ORDER BY mean_mbits
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM hist),
+       |tot AS (SELECT CAST(sum(g_toks) AS BIGINT) AS t FROM hist),
+       |phased AS (
+       |  SELECT *, least(2, (3 * (cum - g_toks)) // t) AS phase
+       |  FROM cum CROSS JOIN tot)
+       |SELECT phase, CAST(sum(g_docs) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_score_groups,
+       |  CAST(sum(g_toks) AS BIGINT) AS total_tokens,
+       |  min(mean_mbits) AS min_mbits, max(mean_mbits) AS max_mbits
+       |FROM phased GROUP BY phase""".stripMargin
+
   // ------------------------------------------------- txt_ppl_buckets
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): within each SOURCE, rank documents by the
@@ -2546,6 +2612,7 @@ object TextQueries {
     "txt_tfidf"        -> (txtTfidf _),
     "txt_bm25"         -> (txtBm25 _),
     "txt_bpe_train"    -> (txtBpeTrain _),
+    "corpus_curriculum" -> (corpusCurriculum _),
     "split_stratified" -> (splitStratified _),
     "split_kfold"      -> (splitKfold _),
     "split_group_temporal" -> (splitGroupTemporal _),
@@ -2594,6 +2661,7 @@ object TextQueries {
     "txt_tfidf"        -> txtTfidfSql,
     "txt_bm25"         -> txtBm25Sql,
     "txt_bpe_train"    -> txtBpeTrainSql,
+    "corpus_curriculum" -> corpusCurriculumSql,
     "split_stratified" -> splitStratifiedSql,
     "split_kfold"      -> splitKfoldSql,
     "split_group_temporal" -> splitGroupTemporalSql,

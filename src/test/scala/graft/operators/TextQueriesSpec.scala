@@ -103,6 +103,25 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(cs == cs.sortBy(-_), "pair counts non-increasing over rounds")
   }
 
+  test("corpus_curriculum: three contiguous easy-to-hard phases of ~equal token mass") {
+    val rows = TextQueries.corpusCurriculum(spark, sfDir)
+      .orderBy(col("phase"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "phases dense 0..2")
+    // difficulty ranges are disjoint and increasing: phase boundaries sit
+    // on score-group boundaries, so max(k) < min(k+1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 < b._5, s"phase ${a._1} [${a._5},${a._6}] overlaps ${b._1} [${b._5},${b._6}]")
+    }
+    // ~equal token mass: each phase within [1/6, 1/2] of the total (the
+    // group-boundary rule can shift mass, but never collapse a phase)
+    val total = rows.map(_._4).sum
+    rows.foreach { r =>
+      assert(r._4 * 6 >= total && r._4 * 2 <= total,
+        s"phase ${r._1} mass ${r._4} of $total out of band")
+    }
+  }
+
   test("bpe merge chain composes: multi-rule words collapse to one token") {
     val toks = TextQueries.txtBpeVocab(spark, sfDir)
       .select(col("token")).collect().map(_.getString(0)).toSet
