@@ -822,6 +822,48 @@ object RelationalQueries {
       |      FROM orders) t
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** RECURSIVE CTE (Spark 4's UnionLoop, SQL:1999 WITH RECURSIVE): a
+    * hierarchy walk — each customer's parent is c_custkey DIV 2 (a
+    * synthesized binary tree, disclosed like the URL/media syntheses),
+    * and the recursion computes every customer's DEPTH from the root,
+    * reported as the per-depth population histogram. The iterative-
+    * driver loops (BFS, CC, LPA) hand-roll this shape; this gate pins
+    * the DECLARATIVE form the SQL surface now supports, against
+    * DuckDB's native WITH RECURSIVE.
+    *
+    * Scale shape: each recursion level is one equi-join of the frontier
+    * against the (pruned) customer scan — identical physics to the
+    * hand-rolled BFS, with the planner owning lineage and termination;
+    * depth is O(log n) levels for this tree, and the final aggregate is
+    * |depths|-sized. */
+  def q75RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_rec_v")
+    s.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+        |  FROM customer_rec_v WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT CAST(c.c_custkey AS BIGINT), w.depth + 1
+        |  FROM customer_rec_v c JOIN walk w ON c.c_custkey DIV 2 = w.k
+        |)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        |FROM walk GROUP BY depth""".stripMargin)
+  }
+
+  val q75Sql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT CAST(c.c_custkey AS BIGINT), w.depth + 1
+      |  FROM customer c JOIN walk w ON c.c_custkey // 2 = w.k
+      |)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+      |FROM walk GROUP BY depth""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2695,6 +2737,7 @@ object RelationalQueries {
     "q72_variant_json"    -> (q72VariantJson _),
     "q73_lateral_topk"    -> (q73LateralTopk _),
     "q74_percentile_disc" -> (q74PercentileDisc _),
+    "q75_recursive_cte"   -> (q75RecursiveCte _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2763,6 +2806,7 @@ object RelationalQueries {
     "q72_variant_json"    -> q72Sql,
     "q73_lateral_topk"    -> q73Sql,
     "q74_percentile_disc" -> q74Sql,
+    "q75_recursive_cte"   -> q75Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
