@@ -2054,6 +2054,85 @@ object IngestQueries {
       |FROM events WHERE event_id % 7 = 6
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------- amqp_stream_leaderboard
+  /** `transformWithState` LIST state under the oracle gate: the
+    * streaming top-3 leaderboard ([[graft.streaming.AmqpStreamOps
+    * .topKLeaderboardTws]]) maintains each event type's three largest
+    * order values in a bounded RocksDB ListState as the slice drains
+    * over the wire in several micro-batches (`maxMessagesPerTrigger`
+    * forces merges of state across batch boundaries — a board built
+    * from one batch would pass trivially). Each key's LAST emission is
+    * exploded to (event_type, rank, cents) and must equal DuckDB's
+    * batch top-3 multiset; a lost board entry, a mis-merge at a batch
+    * boundary, or an emission ordering bug each breaks the hash.
+    *
+    * Scale shape: k ints per live key in the state store regardless of
+    * stream length; emissions are change-driven (a saturated board
+    * goes quiet), so output volume tracks board churn, not traffic. */
+  def amqpStreamLeaderboard(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 7)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-board-gate").toString
+      val perTrigger = math.max(100, (rows.length + 3) / 4) // several batches
+      val env = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("maxMessagesPerTrigger", perTrigger.toString).load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Seq[Int])]
+      val q = graft.streaming.AmqpStreamOps.topKLeaderboardTws(env, "subject", "cents", 3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.AmqpStreamOps.LeaderboardUpdate],
+           id: Long) =>
+            val got = b.collect().map(u => (id, u.key, u.top))
+            emitted.synchronized { emitted ++= got }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "leaderboard gate query hung")
+      finally q.stop()
+      emitted.groupBy(_._2).values.map(_.maxBy(_._1))
+        .flatMap { case (_, k, top) =>
+          top.zipWithIndex.map { case (c, i) => (k, (i + 1).toLong, c) }
+        }
+        .toSeq.toDF("event_type", "rank", "cents")
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  val amqpStreamLeaderboardSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
+      |  FROM events WHERE event_id % 11 = 7),
+      |l AS (
+      |  SELECT event_type, list(cents ORDER BY cents DESC) AS ls
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, CAST(r AS BIGINT) AS rank, ls[r] AS cents
+      |FROM l, (SELECT unnest(generate_series(1, 3)) AS r) t
+      |WHERE r <= len(ls)""".stripMargin
+
   // ---------------------------------------------- amqp_stream_tws_timer
   /** EVENT-TIME TIMERS under the oracle gate — the second
     * `transformWithState` capability (the first, typed ValueState, is
@@ -2416,6 +2495,7 @@ object IngestQueries {
     "amqp_dead_letter" -> (amqpDeadLetter _),
     "amqp_request_reply" -> (amqpRequestReply _),
     "amqp_lag_report" -> (amqpLagReport _),
+    "amqp_stream_leaderboard" -> (amqpStreamLeaderboard _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
@@ -2449,6 +2529,7 @@ object IngestQueries {
     "amqp_dead_letter" -> amqpDeadLetterSql,
     "amqp_request_reply" -> amqpRequestReplySql,
     "amqp_lag_report" -> amqpLagReportSql,
+    "amqp_stream_leaderboard" -> amqpStreamLeaderboardSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators over the AMQP envelope stream.
   *
@@ -224,6 +224,47 @@ object AmqpStreamOps {
       LagRow(a, head, committed, head - committed)
     }
     spark.createDataFrame(rows)
+  }
+
+  case class LeaderboardUpdate(key: String, top: Seq[Int])
+
+  /** Streaming TOP-K LEADERBOARD on `transformWithState` LIST state:
+    * per key, maintain the k largest values seen so far and emit the
+    * refreshed board whenever it changes — the live-ranking shape
+    * (largest orders per priority, hottest items per category) that
+    * needs MULTI-VALUE state, which is what distinguishes ListState
+    * from the single-register ValueState the running-max changelog
+    * uses. State per key is a bounded k-element list in RocksDB; an
+    * arrival below the current floor touches state but emits nothing.
+    *
+    * Scale shape: per-key state is k ints regardless of stream length;
+    * each batch shuffles only (key, value) pairs; emissions are
+    * change-driven, so a saturated board goes quiet. */
+  def topKLeaderboardTws(envelope: DataFrame, keyCol: String, valueCol: String,
+      k: Int): Dataset[LeaderboardUpdate] = {
+    import envelope.sparkSession.implicits._
+    envelope.selectExpr(s"$keyCol AS key", s"CAST($valueCol AS INT) AS value")
+      .as[Reading]
+      .groupByKey(_.key)
+      .transformWithState(new LeaderboardProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private class LeaderboardProcessor(k: Int)
+      extends StatefulProcessor[String, Reading, LeaderboardUpdate] {
+    @transient private var topState: ListState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      topState = getHandle.getListState[Int]("top", Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Reading],
+        timerValues: TimerValues): Iterator[LeaderboardUpdate] = {
+      val prev = topState.get().toSeq
+      val merged = (prev ++ rows.map(_.value)).sorted(Ordering[Int].reverse).take(k)
+      if (merged == prev) Iterator.empty
+      else {
+        topState.put(merged.toArray)
+        Iterator(LeaderboardUpdate(key, merged))
+      }
+    }
   }
 
   private class RunningMaxProcessor extends StatefulProcessor[String, Reading, MaxUpdate] {

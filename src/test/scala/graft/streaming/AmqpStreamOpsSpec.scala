@@ -54,6 +54,42 @@ class AmqpStreamOpsSpec extends SparkSpecBase {
     assert(r2(0).getAs[Long]("committed_seq") == 10 && r2(0).getAs[Long]("lag") == 0)
   }
 
+  test("topKLeaderboardTws: cross-batch merge, below-floor arrivals stay quiet") {
+    val (ep, broker) = freshEndpoint("board")
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int])]
+      val env = stream(ep).withColumn("v",
+        org.apache.spark.sql.functions.col("body").cast("int"))
+      val q = AmqpStreamOps.topKLeaderboardTws(env, "subject", "v", 2)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AmqpStreamOps.LeaderboardUpdate], _: Long) =>
+          val got = b.collect().map(u => (u.key, u.top))
+          emitted.synchronized { emitted ++= got }
+          ()
+        }.start()
+      def send(v: Int): Unit = broker.send("my_address",
+        AmqpMessage(subject = Some("k"), body = AmqpValueBody(v.toString)))
+      try {
+        send(10); send(30)
+        q.processAllAvailable()
+        assert(emitted.toSeq == Seq(("k", Seq(30, 10))), s"initial board: $emitted")
+        send(5) // below the floor: state read, board unchanged, no emission
+        q.processAllAvailable()
+        assert(emitted.length == 1, s"below-floor arrival must stay quiet: $emitted")
+        send(20) // displaces 10 — the cross-batch merge against RocksDB state
+        q.processAllAvailable()
+        assert(emitted.toSeq.last == (("k", Seq(30, 20))), s"merged board: $emitted")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("dedupByMessageId drops redelivered ids within the watermark") {
     val (ep, broker) = freshEndpoint("dedup")
     val base = 100L * 1000000L
