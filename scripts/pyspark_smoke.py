@@ -114,6 +114,28 @@ fleet = (
 )
 assert fleet.count() == 20, fleet.count()
 
+# per-row routing from Python: routeByTo publishes each row to its own
+# `to` address, null rows fall back to the address option
+(
+    spark.range(10)
+    .select(
+        F.col("id").cast("string").alias("body"),
+        F.when(F.col("id") % 2 == 0, F.lit("route-even")).alias("to"),
+    )
+    .write.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "route-fallback")
+    .option("routeByTo", "true")
+    .mode("append")
+    .save()
+)
+for addr, want in (("route-even", 5), ("route-fallback", 5)):
+    routed = (
+        spark.read.format("amqp")
+        .option("endpoint", ep).option("address", addr).load().count()
+    )
+    assert routed == want, f"{addr}: {routed} != {want}"
+
 # SQL DDL from Python: the catalog identity resolves through DSv2 and
 # the stored OPTIONS reach the scan
 spark.sql("DROP TABLE IF EXISTS amqp_py_tbl")
@@ -129,5 +151,5 @@ spark.stop()
 print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
       "envelope schema + grouped agg + COUNT(*) pushdown + "
       "propertyColumns lift/pushdown + addressPattern discovery + "
-      "SQL DDL from Python")
+      "routeByTo per-row routing + SQL DDL from Python")
 sys.exit(0)
