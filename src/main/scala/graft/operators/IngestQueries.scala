@@ -699,17 +699,18 @@ object IngestQueries {
   }
 
   val amqpLagReportSql: String =
-    """WITH a AS (
+    """WITH shards(sh) AS (VALUES (0), (1)),
+      |a AS (
       |  SELECT event_id % 2 AS sh, CAST(count(*) AS BIGINT) AS c
       |  FROM events WHERE event_id % 9 = 2 GROUP BY event_id % 2),
       |b AS (
       |  SELECT event_id % 2 AS sh, CAST(count(*) AS BIGINT) AS c
       |  FROM events WHERE event_id % 9 = 6 GROUP BY event_id % 2)
       |SELECT concat('shard', CAST(sh AS VARCHAR)) AS queue,
-      |  CAST(a.c + b.c AS BIGINT) AS head_seq,
-      |  CAST(a.c AS BIGINT) AS committed_seq,
-      |  CAST(b.c AS BIGINT) AS lag
-      |FROM a JOIN b USING (sh)""".stripMargin
+      |  CAST(coalesce(a.c, 0) + coalesce(b.c, 0) AS BIGINT) AS head_seq,
+      |  CAST(coalesce(a.c, 0) AS BIGINT) AS committed_seq,
+      |  CAST(coalesce(b.c, 0) AS BIGINT) AS lag
+      |FROM shards LEFT JOIN a USING (sh) LEFT JOIN b USING (sh)""".stripMargin
 
   // ---------------------------------------------------- amqp_stream_ttl
   /** TTL enforcement in the MICRO-BATCH path: the same classed slice

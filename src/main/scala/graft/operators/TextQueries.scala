@@ -377,13 +377,20 @@ object TextQueries {
     * document-length normalization, summed over the query's matched
     * terms.
     *
-    * ENGINE-EXACT: k1 = 6/5 and b = 3/4 are RATIONAL, so both factors
-    * reduce to integer ratios — multiplying the saturation term through
-    * by 20·S gives
+    * ENGINE-EXACT: k1 = 6/5 and b = 3/4 are RATIONAL, so the saturation
+    * factor reduces to an integer ratio — multiplying through by 20·S
+    * gives
     *   sat = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)
-    * and the Robertson idf (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1).
-    * Each is floored to int64 fixed point via integer division (DIV /
-    * DuckDB //) BEFORE the per-document sum, so scores are bit-identical
+    * floored to int64 fixed point via integer division (DIV / DuckDB //)
+    * BEFORE the per-document sum. The idf is Lucene's always-positive
+    * BM25 form log(1 + (N−df+0.5)/(df+0.5)) = log((2N+2)/(2df+1)),
+    * realized as the PORTABLE half-bit integer log —
+    *   idf_hb = floor(log2((2N+2)²)) − floor(log2((2df+1)²))
+    * — txt_surprisal's bit-count trick at 2× resolution (floor(log2 m)
+    * of an int64 is exact IEEE: a 1-ulp libm error cannot cross an
+    * integer for m's this size). The log base only rescales every score
+    * by one constant, which ranking ignores; the ≤¼-bit flooring error
+    * per term is the disclosed approximation. Scores are bit-identical
     * at any partitioning. Bounds: 44·tf·S·1e5 needs tf·S < 2×10¹² —
     * rescale the saturation fixed point for corpora past ~10¹⁰ tokens.
     *
@@ -398,8 +405,7 @@ object TextQueries {
     1 -> "fast scan", 2 -> "hash join column", 3 -> "customer order data",
     4 -> "slow merge batch", 5 -> "window group vector")
 
-  private val Bm25SatScale = 100000L  // saturation fixed point (1e5)
-  private val Bm25IdfScale = 1000000L // idf fixed point (1e6)
+  private val Bm25SatScale = 100000L // saturation fixed point (1e5)
 
   def txtBm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -424,11 +430,12 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .withColumn("sat_fp", expr(
         s"(44 * tf * s * $Bm25SatScale) DIV (20 * tf * s + 6 * s + 18 * dl * n)"))
-      .withColumn("idf_fp", expr(
-        s"((2 * n - 2 * df + 1) * $Bm25IdfScale) DIV (2 * df + 1)"))
+      .withColumn("idf_hb", expr(
+        "CAST(floor(log2((2 * n + 2) * (2 * n + 2))) AS BIGINT) - " +
+          "CAST(floor(log2((2 * df + 1) * (2 * df + 1))) AS BIGINT)"))
       .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
-        sum(col("idf_fp") * col("sat_fp")).as("score_fp"))
+        sum(col("idf_hb") * col("sat_fp")).as("score_fp"))
       .withColumn("rank", row_number().over(wTop).cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("query"), col("doc_id"),
@@ -453,12 +460,13 @@ object TextQueries {
        |terms AS (
        |  SELECT query_id, query, doc_id,
        |    (44 * tf * s * $Bm25SatScale) // (20 * tf * s + 6 * s + 18 * dl * n) AS sat_fp,
-       |    ((2 * n - 2 * df + 1) * $Bm25IdfScale) // (2 * df + 1) AS idf_fp
+       |    CAST(floor(log2((2 * n + 2) * (2 * n + 2))) AS BIGINT)
+       |      - CAST(floor(log2((2 * df + 1) * (2 * df + 1))) AS BIGINT) AS idf_hb
        |  FROM hits),
        |scored AS (
        |  SELECT query_id, query, doc_id,
        |    CAST(count(*) AS BIGINT) AS n_terms_matched,
-       |    CAST(sum(idf_fp * sat_fp) AS BIGINT) AS score_fp
+       |    CAST(sum(idf_hb * sat_fp) AS BIGINT) AS score_fp
        |  FROM terms GROUP BY query_id, query, doc_id)
        |SELECT query_id, query, doc_id, n_terms_matched, score_fp, rank FROM (
        |  SELECT *, row_number() OVER (

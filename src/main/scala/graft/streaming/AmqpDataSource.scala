@@ -766,12 +766,18 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     * below the start; see the option note in [[AmqpSourceConfig]]. */
   override def initialOffset(): Offset =
     AmqpOffset(subscribed.map { a =>
+      // A fresh query starts at the REPLAYABLE prefix (settledUpTo), not
+      // sequence 0 — Kafka parity: earliest resolves to the actual log
+      // start. Messages below the prefix were consumed by their owner
+      // before this query existed; starting below it would trip the
+      // failOnDataLoss check on data this query was never positioned at.
+      val floor = broker.settledUpTo(a)
       val start = cfg.startingTimestampMicros match {
         case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
-          case Some((fromExclusive, _)) => fromExclusive
-          case None => 0L // no probe: full backlog + reader degrade filter
+          case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
+          case None => floor // no probe: replayable span + reader degrade filter
         }
-        case None => 0L
+        case None => floor
       }
       a -> start
     }.toMap)
@@ -817,7 +823,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     val startOff = start.asInstanceOf[AmqpOffset]
     // Active links = this trigger's subscription UNION every address the
     // checkpoint already tracks: a pattern-discovered queue joins here
-    // (consumed from its start — seqOf defaults to 0), and an address a
+    // (consumed from its replayable start — see below), and an address a
     // later probe misses is never dropped mid-stream.
     val active = (startOff.seqs.keySet ++ subscribed).toSeq.sorted
     if (active.isEmpty) return AmqpOffset(Map.empty)
@@ -831,7 +837,11 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     val totalCap = math.min(triggerCap, rateBudget())
     val perLink = math.max(1L, totalCap / active.length)
     AmqpOffset(active.map { a =>
-      val startSeq = startOff.seqOf(a)
+      // an address first discovered mid-stream (not yet in the
+      // checkpoint) starts at its REPLAYABLE prefix, like initialOffset —
+      // a pre-existing queue joining a pattern subscription must not
+      // plan the settled span below it (one probe, first trigger only)
+      val startSeq = startOff.seqs.getOrElse(a, broker.settledUpTo(a))
       // saturating add: an uncapped limit (ReadAllAvailable under
       // Trigger.Once) makes perLink = Long.MaxValue, and a wrapped sum
       // would move the end offset BACKWARD past the start — admitting

@@ -331,6 +331,22 @@ class AmqpSourceSpec extends SparkSpecBase {
     val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
     assert(got == (1 to 5).map(i => s"a$i").toSet ++ Set("a9", "a10"),
       s"skip path should append exactly the surviving tail, got $got")
+    // a FRESH query (new checkpoint) on the same partially-settled
+    // address must NOT trip the check — Kafka parity: a new consumer
+    // resolves its start to the actual log start (the replayable
+    // prefix), never to positions that predate it
+    val ckpt2 = Files.createTempDirectory("amqp-loss-ckpt2").toString
+    val out2 = Files.createTempDirectory("amqp-loss-out2").toString
+    val q2 = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address").load()
+      .select(AmqpConverters.amqpBody.as("b"))
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fresh = spark.read.parquet(out2).collect().map(_.getString(0)).toSet
+    assert(fresh == Set("a9", "a10"),
+      s"fresh query reads exactly the unsettled suffix, got $fresh")
   }
 
   test("windowed-agg STATE survives a restart (WAL + getOrCreate parity)") {
