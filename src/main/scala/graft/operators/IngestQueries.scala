@@ -2134,6 +2134,77 @@ object IngestQueries {
       |FROM l, (SELECT unnest(generate_series(1, 3)) AS r) t
       |WHERE r <= len(ls)""".stripMargin
 
+  // ------------------------------------------- amqp_stream_distinct
+  /** `transformWithState` MAP state under the oracle gate: the
+    * streaming exact distinct-count ([[graft.streaming.AmqpStreamOps
+    * .distinctCountTws]]) maintains per-event-type sub-key registers
+    * (user ids) in RocksDB MapState while the slice drains over the
+    * wire in several micro-batches. Each key's LAST emission — the
+    * final live distinct count — must equal DuckDB's batch
+    * COUNT(DISTINCT user_id); a membership probe that misses across a
+    * batch boundary double-counts, a lost register under-counts, and
+    * either breaks the hash. With ValueState (running max), ListState
+    * (leaderboard), MapState (this gate) and event-time timers
+    * (session flush) all oracle-gated, every typed state variable of
+    * the successor API carries a hard signal.
+    *
+    * Scale shape: one map entry per live (key, user) pair — exact
+    * distinct's register cost; the 100 TB form swaps in a mergeable
+    * sketch and keeps this exact operator as its audit. */
+  def amqpStreamDistinct(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 9)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .collect()
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getLong(2).toString)), r.getLong(0))
+      })
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-distinct-gate").toString
+      val perTrigger = math.max(100, (rows.length + 3) / 4) // several batches
+      val env = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("maxMessagesPerTrigger", perTrigger.toString).load()
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = graft.streaming.AmqpStreamOps.distinctCountTws(env, "subject", "body")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.AmqpStreamOps.DistinctUpdate],
+           id: Long) =>
+            val got = b.collect().map(u => (id, u.key, u.distinct_count))
+            emitted.synchronized { emitted ++= got }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000), "distinct gate query hung")
+      finally q.stop()
+      emitted.groupBy(_._2).values.map(_.maxBy(_._1))
+        .map { case (_, k, n) => (k, n) }
+        .toSeq.toDF("event_type", "distinct_users")
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  val amqpStreamDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+      |FROM events WHERE event_id % 13 = 9
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------- amqp_stream_tws_timer
   /** EVENT-TIME TIMERS under the oracle gate — the second
     * `transformWithState` capability (the first, typed ValueState, is
@@ -2497,6 +2568,7 @@ object IngestQueries {
     "amqp_request_reply" -> (amqpRequestReply _),
     "amqp_lag_report" -> (amqpLagReport _),
     "amqp_stream_leaderboard" -> (amqpStreamLeaderboard _),
+    "amqp_stream_distinct" -> (amqpStreamDistinct _),
     "amqp_stream_ttl" -> (amqpStreamTtl _),
     "amqp_stream_window"    -> (amqpStreamWindow _),
     "amqp_stream_dedup"     -> (amqpStreamDedup _),
@@ -2531,6 +2603,7 @@ object IngestQueries {
     "amqp_request_reply" -> amqpRequestReplySql,
     "amqp_lag_report" -> amqpLagReportSql,
     "amqp_stream_leaderboard" -> amqpStreamLeaderboardSql,
+    "amqp_stream_distinct" -> amqpStreamDistinctSql,
     "amqp_stream_ttl" -> amqpStreamTtlSql,
     "amqp_stream_window"    -> amqpStreamWindowSql,
     "amqp_stream_dedup"     -> amqpStreamDedupSql,
