@@ -322,6 +322,100 @@ object MultimodalQueries {
       |FROM v LEFT JOIN d USING (doc_id)
       |GROUP BY v.doc_id, v.nf""".stripMargin
 
+  // ------------------------------------------------- mm_keyframe_select
+  /** KEYFRAME selection per detected shot — the stage a video pipeline
+    * runs directly after scene-cut detection: segment each video's
+    * decoded frames into SHOTS at the cut transitions (same diff >
+    * 64·frame_len rule as mm_video_scene_cut, so the two gates share
+    * boundary semantics), then pick each shot's most detailed frame —
+    * argmax of the intra-frame energy Σ|p[i+1]−p[i]| (the cheap
+    * sharpness proxy; ties break to the earliest frame). Emits one row
+    * per (doc, shot): frame span, the chosen keyframe index, and its
+    * energy. The oracle rebuilds every decoded byte closed-form and
+    * replays segmentation AND argmax relationally — a mis-assigned
+    * shot boundary or a wrong keyframe breaks the hash.
+    *
+    * Scale shape: same embarrassingly parallel per-row map as the cut
+    * detector (|frames|·frame_len integer ops, bytes never leave the
+    * executor), emitting |shots| rows per doc; a production selector
+    * swaps energy for a Laplacian/entropy score — same plan. */
+  def mmKeyframeSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableEncoded(s, d)
+      .filter(_.media_type == "video")
+      .flatMap { b =>
+        val avi = MediaFiles.decodeAvi(b.data).getOrElse(
+          throw new IllegalStateException(s"undecodable AVI for doc ${b.doc_id}"))
+        val fs = avi.frames
+        val threshold = if (fs.nonEmpty) 64L * fs(0).length else 0L
+        // shot id per frame: number of cut transitions at or before it
+        val shotOf = new Array[Long](fs.length)
+        var f = 1
+        while (f < fs.length) {
+          val (a, c) = (fs(f - 1), fs(f))
+          var diff = 0L
+          var i = 0
+          while (i < c.length) {
+            diff += math.abs((c(i) & 0xff) - (a(i) & 0xff)); i += 1
+          }
+          shotOf(f) = shotOf(f - 1) + (if (diff > threshold) 1L else 0L)
+          f += 1
+        }
+        def energy(frame: Array[Byte]): Long = {
+          var e = 0L
+          var i = 0
+          while (i < frame.length - 1) {
+            e += math.abs((frame(i + 1) & 0xff) - (frame(i) & 0xff)); i += 1
+          }
+          e
+        }
+        fs.indices.groupBy(shotOf(_)).toSeq.map { case (shot, idxs) =>
+          val key = idxs.maxBy(i => (energy(fs(i)), -i)) // energy desc, frame asc
+          (b.doc_id, shot, idxs.min.toLong, idxs.max.toLong,
+            idxs.length.toLong, key.toLong, energy(fs(key)))
+        }
+      }
+      .toDF("doc_id", "shot", "first_frame", "last_frame", "n_frames",
+        "keyframe", "energy")
+  }
+
+  val mmKeyframeSelectSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 1 + (doc_id % 7) AS nf, 48 + (doc_id % 5) * 16 AS flen
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |tr AS ( -- transition diffs, as in mm_video_scene_cut
+      |  SELECT doc_id, f,
+      |    CAST(list_sum(list_transform(range(0, flen),
+      |      i -> abs((doc_id + f * 31 + i * 7) % 256
+      |             - (doc_id + (f - 1) * 31 + i * 7) % 256))) AS BIGINT) AS diff,
+      |    64 * flen AS thr
+      |  FROM (SELECT doc_id, flen, unnest(range(1, nf)) AS f FROM v) t),
+      |frames AS (
+      |  SELECT doc_id, flen, unnest(range(0, nf)) AS f FROM v),
+      |shots AS ( -- shot id = cuts at or before the frame
+      |  SELECT fr.doc_id, fr.f, fr.flen,
+      |    CAST(coalesce(sum(CASE WHEN tr.diff > tr.thr THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS shot
+      |  FROM frames fr LEFT JOIN tr
+      |    ON tr.doc_id = fr.doc_id AND tr.f <= fr.f
+      |  GROUP BY fr.doc_id, fr.f, fr.flen),
+      |energy AS (
+      |  SELECT doc_id, f, shot,
+      |    CAST(list_sum(list_transform(range(0, flen - 1),
+      |      i -> abs((doc_id + f * 31 + (i + 1) * 7) % 256
+      |             - (doc_id + f * 31 + i * 7) % 256))) AS BIGINT) AS e
+      |  FROM shots),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id, shot
+      |    ORDER BY e DESC, f ASC) AS rk FROM energy)
+      |SELECT doc_id, shot,
+      |  CAST(min(f) AS BIGINT) AS first_frame,
+      |  CAST(max(f) AS BIGINT) AS last_frame,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(min(CASE WHEN rk = 1 THEN f END) AS BIGINT) AS keyframe,
+      |  CAST(min(CASE WHEN rk = 1 THEN e END) AS BIGINT) AS energy
+      |FROM ranked GROUP BY doc_id, shot""".stripMargin
+
   // ---------------------------------------------------- mm_dup_groups
   /** Duplicate screening over OPAQUE BINARY payloads by HEAD-BLOCK
     * fingerprint: fold the first [[HeadBytes]] payload bytes into a
@@ -904,6 +998,7 @@ object MultimodalQueries {
     "mm_wav_energy"   -> (mmWavEnergy _),
     "mm_audio_pitch"  -> (mmAudioPitch _),
     "mm_video_scene_cut" -> (mmVideoSceneCut _),
+    "mm_keyframe_select" -> (mmKeyframeSelect _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
@@ -920,6 +1015,7 @@ object MultimodalQueries {
     "mm_wav_energy"   -> mmWavEnergySql,
     "mm_audio_pitch"  -> mmAudioPitchSql,
     "mm_video_scene_cut" -> mmVideoSceneCutSql,
+    "mm_keyframe_select" -> mmKeyframeSelectSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,

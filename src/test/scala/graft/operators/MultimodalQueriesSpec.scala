@@ -8,6 +8,29 @@ class MultimodalQueriesSpec extends SparkSpecBase {
   private def blob(id: Long, bytes: Array[Byte], frames: Int = 4) =
     MediaBlob(id, "video", 32, 32, frames, bytes)
 
+  test("keyframe selection coheres with scene-cut: shots partition frames, cuts agree") {
+    import org.apache.spark.sql.functions._
+    val shots = MultimodalQueries.mmKeyframeSelect(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("shot")).as("max_shot"), sum(col("n_frames")).as("covered"))
+    val cuts = MultimodalQueries.mmVideoSceneCut(spark, sfDir)
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"))
+    val joined = shots.join(cuts, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("max_shot") == r.getAs[Long]("n_cuts"),
+        s"doc ${r.getAs[Long]("doc_id")}: shots and cuts disagree")
+      assert(r.getAs[Long]("covered") == r.getAs[Long]("n_frames"),
+        s"doc ${r.getAs[Long]("doc_id")}: shots do not partition the frames")
+    }
+    // the keyframe lives inside its shot's span
+    MultimodalQueries.mmKeyframeSelect(spark, sfDir).collect().foreach { r =>
+      val (lo, hi, k) = (r.getAs[Long]("first_frame"),
+        r.getAs[Long]("last_frame"), r.getAs[Long]("keyframe"))
+      assert(k >= lo && k <= hi, s"keyframe $k outside shot [$lo,$hi]")
+    }
+  }
+
   test("stub decode computes byte stats over the raw payload") {
     val f = MediaCodec.decode(blob(1, Array[Byte](10, 20, 30)))
     assert(f.n_units == 3 && f.sum_vals == 60 && f.min_val == 10 && f.max_val == 30)
