@@ -1278,6 +1278,78 @@ object DedupQueries {
       |  ON a.nat = b.nat AND b.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
       |WHERE levenshtein(a.n, b.n) <= 2""".stripMargin
 
+  // ---------------------------------------------- dedup_fuzzy_er_multipass
+  /** MULTI-PASS sorted-neighborhood ER (Hernández–Stolfo's standard
+    * recall booster): run the windowed comparison under TWO independent
+    * sort keys — the name, and the REVERSED name — and union the
+    * verdicts with a found_by classification. A single pass only
+    * compares records landing within w ranks of one sort order, so
+    * near-dups differing early in the key sort far apart and are
+    * missed; the reversed key makes early-difference pairs adjacent
+    * (suffix-sharing names cluster), and each pass demonstrably
+    * recovers thousands of pairs the other misses at gate scale. This
+    * is why production ER always runs multiple passes with cheap
+    * orthogonal keys rather than one pass with a wider window (w·k
+    * comparisons beat w·2^k for the same recall).
+    *
+    * Scale shape: k passes cost k window-ranked shuffles of the SLIM
+    * (block, key, name) frame — candidate volume stays k·w·|corpus|,
+    * linear; the union dedups on the pair key. */
+  def dedupFuzzyErMultipass(s: SparkSession, d: String): DataFrame = {
+    def pass(sortKey: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(col("nat")).orderBy(sortKey)
+      val ranked = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nat"), col("c_custkey").as("k"),
+          col("c_name").as("n"))
+        .withColumn("rn", row_number().over(w))
+      val probes = ranked
+        .withColumn("off", explode(lit((1 to FuzzyWindow).toArray)))
+        .select(col("nat"), col("k").as("k1"), col("n").as("n1"),
+          (col("rn") + col("off")).as("rn2"))
+      probes.join(ranked.select(col("nat"), col("k").as("k2"),
+          col("n").as("n2"), col("rn").as("rn2")), Seq("nat", "rn2"))
+        .select(col("nat"), least(col("k1"), col("k2")).as("k1"),
+          greatest(col("k1"), col("k2")).as("k2"),
+          levenshtein(col("n1"), col("n2"), 3).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 2)
+    }
+    val p1 = pass(col("n")).withColumn("in1", lit(1L)).withColumn("in2", lit(0L))
+    val p2 = pass(reverse(col("n"))).withColumn("in1", lit(0L)).withColumn("in2", lit(1L))
+    p1.unionByName(p2)
+      .groupBy(col("nat"), col("k1"), col("k2"))
+      .agg(min(col("dist")).as("dist"),
+        when(max(col("in1")) === 1 && max(col("in2")) === 1, "both")
+          .when(max(col("in1")) === 1, "pass1").otherwise("pass2").as("found_by"))
+  }
+
+  val dedupFuzzyErMultipassSql: String =
+    s"""WITH c1 AS (
+      |  SELECT c_nationkey AS nat, c_custkey AS k, c_name AS n,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn
+      |  FROM customer),
+      |p1 AS (
+      |  SELECT a.nat, least(a.k, b.k) AS k1, greatest(a.k, b.k) AS k2,
+      |    levenshtein(a.n, b.n) AS dist, 1 AS in1, 0 AS in2
+      |  FROM c1 a JOIN c1 b
+      |    ON a.nat = b.nat AND b.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
+      |  WHERE levenshtein(a.n, b.n) <= 2),
+      |c2 AS (
+      |  SELECT c_nationkey AS nat, c_custkey AS k, c_name AS n,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY reverse(c_name)) AS rn
+      |  FROM customer),
+      |p2 AS (
+      |  SELECT a.nat, least(a.k, b.k) AS k1, greatest(a.k, b.k) AS k2,
+      |    levenshtein(a.n, b.n) AS dist, 0 AS in1, 1 AS in2
+      |  FROM c2 a JOIN c2 b
+      |    ON a.nat = b.nat AND b.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
+      |  WHERE levenshtein(a.n, b.n) <= 2),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT nat, CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2,
+      |  CAST(min(dist) AS INTEGER) AS dist,
+      |  CASE WHEN max(in1) = 1 AND max(in2) = 1 THEN 'both'
+      |       WHEN max(in1) = 1 THEN 'pass1' ELSE 'pass2' END AS found_by
+      |FROM u GROUP BY nat, k1, k2""".stripMargin
+
   // ----------------------------------------------------- dedup_url_canonical
   /** URL canonicalization + dedup by canonical form — the crawl-dedup
     * stage that runs BEFORE any content hashing: the same page arrives
@@ -1398,6 +1470,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url_canonical"    -> (dedupUrlCanonical _),
+    "dedup_fuzzy_er_multipass" -> (dedupFuzzyErMultipass _),
     "dedup_fuzzy_er"         -> (dedupFuzzyEr _),
     "dedup_novelty"          -> (dedupNovelty _),
     "dedup_cluster"          -> (dedupCluster _),
@@ -1421,6 +1494,7 @@ object DedupQueries {
   // lazy for the same init-order reason as dedupWinnowSql
   lazy val oracleSql: Map[String, String] = Map(
     "dedup_url_canonical"    -> dedupUrlCanonicalSql,
+    "dedup_fuzzy_er_multipass" -> dedupFuzzyErMultipassSql,
     "dedup_fuzzy_er"         -> dedupFuzzyErSql,
     "dedup_novelty"          -> dedupNoveltySql,
     "dedup_cluster"          -> dedupClusterSql,

@@ -8,6 +8,21 @@ import graft.functions.HashFunctions._
 class DedupQueriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("multi-pass SN: each pass recovers pairs the other misses; single pass is a subset") {
+    val multi = DedupQueries.dedupFuzzyErMultipass(spark, sfDir)
+      .as[(Long, Long, Long, Int, String)].collect()
+    val byTag = multi.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(byTag.getOrElse("pass2", 0) > 0, "reversed-key pass must add recall")
+    assert(byTag.getOrElse("pass1", 0) > 0, "name-key pass must add recall over reversed")
+    assert(byTag.getOrElse("both", 0) > 0, "adjacent near-dups found by both")
+    // the single-pass gate is exactly the pass1+both subset
+    val single = DedupQueries.dedupFuzzyEr(spark, sfDir)
+      .as[(Long, Long, Long, Int)].collect().map(r => (r._1, r._2, r._3)).toSet
+    val p1 = multi.filter(m => m._5 == "pass1" || m._5 == "both")
+      .map(m => (m._1, m._2, m._3)).toSet
+    assert(p1 == single, "pass1+both must equal the single-pass result")
+  }
+
   test("url canonicalization: every variance kind normalized, groups honest") {
     val rows = DedupQueries.dedupUrlCanonical(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
