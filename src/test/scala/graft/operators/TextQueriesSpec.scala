@@ -41,6 +41,18 @@ class TextQueriesSpec extends SparkSpecBase {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("txt_bm25 plan: query-side joins broadcast, no sort-merge join on the corpus") {
+    val df = TextQueries.txtBm25(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"postings joins must broadcast the query side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never sort-merge against the query frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the stats cross join must broadcast:\n$plan")
+  }
+
   test("txt_bm25: dense ranks, monotone scores, matches are real postings") {
     val rows = TextQueries.txtBm25(spark, sfDir)
       .select(col("query_id"), col("query"), col("doc_id"),
