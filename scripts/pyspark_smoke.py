@@ -136,6 +136,28 @@ for addr, want in (("route-even", 5), ("route-fallback", 5)):
     )
     assert routed == want, f"{addr}: {routed} != {want}"
 
+# STREAMING from Python: readStream over the source, AvailableNow drain
+# into a memory sink — the micro-batch planner, offsets, and commit path
+# all driven from pyspark
+sq = (
+    spark.readStream.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke")
+    .load()
+    .groupBy("subject")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .writeStream.format("memory")
+    .queryName("py_stream_smoke")
+    .outputMode("complete")
+    .trigger(availableNow=True)
+    .start()
+)
+assert sq.awaitTermination(120), "streaming drain hung"
+sgot = {
+    r["subject"]: r["cnt"] for r in spark.table("py_stream_smoke").collect()
+}
+assert sgot == expected, f"streaming: {sgot} != {expected}"
+
 # SQL DDL from Python: the catalog identity resolves through DSv2 and
 # the stored OPTIONS reach the scan
 spark.sql("DROP TABLE IF EXISTS amqp_py_tbl")
@@ -151,5 +173,6 @@ spark.stop()
 print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
       "envelope schema + grouped agg + COUNT(*) pushdown + "
       "propertyColumns lift/pushdown + addressPattern discovery + "
-      "routeByTo per-row routing + SQL DDL from Python")
+      "routeByTo per-row routing + streaming AvailableNow drain + "
+      "SQL DDL from Python")
 sys.exit(0)

@@ -231,6 +231,70 @@ object FormatQueries {
       |  CAST(epoch(max(l_shipdate)) AS BIGINT) AS max_ship_s
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin
 
+  /** Spark's NATIVE dynamic partition overwrite under the gate
+    * (`partitionOverwriteMode=dynamic`, the built-in sibling of the
+    * hand-built copy-on-write merge gates): an INSERT OVERWRITE whose
+    * frame holds only SOME partitions replaces exactly those partition
+    * directories and leaves every other partition's files untouched —
+    * where static mode would truncate the whole table first. The gate
+    * overwrites two years with doubled prices and `require`s every
+    * untouched year's files byte-identical (path + length) across the
+    * write; the read-back aggregate must match the oracle applying the
+    * doubling to exactly the touched years — an over-delete, a leak of
+    * old rows in a touched year, or a whole-table truncate all break
+    * it.
+    *
+    * Scale shape: the write costs the overwritten partitions' volume,
+    * never the table — the daily-restatement pattern (reprocess two
+    * days of a year-partitioned fact table in place) at 100 TB. */
+  def fmtDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "dynover") + "/t"
+    val touched = Seq(1994, 1995)
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"),
+      year(col("o_orderdate")).as("yr"))
+    base.write.mode("overwrite").partitionBy("yr").parquet(dir)
+    def untouchedFiles(): Map[String, Long] = {
+      val root = Paths.get(dir)
+      val out = scala.collection.mutable.Map[String, Long]()
+      Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.endsWith(".parquet") &&
+            !touched.exists(y => rel.startsWith(s"yr=$y/")))
+          out(rel) = Files.size(p)
+      }
+      out.toMap
+    }
+    val before = untouchedFiles()
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "dynamic")
+    try {
+      base.filter(col("yr").isin(touched: _*))
+        .withColumn("cents", col("cents") * 2)
+        .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    val after = untouchedFiles()
+    require(before == after,
+      s"dynamic overwrite must leave untouched partitions byte-identical " +
+        s"(${before.size} files before, ${after.size} after)")
+    s.read.parquet(dir)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val fmtDynamicOverwriteSql: String =
+    """SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * CASE WHEN year(o_orderdate) IN (1994, 1995) THEN 2 ELSE 1 END)
+      |  AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY year(o_orderdate)""".stripMargin
+
   /** Bucketed co-located join under the gate: both join sides are
     * written as parquet tables bucketed (and sorted) by the join key
     * with the SAME bucket count, so the join plans as a sort-merge with
@@ -1850,6 +1914,7 @@ object FormatQueries {
     "fmt_zstd_roundtrip" -> (fmtZstdRoundtrip _),
     "fmt_compaction"     -> (fmtCompaction _),
     "fmt_partition_prune" -> (fmtPartitionPrune _),
+    "fmt_dynamic_overwrite" -> (fmtDynamicOverwrite _),
     "fmt_bucket_join"    -> (fmtBucketJoin _),
     "fmt_dpp_join"       -> (fmtDppJoin _),
   )
@@ -1883,6 +1948,7 @@ object FormatQueries {
     "fmt_zstd_roundtrip" -> gateAggSql,
     "fmt_compaction"     -> gateAggSql,
     "fmt_partition_prune" -> gateAggFilteredSql,
+    "fmt_dynamic_overwrite" -> fmtDynamicOverwriteSql,
     "fmt_bucket_join"    -> bucketJoinSql,
     "fmt_dpp_join"       -> dppJoinSql,
   )
