@@ -68,6 +68,103 @@ object SimilarityQueries {
       .select(col("query_id"), col("t.vec_id").as("vec_id"), col("t.cos").as("cos"),
         (col("pos") + 1).cast(LongType).as("rn"))
 
+  // ----------------------------------------------------- sim_hybrid_rrf
+  private val RrfK = 60L            // the fusion constant from Cormack et al.
+  private val RrfScale = 1000000000L // 1e9 fixed point for 1/(k+rank)
+  private val HybridDepth = 20      // per-leg candidate depth
+  private val HybridTopK = 5
+
+  /** HYBRID retrieval by RECIPROCAL RANK FUSION (Cormack, Clarke &
+    * Büttcher, SIGIR'09) — the sparse+dense pattern modern RAG stacks
+    * run: the BM25 keyword ranking (txt_bm25's scored frame) and the
+    * dense cosine ranking fuse per (query, candidate) as
+    *   rrf = Σ_legs 1/(60 + rank)
+    * in 1e9 integer fixed point (floor division — ranks are exact ints,
+    * so fusion is engine-exact even though each leg's scores live in
+    * different units, which is the whole reason RRF uses ranks).
+    * Candidates missing from a leg contribute nothing; the shared query
+    * ids tie the text query set to query vectors 1-5 over the aligned
+    * doc/vec id space, and the candidate's own query id is excluded
+    * from both legs. Output: fused top-5 with each leg's rank exposed
+    * (NULL = that leg never surfaced the candidate).
+    *
+    * Scale shape: each leg is its own already-bounded retrieval (BM25's
+    * postings prune + the brute/ANN top-k aggregate); FUSION then
+    * touches only two rank-bounded frames — |Q|·depth rows each at ANY
+    * corpus size — so the full-outer fusion join costs nothing and the
+    * dense leg can swap brute force for the IVF/PQ tiers untouched. */
+  def simHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    val sparse = TextQueries.bm25Scored(s, d)
+      .filter(col("doc_id") =!= col("query_id").cast(LongType))
+      .withColumn("srank", row_number().over(wS).cast(LongType))
+      .filter(col("srank") <= HybridDepth)
+      .select(col("query_id").cast(LongType).as("query_id"),
+        col("doc_id").as("id"), col("srank"))
+    val e = embedded(s, d)
+    val q = e.filter(col("vec_id").between(1, Bm25QueryCount))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val dense = explodeTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
+        .groupBy(col("query_id"))
+        .agg(topKAggN(s, HybridDepth, "cos", "vec_id").as("top")))
+      .select(col("query_id"), col("vec_id").as("id"), col("rn").as("drank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("id").asc)
+    sparse.join(dense, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr(s"$RrfScale DIV ($RrfK + srank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + drank)"), lit(0L)))
+      .withColumn("rank", row_number().over(wF).cast(LongType))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("id"), col("srank"), col("drank"),
+        col("rrf_fp"), col("rank"))
+  }
+
+  private def Bm25QueryCount = TextQueries.Bm25Queries.length
+
+  val simHybridRrfSql: String =
+    s"""WITH ${TextQueries.bm25ScoredCtes},
+       |sp AS (
+       |  SELECT query_id, id, srank FROM (
+       |    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS srank
+       |    FROM scored WHERE doc_id <> query_id) t
+       |  WHERE srank <= $HybridDepth),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |dq AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+       |  WHERE vec_id BETWEEN 1 AND ${TextQueries.Bm25Queries.length}),
+       |dsc AS (
+       |  SELECT query_id, vec_id AS id,
+       |    list_dot_product(emb, qemb)
+       |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
+       |  FROM e CROSS JOIN dq WHERE vec_id <> query_id),
+       |dr AS (
+       |  SELECT query_id, id, drank FROM (
+       |    SELECT query_id, id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, id ASC) AS BIGINT) AS drank
+       |    FROM dsc) t
+       |  WHERE drank <= $HybridDepth),
+       |fused AS (
+       |  SELECT query_id, id, srank, drank,
+       |    CAST(coalesce($RrfScale // ($RrfK + srank), 0)
+       |       + coalesce($RrfScale // ($RrfK + drank), 0) AS BIGINT) AS rrf_fp
+       |  FROM sp FULL JOIN dr USING (query_id, id))
+       |SELECT query_id, id, srank, drank, rrf_fp, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_fp DESC, id ASC) AS BIGINT) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $HybridTopK""".stripMargin
+
   // ------------------------------------------------- sim_topk_bruteforce
   /** Exact cosine top-k for each query vector (excluding itself).
     * Plan shape: broadcast the tiny query set along the corpus (corpus
@@ -2310,6 +2407,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_trunc_audit"     -> (simTruncAudit _),
     "sim_topk_bruteforce" -> (simTopKBruteForce _),
+    "sim_hybrid_rrf"      -> (simHybridRrf _),
     "sim_mmr_diversify" -> (simMmrDiversify _),
     "sim_topk_ivf"        -> (simTopKIvf _),
     "sim_index_build"     -> (simIndexBuild _),
@@ -2345,6 +2443,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_trunc_audit"     -> simTruncAuditSql,
     "sim_topk_bruteforce" -> simTopKBruteForceSql,
+    "sim_hybrid_rrf"      -> simHybridRrfSql,
     "sim_mmr_diversify" -> simMmrDiversifySql,
     "sim_topk_ivf"        -> simTopKIvfSql,
     "sim_index_build"     -> simIndexBuildSql,

