@@ -864,6 +864,47 @@ object RelationalQueries {
       |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
       |FROM walk GROUP BY depth""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** The OBSERVE API (`Dataset.observe` + `Observation`): named metrics
+    * collected ON THE SCAN as the query runs — the in-flight
+    * row-count/invariant assertions a production pipeline attaches to
+    * every stage (Delta Live Tables' expectations are this mechanism).
+    * The gate funnels the observed values back out as the RESULT, so
+    * the observation plumbing itself (metric expressions riding
+    * CollectMetricsExec, driver-side retrieval after the action) sits
+    * on the oracle hash path: a metric computed over the wrong rows, or
+    * dropped by a plan rewrite, breaks it.
+    *
+    * Scale shape: observe metrics are partial-aggregated alongside the
+    * scan (no second pass, no extra shuffle) — the whole point of the
+    * API over running a separate audit query. */
+  def q76ObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation(s"gate_obs_${System.nanoTime()}")
+    val li = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+    // the action the metrics ride on: any full-scan aggregate
+    li.groupBy().count().collect()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Double],
+      m("n_returned").asInstanceOf[Long], m("min_okey").asInstanceOf[Long],
+      m("max_okey").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_returned", "min_okey", "max_okey")
+  }
+
+  val q76Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+      |  CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+      |  CAST(max(l_orderkey) AS BIGINT) AS max_okey
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2738,6 +2779,7 @@ object RelationalQueries {
     "q73_lateral_topk"    -> (q73LateralTopk _),
     "q74_percentile_disc" -> (q74PercentileDisc _),
     "q75_recursive_cte"   -> (q75RecursiveCte _),
+    "q76_observe_metrics" -> (q76ObserveMetrics _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2807,6 +2849,7 @@ object RelationalQueries {
     "q73_lateral_topk"    -> q73Sql,
     "q74_percentile_disc" -> q74Sql,
     "q75_recursive_cte"   -> q75Sql,
+    "q76_observe_metrics" -> q76Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
