@@ -256,17 +256,11 @@ object FormatQueries {
         .cast(LongType).as("cents"),
       year(col("o_orderdate")).as("yr"))
     base.write.mode("overwrite").partitionBy("yr").parquet(dir)
-    def untouchedFiles(): Map[String, Long] = {
-      val root = Paths.get(dir)
-      val out = scala.collection.mutable.Map[String, Long]()
-      Files.walk(root).forEach { p =>
-        val rel = root.relativize(p).toString
-        if (rel.endsWith(".parquet") &&
-            !touched.exists(y => rel.startsWith(s"yr=$y/")))
-          out(rel) = Files.size(p)
+    // layout snapshot via the shared helper, restricted to untouched years
+    def untouchedFiles(): Map[String, Long] =
+      parquetFiles(dir).filterNot { case (p, _) =>
+        touched.exists(y => p.contains(s"yr=$y/"))
       }
-      out.toMap
-    }
     val before = untouchedFiles()
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(confKey)
@@ -289,7 +283,8 @@ object FormatQueries {
   }
 
   val fmtDynamicOverwriteSql: String =
-    """SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |    * CASE WHEN year(o_orderdate) IN (1994, 1995) THEN 2 ELSE 1 END)
       |  AS BIGINT) AS sum_cents

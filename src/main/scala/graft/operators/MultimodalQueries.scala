@@ -361,7 +361,7 @@ object MultimodalQueries {
           shotOf(f) = shotOf(f - 1) + (if (diff > threshold) 1L else 0L)
           f += 1
         }
-        def energy(frame: Array[Byte]): Long = {
+        val energies = fs.map { frame =>
           var e = 0L
           var i = 0
           while (i < frame.length - 1) {
@@ -370,9 +370,9 @@ object MultimodalQueries {
           e
         }
         fs.indices.groupBy(shotOf(_)).toSeq.map { case (shot, idxs) =>
-          val key = idxs.maxBy(i => (energy(fs(i)), -i)) // energy desc, frame asc
+          val key = idxs.maxBy(i => (energies(i), -i)) // energy desc, frame asc
           (b.doc_id, shot, idxs.min.toLong, idxs.max.toLong,
-            idxs.length.toLong, key.toLong, energy(fs(key)))
+            idxs.length.toLong, key.toLong, energies(key))
         }
       }
       .toDF("doc_id", "shot", "first_frame", "last_frame", "n_frames",
