@@ -594,6 +594,76 @@ object FormatQueries {
       |FROM documents WHERE doc_id % 7 NOT IN (2, 5)
       |GROUP BY source""".stripMargin
 
+  // --------------------------------------------------- fmt_json_malformed
+  /** Malformed-record JSON semantics under the gate — the ingest-edge
+    * sibling of fmt_csv_malformed, exercising the JSON parser's RICHER
+    * contract: under PERMISSIVE with a `_corrupt_record` column, a
+    * TRUNCATED document nulls every field and lands the raw line in the
+    * corrupt column, while a well-formed document with a WRONG-TYPED
+    * field KEEPS its parseable fields (doc_id, source survive), nulls
+    * only the bad one, and is STILL marked corrupt — so corrupt counts
+    * and partial-keep sums diverge, which the gate pins per source:
+    * wrong-typed rows aggregate under their real source with their ids
+    * counted but their chars missing; truncated rows pool in the
+    * NULL-source group. The oracle replays the exact keep/null/corrupt
+    * matrix relationally — a parser that dropped a partial row, kept a
+    * bad field, or missed a corrupt marker breaks the hash.
+    *
+    * Scale shape: per-record handling inside the parser, no quarantine
+    * shuffle; the corrupt column is the production pattern for routing
+    * rejects to a quarantine table in the same single pass. */
+  def fmtJsonMalformed(s: SparkSession, d: String): DataFrame = {
+    val out = scratch(d, "jsonmal")
+    Tables.documents(s, d)
+      .select(
+        when(col("doc_id") % 7 === 2, concat(
+          lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"source\":\""), col("source"), lit("\""))) // truncated: no close
+        .when(col("doc_id") % 7 === 5, concat(
+          lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"source\":\""), col("source"),
+          lit("\",\"n_chars\":\"garbage\"}"))) // wrong-typed field
+        .otherwise(concat(
+          lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"source\":\""), col("source"),
+          lit("\",\"n_chars\":"), col("n_chars"), lit("}")))
+        .as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val fmtJsonMalformedSql: String =
+    """WITH cls AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN doc_id % 7 = 2 THEN 'trunc'
+      |         WHEN doc_id % 7 = 5 THEN 'badtype'
+      |         ELSE 'good' END AS k
+      |  FROM documents),
+      |eff AS (
+      |  SELECT CASE WHEN k = 'trunc' THEN NULL ELSE source END AS source,
+      |    CASE WHEN k = 'trunc' THEN NULL ELSE doc_id END AS doc_id,
+      |    CASE WHEN k = 'good' THEN n_chars ELSE NULL END AS n_chars,
+      |    CASE WHEN k = 'good' THEN 0 ELSE 1 END AS corrupt
+      |  FROM cls)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM eff GROUP BY source""".stripMargin
+
   // ------------------------------------------------------ fmt_bloom_prune
   /** Parquet BLOOM-FILTER row-group pruning under the gate — the point-
     * lookup lever min/max stats cannot provide: documents are written
@@ -1883,6 +1953,7 @@ object FormatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_malformed"  -> (fmtCsvMalformed _),
+    "fmt_json_malformed" -> (fmtJsonMalformed _),
     "fmt_bloom_prune"    -> (fmtBloomPrune _),
     "fmt_merge_upsert"   -> (fmtMergeUpsert _),
     "fmt_time_travel"    -> (fmtTimeTravel _),
@@ -1916,6 +1987,7 @@ object FormatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "fmt_csv_malformed"  -> csvMalformedSql,
+    "fmt_json_malformed" -> fmtJsonMalformedSql,
     "fmt_bloom_prune"    -> bloomPruneSql,
     "fmt_merge_upsert"   -> mergeUpsertSql,
     "fmt_time_travel"    -> timeTravelSql,

@@ -905,6 +905,38 @@ object RelationalQueries {
       |  CAST(max(l_orderkey) AS BIGINT) AS max_okey
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** LISTAGG (SQL:2023, Spark 4's `listagg ... WITHIN GROUP`): ordered
+    * string concatenation per group — the report/export shape (one row
+    * per region listing its nations in name order). Deterministic ONLY
+    * because the WITHIN GROUP ordering is explicit and total; an
+    * unordered listagg is shuffle-order-dependent and could never sit
+    * under a cross-engine hash, which is exactly why the gate pins the
+    * ordered form.
+    *
+    * Scale shape: one groupBy shuffle; each group's payload is the
+    * concatenation itself, so this is for bounded groups (dimension
+    * rollups, per-key label lists) — an unbounded-group listagg at
+    * 100 TB is a design smell the doc calls out, not an operator
+    * deficiency. */
+  def q77Listagg(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_la_v")
+    Tables.region(s, d).createOrReplaceTempView("region_la_v")
+    s.sql(
+      """SELECT r.r_name AS region,
+        |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+        |  CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation_la_v n JOIN region_la_v r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin)
+  }
+
+  val q77Sql: String =
+    """SELECT r.r_name AS region,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+      |  CAST(count(*) AS BIGINT) AS n_nations
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2780,6 +2812,7 @@ object RelationalQueries {
     "q74_percentile_disc" -> (q74PercentileDisc _),
     "q75_recursive_cte"   -> (q75RecursiveCte _),
     "q76_observe_metrics" -> (q76ObserveMetrics _),
+    "q77_listagg"         -> (q77Listagg _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2850,6 +2883,7 @@ object RelationalQueries {
     "q74_percentile_disc" -> q74Sql,
     "q75_recursive_cte"   -> q75Sql,
     "q76_observe_metrics" -> q76Sql,
+    "q77_listagg"         -> q77Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
