@@ -578,10 +578,14 @@ class Amqp10Endpoint(host: String, port: Int,
 
   override def commitStaged(txn: String, queryId: String, epochId: Long,
       address: String, timestampMicros: Long, routeByTo: Boolean): Int = call {
+    // RouteAnnotation always rides with its REAL boolean value (an
+    // explicit false, not absence): the server checks the value, so
+    // every non-routed wire commit exercises that check, and the
+    // annotation's semantics match the in-memory/TCP transports' boolean
     val state = discharge(txn, fail = false, Seq(
       QueryAnnotation -> queryId, EpochAnnotation -> epochId,
-      AddressAnnotation -> address, TsAnnotation -> timestampMicros) ++
-      (if (routeByTo) Seq(RouteAnnotation -> true) else Nil))
+      AddressAnnotation -> address, TsAnnotation -> timestampMicros,
+      RouteAnnotation -> routeByTo))
     declaredTxns -= txn
     descriptorCode2(state) match {
       case Right(CommittedOutcome) => asLong(field(state, 0)).toInt

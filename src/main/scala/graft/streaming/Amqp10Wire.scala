@@ -617,7 +617,11 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                             asLong(anyToWire(anns(EpochAnnotation))),
                             String.valueOf(anns(AddressAnnotation)),
                             asLong(anyToWire(anns(TsAnnotation))),
-                            anns.contains(RouteAnnotation))
+                            // the annotation carries a real boolean (like
+                            // the in-memory and TCP transports): an
+                            // explicit `false` must not route per-message,
+                            // so test the VALUE, not mere presence
+                            anns.get(RouteAnnotation).exists(asBool(_)))
                           txnStage.filterInPlace { case ((t, _), _) => t != txn }
                           Described(Sym(CommittedOutcome), Vector(n))
                         }

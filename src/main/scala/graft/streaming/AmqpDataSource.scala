@@ -704,7 +704,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     val backlog = links.map(a =>
       math.max(0L, broker.latestSeq(a) - consumed.seqOf(a))).sum
     val unsettled = links.map(a =>
-      math.max(0L, broker.latestSeq(a) - broker.settledUpTo(a))).sum
+      math.max(0L, broker.latestSeq(a) - cachedSettledUpTo(a))).sum
     java.util.Map.of(
       "backlogMessages", backlog.toString,
       "unsettledMessages", unsettled.toString,
@@ -712,6 +712,20 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   }
 
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  /** Settlement-prefix probe memoized PER TRIGGER: on socket transports
+    * each settledUpTo is a synchronous round trip, and the driver's hot
+    * planning path (admission → planInputPartitions → metrics) would
+    * otherwise pay one per address per stage per micro-batch. Settlement
+    * only advances, so a trigger-stale prefix is conservative for every
+    * consumer here: the data-loss floor may read low (the comparison
+    * tolerates it — the race with a competing settler exists regardless
+    * of freshness, and the NEXT trigger's fresh probe catches it), and a
+    * newly discovered link's start may read low (re-floored next
+    * trigger). Cleared when a trigger's admission decision runs. */
+  private val settledCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def cachedSettledUpTo(a: String): Long =
+    settledCache.getOrElseUpdate(a, broker.settledUpTo(a))
 
   /** The current subscription: the static address list, or — under
     * `addressPattern` — a fresh discovery probe. Called at most a few
@@ -820,6 +834,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    settledCache.clear() // one fresh settlement probe per address per trigger
     val startOff = start.asInstanceOf[AmqpOffset]
     // Active links = this trigger's subscription UNION every address the
     // checkpoint already tracks: a pattern-discovered queue joins here
@@ -841,7 +856,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       // checkpoint) starts at its REPLAYABLE prefix, like initialOffset —
       // a pre-existing queue joining a pattern subscription must not
       // plan the settled span below it (one probe, first trigger only)
-      val startSeq = startOff.seqs.getOrElse(a, broker.settledUpTo(a))
+      val startSeq = startOff.seqs.getOrElse(a, cachedSettledUpTo(a))
       // saturating add: an uncapped limit (ReadAllAvailable under
       // Trigger.Once) makes perLink = Long.MaxValue, and a wrapped sum
       // would move the end offset BACKWARD past the start — admitting
@@ -888,9 +903,15 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
         // retention settled past our checkpoint — is a gap fetch()
         // would silently skip. Fail loudly by default; with
         // failOnDataLoss=false advance to the prefix and continue.
-        val floor = math.min(broker.settledUpTo(a), to)
+        // BROWSE is exempt: a browsing query's checkpoint ROUTINELY
+        // falls below the prefix because the address's real "move"
+        // consumer settles ahead of it — that is the documented browse
+        // contract (any number of peeking queries behind one owner),
+        // not loss; the browse skips to the prefix silently.
+        val floor = math.min(cachedSettledUpTo(a), to)
         val from =
           if (floor <= from0) from0
+          else if (cfg.browse) floor
           else if (cfg.failOnDataLoss) throw new IllegalStateException(
             s"data loss on '$a': checkpointed position $from0 is below the " +
               s"broker's settlement prefix $floor — messages ($from0, $floor] " +

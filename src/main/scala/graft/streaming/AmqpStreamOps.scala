@@ -209,17 +209,35 @@ object AmqpStreamOps {
   def lagReport(spark: org.apache.spark.sql.SparkSession, endpoint: String,
       checkpointDir: String): DataFrame = {
     val client = AmqpEndpointRegistry.endpoint(endpoint)
-    val commits = new java.io.File(s"$checkpointDir/commits").listFiles()
-    require(commits != null && commits.exists(_.getName.forall(_.isDigit)),
-      s"no committed batches under $checkpointDir")
-    val lastBatch = commits.map(_.getName).filter(f => f.nonEmpty && f.forall(_.isDigit))
-      .map(_.toLong).max
-    import scala.jdk.CollectionConverters._
-    val offsetLines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$checkpointDir/offsets/$lastBatch")).asScala.toSeq
-    // v1 offset log: line 0 = version, line 1 = batch metadata, then one
-    // offset JSON per source (this source is the only one)
-    val off = AmqpOffset.fromJson(offsetLines.drop(2).mkString("\n").trim, "")
+    // Resolve through the Hadoop FileSystem API, as Spark's own
+    // checkpoint readers do: a production checkpoint lives on hdfs://
+    // or s3a://, where java.io.File would list nothing and mis-report
+    // "no committed batches".
+    val hconf = spark.sessionState.newHadoopConf()
+    val commitsPath = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val fs = commitsPath.getFileSystem(hconf)
+    require(fs.exists(commitsPath),
+      s"checkpoint has no commits/ directory at $commitsPath — " +
+        "not a Structured Streaming checkpoint, or not yet committed")
+    val batchIds = fs.listStatus(commitsPath).toSeq
+      .map(_.getPath.getName).filter(f => f.nonEmpty && f.forall(_.isDigit))
+      .map(_.toLong)
+    require(batchIds.nonEmpty, s"no committed batches under $checkpointDir")
+    val lastBatch = batchIds.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$checkpointDir/offsets/$lastBatch"))
+    val offsetLines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    // v1 offset log: line 0 = version, line 1 = batch metadata, then ONE
+    // offset JSON line per source. This report describes exactly one
+    // AMQP source; a multi-source query (a union, or an AMQP + Kafka
+    // join) has per-source lines this single-endpoint probe cannot
+    // attribute — refuse loudly rather than report a subset's lag.
+    val sourceLines = offsetLines.drop(2).filter(_.nonEmpty)
+    require(sourceLines.size == 1,
+      s"lagReport supports single-source checkpoints; batch $lastBatch has " +
+        s"${sourceLines.size} source offsets — point it at a query with one AMQP source")
+    val off = AmqpOffset.fromJson(sourceLines.head.trim, "")
     val rows = off.seqs.toSeq.sortBy(_._1).map { case (a, committed) =>
       val head = client.latestSeq(a)
       LagRow(a, head, committed, head - committed)

@@ -349,6 +349,41 @@ class AmqpSourceSpec extends SparkSpecBase {
       s"fresh query reads exactly the unsettled suffix, got $fresh")
   }
 
+  test("browse mode is exempt from failOnDataLoss: a lagging peek behind the real consumer skips, never throws") {
+    // The browse contract: any number of peeking queries ride behind the
+    // address's real "move" consumer, whose settlement ROUTINELY
+    // overtakes their checkpoints. That is not data loss — with the
+    // default failOnDataLoss=true a lagging browse must skip to the
+    // prefix silently (the move-mode sibling test above asserts the
+    // throw for the same shape).
+    val (ep, broker) = freshEndpoint("browse-lag")
+    val ckpt = Files.createTempDirectory("amqp-browse-lag-ckpt").toString
+    val out = Files.createTempDirectory("amqp-browse-lag-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("browse", "true").load()
+        .select(AmqpConverters.amqpBody.as("b"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (1 to 5).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    run() // browse checkpoints position 5, settles nothing
+    assert(spark.read.parquet(out).count() == 5)
+    assert(broker.settledUpTo("my_address") == 0L, "a browse never settles")
+    (6 to 10).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    // the real consumer settles past the browse's checkpoint
+    broker.settle("my_address", 8)
+    run() // default failOnDataLoss=true — must NOT throw in browse mode
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+    assert(got == (1 to 5).map(i => s"a$i").toSet ++ Set("a9", "a10"),
+      s"lagging browse resumes at the prefix and reads the survivors, got $got")
+  }
+
   test("windowed-agg STATE survives a restart (WAL + getOrCreate parity)") {
     // The reference's recovery story is StreamingContext.getOrCreate over
     // a checkpoint (AMQPTemperature.scala:61) with the receiver WAL: after
