@@ -135,6 +135,28 @@ object IngestQueries {
     }
   }
 
+  /** Run `f` with the RocksDB state-store provider AND CHANGELOG
+    * CHECKPOINTING enabled, restoring prior session conf after. Changelog
+    * checkpointing is the long-running-pipeline mechanism SURVEY §2.3
+    * cites (per-batch uploads ship the delta instead of snapshotting the
+    * whole store), so every RocksDB gate runs WITH it — making recovery
+    * from changelog replay load-bearing on the hash path wherever a gate
+    * restarts mid-stream (amqp_stream_tws_timer, amqp_stream_dedup_ttl). */
+  private def withRocksDb[T](s: SparkSession)(f: => T): T = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2013,11 +2035,7 @@ object IngestQueries {
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
       })
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-gate").toString
       val env = s.readStream.format("amqp")
         .option("endpoint", ep).option("address", address).load()
@@ -2042,9 +2060,6 @@ object IngestQueries {
       emitted.groupBy(_._2).values.map(_.maxBy(_._1))
         .map { case (_, k, mx) => (k, mx) }
         .toSeq.toDF("event_type", "max_cents")
-    } finally prev match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
     }
   }
 
@@ -2084,11 +2099,7 @@ object IngestQueries {
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
       })
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-board-gate").toString
       val perTrigger = math.max(100, (rows.length + 3) / 4) // several batches
       val env = s.readStream.format("amqp")
@@ -2116,9 +2127,6 @@ object IngestQueries {
           top.zipWithIndex.map { case (c, i) => (k, (i + 1).toLong, c) }
         }
         .toSeq.toDF("event_type", "rank", "cents")
-    } finally prev match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
     }
   }
 
@@ -2165,11 +2173,7 @@ object IngestQueries {
           subject = Some(r.getString(1)),
           body = AmqpValueBody(r.getLong(2).toString)), r.getLong(0))
       })
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-distinct-gate").toString
       val perTrigger = math.max(100, (rows.length + 3) / 4) // several batches
       val env = s.readStream.format("amqp")
@@ -2193,9 +2197,6 @@ object IngestQueries {
       emitted.groupBy(_._2).values.map(_.maxBy(_._1))
         .map { case (_, k, n) => (k, n) }
         .toSeq.toDF("event_type", "distinct_users")
-    } finally prev match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
     }
   }
 
@@ -2256,11 +2257,7 @@ object IngestQueries {
           body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(3))
       } :+ (AmqpMessage(messageId = Some("a1"), subject = Some("zz_anchor1"),
           body = AmqpValueBody("0")), anchor1))
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-timer-gate").toString
       val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       def drain(): Unit = {
@@ -2294,9 +2291,6 @@ object IngestQueries {
       emitted.toSeq
         .filterNot(_._1.startsWith("zz_anchor"))
         .toDF("event_type", "n_events", "sum_cents")
-    } finally prev match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
     }
   }
 
@@ -2320,6 +2314,92 @@ object IngestQueries {
       |SELECT event_type, CAST(count(*) AS INTEGER) AS n_events,
       |  CAST(sum(cents) AS INTEGER) AS sum_cents
       |FROM sessed GROUP BY event_type, sess_id""".stripMargin
+
+  // ---------------------------------------------- amqp_stream_dedup_ttl
+  /** STATE TTL under the oracle gate — the one `transformWithState`
+    * capability no prior gate exercised (every other state variable
+    * passes TTLConfig.NONE): [[graft.streaming.AmqpStreamOps
+    * .dedupByIdTtlTws]] admits each message id once per TTL window,
+    * suppressing copies while the RocksDB register lives and
+    * RE-ADMITTING after eviction. Three phases on one checkpoint:
+    *
+    *  1. pump every id TWICE, drain — the duplicate collapses through
+    *     the live register (state works at all);
+    *  2. sleep past the TTL — the registers expire in the store;
+    *  3. pump every id once more, drain (a checkpointed RESTART with
+    *     changelog checkpointing on) — each id must emit AGAIN, which
+    *     only happens if TTL eviction actually fired.
+    *
+    * Expected emissions per id: exactly 2 (phase 1 once, phase 3 once).
+    * A register that never expires yields 1 (phase 3 suppressed); a
+    * register that never holds yields 3 — both break the hash.
+    *
+    * Determinism: phase-1 copies of one id land in one micro-batch (one
+    * handleInputRows call — no timing on the suppression side), and the
+    * sleep is 2.5x the TTL, so the only wall-clock assumption is that a
+    * 2 s TTL lapses within 5 s. Cross-batch within-TTL suppression is
+    * timing-sensitive by nature and is spec-proven instead
+    * (TtlStateSpec), keeping the gate load-immune.
+    *
+    * Scale shape: one boolean register per id seen within the TTL
+    * window — the eviction-bounded state a forever-running dedup needs
+    * (the watermark-bounded sibling is amqp_stream_dedup_wm). */
+  def amqpStreamDedupTtl(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val ids = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 11)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    require(ids.nonEmpty, "ttl-dedup gate slice is empty")
+    def msgsOf(round: Int): Seq[(AmqpMessage, Long)] = ids.toSeq.map { id =>
+      (AmqpMessage(messageId = Some(id.toString),
+        body = AmqpValueBody(s"r$round-$id")), id)
+    }
+    withRocksDb(s) {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl-dedup-gate").toString
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drain(): Unit = {
+        val env = s.readStream.format("amqp")
+          .option("endpoint", ep).option("address", address).load()
+        val q = graft.streaming.AmqpStreamOps
+          .dedupByIdTtlTws(env, java.time.Duration.ofSeconds(2))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.AmqpStreamOps.TtlDedupEmit],
+             _: Long) =>
+              val got = b.collect().map(_.message_id)
+              emitted.synchronized { emitted ++= got }
+              ()
+          }
+          // Trigger.Once, NOT AvailableNow: ProcessingTime time mode
+          // keeps shouldRunAnotherBatch true (timers/TTL must be able
+          // to advance), so AvailableNow would re-trigger forever; Once
+          // runs exactly one batch per drain — each phase's backlog
+          // fits it (< default maxMessagesPerTrigger), and one
+          // handleInputRows call per id is the suppression determinism
+          // the gate doc promises.
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try require(q.awaitTermination(120000), "ttl-dedup gate query hung")
+        finally q.stop()
+      }
+      pumpAll(client, address, msgsOf(1) ++ msgsOf(2)) // every id twice
+      drain() // phase 1: duplicate suppressed by the live register
+      Thread.sleep(5000) // phase 2: 2.5x the TTL — registers expire
+      pumpAll(client, address, msgsOf(3))
+      drain() // phase 3: restart; evicted registers re-admit every id
+      emitted.groupBy(identity)
+        .map { case (id, es) => (id, es.size.toLong) }
+        .toSeq.toDF("message_id", "emissions")
+    }
+  }
+
+  val amqpStreamDedupTtlSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS message_id,
+      |  CAST(2 AS BIGINT) AS emissions
+      |FROM events WHERE event_id % 13 = 11""".stripMargin
 
   // ---------------------------------------------------------- amqp_browse
   /** BROWSE mode under the oracle gate: two independent streaming
@@ -2576,6 +2656,7 @@ object IngestQueries {
     "amqp_stream_join"      -> (amqpStreamJoin _),
     "amqp_stream_session"   -> (amqpStreamSession _),
     "amqp_stream_tws_timer" -> (amqpStreamTwsTimer _),
+    "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2611,5 +2692,6 @@ object IngestQueries {
     "amqp_stream_join"      -> amqpStreamJoinSql,
     "amqp_stream_session"   -> amqpStreamSessionSql,
     "amqp_stream_tws_timer" -> amqpStreamTwsTimerSql,
+    "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

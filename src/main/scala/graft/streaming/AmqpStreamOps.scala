@@ -340,6 +340,60 @@ object AmqpStreamOps {
     }
   }
 
+  case class IdRow(id: String)
+  case class TtlDedupEmit(message_id: String)
+
+  /** TTL'd DEDUP REGISTER — the forever-running pipeline's dedup shape:
+    * each message id is admitted once, then suppressed while its state
+    * register lives, and RE-ADMITTED once the register's TTL evicts it.
+    * Where [[dedupByMessageId]] bounds state by the EVENT-TIME watermark
+    * (right for replay storms ordered by event time), this bounds it by
+    * PROCESSING-TIME TTL — the `transformWithState` capability SURVEY
+    * §2.3 sells as the API's 100 TB virtue: a pipeline that runs for
+    * months cannot hold every id forever, and a TTL'd register costs
+    * state proportional to ids seen within the TTL window, regardless of
+    * stream age or event-time skew.
+    *
+    * Semantics: a copy arriving within `ttl` of the id's last ADMISSION
+    * is dropped (duplicates do NOT refresh the register — admission-time
+    * anchored, so a duplicate storm cannot extend suppression forever);
+    * a copy arriving after eviction is emitted again. In-batch copies of
+    * one id collapse in a single `handleInputRows` call.
+    *
+    * Scale shape: one boolean register per live id in RocksDB, evicted
+    * by the store's native TTL machinery (lazy filtering on read +
+    * compaction cleanup) — no timer per key, no scan per batch. */
+  def dedupByIdTtlTws(envelope: DataFrame, ttl: java.time.Duration): Dataset[TtlDedupEmit] = {
+    implicit val ie = Encoders.product[IdRow]
+    implicit val oe = Encoders.product[TtlDedupEmit]
+    implicit val se = Encoders.STRING
+    envelope.selectExpr("message_id AS id")
+      .as[IdRow]
+      .groupByKey(_.id)
+      .transformWithState(new TtlDedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  private class TtlDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, IdRow, TtlDedupEmit] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // the one state variable in the streaming layer with a LIVE
+      // TTLConfig: exists() returns false once the TTL lapses, which IS
+      // the re-admission path the gate drives across a real wall-clock
+      // expiry (every other variable passes TTLConfig.NONE by design —
+      // their operators' state is bounded by watermark or by k)
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+        TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[IdRow],
+        timerValues: TimerValues): Iterator[TtlDedupEmit] =
+      if (seen.exists()) Iterator.empty // live register: duplicate, drop
+      else {
+        seen.update(true) // admit and arm the TTL'd register
+        Iterator.single(TtlDedupEmit(key))
+      }
+  }
+
   private class RunningMaxProcessor extends StatefulProcessor[String, Reading, MaxUpdate] {
     @transient private var maxState: ValueState[Int] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
