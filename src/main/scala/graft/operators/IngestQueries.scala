@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.streaming.{Amqp10Server, AmqpEndpointRegistry, AmqpMessage, AmqpValueBody, InMemoryAmqpBroker}
+import graft.streaming.{Amqp10Server, AmqpEndpointRegistry, AmqpMessage, AmqpTcpServer, AmqpValueBody, InMemoryAmqpBroker}
 
 /** Puts the AMQP source itself under the DuckDB oracle gate: a
   * deterministic slice of the `events` table is pumped through a broker
@@ -78,6 +78,15 @@ object IngestQueries {
       tls = Some(graft.streaming.AmqpTls.serverContext(ks, pw)))
     s"amqps://127.0.0.1:${server.port}"
   }
+
+  /** One tcp:// server per JVM for the shared-subscription gate (the
+    * claim surface lives on mem:// and tcp://; the amqp10:// wire has no
+    * claim performatives). Per-run addresses keep warm runs independent. */
+  private lazy val tcpGateEndpoint: String = {
+    val server = new AmqpTcpServer(new InMemoryAmqpBroker)
+    s"tcp://127.0.0.1:${server.port}"
+  }
+  private val sharedGateRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Resolve (endpoint, address) for one gate run. */
   private def gateTarget(): (String, String) =
@@ -2315,6 +2324,85 @@ object IngestQueries {
       |  CAST(sum(cents) AS INTEGER) AS sum_cents
       |FROM sessed GROUP BY event_type, sess_id""".stripMargin
 
+  // ---------------------------------------------- amqp_shared_consumers
+  /** SHARED SUBSCRIPTION under the oracle gate: TWO CONCURRENT consuming
+    * streams in one share group drain one address over the tcp:// wire
+    * (claims, renewals, and per-claim settlement all crossing the
+    * socket), and the UNION of their outputs must hash-match the oracle
+    * EXACTLY ONCE — a double-dispatched slice duplicates rows, a dropped
+    * or stranded claim loses them, and either breaks the hash. The
+    * consumer-fleet-on-one-queue topology the single-consumer source
+    * correctly refuses (a second consumer there is detected as data
+    * loss); see [[graft.streaming.AmqpSharedMicroBatchStream]].
+    *
+    * Both consumers start BEFORE the pump and poll concurrently with a
+    * trigger budget of ~1/6 of the slice, so the drain genuinely
+    * interleaves (a structural `require` pins that both consumed > 0 —
+    * the split itself is scheduling-dependent and stays off the hash).
+    *
+    * Scale shape: admission is one claim RPC per trigger per consumer
+    * (O(1) ledger arithmetic broker-side); adding consumers divides the
+    * backlog without coordination among them — the broker's lease
+    * ledger is the only shared state. */
+  def amqpSharedConsumers(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val ep = tcpGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val address = s"jobs-${sharedGateRun.incrementAndGet()}"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 9)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    require(rows.nonEmpty, "shared-consumers gate slice is empty")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-shared-gate")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Int)]()
+    val perTrigger = math.max(20, rows.length / 6)
+    def consumer(idx: Int) =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("sharedGroup", "workers")
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt$idx")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("message_id"), col("subject"), col("cents")).collect()
+            .foreach(r => emitted.add((idx, r.getString(0), r.getString(1), r.getInt(2))))
+          ()
+        }
+        .start()
+    val q1 = consumer(1)
+    val q2 = consumer(2)
+    try {
+      pumpAll(client, address, rows.toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getString(1)),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+        })
+      // double pass: each consumer's first return can precede the
+      // other's in-flight claims; after the second, nothing is
+      // dispatchable and every claimed batch is sunk (see the stream's
+      // doc for why no fresh claim can slip in after that)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq
+    require(got.map(_._1).toSet == Set(1, 2),
+      s"work-sharing degenerated to one consumer: split " +
+        s"${got.groupBy(_._1).view.mapValues(_.size).toMap}")
+    got.map { case (_, id, et, c) => (id, et, c) }
+      .toDF("message_id", "event_type", "cents")
+  }
+
+  val amqpSharedConsumersSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS message_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
+      |FROM events WHERE event_id % 11 = 9""".stripMargin
+
   // ---------------------------------------------- amqp_stream_dedup_ttl
   /** STATE TTL under the oracle gate — the one `transformWithState`
     * capability no prior gate exercised (every other state variable
@@ -2657,6 +2745,7 @@ object IngestQueries {
     "amqp_stream_session"   -> (amqpStreamSession _),
     "amqp_stream_tws_timer" -> (amqpStreamTwsTimer _),
     "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
+    "amqp_shared_consumers" -> (amqpSharedConsumers _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2693,5 +2782,6 @@ object IngestQueries {
     "amqp_stream_session"   -> amqpStreamSessionSql,
     "amqp_stream_tws_timer" -> amqpStreamTwsTimerSql,
     "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
+    "amqp_shared_consumers" -> amqpSharedConsumersSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

@@ -111,6 +111,18 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
       * cannot fetch the gap — with `failOnDataLoss=true` (default) the
       * query fails loudly; `false` skips to the prefix and continues. */
     failOnDataLoss: Boolean = true,
+    /** SHARED SUBSCRIPTION (competing consumers): N consuming streams
+      * naming the same group on one address work-share its backlog —
+      * each message goes to exactly one of them, tracked by per-claim
+      * leases in the broker instead of the single-consumer settlement
+      * prefix (see [[AmqpSharedMicroBatchStream]]). */
+    sharedGroup: Option[String] = None,
+    /** Claim lease: a consumer that dies holding unsettled claims has
+      * them redelivered to the group after this long. Must exceed the
+      * slowest micro-batch (leases are renewed each batch) AND the
+      * longest restart-with-replay gap — a replayed batch whose claims
+      * were re-dispatched fails loudly as potential double-read. */
+    sharedLeaseMillis: Long = 300000L,
     /** Whether `address` was NAMED by the user (vs the default): the
       * sink refuses to write a pattern-subscribed table whose target
       * was never named — the glob has no single write target, and
@@ -118,6 +130,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     addressExplicit: Boolean = true) {
   require(!(respectTtl && expiredOnly),
     "respectTtl and expiredOnly partition the backlog — pick one")
+  // Shared subscription repartitions CONSUMPTION; modes that reposition
+  // or copy the read are a different contract — refuse loudly.
+  require(sharedGroup.isEmpty || (!browse && startingTimestampMicros.isEmpty &&
+      addressPattern.isEmpty && !ttlFiltered),
+    "sharedGroup cannot combine with browse, startingTimestamp, " +
+      "addressPattern, or TTL-filtered reads")
   /** Either TTL mode makes the scan reader-filtered on the expiry
     * predicate — same pushdown-composition rules for both. */
   def ttlFiltered: Boolean = respectTtl || expiredOnly
@@ -256,6 +274,9 @@ object AmqpSourceConfig {
       ttlNowMicros = Option(o.get("ttlNowMicros")).map(_.toLong),
       routeByTo = o.getOrDefault("routeByTo", "false").toBoolean,
       failOnDataLoss = o.getOrDefault("failOnDataLoss", "true").toBoolean,
+      sharedGroup = Option(o.get("sharedGroup")).map(_.trim).filter(_.nonEmpty),
+      sharedLeaseMillis = math.max(1000L,
+        o.getOrDefault("sharedLeaseMillis", "300000").toLong),
       addressExplicit = o.get("address") != null)
   }
 }
@@ -583,7 +604,14 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AmqpMicroBatchStream(cfg, required.fieldNames, pushed)
+    cfg.sharedGroup match {
+      // work-sharing consumption: claim-leased dispatch instead of
+      // per-link sequence offsets (the checkpoint location is the
+      // consumer's stable owner identity across restarts)
+      case Some(_) => new AmqpSharedMicroBatchStream(cfg, checkpointLocation,
+        required.fieldNames, pushed)
+      case None => new AmqpMicroBatchStream(cfg, required.fieldNames, pushed)
+    }
   override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit, offset, pushed)
   override def description(): String =
     s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}" +
@@ -651,30 +679,11 @@ object AmqpOffset {
   // AmqpEnvelope.quote, so '"' and '\' in topic names survive the
   // checkpoint round-trip instead of corrupting the offset JSON
   private val EntryRe = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\\' if i + 1 < s.length =>
-          s.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); i += 2
-            case 'r' => sb.append('\r'); i += 2
-            case 't' => sb.append('\t'); i += 2
-            case 'u' if i + 6 <= s.length =>
-              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-            case c => sb.append(c); i += 2
-          }
-        case c => sb.append(c); i += 1
-      }
-    }
-    sb.toString
-  }
   def fromJson(s: String, primaryAddress: String): AmqpOffset = s match {
     case LegacyRe(n) => single(primaryAddress, n.toLong)
     case SeqsRe(entries) =>
       AmqpOffset(EntryRe.findAllMatchIn(entries)
-        .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap)
+        .map(m => AmqpEnvelope.unquote(m.group(1)) -> m.group(2).toLong).toMap)
     case other => throw new IllegalArgumentException(s"bad AMQP offset: $other")
   }
 }

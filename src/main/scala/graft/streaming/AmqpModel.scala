@@ -121,6 +121,30 @@ object AmqpEnvelope {
     sb.append('"').toString
   }
 
+  /** Inverse of [[quote]] for a captured JSON-string BODY (escapes
+    * intact, surrounding quotes already stripped by the caller's regex)
+    * — shared by the offset parsers, so an address with '"' or '\' in
+    * its name survives every checkpoint round-trip. */
+  def unquote(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' if i + 6 <= s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Envelope field values for a message (pre-InternalRow). The body
     * mapping follows AMQPJsonFunction.scala:105-152: AmqpValue(String) →
     * the string; list/array/map → JSON text; Data → bytes (+ the

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+
+/** SHARED SUBSCRIPTION (competing consumers) — the work-sharing dispatch
+  * mode the single-consumer source cannot express: N consuming streams
+  * naming the same `sharedGroup` on one address jointly partition its
+  * backlog, each message delivered to EXACTLY ONE of them.
+  *
+  * Why a separate stream: the default source's offsets are per-link
+  * sequence positions and its settlement a per-link PREFIX
+  * ([[AmqpMicroBatchStream.commit]]) — structurally single-consumer (a
+  * second consuming query on the address is correctly detected as data
+  * loss). The reference is equally single-consumer (one link per
+  * receiver, AMQPReceiver.scala:38-46 in /root/reference); this mode is
+  * beyond-parity, covering the consumer-fleet-on-one-queue topology its
+  * broker deployments (README.md:5-9 in /root/reference) run.
+  *
+  * Mechanics (JMS 2.0 shared-consumer / Kafka consumer-group semantics,
+  * re-expressed for Structured Streaming's replay contract):
+  *
+  *  - ADMISSION ([[latestOffset(start*]]): the driver atomically CLAIMS
+  *    up to the trigger budget from the broker's share-group ledger —
+  *    lease-expired redeliveries first, then fresh backlog. The batch's
+  *    end offset carries exactly its own claims, so offsets stay
+  *    replayable without growing with history; a trigger that claims
+  *    nothing returns the start offset unchanged (no empty batches).
+  *  - REPLAY SAFETY ([[planInputPartitions]]): before reading — first
+  *    run or WAL replay after a crash — the driver re-asserts ownership
+  *    (renewClaims): a lease-expired-but-undispatched claim is rescued,
+  *    a re-dispatched one fails the query LOUDLY (processing it would
+  *    double-read another consumer's slice; size `sharedLeaseMillis`
+  *    above the restart gap).
+  *  - SETTLEMENT ([[commit]]): settle-after-durable-commit, per CLAIM
+  *    instead of per prefix — claims of batch N are settled exactly
+  *    once; replayed commits are idempotent broker-side.
+  *  - DEATH ([[AmqpEndpoint.claim]]): a consumer that dies holding
+  *    unsettled claims has them redelivered to the group when the lease
+  *    lapses — at-least-once across consumer death, exactly-once while
+  *    consumers live (the gate `amqp_shared_consumers` hashes the union
+  *    of two concurrent consumers against the oracle).
+  *
+  * Owner identity = the query's checkpoint location: stable across
+  * restarts, unique per query, requiring no broker-side registration.
+  *
+  * Scale shape: claims are O(1) ledger arithmetic per trigger on the
+  * driver (one RPC per address), slices split into bounded partitions
+  * exactly like the default stream, and the broker holds per-group
+  * state proportional to LIVE claims, not history. Transports: mem://
+  * and tcp:// carry the claim surface; a transport without it fails
+  * loudly at the first claim.
+  */
+class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: String,
+    fields: Array[String] = AmqpEnvelope.schema.fieldNames,
+    pushed: AmqpPushedFilters = AmqpPushedFilters())
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val group = cfg.sharedGroup.get
+  private val owner = checkpointLocation
+  private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  override def initialOffset(): Offset = AmqpSharedOffset(group, 0L, Nil)
+
+  override def deserializeOffset(json: String): Offset = AmqpSharedOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "shared subscription plans through the admission-control path")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[AmqpSharedOffset]
+    val cap = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
+      case _ => Long.MaxValue
+    }
+    // equal share per link, like the default stream's budget split
+    val perLink = math.max(1L, cap / cfg.addresses.length)
+    val claims = cfg.addresses.sorted.flatMap { a =>
+      broker.claim(a, group, owner, perLink, cfg.sharedLeaseMillis).map(a -> _)
+    }
+    if (claims.isEmpty) s // nothing dispatchable: same offset, no batch
+    else AmqpSharedOffset(group, s.rows + claims.map(_._2.rows).sum, claims)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val e = end.asInstanceOf[AmqpSharedOffset]
+    // Ownership re-assertion + lease extension — the replay gate: a WAL
+    // replay after a crash re-plans this batch, possibly after the
+    // lease lapsed. A rescued claim proceeds under its original id; a
+    // re-dispatched one means another consumer owns (or settled) the
+    // slice — reading it would double-deliver, so fail loudly.
+    e.claims.groupBy(_._1).foreach { case (a, cs) =>
+      val lost = broker.renewClaims(a, group, owner, cs.map(_._2), cfg.sharedLeaseMillis)
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"shared-subscription claims ${lost.sorted.mkString("[", ",", "]")} on '$a' " +
+          s"were lost: the lease (${cfg.sharedLeaseMillis} ms) expired during a " +
+          "restart and the slices were re-dispatched to another consumer of " +
+          s"group '$group'. Processing them here would double-read; raise " +
+          "sharedLeaseMillis above the restart gap and restart from a fresh " +
+          "checkpoint.")
+    }
+    e.claims.flatMap { case (a, c) =>
+      // bounded sub-partitions, same cut as the default stream
+      Iterator.range(0L, c.rows, cfg.maxRowsPerPartition).map { o =>
+        AmqpInputPartition(cfg.endpoint, a, c.fromExclusive + o,
+          math.min(c.fromExclusive + o + cfg.maxRowsPerPartition, c.toInclusive)): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AmqpReaderFactory(fields, pushed, cfg.propertyColumns, cfg.fetchChunkRows)
+
+  /** Settle-after-durable-commit, per claim: batch N's offset carries
+    * exactly batch N's claims, so nothing is missed or double-counted
+    * across batches; the broker ignores already-settled ids (replay). */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[AmqpSharedOffset]
+    e.claims.groupBy(_._1).foreach { case (a, cs) =>
+      broker.settleClaims(a, group, cs.map(_._2.claimId))
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Offset of one shared-subscription micro-batch: the claims the batch
+  * reads (its own, only — replayability without history growth) plus
+  * the cumulative row count (progress surface; also keeps consecutive
+  * offsets distinct however claim ids fall). JSON keys are sorted so
+  * equal offsets serialize identically. */
+case class AmqpSharedOffset(group: String, rows: Long,
+    claims: Seq[(String, AmqpClaim)]) extends Offset {
+  override def json(): String = {
+    val cs = claims.sortBy { case (a, c) => (a, c.claimId) }
+      .map { case (a, c) =>
+        s"[${AmqpEnvelope.quote(a)},${c.claimId},${c.fromExclusive},${c.toInclusive}]"
+      }
+      .mkString("[", ",", "]")
+    s"""{"group":${AmqpEnvelope.quote(group)},"rows":$rows,"claims":$cs}"""
+  }
+}
+
+object AmqpSharedOffset {
+  private val ShapeRe =
+    """(?s)\s*\{\s*"group"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"rows"\s*:\s*(\d+)\s*,\s*"claims"\s*:\s*\[(.*)\]\s*\}\s*""".r
+  private val ClaimRe =
+    """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]""".r
+  def fromJson(s: String): AmqpSharedOffset = s match {
+    case ShapeRe(g, rows, cs) =>
+      AmqpSharedOffset(AmqpEnvelope.unquote(g), rows.toLong,
+        ClaimRe.findAllMatchIn(cs).map { m =>
+          AmqpEnvelope.unquote(m.group(1)) ->
+            AmqpClaim(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+        }.toSeq)
+    case other => throw new IllegalArgumentException(s"bad shared AMQP offset: $other")
+  }
+}

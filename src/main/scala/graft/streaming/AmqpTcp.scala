@@ -39,6 +39,13 @@ private[streaming] object AmqpTcpProtocol {
   case class FetchReq(address: String, fromExclusive: Long, toInclusive: Long) extends Req
   case class SettleReq(address: String, upTo: Long) extends Req
   case class SettledUpToReq(address: String) extends Req
+  // shared subscription (work-sharing) — see AmqpEndpoint.claim
+  case class ClaimReq(address: String, group: String, owner: String,
+      maxRows: Long, leaseMillis: Long) extends Req
+  case class RenewClaimsReq(address: String, group: String, owner: String,
+      claims: Seq[AmqpClaim], leaseMillis: Long) extends Req
+  case class SettleClaimsReq(address: String, group: String,
+      claimIds: Seq[Long]) extends Req
   case class StageReq(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]) extends Req
   case class CommitStagedReq(txn: String, queryId: String, epochId: Long,
       address: String, tsMicros: Long, routeByTo: Boolean) extends Req
@@ -100,6 +107,9 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case FetchReq(a, f, t)      => backing.fetch(a, f, t)
           case SettleReq(a, u)        => backing.settle(a, u)
           case SettledUpToReq(a)      => backing.settledUpTo(a)
+          case ClaimReq(a, g, o, n, l)        => backing.claim(a, g, o, n, l)
+          case RenewClaimsReq(a, g, o, cs, l) => backing.renewClaims(a, g, o, cs, l)
+          case SettleClaimsReq(a, g, ids)     => backing.settleClaims(a, g, ids)
           case StageReq(x, p, ms)     => backing.stage(x, p, ms)
           case CommitStagedReq(x, q, e, a, ts, rt) => backing.commitStaged(x, q, e, a, ts, rt)
           case AbortReq(x)            => backing.abortStaged(x)
@@ -190,6 +200,16 @@ class TcpAmqpEndpoint(host: String, port: Int,
   override def settle(address: String, upTo: Long): Unit =
     call[Any](SettleReq(address, upTo))
   override def settledUpTo(address: String): Long = call[Long](SettledUpToReq(address))
+  // a retried claim whose first reply was lost self-heals via lease
+  // expiry (nobody read the orphan's slices); renew/settle are idempotent
+  override def claim(address: String, group: String, owner: String,
+      maxRows: Long, leaseMillis: Long): Seq[AmqpClaim] =
+    call[Seq[AmqpClaim]](ClaimReq(address, group, owner, maxRows, leaseMillis))
+  override def renewClaims(address: String, group: String, owner: String,
+      claims: Seq[AmqpClaim], leaseMillis: Long): Seq[Long] =
+    call[Seq[Long]](RenewClaimsReq(address, group, owner, claims, leaseMillis))
+  override def settleClaims(address: String, group: String, claimIds: Seq[Long]): Unit =
+    call[Any](SettleClaimsReq(address, group, claimIds))
   override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
     call[Any](StageReq(txn, partitionId, msgs))
   override def commitStaged(txn: String, queryId: String, epochId: Long, address: String,

@@ -68,6 +68,14 @@ object AmqpFlowController {
   * [[InMemoryAmqpBroker]] and over a socket by
   * [[graft.streaming.TcpAmqpEndpoint]] (same semantics, remote broker).
   */
+/** A work-sharing lease (shared subscription): a contiguous slice
+  * (fromExclusive, toInclusive] of one address's backlog dispatched to
+  * one consumer of a share group, alive until settled or lease-expired. */
+case class AmqpClaim(claimId: Long, fromExclusive: Long, toInclusive: Long)
+    extends Serializable {
+  def rows: Long = toInclusive - fromExclusive
+}
+
 trait AmqpEndpoint {
   def send(address: String, msg: AmqpMessage,
       timestampMicros: Long = System.currentTimeMillis() * 1000L): Long
@@ -110,6 +118,52 @@ trait AmqpEndpoint {
   def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)]
   def settle(address: String, upTo: Long): Unit
   def settledUpTo(address: String): Long
+
+  // ------------------------------------ shared subscription (work-sharing)
+  // Competing consumers on ONE address: N consuming streams in a share
+  // group jointly partition the backlog, each message dispatched to
+  // exactly one of them. Where the default mode's settlement is a
+  // per-link PREFIX (a second consumer is detected as data loss), a
+  // share group tracks per-CLAIM leases: a consumer atomically claims a
+  // slice, holds it under a lease, settles it on durable commit — and a
+  // consumer that dies without settling has its slices redelivered to
+  // the group once the lease lapses. One consuming group per address
+  // (settlement deletes messages); browsers behind it see the unsettled
+  // remainder, same as behind any move-mode consumer.
+
+  /** Atomically lease up to `maxRows` undispatched rows of `address` to
+    * `owner` within `group`: redeliverable slices (lease-expired from a
+    * dead consumer) first, then fresh backlog. Returns the leased
+    * slices, empty when nothing is dispatchable. NOT idempotent across
+    * a retried transport call — a claim whose reply was lost is never
+    * read by its owner and self-heals via lease expiry (redelivery),
+    * costing latency, never loss. None of the claim surface exists on a
+    * transport without it: the default THROWS (a shared subscription
+    * silently degrading to prefix settlement would double-read). */
+  def claim(address: String, group: String, owner: String, maxRows: Long,
+      leaseMillis: Long): Seq[AmqpClaim] =
+    throw new UnsupportedOperationException(
+      "this transport has no shared-subscription claim surface")
+
+  /** Re-assert ownership of `claims` and extend their leases — the
+    * replay/validation step before a consumer (re)processes a batch.
+    * A claim that lease-expired but was NOT yet re-dispatched is
+    * rescued back under the same id; one that was re-dispatched (or
+    * settled) is reported in the returned LOST list — the caller must
+    * fail loudly rather than double-read another consumer's slice. */
+  def renewClaims(address: String, group: String, owner: String,
+      claims: Seq[AmqpClaim], leaseMillis: Long): Seq[Long] =
+    throw new UnsupportedOperationException(
+      "this transport has no shared-subscription claim surface")
+
+  /** Settle (accept + delete) the messages of the given claims — the
+    * share-group analog of prefix [[settle]], fired on durable commit.
+    * Idempotent: an already-settled or unknown claim id is a no-op
+    * (commit replay after restart re-settles harmlessly). */
+  def settleClaims(address: String, group: String, claimIds: Seq[Long]): Unit =
+    throw new UnsupportedOperationException(
+      "this transport has no shared-subscription claim surface")
+
   def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit
 
   /** Atomically publish a staged transaction. By default every message
@@ -161,6 +215,20 @@ object AmqpAddressGlob {
   */
 class InMemoryAmqpBroker extends AmqpEndpoint {
 
+  /** One consumer's live lease on a slice of the backlog. */
+  private final class Outstanding(val fromExclusive: Long, val toInclusive: Long,
+      val owner: String, var deadlineMillis: Long)
+
+  /** Per-(address, group) shared-subscription dispatch state. */
+  private final class ShareGroup(initialFloor: Long) {
+    var nextClaimId: Long = 1L
+    /** Fresh-dispatch frontier: rows at or below it were handed out. */
+    var dispatchedUpTo: Long = initialFloor
+    val outstanding = scala.collection.mutable.LongMap.empty[Outstanding]
+    /** Lease-expired slices awaiting redelivery, oldest first. */
+    val redeliverable = scala.collection.mutable.Queue.empty[(Long, Long)]
+  }
+
   /** (seq, message, enqueue timestamp micros). seq starts at 1. */
   private final class Address {
     val lock = new ReentrantLock()
@@ -169,7 +237,12 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     var settledUpTo: Long = 0L
     var deliveredUpTo: Long = 0L
     val flow = new AmqpFlowController
+    val shareGroups = scala.collection.mutable.HashMap.empty[String, ShareGroup]
   }
+
+  /** Injectable wall clock for lease arithmetic (tests pin it to drive
+    * expiry deterministically). */
+  private[streaming] var clockMillis: () => Long = () => System.currentTimeMillis()
 
   private val addresses = new ConcurrentHashMap[String, Address]()
 
@@ -280,6 +353,124 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     val q = addr(address)
     q.lock.lock()
     try q.settledUpTo finally q.lock.unlock()
+  }
+
+  // --------------------------------------------------- shared subscription
+
+  /** Move lease-lapsed claims to the redelivery queue. Under the
+    * address lock; linear in live claims (a handful per consumer). */
+  private def expireSweep(g: ShareGroup, nowMillis: Long): Unit = {
+    // claim id = claim age: expired slices enter the redelivery queue
+    // oldest-claim first (LongMap iteration order is arbitrary)
+    val dead = g.outstanding.collect {
+      case (id, o) if o.deadlineMillis < nowMillis => id
+    }.toSeq.sorted
+    dead.foreach { id =>
+      val o = g.outstanding.remove(id).get
+      g.redeliverable.enqueue((o.fromExclusive, o.toInclusive))
+    }
+  }
+
+  override def claim(address: String, group: String, owner: String,
+      maxRows: Long, leaseMillis: Long): Seq[AmqpClaim] = {
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      // a group born on a partially-settled address starts at the
+      // replayable floor — rows below it are gone for everyone
+      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+      val now = clockMillis()
+      expireSweep(g, now)
+      var budget = math.max(0L, maxRows)
+      val out = Vector.newBuilder[AmqpClaim]
+      def lease(f: Long, t: Long): Unit = {
+        val id = g.nextClaimId
+        g.nextClaimId += 1
+        g.outstanding(id) = new Outstanding(f, t, owner, now + leaseMillis)
+        out += AmqpClaim(id, f, t)
+        budget -= t - f
+      }
+      // redeliveries first (a dead consumer's backlog must not starve
+      // behind fresh traffic), splitting a slice at the budget — the
+      // remainder stays at the FRONT of the queue, preserving age order
+      while (budget > 0 && g.redeliverable.nonEmpty) {
+        val (f, t) = g.redeliverable.dequeue()
+        val take = math.min(budget, t - f)
+        lease(f, f + take)
+        if (f + take < t) (f + take, t) +=: g.redeliverable
+      }
+      // then fresh backlog from the dispatch frontier
+      val latest = q.nextSeq - 1
+      if (budget > 0 && g.dispatchedUpTo < latest) {
+        val f = g.dispatchedUpTo
+        val t = math.min(latest, if (f > latest - budget) latest else f + budget)
+        lease(f, t)
+        g.dispatchedUpTo = t
+      }
+      out.result()
+    } finally q.lock.unlock()
+  }
+
+  override def renewClaims(address: String, group: String, owner: String,
+      claims: Seq[AmqpClaim], leaseMillis: Long): Seq[Long] = {
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+      val now = clockMillis()
+      expireSweep(g, now)
+      claims.flatMap { c =>
+        g.outstanding.get(c.claimId) match {
+          case Some(o) if o.owner == owner =>
+            o.deadlineMillis = now + leaseMillis; None
+          case Some(_) => Some(c.claimId) // someone else's claim id: lost
+          case None =>
+            // expired but not yet re-dispatched: rescue the exact slice
+            // back under its original id; anything else is lost (the
+            // slice was re-claimed by another consumer, or settled)
+            val idx = g.redeliverable.indexOf((c.fromExclusive, c.toInclusive))
+            if (idx >= 0) {
+              g.redeliverable.remove(idx)
+              g.outstanding(c.claimId) =
+                new Outstanding(c.fromExclusive, c.toInclusive, owner, now + leaseMillis)
+              None
+            } else Some(c.claimId)
+        }
+      }
+    } finally q.lock.unlock()
+  }
+
+  override def settleClaims(address: String, group: String,
+      claimIds: Seq[Long]): Unit = {
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+      claimIds.foreach { id =>
+        g.outstanding.remove(id).foreach { o =>
+          // delete the slice's messages; unknown/already-settled ids are
+          // no-ops (idempotent commit replay)
+          val keep = q.messages.filter { case (s, _, _) =>
+            s <= o.fromExclusive || s > o.toInclusive }
+          q.messages.clear()
+          q.messages ++= keep
+        }
+      }
+      // the address-level settlement floor is the invariant everything
+      // else reads (counts, fresh-query starts): everything below the
+      // first surviving message is forgotten
+      val head =
+        if (q.messages.isEmpty) q.nextSeq - 1 else q.messages.head._1 - 1
+      if (head > q.settledUpTo) q.settledUpTo = head
+    } finally q.lock.unlock()
+  }
+
+  /** Test observable: live (unexpired) claims of a group. */
+  private[streaming] def outstandingClaims(address: String, group: String): Int = {
+    val q = addr(address)
+    q.lock.lock()
+    try q.shareGroups.get(group).map(_.outstanding.size).getOrElse(0)
+    finally q.lock.unlock()
   }
 
   def unsettledCount(address: String): Long = {

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Shared subscription (competing consumers): the claim-lease dispatch
+  * ledger in the broker, the work-sharing micro-batch stream over it,
+  * and the failure contracts — redelivery on consumer death, rescue on
+  * replay, loud loss on a re-dispatched claim.
+  */
+class SharedSubscriptionSpec extends SparkSpecBase {
+
+  private def freshBroker(name: String): (String, InMemoryAmqpBroker) = {
+    val ep = s"mem://$name"
+    AmqpEndpointRegistry.reset(ep)
+    (ep, AmqpEndpointRegistry.broker(ep))
+  }
+
+  private def pump(b: InMemoryAmqpBroker, address: String, n: Int, from: Int = 1): Unit =
+    (from until from + n).foreach { i =>
+      assert(b.send(address, AmqpMessage(messageId = Some(s"m$i"),
+        body = AmqpValueBody(i.toString))) > 0)
+    }
+
+  test("claim ledger: dispatch, lease expiry, redelivery, rescue, loss, idempotent settle") {
+    val (_, b) = freshBroker("claims")
+    var now = 1000L
+    b.clockMillis = () => now
+    pump(b, "q", 100)
+
+    // disjoint dispatch to two owners
+    val a1 = b.claim("q", "g", "A", 30, leaseMillis = 5000)
+    val b1 = b.claim("q", "g", "B", 30, leaseMillis = 5000)
+    assert(a1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 30L)))
+    assert(b1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((30L, 60L)))
+    assert(a1.head.claimId != b1.head.claimId)
+
+    // A settles; B dies (never settles). After B's lease lapses its
+    // slice is REDELIVERED — and redeliveries outrank fresh backlog.
+    b.settleClaims("q", "g", a1.map(_.claimId))
+    now += 6000
+    val c1 = b.claim("q", "g", "C", 35, leaseMillis = 5000)
+    assert(c1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((30L, 60L), (60L, 65L)),
+      s"dead consumer's slice redelivers first, then fresh rows; got $c1")
+
+    // budget SPLITS a redeliverable slice; the remainder stays queued
+    now += 6000 // C died too: (30,60] and (60,65] both redeliverable
+    val d1 = b.claim("q", "g", "D", 10, leaseMillis = 5000)
+    assert(d1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((30L, 40L)))
+    val d2 = b.claim("q", "g", "D", 100, leaseMillis = 5000)
+    assert(d2.map(c => (c.fromExclusive, c.toInclusive)) ==
+      Seq((40L, 60L), (60L, 65L), (65L, 100L)))
+
+    // renew extends a live lease (no loss), rescues an expired-but-
+    // undispatched claim, and reports a re-dispatched one LOST
+    assert(b.renewClaims("q", "g", "D", d1 ++ d2, 5000).isEmpty)
+    now += 6000 // all of D's leases lapse
+    assert(b.renewClaims("q", "g", "D", d1, 5000).isEmpty,
+      "expired but undispatched: rescued under the original id")
+    now += 6000 // the rescued claim re-expires — re-queued BEHIND older slices
+    val e1 = b.claim("q", "g", "E", 10, leaseMillis = 5000)
+    assert(e1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((40L, 50L)),
+      s"redelivery follows expiry order, got $e1")
+
+    // loss + idempotent settle, on a fresh address (one consuming group
+    // per address is the contract — settlement deletes messages)
+    pump(b, "q2", 20)
+    val f1 = b.claim("q2", "g", "F", 10, leaseMillis = 1000)
+    assert(f1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 10L)))
+    now += 2000 // F dies; its slice re-dispatches to G
+    val g1 = b.claim("q2", "g", "G", 10, leaseMillis = 5000)
+    assert(g1.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 10L)))
+    assert(b.renewClaims("q2", "g", "F", f1, 5000) == f1.map(_.claimId),
+      "re-dispatched claim must report lost")
+
+    // settle is idempotent and deletes exactly the claim's slice
+    b.settleClaims("q2", "g", g1.map(_.claimId))
+    b.settleClaims("q2", "g", g1.map(_.claimId)) // replayed commit: no-op
+    val left = b.fetch("q2", 0, 20).map(_._1)
+    assert(left.forall(_ > 10), "settled slice is gone")
+    assert(left.exists(s => s > 10 && s <= 20), "unsettled rows remain")
+    assert(b.settledUpTo("q2") == 10L, "the address floor advances over the settled prefix")
+  }
+
+  test("claim surface round-trips the tcp:// transport") {
+    val backing = new InMemoryAmqpBroker
+    pump(backing, "q", 20)
+    val server = new AmqpTcpServer(backing)
+    val client = new TcpAmqpEndpoint("127.0.0.1", server.port)
+    try {
+      val cs = client.claim("q", "g", "worker-1", 15, 60000)
+      assert(cs.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 15L)))
+      assert(client.renewClaims("q", "g", "worker-1", cs, 60000).isEmpty)
+      assert(client.renewClaims("q", "g", "worker-2", cs, 60000) == cs.map(_.claimId),
+        "another owner's renew reports the claims lost")
+      client.settleClaims("q", "g", cs.map(_.claimId))
+      assert(client.fetch("q", 0, 20).map(_._1).forall(_ > 15))
+      // a transport without the surface fails loudly, never degrades
+      val bare: AmqpEndpoint = new AmqpEndpoint {
+        def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long = 0L
+        def latestSeq(address: String): Long = 0L
+        def fetch(address: String, fromExclusive: Long, toInclusive: Long): Seq[(Long, AmqpMessage, Long)] = Nil
+        def settle(address: String, upTo: Long): Unit = ()
+        def settledUpTo(address: String): Long = 0L
+        def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit = ()
+        def commitStaged(txn: String, queryId: String, epochId: Long, address: String,
+            timestampMicros: Long, routeByTo: Boolean): Int = 0
+        def abortStaged(txn: String): Unit = ()
+      }
+      intercept[UnsupportedOperationException](bare.claim("q", "g", "o", 1, 1000))
+    } finally { client.close(); server.close() }
+  }
+
+  test("shared-offset JSON round-trips, including escaped addresses") {
+    val off = AmqpSharedOffset("workers", 42L, Seq(
+      "a\"weird\\addr" -> AmqpClaim(7, 10, 20),
+      "plain" -> AmqpClaim(8, 0, 5)))
+    val back = AmqpSharedOffset.fromJson(off.json())
+    assert(back == off.copy(claims = off.claims.sortBy { case (a, c) => (a, c.claimId) }))
+    val empty = AmqpSharedOffset("g", 0, Nil)
+    assert(AmqpSharedOffset.fromJson(empty.json()) == empty)
+  }
+
+  test("two concurrent consuming streams work-share one address exactly once") {
+    val (ep, broker) = freshBroker("shared-e2e")
+    val dir = Files.createTempDirectory("shared-e2e")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    def consumer(idx: Int) = {
+      spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "jobs")
+        .option("sharedGroup", "workers")
+        .option("maxMessagesPerTrigger", "25") // several batches each
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt$idx")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add(
+            (idx, r.getAs[String]("message_id"))))
+          ()
+        }
+        .start()
+    }
+    pump(broker, "jobs", 200)
+    val q1 = consumer(1)
+    val q2 = consumer(2)
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      // after both drained: re-check each once more (a claim raced the
+      // other's processAllAvailable)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.toSeq
+      val ids = got.map(_._2)
+      assert(ids.size == 200 && ids.distinct.size == 200,
+        s"union must be exactly-once: ${ids.size} rows, ${ids.distinct.size} distinct")
+      assert(ids.toSet == (1 to 200).map(i => s"m$i").toSet)
+      val byConsumer = got.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(byConsumer.keySet == Set(1, 2) && byConsumer.values.forall(_ > 0),
+        s"both consumers must share the work, got split $byConsumer")
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("a consumer's death hands its backlog to the group; the survivor finishes the queue") {
+    val (ep, broker) = freshBroker("shared-death")
+    val dir = Files.createTempDirectory("shared-death")
+    pump(broker, "jobs", 60)
+    // consumer A claims a slice directly (standing in for a query that
+    // died between claiming and processing — deterministic, where
+    // killing a live query mid-batch is a race)
+    val doomed = broker.claim("jobs", "workers", s"$dir/ckptA", 20, leaseMillis = 2000)
+    assert(doomed.nonEmpty && broker.outstandingClaims("jobs", "workers") == 1)
+    Thread.sleep(2500) // A is dead; its lease lapses
+    // consumer B drains everything that remains dispatchable — which
+    // must INCLUDE A's redelivered slice
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "jobs")
+      .option("sharedGroup", "workers")
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckptB")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => emitted.add(r.getAs[String]("message_id")))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet == (1 to 60).map(i => s"m$i").toSet,
+        "the survivor must consume the dead consumer's redelivered slice too")
+    } finally q.stop()
+  }
+
+  test("sharedGroup refuses contradictory modes") {
+    val (ep, _) = freshBroker("shared-refuse")
+    def load(opts: (String, String)*): Unit = {
+      var r = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "q").option("sharedGroup", "g")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    intercept[IllegalArgumentException](load("browse" -> "true"))
+    intercept[IllegalArgumentException](load("startingTimestampMicros" -> "1"))
+    intercept[IllegalArgumentException](load("addressPattern" -> "q*"))
+    intercept[IllegalArgumentException](load("respectTtl" -> "true"))
+  }
+}
