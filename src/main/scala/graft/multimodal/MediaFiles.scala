@@ -183,10 +183,15 @@ object MediaFiles {
 
   /** Encode a minimal single-video-stream AVI: real header lists (avih
     * + strl/strh/strf) and one '00dc' movi chunk per frame (word-
-    * aligned, as RIFF requires). Frame payloads are arbitrary bytes —
-    * the container is real, the codec inside it is "raw". */
+    * aligned, as RIFF requires). With the default handler the frame
+    * payloads are arbitrary bytes (container real, codec "raw"); with
+    * `handler = "MJPG"` the strh handler AND strf biCompression carry
+    * the MJPG fourcc — the Motion-JPEG AVI layout, where each '00dc'
+    * payload is a complete JPEG image (see [[encodeJpegSolid]] /
+    * [[decodeJpeg]]). */
   def encodeAvi(w: Int, h: Int, microSecPerFrame: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]], handler: String = "\u0000\u0000\u0000\u0000"): Array[Byte] = {
+    require(handler.length == 4, s"handler must be a fourcc: '$handler'")
     require(w > 0 && h > 0 && microSecPerFrame > 0, s"bad AVI params ${w}x$h")
     val maxFrame = frames.foldLeft(0)((m, f) => math.max(m, f.length))
     val moviContent = frames.map(f => 8 + f.length + (f.length & 1)).sum
@@ -211,7 +216,7 @@ object MediaFiles {
     buf.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
     buf.put(fourcc("LIST")).putInt(strlSize).put(fourcc("strl"))
     buf.put(fourcc("strh")).putInt(56)
-    buf.put(fourcc("vids")).put(fourcc("    ")) // raw handler
+    buf.put(fourcc("vids")).put(fourcc(handler))
     buf.putInt(0) // dwFlags
     buf.putShort(0).putShort(0) // wPriority, wLanguage
     buf.putInt(0) // dwInitialFrames
@@ -227,7 +232,10 @@ object MediaFiles {
     buf.put(fourcc("strf")).putInt(40)
     buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
     buf.putShort(1).putShort(24) // planes, bpp
-    buf.putInt(0).putInt(w * h * 3) // BI_RGB, image size
+    // biCompression: BI_RGB (0) for raw payloads, the handler fourcc
+    // for a real codec (MJPG) — the field VfW decoders dispatch on
+    if (handler == "\u0000\u0000\u0000\u0000") buf.putInt(0) else buf.put(fourcc(handler))
+    buf.putInt(w * h * 3) // image size
     buf.putInt(0).putInt(0).putInt(0).putInt(0)
     buf.put(fourcc("LIST")).putInt(4 + moviContent).put(fourcc("movi"))
     frames.foreach { f =>
@@ -235,6 +243,73 @@ object MediaFiles {
       if ((f.length & 1) == 1) buf.put(0.toByte) // word alignment pad
     }
     buf.array()
+  }
+
+  // ------------------------------------------------------------ JPEG
+  // Real JPEG via the JDK's own ImageIO codec (javax.imageio ships a
+  // baseline JPEG reader/writer — no external dependency), which is
+  // what makes MJPEG-in-AVI decodable end to end: the container walk
+  // yields '00dc' payloads that ARE complete JPEG images. JPEG is
+  // lossy, so decoded pixels are codec-approximate — fixtures that sit
+  // under a cross-engine hash must plant DECISIONS with margins far
+  // above quantization noise (see mm_mjpeg_keyframes), never raw
+  // decoded values.
+
+  /** Encode a solid-level frame (R=G=B=level everywhere) as a real
+    * baseline JPEG at quality 0.9. Solid frames are the noise-minimal
+    * MJPEG fixture: a flat block's DCT is DC-only, so the decoded mean
+    * stays within ~2 levels of the plant. */
+  def encodeJpegSolid(w: Int, h: Int, level: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && level >= 0 && level <= 255, s"bad JPEG plant $w x $h @ $level")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = Array(level, level, level)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setPixel(x, y, px); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode a JPEG via ImageIO into the same [[Bmp]] shape the BMP
+    * decoder returns (B,G,R per pixel, visual top-down); None when the
+    * bytes are not a decodable image. */
+  def decodeJpeg(bytes: Array[Byte]): Option[Bmp] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val base = 3 * (y * w + x)
+          out(base) = rgb & 0xff // B
+          out(base + 1) = (rgb >> 8) & 0xff // G
+          out(base + 2) = (rgb >> 16) & 0xff // R
+          x += 1
+        }
+        y += 1
+      }
+      Some(Bmp(w, h, out))
+    }
   }
 
   /** Parse an AVI container by walking its RIFF lists — magic + 'AVI '

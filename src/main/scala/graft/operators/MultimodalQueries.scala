@@ -416,6 +416,111 @@ object MultimodalQueries {
       |  CAST(min(CASE WHEN rk = 1 THEN e END) AS BIGINT) AS energy
       |FROM ranked GROUP BY doc_id, shot""".stripMargin
 
+  // ---------------------------------------------- mm_mjpeg_keyframes
+  /** MJPEG — REAL pixels inside the REAL container: each video doc is
+    * rebuilt as a Motion-JPEG AVI (strh handler + strf biCompression =
+    * 'MJPG'; every '00dc' payload a complete baseline JPEG written by
+    * the JDK's own ImageIO codec — zero external dependencies), then
+    * the pipeline runs entirely in PIXEL space: container walk →
+    * per-frame JPEG decode → mean-absolute-pixel-difference scene cuts
+    * → per-shot keyframe by decoded mean brightness. This retires the
+    * last synthetic layer in the video family (the byte-diff gates
+    * mm_video_scene_cut / mm_keyframe_select keep auditing the exact
+    * container walk — their oracle replays raw bytes; this gate puts
+    * the CODEC on the hash path).
+    *
+    * JPEG is lossy, so the fixture plants DECISIONS, not values:
+    * solid-level frames (flat DCT ⇒ decoded mean within ~2 of the
+    * plant), scene levels 96+ apart vs a cut threshold of mean-diff >
+    * 32, intra-scene brightness steps of 8 for the keyframe argmax —
+    * every margin an order of magnitude above quantization noise, so
+    * the detected shot boundaries and keyframes equal the planted
+    * schedule on ANY conformant JPEG codec, and the oracle replays that
+    * schedule closed-form.
+    *
+    * Scale shape: embarrassingly parallel per-row encode+decode map
+    * (≤9 tiny JPEGs per doc here; production swaps the synth for real
+    * footage and keeps the plan), |shots| output rows per doc, bytes
+    * never leave the executor. */
+  private def MjNs(id: Long): Int = 1 + ((id / 3) % 3).toInt // scenes
+  private def MjFps(id: Long): Int = 1 + ((id / 5) % 3).toInt // frames/scene
+  /** Planted level of frame j in scene s: base 32/128/224 per scene
+    * (adjacent scenes always differ by ≥96), plus an intra-scene
+    * brightness step of 8·((id+j) % 3) — distinct within a ≤3-frame
+    * scene, so the keyframe argmax has no ties. */
+  private def MjLevel(id: Long, s: Int, j: Int): Int =
+    32 + 96 * ((id + s) % 3).toInt + 8 * ((id + j) % 3).toInt
+
+  def mmMjpegKeyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(_.media_type == "video")
+      .flatMap { b =>
+        val id = b.doc_id
+        val (w, h) = (48, 32) // multiples of 16: subsampling-safe
+        val jpegs = for {
+          sc <- 0 until MjNs(id)
+          j <- 0 until MjFps(id)
+        } yield MediaFiles.encodeJpegSolid(w, h, MjLevel(id, sc, j))
+        val avi = MediaFiles.encodeAvi(w, h, 40000, jpegs, handler = "MJPG")
+        // decode side: real RIFF walk, then a real JPEG decode per frame
+        val dec = MediaFiles.decodeAvi(avi).getOrElse(
+          throw new IllegalStateException(s"undecodable MJPEG AVI for doc $id"))
+        val pix = dec.frames.map(fb => MediaFiles.decodeJpeg(fb).getOrElse(
+          throw new IllegalStateException(s"undecodable JPEG frame in doc $id")))
+        def meanAbsDiff(a: MediaFiles.Bmp, c: MediaFiles.Bmp): Double = {
+          var sum = 0L
+          var i = 0
+          while (i < c.channels.length) {
+            sum += math.abs(c.channels(i) - a.channels(i)); i += 1
+          }
+          sum.toDouble / c.channels.length
+        }
+        def brightness(p: MediaFiles.Bmp): Double = {
+          var sum = 0L
+          var i = 0
+          while (i < p.channels.length) { sum += p.channels(i); i += 1 }
+          sum.toDouble / p.channels.length
+        }
+        val shotOf = new Array[Int](pix.length)
+        var f = 1
+        while (f < pix.length) {
+          shotOf(f) = shotOf(f - 1) +
+            (if (meanAbsDiff(pix(f - 1), pix(f)) > 32.0) 1 else 0)
+          f += 1
+        }
+        val bright = pix.map(brightness)
+        pix.indices.groupBy(shotOf(_)).toSeq.map { case (shot, idxs) =>
+          val key = idxs.maxBy(i => (bright(i), -i)) // brightest, earliest tie
+          (id, shot.toLong, idxs.min.toLong, idxs.max.toLong,
+            idxs.length.toLong, key.toLong)
+        }
+      }
+      .toDF("doc_id", "shot", "first_frame", "last_frame", "n_frames", "keyframe")
+  }
+
+  /** The oracle replays the PLANTED schedule (scene s spans frames
+    * [s·fps, (s+1)·fps), keyframe = argmax of the intra-scene step) —
+    * closed-form, no pixel values: the Spark side must RECOVER that
+    * schedule from decoded pixels for the hash to match. */
+  val mmMjpegKeyframesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    1 + ((doc_id // 3) % 3) AS ns,
+      |    1 + ((doc_id // 5) % 3) AS fps
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |shots AS (
+      |  SELECT doc_id, fps, unnest(range(ns)) AS s FROM v)
+      |SELECT doc_id, CAST(s AS BIGINT) AS shot,
+      |  CAST(s * fps AS BIGINT) AS first_frame,
+      |  CAST(s * fps + fps - 1 AS BIGINT) AS last_frame,
+      |  CAST(fps AS BIGINT) AS n_frames,
+      |  CAST(s * fps
+      |    + list_position(list_transform(range(fps), j -> (doc_id + j) % 3),
+      |        list_max(list_transform(range(fps), j -> (doc_id + j) % 3)))
+      |    - 1 AS BIGINT) AS keyframe
+      |FROM shots""".stripMargin
+
   // ---------------------------------------------------- mm_dup_groups
   /** Duplicate screening over OPAQUE BINARY payloads by HEAD-BLOCK
     * fingerprint: fold the first [[HeadBytes]] payload bytes into a
@@ -999,6 +1104,7 @@ object MultimodalQueries {
     "mm_audio_pitch"  -> (mmAudioPitch _),
     "mm_video_scene_cut" -> (mmVideoSceneCut _),
     "mm_keyframe_select" -> (mmKeyframeSelect _),
+    "mm_mjpeg_keyframes" -> (mmMjpegKeyframes _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_features"     -> (mmFeatures _),
     "mm_resize"       -> (mmResize _),
@@ -1016,6 +1122,7 @@ object MultimodalQueries {
     "mm_audio_pitch"  -> mmAudioPitchSql,
     "mm_video_scene_cut" -> mmVideoSceneCutSql,
     "mm_keyframe_select" -> mmKeyframeSelectSql,
+    "mm_mjpeg_keyframes" -> mmMjpegKeyframesSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_resize"       -> mmResizeSql,

@@ -395,4 +395,56 @@ class MultimodalQueriesSpec extends SparkSpecBase {
     // the grid genuinely discriminates: different docs find different periods
     assert(rows.map(_._4).distinct.length == 13, "expected all 13 planted periods")
   }
+
+  test("MJPEG: real JPEG payloads in a real MJPG AVI, codec noise inside the decision margins") {
+    import graft.multimodal.MediaFiles
+    // the MJPG container declares its codec: strh handler AND strf
+    // biCompression both carry the fourcc (VfW's dispatch fields)
+    val jp = MediaFiles.encodeJpegSolid(48, 32, 128)
+    val avi = MediaFiles.encodeAvi(48, 32, 40000, Seq(jp, jp), handler = "MJPG")
+    val s = new String(avi, "ISO-8859-1")
+    assert(s.contains("vidsMJPG"), "strh handler fourcc")
+    assert(s.sliding(4).count(_ == "MJPG") >= 2, "strf biCompression fourcc too")
+    // every '00dc' payload is a complete JPEG (SOI marker) the walker
+    // hands back byte-identical
+    val dec = MediaFiles.decodeAvi(avi).get
+    assert(dec.frames.length == 2)
+    dec.frames.foreach { f =>
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, "JPEG SOI")
+      assert(java.util.Arrays.equals(f, jp), "payload survives the container")
+    }
+    // codec noise bound: a solid plant decodes to a mean within 2 levels
+    // at EVERY planted level the fixture uses — the margin arithmetic
+    // (cut threshold 32, scene gap >= 80, keyframe step 8) rests on this
+    for (level <- Seq(32, 40, 48, 128, 136, 144, 224, 232, 240)) {
+      val pix = MediaFiles.decodeJpeg(MediaFiles.encodeJpegSolid(48, 32, level)).get
+      assert(pix.width == 48 && pix.height == 32)
+      val mean = pix.channels.map(_.toLong).sum.toDouble / pix.channels.length
+      assert(math.abs(mean - level) <= 2.0,
+        s"solid $level decoded to mean $mean — JPEG noise exceeds the fixture margin")
+    }
+    // non-image bytes refuse instead of guessing
+    assert(MediaFiles.decodeJpeg("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("mm_mjpeg_keyframes recovers the planted schedule from decoded pixels") {
+    import spark.implicits._
+    val rows = MultimodalQueries.mmMjpegKeyframes(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 % 3 == 2), "video docs only")
+    rows.groupBy(_._1).foreach { case (id, shots) =>
+      val ns = 1 + ((id / 3) % 3).toInt
+      val fps = 1 + ((id / 5) % 3).toInt
+      assert(shots.length == ns, s"doc $id: ${shots.length} shots, planted $ns")
+      shots.sortBy(_._2).zipWithIndex.foreach { case ((_, shot, first, last, n, key), s) =>
+        assert(shot == s && first == s.toLong * fps && last == s.toLong * fps + fps - 1
+          && n == fps, s"doc $id shot $s span")
+        val expectKey = s.toLong * fps +
+          (0 until fps).maxBy(j => ((id + j) % 3, -j))
+        assert(key == expectKey, s"doc $id shot $s keyframe: $key vs $expectKey")
+      }
+    }
+    // the detector genuinely segments: shot counts vary across docs
+    assert(rows.groupBy(_._1).values.map(_.length).toSet == Set(1, 2, 3))
+  }
 }
