@@ -312,7 +312,8 @@ object SimilarityQueries {
     * out of scoring without the data files ever being rewritten
     * (sim_index_delete). */
   private[operators] def ivfServe(s: SparkSession, e: DataFrame, centsArr: DataFrame,
-      idx: String, loQ: Long, hiQ: Long, tombstones: Option[DataFrame] = None): DataFrame = {
+      idx: String, loQ: Long, hiQ: Long, tombstones: Option[DataFrame] = None,
+      k: Int = TopK): DataFrame = {
     val probes = e.filter(col("vec_id") >= loQ && col("vec_id") < hiQ)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
       .crossJoin(broadcast(centsArr))
@@ -340,7 +341,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
         .groupBy(col("query_id"))
-        .agg(topKAggN(s, TopK, "cos", "vec_id").as("top")))
+        .agg(topKAggN(s, k, "cos", "vec_id").as("top")))
   }
 
   def simIndexBuild(s: SparkSession, d: String): DataFrame = {
@@ -2066,26 +2067,30 @@ object SimilarityQueries {
     * greedy trajectory cannot diverge. The oracle unrolls the K rounds
     * as explicit CTE stages (no recursion needed for a fixed K).
     *
-    * Scale shape: stage 1 is the brute-force top-C (broadcast queries,
-    * corpus never shuffles, bounded top-k agg); the greedy rounds then
-    * run on the |Q|·C candidate frame ONLY — each round joins
-    * candidates against the ≤|Q|·K selected set and takes one
+    * Scale shape: stage 1 is THE PERSISTED INDEX'S SERVE — the same
+    * cid-partitioned parquet layout sim_index_build gates, probed
+    * partition-pruned (nprobe cells per query, the scan's
+    * PartitionFilters carry the cid cut — spec-asserted), so candidate
+    * generation costs the probed cells, never the corpus; the greedy
+    * rounds then run on the |Q|·C candidate frame ONLY — each round
+    * joins candidates against the ≤|Q|·K selected set and takes one
     * |Q|-row argmax. Cost is |Q|·C·K pair cosines, independent of
-    * corpus size: the re-rank is free at 100 TB because the expensive
-    * part (candidate generation) is the ANN index's job. */
+    * corpus size. This is the production retrieval → diversify
+    * pipeline composed end to end: ANN index serve feeding MMR. */
   def simMmrDiversify(s: SparkSession, d: String): DataFrame = {
     val C = 10; val K = 4
     val e = embedded(s, d)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    // stage 1: top-C relevance candidates per query, embeddings re-attached
-    // for the pairwise-penalty rounds (|Q|·C rows; cached — K rounds read it)
-    val cand = explodeTopK(
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosine(expr("vec_dot(emb, qemb)"), col("nrm"), col("qnrm")))
-          .groupBy(col("query_id"))
-          .agg(topKAggN(s, C, "cos", "vec_id").as("top")))
+    // stage 1: top-C relevance candidates per query FROM THE PERSISTED
+    // INDEX — build the cid-partitioned inverted lists (sim_index_build's
+    // layout, its own directory), then serve the MMR query slice
+    // partition-pruned; embeddings re-attach for the pairwise-penalty
+    // rounds (|Q|·C rows; cached — K rounds read it)
+    val centsArr = ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfmmr_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    ivfAssign(e, centsArr)
+      .write.mode("overwrite").partitionBy("cid").parquet(idx)
+    val cand = ivfServe(s, e, centsArr, idx, 0L, NumQueries, k = C)
       .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
       .join(e.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
       .cache()
@@ -2147,19 +2152,37 @@ object SimilarityQueries {
        |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
        |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
-       |      WHERE vec_id < $NumQueries),
-       |scored AS (
+       |cents AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
+       |          WHERE vec_id < $NumCells),
+       |assigned AS (
+       |  SELECT vec_id, cid, emb, nrm FROM (
+       |    SELECT e.vec_id, cents.cid, e.emb, e.nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.emb, cents.cemb) / (e.nrm * cents.cnrm) DESC,
+       |                 cents.cid ASC) AS rnc
+       |    FROM e CROSS JOIN cents) t
+       |  WHERE rnc = 1),
+       |probes AS (
+       |  SELECT query_id, cid, qemb, qnrm FROM (
+       |    SELECT e.vec_id AS query_id, cents.cid, e.emb AS qemb, e.nrm AS qnrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.emb, cents.cemb) / (e.nrm * cents.cnrm) DESC,
+       |                 cents.cid ASC) AS rnp
+       |    FROM e CROSS JOIN cents
+       |    WHERE e.vec_id < $NumQueries) t
+       |  WHERE rnp <= $NumProbes),
+       |cand AS ( -- the persisted index's serve: top-C within probed cells
        |  SELECT query_id, vec_id, rel, emb, nrm FROM (
-       |    SELECT q.query_id, e.vec_id,
-       |      list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm) AS rel,
-       |      e.emb, e.nrm,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm) DESC,
-       |                 e.vec_id ASC) AS rn
-       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) t
+       |    SELECT probes.query_id, assigned.vec_id,
+       |      list_dot_product(assigned.emb, probes.qemb) / (assigned.nrm * probes.qnrm) AS rel,
+       |      assigned.emb, assigned.nrm,
+       |      row_number() OVER (PARTITION BY probes.query_id
+       |        ORDER BY list_dot_product(assigned.emb, probes.qemb)
+       |                   / (assigned.nrm * probes.qnrm) DESC,
+       |                 assigned.vec_id ASC) AS rn
+       |    FROM probes JOIN assigned ON probes.cid = assigned.cid
+       |    WHERE assigned.vec_id <> probes.query_id) t
        |  WHERE rn <= $C),
-       |cand AS (SELECT * FROM scored),
        |s1 AS (
        |  SELECT query_id, vec_id, 0.7 * rel - 0.3 * 0.0 AS score, CAST(1 AS BIGINT) AS rank
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -718,19 +718,42 @@ class SimilarityQueriesSpec extends SparkSpecBase {
       scores.zip(scores.tail).foreach { case (a, b) =>
         assert(a >= b - 1e-12, s"query $q MMR scores increased: $a -> $b") }
     }
-    // round 1 has an empty selected set: pure relevance argmax = the
-    // brute-force top-1 (same tiebreak)
-    val top = SimilarityQueries.simTopKBruteForce(spark, sfDir)
+    // the candidate leg is the PERSISTED INDEX's serve: round 1 (empty
+    // selected set, pure relevance argmax) must equal the index-served
+    // top-1 on the same slice (same tiebreak)
+    val e = SimilarityQueries.embedded(spark, sfDir)
+    val cents = SimilarityQueries.ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfmmr_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val served = SimilarityQueries.ivfServe(spark, e, cents, idx, 0L, 10L)
       .as[(Long, Long, Double, Long)].collect()
-    val top1 = top.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    val top1 = served.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
     byQ.foreach { case (q, rows) =>
       assert(rows.find(_._2 == 1L).get._3 == top1(q),
-        s"query $q round-1 pick must equal the relevance top-1") }
+        s"query $q round-1 pick must equal the index-served relevance top-1") }
     // the penalty must bite somewhere: at least one query's MMR set
-    // differs from its plain top-4 by relevance (else the gate is vacuous)
-    val top4 = top.filter(_._4 <= 4L).groupBy(_._1)
+    // differs from its plain served top-4 (else the gate is vacuous)
+    val top4 = served.filter(_._4 <= 4L).groupBy(_._1)
       .map { case (q, rs) => q -> rs.map(_._2).toSet }
     assert(byQ.exists { case (q, rows) => rows.map(_._3).toSet != top4(q) },
       "MMR never diverged from plain top-k — diversification is vacuous")
+  }
+
+  test("sim_mmr_diversify's candidate frame comes from the pruned index scan") {
+    // the relevance leg IS the persisted index's serve (the gate's
+    // returned frame is localCheckpoint-truncated, so assert on the
+    // candidate frame itself): the scan under the MMR candidate plan
+    // must carry the probed-cell cut in PartitionFilters — candidate
+    // generation reads nprobe cells per query, never the corpus
+    SimilarityQueries.simMmrDiversify(spark, sfDir) // ensures the index exists
+    val e = SimilarityQueries.embedded(spark, sfDir)
+    val cents = SimilarityQueries.ivfCentroids(e)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_sim_ivfmmr_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val cand = SimilarityQueries.ivfServe(spark, e, cents, idx, 0L, 10L, k = 10)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cid"), pf)
   }
 }
