@@ -937,6 +937,98 @@ object RelationalQueries {
       |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** AQE SKEW-JOIN SPLIT under the oracle hash — the runtime re-plan
+    * q24 avoids by author-side salting, here left to the ENGINE: a
+    * derived hot key (half of lineitem lands on k=0) drives a
+    * sort-merge join against a per-key dim frame with broadcast
+    * disabled and the skew thresholds scaled to gate size, and the
+    * query `require`s `skew=true` in the FINAL adaptive plan — so both
+    * the re-plan firing AND its exactness (counts, integer cents,
+    * dim-weighted sums across the split+duplicated partitions) sit on
+    * the gate path. Until now skew-split was spec-only (AqeSkewSpec);
+    * this puts it under the DuckDB hash.
+    *
+    * The final aggregate keys on l_returnflag, NOT k — deliberately:
+    * OptimizeSkewedJoin refuses any split that breaks a partitioning a
+    * parent still needs, so a groupBy(k) downstream would veto the
+    * split; the returnflag rollup forces its own exchange and leaves
+    * the join free to split (the 100 TB lesson: keep skew-handled
+    * joins out of partitioning-reuse chains).
+    *
+    * Scale shape: this is AQE doing at runtime what q24's salt does at
+    * plan time — no code change as skew drifts; split granularity
+    * follows advisoryPartitionSizeInBytes. */
+  def q78AqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // gate-scale thresholds: "skewed" = 2x the median AND > 64 KB,
+      // split target 32 KB (production defaults are 5x / 256 MB / 64 MB
+      // — the MECHANISM under test is identical)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ
+      "spark.sql.shuffle.partitions" -> "8")
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // repartition(16) stands in for a real table's many input splits:
+      // a skewed REDUCE partition is split by grouping its MAP outputs,
+      // so a single-file gate-scale scan (one map task) is structurally
+      // unsplittable however skewed — at 100 TB the map side is
+      // thousands of tasks and this repartition disappears
+      val li = Tables.lineitem(s, d).repartition(16)
+        .withColumn("k", when(col("l_orderkey") % 2 === 0, 0L)
+          .otherwise(col("l_orderkey") % 1000))
+      // The dim frame is MATERIALIZED and re-read (the production shape:
+      // dim tables live in storage) — load-bearing for the split, too:
+      // a groupBy(k) feeding the join directly leaves the final
+      // aggregate between the shuffle stage and the join's sort, and
+      // OptimizeSkewedJoin only matches Sort(ShuffleQueryStage) on both
+      // sides, so the fused form can never split. Fresh scans on both
+      // sides shuffle directly under their sorts.
+      val dimPath = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q78_dim_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+      li.groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      val joined = li.join(dim, Seq("k"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("l_quantity").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("qty_cents"),
+          sum(col("dim_n")).as("dim_sum"))
+      // collect() finalizes THIS queryExecution's adaptive plan; the
+      // require makes the runtime split load-bearing, not incidental
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE skew-join split did not fire:\n${plan.take(1500)}")
+      import s.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toDF("l_returnflag", "n_rows", "qty_cents", "dim_sum")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q78Sql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |              ELSE l_orderkey % 1000 END AS k,
+      |    l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT k, count(*) AS dim_n FROM f GROUP BY k)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS qty_cents,
+      |  CAST(sum(dim_n) AS BIGINT) AS dim_sum
+      |FROM f JOIN dim USING (k)
+      |GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2813,6 +2905,7 @@ object RelationalQueries {
     "q75_recursive_cte"   -> (q75RecursiveCte _),
     "q76_observe_metrics" -> (q76ObserveMetrics _),
     "q77_listagg"         -> (q77Listagg _),
+    "q78_aqe_skew_join"   -> (q78AqeSkewJoin _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2884,6 +2977,7 @@ object RelationalQueries {
     "q75_recursive_cte"   -> q75Sql,
     "q76_observe_metrics" -> q76Sql,
     "q77_listagg"         -> q77Sql,
+    "q78_aqe_skew_join"   -> q78Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
