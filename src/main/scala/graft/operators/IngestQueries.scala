@@ -2011,6 +2011,60 @@ object IngestQueries {
       |FROM events WHERE event_id % 7 = 4 AND event_type = 'click'
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- amqp_typed_property
+  /** TYPED property lift under the oracle gate — `propertyColumns =
+    * kind,price_cents:long` both directions: the sink lifts a LONG
+    * column into a NUMERIC application property (not text), the read
+    * lifts it back as a BIGINT column, and a RANGE predicate on it —
+    * the push a string lift structurally cannot take (string compare
+    * would order "9" > "10") — rides the scan down to the partition
+    * reader along with the string equality. The reader evaluates both
+    * exactly against the typed property bag before any envelope
+    * materialization; the oracle replays the range relationally, so a
+    * lift that stringified the number, coerced text, or fumbled a
+    * bound's inclusivity breaks the hash. AmqpSourceSpec pins the plan
+    * (both predicates in PushedFilters, no residual Filter) and the
+    * NULL contract (a text-valued property is NULL in a long lift).
+    *
+    * Scale shape: the numeric queue-peek predicate ("price between X
+    * and Y") now prunes at the reader for the cost of two long
+    * compares per message — on the map column it would fetch, decode,
+    * and stringify everything. */
+  def amqpTypedProperty(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    Tables.events(s, d)
+      .filter(col("event_id") % 9 === 7)
+      .select(col("event_id").cast(StringType).as("message_id"),
+        col("event_type").as("kind"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("price_cents"),
+        col("user_id").cast(StringType).as("body"))
+      .write.format("amqp").option("endpoint", ep).option("address", address)
+      .option("propertyColumns", "kind,price_cents:long")
+      .mode("append").save()
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("propertyColumns", "kind,price_cents:long")
+      .load()
+      .where(col("price_cents") >= 5000L && col("price_cents") < 20000L &&
+        col("kind") === "purchase")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpTypedPropertySql: String =
+    """SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_id % 9 = 7 AND event_type = 'purchase'
+      |  AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000
+      |  AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) < 20000
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------- amqp_stream_tws
   /** `transformWithState` under the oracle gate — Spark 4's successor
     * arbitrary-state API (typed state variables in the RocksDB store,
@@ -2746,6 +2800,7 @@ object IngestQueries {
     "amqp_stream_tws_timer" -> (amqpStreamTwsTimer _),
     "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
+    "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2783,5 +2838,6 @@ object IngestQueries {
     "amqp_stream_tws_timer" -> amqpStreamTwsTimerSql,
     "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
+    "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

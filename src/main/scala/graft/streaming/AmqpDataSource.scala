@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,7 +92,10 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
     startingTimestampMicros: Option[Long] = None,
     addressPattern: Option[String] = None,
-    propertyColumns: Seq[String] = Nil,
+    /** Lifted application properties, each with its declared lift type
+      * (StringType — the default — or LongType; see
+      * [[AmqpEnvelope.parsePropertyColumn]]). */
+    propertyColumns: Seq[(String, DataType)] = Nil,
     maxRowsPerPartition: Long = 500000L,
     fetchChunkRows: Long = 50000L,
     browse: Boolean = false,
@@ -230,14 +233,17 @@ object AmqpSourceConfig {
           "addressPattern and addresses are mutually exclusive")
         p
       },
-      // Lifted application properties: each named property becomes a
-      // top-level nullable string column (after the envelope columns),
-      // making the most common queue-peek predicates — equality on an
-      // application property — prunable AND pushable with the existing
-      // filter machinery (V2 predicates reference columns, not map
-      // lookups, so the map column itself can never ride a pushdown).
+      // Lifted application properties: each entry (`name` or
+      // `name:string|long`) becomes a top-level nullable column (after
+      // the envelope columns), making the most common queue-peek
+      // predicates — equality on an application property — prunable AND
+      // pushable with the existing filter machinery (V2 predicates
+      // reference columns, not map lookups, so the map column itself
+      // can never ride a pushdown). A `:long` lift carries the
+      // property's NUMERIC value, so RANGE predicates push too.
       propertyColumns = Option(o.get("propertyColumns"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map(AmqpEnvelope.parsePropertyColumn))
         .getOrElse(Nil),
       // Batch-scale bounds: a deep link's planned span splits into
       // sub-partitions of at most maxRowsPerPartition rows (parallelism
@@ -292,6 +298,17 @@ case class AmqpPushedFilters(
     tsLoMicros: Long = Long.MinValue, tsHiMicros: Long = Long.MaxValue,
     stringEq: Seq[(String, String)] = Nil,
     notNull: Seq[String] = Nil, isNull: Seq[String] = Nil,
+    /** Per-column [lo, hi] bounds (inclusive) on LONG-lifted application
+      * properties — the range push a typed lift buys (every comparison
+      * folds into one interval per column, like the timestamp bounds).
+      * A message whose property is absent or non-integral has a NULL
+      * typed value and fails any bound (SQL comparison semantics). */
+    longBounds: Map[String, (Long, Long)] = Map.empty,
+    /** Names of LONG-lifted columns — resolution metadata for the null
+      * tests (a property carrying "abc" is NULL in a long lift but
+      * non-null in a string lift), NOT a predicate: excluded from
+      * [[isEmpty]]. */
+    longCols: Set[String] = Set.empty,
     /** TTL enforcement (the source's `respectTtl` option): when set, a
       * message whose header ttl has lapsed at this instant — enqueue_ts
       * + ttl*1000 <= ttlNowMicros — is dropped by the reader, exactly
@@ -304,8 +321,14 @@ case class AmqpPushedFilters(
     ttlExpiredOnly: Boolean = false) {
   def isEmpty: Boolean =
     tsLoMicros == Long.MinValue && tsHiMicros == Long.MaxValue &&
-      stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty && ttlNowMicros.isEmpty
+      stringEq.isEmpty && notNull.isEmpty && isNull.isEmpty &&
+      longBounds.isEmpty && ttlNowMicros.isEmpty
   def hasTsBounds: Boolean = tsLoMicros != Long.MinValue || tsHiMicros != Long.MaxValue
+  /** Type-aware presence: the null tests must agree with what the lifted
+    * COLUMN holds, not with the raw property bag. */
+  private def present(msg: AmqpMessage, f: String): Boolean =
+    if (longCols(f)) AmqpPushedFilters.longField(msg, f).isDefined
+    else AmqpPushedFilters.field(msg, f).isDefined
   def matches(msg: AmqpMessage, tsMicros: Long): Boolean =
     tsMicros >= tsLoMicros && tsMicros <= tsHiMicros &&
       ttlNowMicros.forall { now =>
@@ -319,12 +342,17 @@ case class AmqpPushedFilters(
         if (ttlExpiredOnly) expired else !expired
       } &&
       stringEq.forall { case (f, v) => AmqpPushedFilters.field(msg, f).contains(v) } &&
-      notNull.forall(f => AmqpPushedFilters.field(msg, f).isDefined) &&
-      isNull.forall(f => AmqpPushedFilters.field(msg, f).isEmpty)
+      longBounds.forall { case (f, (lo, hi)) =>
+        AmqpPushedFilters.longField(msg, f).exists(v => v >= lo && v <= hi) } &&
+      notNull.forall(f => present(msg, f)) &&
+      isNull.forall(f => !present(msg, f))
   def describe: String =
     ((if (tsLoMicros != Long.MinValue) Seq(s"ingest_timestamp >= ${tsLoMicros}us") else Nil) ++
      (if (tsHiMicros != Long.MaxValue) Seq(s"ingest_timestamp <= ${tsHiMicros}us") else Nil) ++
      stringEq.map { case (f, v) => s"$f = '$v'" } ++
+     longBounds.toSeq.sortBy(_._1).flatMap { case (f, (lo, hi)) =>
+       (if (lo != Long.MinValue) Seq(s"$f >= $lo") else Nil) ++
+         (if (hi != Long.MaxValue) Seq(s"$f <= $hi") else Nil) } ++
      notNull.map(f => s"$f IS NOT NULL") ++
      isNull.map(f => s"$f IS NULL") ++
      ttlNowMicros.map(now =>
@@ -355,6 +383,24 @@ object AmqpPushedFilters {
       case (k, v) if k == prop => String.valueOf(v)
     }
   }
+
+  /** Typed (long) lift of an application property: the property's
+    * INTEGRAL value — every integral width the model or the wire codec
+    * can deliver (Byte/Short/Int/Long) widens to long; anything else
+    * (absent, text, fractional) is NULL. A projection, never a parse:
+    * a producer sending "123" as TEXT gets NULL here, by design —
+    * coercing text would make the pushed range and the map column
+    * disagree. */
+  def longField(msg: AmqpMessage, name: String): Option[Long] =
+    msg.applicationProperties.collectFirst {
+      case (k, v) if k == name => v
+    }.flatMap {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
 }
 
 /** Column pruning (SURVEY §4's one applicable pushdown): Catalyst hands
@@ -394,9 +440,13 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   private var accepted: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
   /** Equality / null-test pushability: the scalar string properties
-    * plus every application property LIFTED via propertyColumns. */
+    * plus every STRING-lifted application property; LONG-lifted
+    * properties additionally take RANGE pushes (see acceptCmp). */
   private val pushableStrings: Set[String] =
-    AmqpPushedFilters.StringCols ++ cfg.propertyColumns
+    AmqpPushedFilters.StringCols ++
+      cfg.propertyColumns.collect { case (n, dt) if dt != LongType => n }
+  private val pushableLongs: Set[String] =
+    cfg.propertyColumns.collect { case (n, LongType) => n }.toSet
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   /** LIMIT/OFFSET pushdown: a `df.offset(k).limit(n)` peek at a queue
@@ -469,7 +519,26 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     } else if (op == "=" && pushableStrings(col) &&
         lit.dataType == StringType && lit.value != null)
       Some(f.copy(stringEq = f.stringEq :+ (col -> lit.value.toString)))
-    else None
+    else if (pushableLongs(col) && lit.dataType == LongType &&
+        lit.value.isInstanceOf[java.lang.Long]) {
+      // RANGE push on a long-lifted property: every comparison folds
+      // into the column's [lo, hi] interval, exactly like the
+      // timestamp bounds — the capability the typed lift exists for
+      val v = lit.value.asInstanceOf[java.lang.Long].longValue
+      def bound(lo: Long, hi: Long): Option[AmqpPushedFilters] = {
+        val (l0, h0) = f.longBounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
+        Some(f.copy(longBounds =
+          f.longBounds + (col -> (math.max(l0, lo), math.min(h0, hi)))))
+      }
+      op match {
+        case "=" => bound(v, v)
+        case ">=" => bound(v, Long.MaxValue)
+        case "<=" => bound(Long.MinValue, v)
+        case ">" if v < Long.MaxValue => bound(v + 1, Long.MaxValue)
+        case "<" if v > Long.MinValue => bound(Long.MinValue, v - 1)
+        case _ => None
+      }
+    } else None
 
   private def tryAccept(p: Predicate, f: AmqpPushedFilters): Option[AmqpPushedFilters] = {
     val ch = p.children()
@@ -478,9 +547,9 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
     // leave a residual Filter over an already-exact scan).
     // ingest_timestamp is non-nullable: IS NOT NULL on it is vacuous.
     if (ch.length == 1) colNameOf(ch(0)) match {
-      case Some(c) if pushableStrings(c) && p.name() == "IS_NOT_NULL" =>
+      case Some(c) if (pushableStrings(c) || pushableLongs(c)) && p.name() == "IS_NOT_NULL" =>
         Some(f.copy(notNull = f.notNull :+ c))
-      case Some(c) if pushableStrings(c) && p.name() == "IS_NULL" =>
+      case Some(c) if (pushableStrings(c) || pushableLongs(c)) && p.name() == "IS_NULL" =>
         Some(f.copy(isNull = f.isNull :+ c))
       case Some("ingest_timestamp") if p.name() == "IS_NOT_NULL" => Some(f)
       case _ => None
@@ -556,10 +625,12 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
       // snapshotted ONCE per built scan on the driver (or pinned by
       // ttlNowMicros), so every partition — and every task retry — of
       // this plan agrees on what is expired.
-      val eff = if (cfg.ttlFiltered)
+      val eff = (if (cfg.ttlFiltered)
         filters.copy(ttlNowMicros = Some(cfg.ttlClockMicros),
           ttlExpiredOnly = cfg.expiredOnly)
-      else filters
+      else filters)
+        // resolution metadata for type-aware null tests (not a predicate)
+        .copy(longCols = pushableLongs)
       new AmqpScan(cfg, required, limit, offset, eff)
     }
 }
@@ -1117,7 +1188,7 @@ case class AmqpInputPartition(endpoint: String, address: String,
 
 class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     pushed: AmqpPushedFilters = AmqpPushedFilters(),
-    propertyCols: Seq[String] = Nil,
+    propertyCols: Seq[(String, DataType)] = Nil,
     chunkRows: Long = Long.MaxValue,
     survivorLimit: Option[Int] = None)
     extends PartitionReaderFactory {
@@ -1147,7 +1218,7 @@ class AmqpReaderFactory(fields: Array[String] = AmqpEnvelope.schema.fieldNames,
   * survivors instead of the span. */
 class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
     pushed: AmqpPushedFilters = AmqpPushedFilters(),
-    propertyCols: Seq[String] = Nil,
+    propertyCols: Seq[(String, DataType)] = Nil,
     chunkRows: Long = Long.MaxValue,
     survivorLimit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
@@ -1209,7 +1280,7 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
   // Lifted property columns take ordinals 11+i (i = index into
   // propertyCols).
   private val ordinals: Array[Int] = {
-    val propIdx = propertyCols.zipWithIndex.toMap
+    val propIdx = propertyCols.map(_._1).zipWithIndex.toMap
     fields.map {
       case "message_id" => 0
       case "to" => 1
@@ -1228,7 +1299,7 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
       }
     }
   }
-  private val propNames: Array[String] = propertyCols.toArray
+  private val propsTyped: Array[(String, DataType)] = propertyCols.toArray
 
   private def utf(o: Option[String]) = o.map(UTF8String.fromString).orNull
   private def smap(entries: Seq[(String, Any)]) =
@@ -1260,9 +1331,15 @@ class AmqpPartitionReader(p: AmqpInputPartition, fields: Array[String],
         case 8 => utf(bodyF._2)
         case 9 => bodyF._3.orNull
         case 10 => tsMicros
-        // lifted application property: same stringification as the map
-        // column, NULL when the message lacks the property
-        case k => utf(AmqpPushedFilters.field(msg, propNames(k - 11)))
+        // lifted application property: string lifts share the map
+        // column's stringification; long lifts project the integral
+        // value (NULL when absent OR non-integral)
+        case k => propsTyped(k - 11) match {
+          case (name, LongType) =>
+            AmqpPushedFilters.longField(msg, name)
+              .map(java.lang.Long.valueOf(_)).orNull
+          case (name, _) => utf(AmqpPushedFilters.field(msg, name))
+        }
       }
       i += 1
     }

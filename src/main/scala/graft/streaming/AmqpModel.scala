@@ -65,25 +65,44 @@ object AmqpEnvelope {
     StructField("body_binary", BinaryType, nullable = true),
     StructField("ingest_timestamp", TimestampType, nullable = false)))
 
-  /** The envelope schema plus one nullable string column per LIFTED
-    * application property (the source's `propertyColumns` option):
-    * values come from the property bag with the same String.valueOf
-    * stringification as the map column, NULL when absent. Lifting is
-    * what makes a property predicate prunable and pushable — V2
-    * predicates reference columns, never map lookups. Property names
-    * shadowing an envelope column are refused (the lifted column would
-    * be unreachable). */
-  def schemaWith(propertyColumns: Seq[String]): StructType =
+  /** Parse one `propertyColumns` entry — `name` (string-typed lift, the
+    * original form) or `name:type` with type ∈ {string, long}. A LONG
+    * lift carries the property's NUMERIC value (AMQP application
+    * properties are typed on the wire; the reference stringifies them,
+    * AMQPJsonFunction.scala:86 in /root/reference — parity-neutral),
+    * which is what lets RANGE predicates push on it; unknown types
+    * refuse loudly rather than silently lifting text. */
+  def parsePropertyColumn(entry: String): (String, DataType) =
+    entry.split(":").map(_.trim) match {
+      case Array(n) if n.nonEmpty => n -> StringType
+      case Array(n, "string") if n.nonEmpty => n -> StringType
+      case Array(n, "long") if n.nonEmpty => n -> LongType
+      case other => throw new IllegalArgumentException(
+        s"bad propertyColumns entry '$entry' — use name or name:string|long")
+    }
+
+  /** The envelope schema plus one nullable column per LIFTED application
+    * property (the source's `propertyColumns` option): string lifts use
+    * the same String.valueOf stringification as the map column, long
+    * lifts the property's integral value (NULL when absent OR
+    * non-integral — typed projection, not coercion). Lifting is what
+    * makes a property predicate prunable and pushable — V2 predicates
+    * reference columns, never map lookups; a LONG lift additionally
+    * makes RANGE predicates pushable. Property names shadowing an
+    * envelope column are refused (the lifted column would be
+    * unreachable). */
+  def schemaWith(propertyColumns: Seq[(String, DataType)]): StructType =
     if (propertyColumns.isEmpty) schema
     else {
+      val names = propertyColumns.map(_._1)
       val base = schema.fieldNames.toSet
-      val clash = propertyColumns.filter(base)
+      val clash = names.filter(base)
       require(clash.isEmpty,
         s"propertyColumns ${clash.mkString(",")} shadow envelope columns")
-      require(propertyColumns.distinct == propertyColumns,
-        s"propertyColumns has duplicates: ${propertyColumns.mkString(",")}")
+      require(names.distinct == names,
+        s"propertyColumns has duplicates: ${names.mkString(",")}")
       StructType(schema.fields ++
-        propertyColumns.map(p => StructField(p, StringType, nullable = true)))
+        propertyColumns.map { case (p, dt) => StructField(p, dt, nullable = true) })
     }
 
   /** Minimal JSON writer for AmqpValue bodies — list/array/map bodies are

@@ -49,10 +49,10 @@ object AmqpSink {
   private[streaming] case class FieldIdx(
       body: Int, bodyBinary: Int, bodyType: Int, messageId: Int, to: Int,
       subject: Int, replyTo: Int, correlationId: Int, appProps: Int, annotations: Int,
-      props: Seq[(String, Int)] = Nil)
+      props: Seq[(String, DataType, Int)] = Nil)
 
   private[streaming] def resolve(schema: StructType,
-      propertyColumns: Seq[String] = Nil): FieldIdx = {
+      propertyColumns: Seq[(String, DataType)] = Nil): FieldIdx = {
     // shadowing an envelope column is refused with the same rule as the
     // source lift (the property would be unreachable / ambiguous)
     AmqpEnvelope.schemaWith(propertyColumns)
@@ -77,15 +77,19 @@ object AmqpSink {
       appProps = idx("application_properties", MapType(StringType, StringType)),
       annotations = idx("message_annotations", MapType(StringType, StringType)),
       props = {
-        val resolved = propertyColumns.map(p => p -> idx(p, StringType))
+        // typed lift on write: the column must carry the DECLARED type
+        // (string or long) — a long-typed lift publishes the property
+        // as a NUMERIC value, round-tripping with the source's typed
+        // read lift
+        val resolved = propertyColumns.map { case (p, dt) => (p, dt, idx(p, dt)) }
         // a configured property column that does not resolve is a
         // misconfiguration (typo, wrong type) — silently writing every
         // message without the property would be quiet data loss, the
         // sink-side analog of the shadowing refusal above
-        val missing = resolved.collect { case (p, i) if i < 0 => p }
+        val missing = resolved.collect { case (p, _, i) if i < 0 => p }
         require(missing.isEmpty,
-          s"propertyColumns ${missing.mkString(",")} not present as string columns " +
-            s"in the write schema ${schema.simpleString}")
+          s"propertyColumns ${missing.mkString(",")} not present with their " +
+            s"declared types in the write schema ${schema.simpleString}")
         resolved
       })
   }
@@ -114,8 +118,13 @@ object AmqpSink {
     // lifted property columns: a lifted column OWNS its key — it
     // overrides a same-keyed map entry, and a NULL value means the
     // property is ABSENT (so the map entry must not leak through
-    // either); map-then-lifted order otherwise
-    val lifted = ix.props.flatMap { case (name, i) => str(i).map(name -> _) }
+    // either); map-then-lifted order otherwise. Long lifts publish the
+    // NUMERIC value (the typed round-trip with the source's long lift).
+    val lifted: Seq[(String, Any)] = ix.props.flatMap {
+      case (name, LongType, i) =>
+        if (i < 0 || row.isNullAt(i)) None else Some(name -> row.getLong(i))
+      case (name, _, i) => str(i).map(name -> _)
+    }
     val ownedKeys = ix.props.map(_._1).toSet
     val appProps =
       if (ix.props.isEmpty) entries(ix.appProps)

@@ -1105,6 +1105,73 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("typed (long) property lift pushes RANGE predicates; text values are NULL, not coerced") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (ep, broker) = freshEndpoint("proplift-typed")
+    (1 to 30).foreach { i =>
+      // price is numeric for most messages; every 10th carries TEXT in
+      // the same property (a sloppy producer), message 30 lacks it
+      val props: Seq[(String, Any)] =
+        if (i == 30) Nil
+        else if (i % 10 == 0) Seq("price" -> s"$i")
+        else Seq("price" -> (i * 100L))
+      broker.send("my_address", AmqpMessage(messageId = Some(i.toString),
+        applicationProperties = props,
+        body = AmqpValueBody(s"b$i")), timestampMicros = i * 1000L)
+    }
+    def read() = spark.read.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("propertyColumns", "price:long")
+      .load()
+    // the lifted column is a real BIGINT; text/absent values are NULL
+    // (typed projection, never a parse — string "10" must not become 10)
+    assert(read().schema("price").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = read().select(col("message_id"), col("price")).collect()
+    assert(rows.count(_.isNullAt(1)) == 3, "2 text (10, 20) + 1 absent (30) = 3 NULLs")
+    assert(rows.filter(!_.isNullAt(1))
+      .forall(r => r.getLong(1) == r.getString(0).toLong * 100L))
+    // a RANGE predicate pushes: both bounds in PushedFilters, no
+    // residual Filter, result exact (NULLs excluded by comparison)
+    val ranged = read().where(col("price") >= 500L && col("price") < 1500L)
+    val scan = ranged.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("price >= 500") &&
+      scan.description().contains("price <= 1499"), scan.description())
+    assert(ranged.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, s"range must not re-filter:\n${ranged.queryExecution.executedPlan}")
+    assert(ranged.select(col("message_id")).collect().map(_.getString(0).toInt).sorted.toSeq
+      == (5 to 14).filterNot(_ == 10).toSeq)
+    // IS NULL resolves through the TYPE: the text-valued messages count
+    // as NULL even though the raw property bag has an entry
+    val nulls = read().where(col("price").isNull)
+    assert(nulls.collect().map(_.getAs[String]("message_id").toInt).sorted.toSeq
+      == Seq(10, 20, 30))
+    // sink side round-trips the NUMERIC value: write long-lifted, read
+    // long-lifted, range-push against what the sink published
+    val (ep2, _) = freshEndpoint("proplift-typed-sink")
+    import spark.implicits._
+    Seq(("a", 150L), ("b", 250L), ("c", 350L)).toDF("message_id", "price")
+      .withColumn("body", col("message_id"))
+      .write.format("amqp").option("endpoint", ep2).option("address", "q")
+      .option("propertyColumns", "price:long").mode("append").save()
+    val back = spark.read.format("amqp")
+      .option("endpoint", ep2).option("address", "q")
+      .option("propertyColumns", "price:long").load()
+      .where(col("price") > 150L && col("price") <= 350L)
+      .select(col("message_id")).collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("b", "c"), s"typed sink-lift round-trip: $back")
+    // unknown lift types refuse loudly
+    val e = intercept[Exception] {
+      spark.read.format("amqp").option("endpoint", ep)
+        .option("address", "my_address")
+        .option("propertyColumns", "price:decimal").load()
+    }
+    assert(e.getMessage.contains("string|long"), e.toString)
+  }
+
   test("startingTimestamp degrades to an exact reader-side filter on a probe-less broker") {
     // A third-party broker without the x-graft timestamp extension
     // (timestampWindow = None): the option's contract — no message
