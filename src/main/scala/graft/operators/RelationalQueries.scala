@@ -963,12 +963,14 @@ object RelationalQueries {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      // gate-scale thresholds: "skewed" = 2x the median AND > 64 KB,
-      // split target 32 KB (production defaults are 5x / 256 MB / 64 MB
-      // — the MECHANISM under test is identical)
+      // gate-scale thresholds: "skewed" = 2x the median AND > 16 KB,
+      // split target 8 KB — sized so the hot partition clears the bar
+      // at EVERY gate SF (the spec drives this query at sf0.001 too;
+      // production defaults are 5x / 256 MB / 64 MB — the MECHANISM
+      // under test is identical)
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ
       "spark.sql.shuffle.partitions" -> "8")
     val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
@@ -1027,6 +1029,64 @@ object RelationalQueries {
       |  CAST(sum(cents) AS BIGINT) AS qty_cents,
       |  CAST(sum(dim_n) AS BIGINT) AS dim_sum
       |FROM f JOIN dim USING (k)
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** RUNTIME BLOOM-FILTER join pruning under the oracle hash — the
+    * row-group-level sibling of fmt_dpp_join's partition-level pruning,
+    * until now spec-only (RuntimeFilterSpec): a selective dim-side
+    * filter makes Catalyst inject `bloom_filter_agg` over the dim's
+    * join keys and a `might_contain` probe on the FACT side's scan, so
+    * fact rows that cannot join die at the scan instead of crossing
+    * the shuffle. The query `require`s the injected filter in the
+    * optimized plan, so BOTH the injection firing and its exactness
+    * (the probe is a may-contain — false positives re-filtered by the
+    * join, never false negatives) sit on the gate path.
+    *
+    * Scale shape: at 100 TB this is the difference between shuffling
+    * the whole fact table and shuffling the ~join-surviving fraction;
+    * thresholds here are scaled to gate size, the mechanism is
+    * identical. */
+  def q79RuntimeBloom(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // gate-scale thresholds: any shuffle-joined side qualifies
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("l_quantity").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("qty_cents"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      require(optimized.contains("bloom_filter_agg") ||
+          optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(1500)}")
+      val rows = joined.collect()
+      import s.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("l_returnflag", "n_rows", "qty_cents")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS qty_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q29
@@ -2906,6 +2966,7 @@ object RelationalQueries {
     "q76_observe_metrics" -> (q76ObserveMetrics _),
     "q77_listagg"         -> (q77Listagg _),
     "q78_aqe_skew_join"   -> (q78AqeSkewJoin _),
+    "q79_runtime_bloom"   -> (q79RuntimeBloom _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -2978,6 +3039,7 @@ object RelationalQueries {
     "q76_observe_metrics" -> q76Sql,
     "q77_listagg"         -> q77Sql,
     "q78_aqe_skew_join"   -> q78Sql,
+    "q79_runtime_bloom"   -> q79Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
