@@ -2457,6 +2457,66 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 11 = 9""".stripMargin
 
+  // -------------------------------------------------- amqp_shared_lag
+  /** SHARE-GROUP lag report under the oracle gate — the
+    * consumer-group-describe for work-sharing groups
+    * ([[graft.streaming.AmqpStreamOps.sharedLagReport]]), driven into a
+    * fully determined ledger state over the tcp:// wire: pump a slice,
+    * lease three equal claims to three workers, settle the first
+    * (work done), let the third's lease lapse (worker died), keep the
+    * second live — then one atomic ledger snapshot must report exactly
+    * head = |slice|, dispatch frontier at 3·|slice|/4, one live claim
+    * of |slice|/4 rows, |slice|/4 rows awaiting redelivery, and
+    * remaining = undispatched + leased + redeliverable. The oracle
+    * replays every figure from COUNT(*) arithmetic, so the frontier
+    * bookkeeping, the expiry sweep, settle-side deletion, and the
+    * report's derivations all sit under the hash.
+    *
+    * Scale shape: one ledger-snapshot RPC per address, driver-side —
+    * rows independent of backlog depth; nothing is fetched. */
+  def amqpSharedLag(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val ep = tcpGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val address = s"lag-${sharedGateRun.incrementAndGet()}"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 2)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    require(rows.length >= 8, "shared-lag gate slice too small")
+    pumpAll(client, address, rows.toSeq.map(id =>
+      (AmqpMessage(messageId = Some(id.toString),
+        body = AmqpValueBody(id.toString)), id)))
+    val quarter = rows.length / 4
+    // worker A: leased, processed, settled
+    val a = client.claim(address, "workers", "worker-a", quarter, 600000L)
+    // worker B: leased, still processing (stays live)
+    client.claim(address, "workers", "worker-b", quarter, 600000L)
+    // worker C: leased, then DIES — a 1 ms lease lapses before the probe
+    client.claim(address, "workers", "worker-c", quarter, 1L)
+    client.settleClaims(address, "workers", a.map(_.claimId))
+    Thread.sleep(50) // C's lease is unambiguously past
+    graft.streaming.AmqpStreamOps
+      .sharedLagReport(s, ep, Seq(address), "workers")
+      // the per-run address is run-local; every hashed figure derives
+      // from the slice size ("group" is a reserved word — use col)
+      .select(col("group").as("grp"), col("head_seq"), col("dispatched_up_to"),
+        col("undispatched"), col("outstanding_claims"), col("outstanding_rows"),
+        col("redeliverable_rows"), col("remaining"))
+  }
+
+  val amqpSharedLagSql: String =
+    """WITH n AS (
+      |  SELECT count(*) AS c, count(*) // 4 AS q
+      |  FROM events WHERE event_id % 13 = 2)
+      |SELECT 'workers' AS grp,
+      |  CAST(c AS BIGINT) AS head_seq,
+      |  CAST(3 * q AS BIGINT) AS dispatched_up_to,
+      |  CAST(c - 3 * q AS BIGINT) AS undispatched,
+      |  CAST(1 AS BIGINT) AS outstanding_claims,
+      |  CAST(q AS BIGINT) AS outstanding_rows,
+      |  CAST(q AS BIGINT) AS redeliverable_rows,
+      |  CAST(c - q AS BIGINT) AS remaining
+      |FROM n""".stripMargin
+
   // ---------------------------------------------- amqp_stream_dedup_ttl
   /** STATE TTL under the oracle gate — the one `transformWithState`
     * capability no prior gate exercised (every other state variable
@@ -2801,6 +2861,7 @@ object IngestQueries {
     "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
+    "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2839,5 +2900,6 @@ object IngestQueries {
     "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
+    "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

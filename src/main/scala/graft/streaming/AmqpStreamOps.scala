@@ -245,6 +245,36 @@ object AmqpStreamOps {
     spark.createDataFrame(rows)
   }
 
+  case class GroupLagRow(address: String, group: String, head_seq: Long,
+      dispatched_up_to: Long, undispatched: Long, outstanding_claims: Long,
+      outstanding_rows: Long, redeliverable_rows: Long, remaining: Long)
+
+  /** SHARE-GROUP lag report — [[lagReport]]'s work-sharing sibling
+    * (Kafka `kafka-consumer-groups --describe` for a group, not one
+    * member): per address, one atomic snapshot of the group's dispatch
+    * ledger — head vs dispatch frontier (undispatched backlog), live
+    * claims (rows leased to running consumers), and redeliverable rows
+    * (dead consumers' slices awaiting a new owner). `remaining` is the
+    * group's total unfinished work: undispatched + leased + awaiting
+    * redelivery. Works offline and against any consumer population —
+    * the ledger, not a checkpoint, is the source of truth here, because
+    * a share group's position is collectively owned.
+    *
+    * Scale shape: one ledger-snapshot RPC per address, driver-side —
+    * \|addresses\| rows regardless of backlog depth; nothing fetched. */
+  def sharedLagReport(spark: org.apache.spark.sql.SparkSession, endpoint: String,
+      addresses: Seq[String], group: String): DataFrame = {
+    val client = AmqpEndpointRegistry.endpoint(endpoint)
+    val rows = addresses.sorted.map { a =>
+      val st = client.groupStats(a, group)
+      GroupLagRow(a, group, st.headSeq, st.dispatchedUpTo,
+        st.headSeq - st.dispatchedUpTo, st.outstandingClaims,
+        st.outstandingRows, st.redeliverableRows,
+        st.headSeq - st.dispatchedUpTo + st.outstandingRows + st.redeliverableRows)
+    }
+    spark.createDataFrame(rows)
+  }
+
   case class LeaderboardUpdate(key: String, top: Seq[Int])
 
   /** Streaming TOP-K LEADERBOARD on `transformWithState` LIST state:

@@ -46,6 +46,7 @@ private[streaming] object AmqpTcpProtocol {
       claims: Seq[AmqpClaim], leaseMillis: Long) extends Req
   case class SettleClaimsReq(address: String, group: String,
       claimIds: Seq[Long]) extends Req
+  case class GroupStatsReq(address: String, group: String) extends Req
   case class StageReq(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]) extends Req
   case class CommitStagedReq(txn: String, queryId: String, epochId: Long,
       address: String, tsMicros: Long, routeByTo: Boolean) extends Req
@@ -110,6 +111,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case ClaimReq(a, g, o, n, l)        => backing.claim(a, g, o, n, l)
           case RenewClaimsReq(a, g, o, cs, l) => backing.renewClaims(a, g, o, cs, l)
           case SettleClaimsReq(a, g, ids)     => backing.settleClaims(a, g, ids)
+          case GroupStatsReq(a, g)            => backing.groupStats(a, g)
           case StageReq(x, p, ms)     => backing.stage(x, p, ms)
           case CommitStagedReq(x, q, e, a, ts, rt) => backing.commitStaged(x, q, e, a, ts, rt)
           case AbortReq(x)            => backing.abortStaged(x)
@@ -210,6 +212,8 @@ class TcpAmqpEndpoint(host: String, port: Int,
     call[Seq[Long]](RenewClaimsReq(address, group, owner, claims, leaseMillis))
   override def settleClaims(address: String, group: String, claimIds: Seq[Long]): Unit =
     call[Any](SettleClaimsReq(address, group, claimIds))
+  override def groupStats(address: String, group: String): AmqpGroupStats =
+    call[AmqpGroupStats](GroupStatsReq(address, group))
   override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
     call[Any](StageReq(txn, partitionId, msgs))
   override def commitStaged(txn: String, queryId: String, epochId: Long, address: String,

@@ -76,6 +76,17 @@ case class AmqpClaim(claimId: Long, fromExclusive: Long, toInclusive: Long)
   def rows: Long = toInclusive - fromExclusive
 }
 
+/** One atomic snapshot of a share group's dispatch ledger (see
+  * [[AmqpEndpoint.groupStats]]): `headSeq` the address's latest
+  * sequence, `dispatchedUpTo` the fresh-dispatch frontier,
+  * `outstandingClaims`/`outstandingRows` the live (unexpired, unsettled)
+  * leases, `redeliverableRows` dead consumers' slices awaiting
+  * redelivery. Undispatched backlog = headSeq - dispatchedUpTo; total
+  * unfinished work = that + outstandingRows + redeliverableRows. */
+case class AmqpGroupStats(headSeq: Long, dispatchedUpTo: Long,
+    outstandingClaims: Long, outstandingRows: Long,
+    redeliverableRows: Long) extends Serializable
+
 trait AmqpEndpoint {
   def send(address: String, msg: AmqpMessage,
       timestampMicros: Long = System.currentTimeMillis() * 1000L): Long
@@ -161,6 +172,14 @@ trait AmqpEndpoint {
     * Idempotent: an already-settled or unknown claim id is a no-op
     * (commit replay after restart re-settles harmlessly). */
   def settleClaims(address: String, group: String, claimIds: Seq[Long]): Unit =
+    throw new UnsupportedOperationException(
+      "this transport has no shared-subscription claim surface")
+
+  /** Describe a share group (the consumer-group-describe analog for
+    * work-sharing): (dispatch frontier, live claim count, rows under
+    * live claims, rows awaiting redelivery) from one ledger snapshot —
+    * lease expiry is applied first, so "live" means live NOW. */
+  def groupStats(address: String, group: String): AmqpGroupStats =
     throw new UnsupportedOperationException(
       "this transport has no shared-subscription claim surface")
 
@@ -471,6 +490,22 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     q.lock.lock()
     try q.shareGroups.get(group).map(_.outstanding.size).getOrElse(0)
     finally q.lock.unlock()
+  }
+
+  override def groupStats(address: String, group: String): AmqpGroupStats = {
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+      expireSweep(g, clockMillis()) // "live" means live NOW
+      AmqpGroupStats(
+        headSeq = q.nextSeq - 1,
+        dispatchedUpTo = g.dispatchedUpTo,
+        outstandingClaims = g.outstanding.size.toLong,
+        outstandingRows = g.outstanding.values
+          .map(o => o.toInclusive - o.fromExclusive).sum,
+        redeliverableRows = g.redeliverable.map { case (f, t) => t - f }.sum)
+    } finally q.lock.unlock()
   }
 
   def unsettledCount(address: String): Long = {

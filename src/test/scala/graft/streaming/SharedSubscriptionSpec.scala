@@ -195,6 +195,25 @@ class SharedSubscriptionSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("groupStats snapshots the dispatch ledger atomically, expiry applied first") {
+    val (_, b) = freshBroker("group-stats")
+    var now = 1000L
+    b.clockMillis = () => now
+    pump(b, "q", 40)
+    val a1 = b.claim("q", "g", "A", 10, leaseMillis = 5000)
+    b.claim("q", "g", "B", 10, leaseMillis = 1000) // B will die
+    b.settleClaims("q", "g", a1.map(_.claimId))
+    now += 2000 // B's lease lapses; A settled; 20 rows never dispatched
+    val st = b.groupStats("q", "g")
+    assert(st == AmqpGroupStats(headSeq = 40, dispatchedUpTo = 20,
+      outstandingClaims = 0, outstandingRows = 0, redeliverableRows = 10), st)
+    // and over the tcp transport, the same snapshot crosses the socket
+    val server = new AmqpTcpServer(b)
+    val client = new TcpAmqpEndpoint("127.0.0.1", server.port)
+    try assert(client.groupStats("q", "g") == st)
+    finally { client.close(); server.close() }
+  }
+
   test("sharedGroup refuses contradictory modes") {
     val (ep, _) = freshBroker("shared-refuse")
     def load(opts: (String, String)*): Unit = {
