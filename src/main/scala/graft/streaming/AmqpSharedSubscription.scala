@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
 
 /** SHARED SUBSCRIPTION (competing consumers) — the work-sharing dispatch
   * mode the single-consumer source cannot express: N consuming streams
@@ -54,11 +54,27 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: String,
     fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     pushed: AmqpPushedFilters = AmqpPushedFilters())
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
 
   private val group = cfg.sharedGroup.get
   private val owner = checkpointLocation
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  /** Per-trigger source metrics in StreamingQueryProgress — the GROUP's
+    * view, not this consumer's (a share group's position is collective;
+    * see [[AmqpStreamOps.sharedLagReport]] for the offline face):
+    * undispatched backlog behind the frontier, rows under live leases
+    * fleet-wide, and rows awaiting redelivery from dead consumers. One
+    * ledger-snapshot RPC per address per trigger. */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val stats = cfg.addresses.sorted.map(a => broker.groupStats(a, group))
+    java.util.Map.of(
+      "undispatchedMessages",
+        stats.map(s => math.max(0L, s.headSeq - s.dispatchedUpTo)).sum.toString,
+      "leasedMessages", stats.map(_.outstandingRows).sum.toString,
+      "redeliverableMessages", stats.map(_.redeliverableRows).sum.toString,
+      "links", stats.length.toString)
+  }
 
   override def initialOffset(): Offset = AmqpSharedOffset(group, 0L, Nil)
 

@@ -160,6 +160,17 @@ class SharedSubscriptionSpec extends SparkSpecBase {
       val byConsumer = got.groupBy(_._1).view.mapValues(_.size).toMap
       assert(byConsumer.keySet == Set(1, 2) && byConsumer.values.forall(_ > 0),
         s"both consumers must share the work, got split $byConsumer")
+      // the stream reports the GROUP's ledger view per trigger: fully
+      // drained, nothing is undispatched or awaiting redelivery; the
+      // FINAL batches' leases may still be live (settlement lags one
+      // batch, like Kafka offset commits) but never exceed two
+      // consumers' trigger budgets
+      val m = q1.lastProgress.sources.head.metrics
+      assert(m.get("undispatchedMessages") == "0" &&
+        m.get("redeliverableMessages") == "0",
+        s"drained group must report zero dispatchable backlog: $m")
+      assert(m.get("leasedMessages").toLong <= 2L * 25,
+        s"leases must be at most the final batches' settle-lag: $m")
     } finally { q1.stop(); q2.stop() }
   }
 
