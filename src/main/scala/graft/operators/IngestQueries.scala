@@ -2457,6 +2457,76 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 11 = 9""".stripMargin
 
+  // ----------------------------------------------- amqp_stream_from_seq
+  /** SEQUENCE-anchored stream start under the oracle gate (Kafka
+    * `startingOffsets`-by-position parity, the positional sibling of
+    * `amqp_stream_from_ts`): a NEW streaming query with
+    * `startingSequence = |slice|/3` must consume EXACTLY the suffix
+    * after that position over the amqp10:// wire — an off-by-one at
+    * the exclusive boundary, a silent full-backlog drain, or an
+    * anchor that drifted under the admission budget each break the
+    * hash (count, integer cents, and the exact min/max ids of the
+    * suffix are all hashed). The pump sends in ascending event_id
+    * order, so sequence i IS the i-th smallest id and the oracle
+    * replays the cut as a window row_number.
+    *
+    * Scale shape: a position cut is O(1) planning arithmetic per link
+    * — no probe, no fetch of the skipped prefix (unlike the timestamp
+    * anchor there is nothing to look up); the replay/ops shape for
+    * "resume from the position that run X logged". */
+  def amqpStreamFromSeq(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+      .collect()
+    require(rows.length >= 6, "from-seq gate slice too small")
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          body = AmqpValueBody(r.getDouble(1).toString)), r.getLong(0))
+      })
+    val anchor = rows.length / 3 // exclusive: skip the first third
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-from-seq-gate").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("startingSequence", anchor.toString)
+      .load()
+      .select(col("message_id"), col("body"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.collect().map(r => (r.getString(0), r.getString(1)))
+        emitted.synchronized { emitted ++= got }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "from-seq gate query hung")
+    finally q.stop()
+    import s.implicits._
+    emitted.toSeq.toDF("message_id", "body")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum((col("body").cast(DecimalType(18, 2)) * 100).cast(LongType)).as("sum_cents"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpStreamFromSeqSql: String =
+    """WITH s AS (
+      |  SELECT event_id, value,
+      |    row_number() OVER (ORDER BY event_id) AS rn,
+      |    count(*) OVER () AS total
+      |  FROM events WHERE event_id % 7 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM s WHERE rn > total // 3""".stripMargin
+
   // -------------------------------------------------- amqp_shared_lag
   /** SHARE-GROUP lag report under the oracle gate — the
     * consumer-group-describe for work-sharing groups
@@ -2862,6 +2932,7 @@ object IngestQueries {
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
+    "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2901,5 +2972,6 @@ object IngestQueries {
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
+    "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

@@ -91,6 +91,13 @@ class AmqpTable(options: CaseInsensitiveStringMap)
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
     maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
     startingTimestampMicros: Option[Long] = None,
+    /** Kafka `startingOffsets`-by-position parity: a NEW query starts
+      * each named link at the given SEQUENCE (exclusive — "I have
+      * consumed through n"), instead of the replayable floor. Unnamed
+      * links keep the floor. Composes with failOnDataLoss exactly like
+      * a checkpointed position: a start below the settlement prefix is
+      * loss (fail loudly / skip per the option). */
+    startingSequences: Map[String, Long] = Map.empty,
     addressPattern: Option[String] = None,
     /** Lifted application properties, each with its declared lift type
       * (StringType — the default — or LongType; see
@@ -136,9 +143,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
   // Shared subscription repartitions CONSUMPTION; modes that reposition
   // or copy the read are a different contract — refuse loudly.
   require(sharedGroup.isEmpty || (!browse && startingTimestampMicros.isEmpty &&
-      addressPattern.isEmpty && !ttlFiltered),
-    "sharedGroup cannot combine with browse, startingTimestamp, " +
+      startingSequences.isEmpty && addressPattern.isEmpty && !ttlFiltered),
+    "sharedGroup cannot combine with browse, startingTimestamp/Sequences, " +
       "addressPattern, or TTL-filtered reads")
+  // Two start anchors on one query have no defined winner — pick one.
+  require(startingTimestampMicros.isEmpty || startingSequences.isEmpty,
+    "startingTimestamp and startingSequences are mutually exclusive")
   /** Either TTL mode makes the scan reader-filtered on the expiry
     * predicate — same pushdown-composition rules for both. */
   def ttlFiltered: Boolean = respectTtl || expiredOnly
@@ -221,6 +231,19 @@ object AmqpSourceConfig {
             val i = java.time.Instant.parse(ts)
             i.getEpochSecond * 1000000L + i.getNano / 1000L
           }),
+      // Kafka startingOffsets-by-position parity: `startingSequence=n`
+      // positions the PRIMARY address; `startingSequences={"a":n,...}`
+      // positions several links (same quoted-key JSON the offset
+      // checkpoint uses). Sequences are exclusive start positions.
+      startingSequences =
+        Option(o.get("startingSequence"))
+          .map(n => Map(primary -> n.toLong))
+          .orElse(Option(o.get("startingSequences")).map { js =>
+            val m = AmqpOffset.parseSeqMap(js)
+            require(m.nonEmpty, s"startingSequences parsed empty: $js")
+            m
+          })
+          .getOrElse(Map.empty),
       // Pattern subscription (Kafka subscribePattern / ActiveMQ wildcard
       // destination parity): subscribe to every address matching the
       // glob (`*` = any run of characters) instead of a static list.
@@ -604,7 +627,7 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
   private def countPushable(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0 &&
-      cfg.startingTimestampMicros.isEmpty &&
+      cfg.startingTimestampMicros.isEmpty && cfg.startingSequences.isEmpty &&
       // ledger arithmetic counts expired-but-unsettled rows a
       // TTL-respecting scan would drop — only the row scan is correct
       !cfg.ttlFiltered
@@ -750,6 +773,12 @@ object AmqpOffset {
   // AmqpEnvelope.quote, so '"' and '\' in topic names survive the
   // checkpoint round-trip instead of corrupting the offset JSON
   private val EntryRe = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+  /** Parse a bare {"addr":n,...} map (quoted keys, integer values) —
+    * the shape shared by the offset checkpoint's seqs block and the
+    * `startingSequences` option. */
+  def parseSeqMap(s: String): Map[String, Long] =
+    EntryRe.findAllMatchIn(s)
+      .map(m => AmqpEnvelope.unquote(m.group(1)) -> m.group(2).toLong).toMap
   def fromJson(s: String, primaryAddress: String): AmqpOffset = s match {
     case LegacyRe(n) => single(primaryAddress, n.toLong)
     case SeqsRe(entries) =>
@@ -866,12 +895,22 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
       // before this query existed; starting below it would trip the
       // failOnDataLoss check on data this query was never positioned at.
       val floor = broker.settledUpTo(a)
-      val start = cfg.startingTimestampMicros match {
-        case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
-          case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
-          case None => floor // no probe: replayable span + reader degrade filter
+      val start = cfg.startingSequences.get(a) match {
+        // positional start (startingSequence[s]): taken VERBATIM — a
+        // position below the settlement prefix is exactly a lost-data
+        // checkpoint and rides the same failOnDataLoss contract (fail
+        // loudly / skip to the prefix); a future position admits
+        // nothing until the link reaches it. Same settlement caveat as
+        // the timestamp anchor: the first commit settles the skipped
+        // backlog (prefix settlement — see the option note).
+        case Some(n) => n
+        case None => cfg.startingTimestampMicros match {
+          case Some(t) => broker.timestampWindow(a, t, Long.MaxValue) match {
+            case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
+            case None => floor // no probe: replayable span + reader degrade filter
+          }
+          case None => floor
         }
-        case None => floor
       }
       a -> start
     }.toMap)
@@ -1141,12 +1180,19 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
       // one atomic broker snapshot. A position cut, not a row filter —
       // every planned row is fetched, so the limit/offset arithmetic
       // below stays exact.
-      val startFloor = cfg.startingTimestampMicros match {
-        case Some(t) => b.timestampWindow(a, t, Long.MaxValue) match {
-          case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
-          case None => floor // no probe: full span + reader degrade filter
+      val startFloor = cfg.startingSequences.get(a) match {
+        // positional start on a batch read: the position cut clamped to
+        // the replayable floor (a batch read is a browse — rows below
+        // the floor are gone for everyone; there is no checkpoint whose
+        // loss failOnDataLoss could report)
+        case Some(n) => math.max(floor, n)
+        case None => cfg.startingTimestampMicros match {
+          case Some(t) => b.timestampWindow(a, t, Long.MaxValue) match {
+            case Some((fromExclusive, _)) => math.max(floor, fromExclusive)
+            case None => floor // no probe: full span + reader degrade filter
+          }
+          case None => floor
         }
-        case None => floor
       }
       // Intersect the replayable span (startFloor, latest] with the
       // pushed timestamp window, when the endpoint can answer the probe.

@@ -349,6 +349,70 @@ class AmqpSourceSpec extends SparkSpecBase {
       s"fresh query reads exactly the unsettled suffix, got $fresh")
   }
 
+  test("startingSequence positions a new query; below-prefix starts ride failOnDataLoss; checkpoints win on restart") {
+    val (ep, broker) = freshEndpoint("from-seq")
+    (1 to 10).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    val out = Files.createTempDirectory("from-seq-out").toString
+    val ckpt = Files.createTempDirectory("from-seq-ckpt").toString
+    def run(extra: Map[String, String]): Unit = {
+      var rdr = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("startingSequence", "4")
+      extra.foreach { case (k, v) => rdr = rdr.option(k, v) }
+      val q = rdr.load().select(AmqpConverters.amqpBody.as("b"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(Map.empty)
+    assert(spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      == (5 to 10).map(i => s"a$i").toSet, "exclusive position: exactly the suffix")
+    // a RESTART replays from the checkpoint — the anchor is ignored
+    // (Kafka contract), so only genuinely new messages append
+    (11 to 12).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    run(Map.empty)
+    assert(spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      == (5 to 12).map(i => s"a$i").toSet)
+    // a position below the settlement prefix is a lost-data start: the
+    // same failOnDataLoss contract as a stale checkpoint. The prior
+    // consuming runs already settled their committed prefix (at least
+    // batch-lagged to 10), so the floor is above the anchor either way.
+    broker.settle("my_address", 8)
+    val floor = broker.settledUpTo("my_address")
+    assert(floor > 4 && floor <= 12, s"scenario needs floor above the anchor: $floor")
+    val ckpt2 = Files.createTempDirectory("from-seq-ckpt2").toString
+    val out2 = Files.createTempDirectory("from-seq-out2").toString
+    def freshRun(fail: String): Unit = {
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("startingSequence", "4").option("failOnDataLoss", fail)
+        .load().select(AmqpConverters.amqpBody.as("b"))
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ckpt2)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ex = intercept[Exception](freshRun("true"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => String.valueOf(c.getMessage).contains("data loss")),
+      s"below-prefix start must report loss, got $ex")
+    freshRun("false") // opt-in skip: exactly the surviving tail
+    assert(spark.read.parquet(out2).collect().map(_.getString(0)).toSet
+      == (floor.toInt + 1 to 12).map(i => s"a$i").toSet)
+    // the two anchors are mutually exclusive
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("startingSequence", "4")
+        .option("startingTimestampMicros", "1").load()
+    }
+  }
+
   test("browse mode is exempt from failOnDataLoss: a lagging peek behind the real consumer skips, never throws") {
     // The browse contract: any number of peeking queries ride behind the
     // address's real "move" consumer, whose settlement ROUTINELY
