@@ -2527,6 +2527,57 @@ object IngestQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM s WHERE rn > total // 3""".stripMargin
 
+  // ----------------------------------------------- amqp_window_read
+  /** BOUNDED WINDOW batch read (Kafka batch `startingOffsets` +
+    * `endingOffsets` parity): `startingSequence`/`endingSequence`
+    * together scan exactly one positional span — "re-read exactly run
+    * X's window" — with both cuts pure planning arithmetic (nothing
+    * below or above the window is fetched). The gate reads the middle
+    * third of a pumped slice over the amqp10:// wire and hashes its
+    * exact count, integer cents, and boundary ids — an off-by-one at
+    * either cut (start exclusive, end inclusive) breaks it.
+    *
+    * Scale shape: window cost is the window's rows, independent of
+    * backlog depth on either side; the audit/backfill read a message
+    * fabric runs against its retention span. */
+  def amqpWindowRead(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 9 === 1)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+      .collect()
+    require(rows.length >= 6, "window-read gate slice too small")
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          body = AmqpValueBody(r.getDouble(1).toString)), r.getLong(0))
+      })
+    val k = rows.length / 3
+    s.read.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("startingSequence", k.toString) // exclusive
+      .option("endingSequence", (2 * k).toString) // inclusive
+      .load()
+      .agg(count(lit(1)).as("n_msgs"),
+        sum((col("body").cast(DecimalType(18, 2)) * 100).cast(LongType)).as("sum_cents"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpWindowReadSql: String =
+    """WITH s AS (
+      |  SELECT event_id, value,
+      |    row_number() OVER (ORDER BY event_id) AS rn,
+      |    count(*) OVER () AS total
+      |  FROM events WHERE event_id % 9 = 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM s WHERE rn > total // 3 AND rn <= 2 * (total // 3)""".stripMargin
+
   // -------------------------------------------------- amqp_shared_lag
   /** SHARE-GROUP lag report under the oracle gate — the
     * consumer-group-describe for work-sharing groups
@@ -2933,6 +2984,7 @@ object IngestQueries {
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
+    "amqp_window_read"      -> (amqpWindowRead _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2973,5 +3025,6 @@ object IngestQueries {
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,
+    "amqp_window_read"      -> amqpWindowReadSql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }

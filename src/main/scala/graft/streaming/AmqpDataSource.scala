@@ -98,6 +98,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
       * a checkpointed position: a start below the settlement prefix is
       * loss (fail loudly / skip per the option). */
     startingSequences: Map[String, Long] = Map.empty,
+    /** Kafka `endingOffsets` parity, BATCH reads only: cap each named
+      * link's scan at this sequence (inclusive) — with a start anchor
+      * this is the bounded window read ("exactly run X's span").
+      * Streaming refuses (an end position contradicts an unbounded
+      * query; use Trigger.AvailableNow for run-to-completion). */
+    endingSequences: Map[String, Long] = Map.empty,
     addressPattern: Option[String] = None,
     /** Lifted application properties, each with its declared lift type
       * (StringType — the default — or LongType; see
@@ -241,6 +247,15 @@ object AmqpSourceConfig {
           .orElse(Option(o.get("startingSequences")).map { js =>
             val m = AmqpOffset.parseSeqMap(js)
             require(m.nonEmpty, s"startingSequences parsed empty: $js")
+            m
+          })
+          .getOrElse(Map.empty),
+      endingSequences =
+        Option(o.get("endingSequence"))
+          .map(n => Map(primary -> n.toLong))
+          .orElse(Option(o.get("endingSequences")).map { js =>
+            val m = AmqpOffset.parseSeqMap(js)
+            require(m.nonEmpty, s"endingSequences parsed empty: $js")
             m
           })
           .getOrElse(Map.empty),
@@ -628,6 +643,7 @@ class AmqpScanBuilder(cfg: AmqpSourceConfig) extends ScanBuilder
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     isGlobalCountStar(agg) && filters.isEmpty && limit.isEmpty && offset == 0 &&
       cfg.startingTimestampMicros.isEmpty && cfg.startingSequences.isEmpty &&
+      cfg.endingSequences.isEmpty &&
       // ledger arithmetic counts expired-but-unsettled rows a
       // TTL-respecting scan would drop — only the row scan is correct
       !cfg.ttlFiltered
@@ -697,7 +713,10 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
     pushed: AmqpPushedFilters = AmqpPushedFilters())
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(cfg.endingSequences.isEmpty,
+      "endingSequence[s] bounds a BATCH read; a streaming query is " +
+        "unbounded — use Trigger.AvailableNow for run-to-completion")
     cfg.sharedGroup match {
       // work-sharing consumption: claim-leased dispatch instead of
       // per-link sequence offsets (the checkpoint location is the
@@ -706,6 +725,7 @@ class AmqpScan(cfg: AmqpSourceConfig, required: StructType = AmqpEnvelope.schema
         required.fieldNames, pushed)
       case None => new AmqpMicroBatchStream(cfg, required.fieldNames, pushed)
     }
+  }
   override def toBatch: Batch = new AmqpBatchRead(cfg, required.fieldNames, limit, offset, pushed)
   override def description(): String =
     s"AmqpScan(${cfg.endpoint}/${cfg.address}) ReadSchema: ${required.simpleString}" +
@@ -1171,7 +1191,11 @@ class AmqpBatchRead(cfg: AmqpSourceConfig,
     // the LIMIT/OFFSET cuts below walk addresses in deterministic order).
     cfg.subscription(b).flatMap { a =>
       val floor = b.settledUpTo(a)
-      val latest = b.latestSeq(a)
+      // endingSequence[s]: the batch window's inclusive upper cut —
+      // planning arithmetic, like the start anchor; nothing above it
+      // is fetched
+      val latest = math.min(b.latestSeq(a),
+        cfg.endingSequences.getOrElse(a, Long.MaxValue))
       // startingTimestamp[Micros] positions batch reads too (Kafka's
       // startingOffsetsByTimestamp applies to batch queries, so must
       // this): the span begins at the first in-bound sequence — the

@@ -411,6 +411,23 @@ class AmqpSourceSpec extends SparkSpecBase {
         .option("startingSequence", "4")
         .option("startingTimestampMicros", "1").load()
     }
+    // endingSequence bounds BATCH windows; a streaming query refuses it
+    val boundedCfg = AmqpSourceConfig(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("endpoint", ep, "address", "my_address", "endingSequence", "6")))
+    intercept[IllegalArgumentException](
+      new AmqpScan(boundedCfg).toMicroBatchStream("/tmp/ending-seq-refuse"))
+    // and the batch window is exact at both cuts (start exclusive, end
+    // inclusive), indifferent to backlog on either side — on a fresh
+    // endpoint (this test's first endpoint has a settled prefix by now)
+    val (ep3, broker3) = freshEndpoint("window-batch")
+    (1 to 10).foreach(i =>
+      broker3.send("my_address", AmqpMessage(body = AmqpValueBody(s"a$i"))))
+    val win = spark.read.format("amqp")
+      .option("endpoint", ep3).option("address", "my_address")
+      .option("startingSequence", "2").option("endingSequence", "6")
+      .load().select(AmqpConverters.amqpBody.as("b"))
+      .collect().map(_.getString(0)).toSet
+    assert(win == (3 to 6).map(i => s"a$i").toSet, s"window (2, 6]: $win")
   }
 
   test("browse mode is exempt from failOnDataLoss: a lagging peek behind the real consumer skips, never throws") {
