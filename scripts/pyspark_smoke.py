@@ -169,10 +169,77 @@ sql_n = spark.sql("SELECT count(*) FROM amqp_py_tbl").collect()[0][0]
 assert sql_n == n, sql_n
 spark.sql("DROP TABLE amqp_py_tbl")
 
+# TYPED property lift from Python: a long-lifted property takes a RANGE
+# push (the bounds show in PushedFilters), and the column is a real long
+(
+    spark.range(n)
+    .select(
+        F.col("id").cast("string").alias("message_id"),
+        (F.col("id") * 10).alias("price"),
+        F.col("id").cast("string").alias("body"),
+    )
+    .write.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke-typed")
+    .option("propertyColumns", "price:long")
+    .mode("append")
+    .save()
+)
+typed = (
+    spark.read.format("amqp")
+    .option("endpoint", ep)
+    .option("address", "smoke-typed")
+    .option("propertyColumns", "price:long")
+    .load()
+    .where((F.col("price") >= 100) & (F.col("price") < 300))
+)
+tplan = typed._jdf.queryExecution().executedPlan().toString()
+assert "price >= 100" in tplan and "price <= 299" in tplan, tplan
+assert typed.count() == 20, typed.count()
+
+# SHARED SUBSCRIPTION from Python: two streaming consumers in one group
+# work-share a queue; the union is exactly-once across the fleet
+(
+    spark.range(n)
+    .select(F.col("id").cast("string").alias("message_id"),
+            F.col("id").cast("string").alias("body"))
+    .write.format("amqp")
+    .option("endpoint", ep).option("address", "smoke-jobs")
+    .mode("append").save()
+)
+workers = [
+    (
+        spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "smoke-jobs")
+        .option("sharedGroup", "py-workers")
+        .option("maxMessagesPerTrigger", 25)
+        .load()
+        .select("message_id")
+        .writeStream.format("memory")
+        .queryName(f"py_shared_{i}")
+        .outputMode("append")
+        .start()
+    )
+    for i in (1, 2)
+]
+for q in workers:
+    q.processAllAvailable()
+for q in workers:
+    q.processAllAvailable()
+union = [
+    r["message_id"]
+    for i in (1, 2)
+    for r in spark.table(f"py_shared_{i}").collect()
+]
+assert len(union) == n and len(set(union)) == n, (len(union), len(set(union)))
+for q in workers:
+    q.stop()
+
 spark.stop()
 print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
       "envelope schema + grouped agg + COUNT(*) pushdown + "
-      "propertyColumns lift/pushdown + addressPattern discovery + "
-      "routeByTo per-row routing + streaming AvailableNow drain + "
-      "SQL DDL from Python")
+      "propertyColumns lift/pushdown (string AND typed long ranges) + "
+      "addressPattern discovery + routeByTo per-row routing + "
+      "streaming AvailableNow drain + SQL DDL + shared-subscription "
+      "work-sharing, all from Python")
 sys.exit(0)
