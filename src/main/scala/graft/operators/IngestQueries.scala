@@ -2578,6 +2578,90 @@ object IngestQueries {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM s WHERE rn > total // 3 AND rn <= 2 * (total // 3)""".stripMargin
 
+  // ------------------------------------------------ amqp_shared_relay
+  /** THE FLEET PIPELINE end to end: two shared-subscription workers
+    * jointly drain one input queue, transform (drop the 'error' class,
+    * tag each message with its worker), and republish through the
+    * EXACTLY-ONCE AMQP sink to one output queue — competing consumers
+    * composed with transactional publish, the full
+    * work-queue-to-work-queue topology a consumer fleet actually runs
+    * (amqp_stream_relay is this pipeline's single-consumer form;
+    * amqp_shared_consumers proves the claim ledger alone). The output
+    * queue is read back and hashed: a double-dispatched claim
+    * double-publishes, a lost claim or a leaked 'error' message breaks
+    * the counts, and a sink epoch replay would double a whole batch.
+    * Both workers must have relayed (structural require; the split
+    * itself is scheduling-dependent and stays off the hash).
+    *
+    * Scale shape: per-worker cost is its claimed share through one map
+    * + a transactional stage/commit per epoch; adding workers divides
+    * the input with no coordination beyond the broker's lease ledger;
+    * the output queue sees \|survivors\| messages exactly once. */
+  def amqpSharedRelay(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    val ep = tcpGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val run = sharedGateRun.incrementAndGet()
+    val in = s"relay-in-$run"
+    val out = s"relay-out-$run"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 11 === 2)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    require(rows.nonEmpty, "shared-relay gate slice is empty")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-shared-relay")
+    val perTrigger = math.max(20, rows.length / 6)
+    def worker(idx: Int) =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", in)
+        .option("sharedGroup", "relay-workers")
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .where(col("subject") =!= "error") // the scrub between queues
+        .select(col("message_id"), col("subject"), col("body"),
+          lit(s"w$idx").as("worker"))
+        .writeStream.format("amqp")
+        .option("endpoint", ep).option("address", out)
+        .option("propertyColumns", "worker")
+        .option("checkpointLocation", s"$scratch/ckpt$idx")
+        .outputMode("append")
+        .start()
+    pumpAll(client, in, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      })
+    val w1 = worker(1)
+    val w2 = worker(2)
+    try {
+      w1.processAllAvailable(); w2.processAllAvailable()
+      w1.processAllAvailable(); w2.processAllAvailable()
+    } finally { w1.stop(); w2.stop() }
+    val relayed = s.read.format("amqp")
+      .option("endpoint", ep).option("address", out)
+      .option("propertyColumns", "worker")
+      .load()
+    val fleet = relayed.select(col("worker")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(fleet == Set("w1", "w2"),
+      s"relay fleet degenerated to one worker: $fleet")
+    relayed
+      .groupBy(col("subject").as("event_type"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum((col("body").cast(DecimalType(18, 2)) * 100).cast(LongType)).as("sum_cents"),
+        min(col("message_id").cast(LongType)).as("min_id"),
+        max(col("message_id").cast(LongType)).as("max_id"))
+  }
+
+  val amqpSharedRelaySql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_msgs,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_id % 11 = 2 AND event_type <> 'error'
+      |GROUP BY event_type""".stripMargin
+
   // -------------------------------------------------- amqp_shared_lag
   /** SHARE-GROUP lag report under the oracle gate — the
     * consumer-group-describe for work-sharing groups
@@ -2985,6 +3069,7 @@ object IngestQueries {
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
     "amqp_window_read"      -> (amqpWindowRead _),
+    "amqp_shared_relay"     -> (amqpSharedRelay _),
     "amqp_stream_late"      -> (amqpStreamLate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -3026,5 +3111,6 @@ object IngestQueries {
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,
     "amqp_window_read"      -> amqpWindowReadSql,
+    "amqp_shared_relay"     -> amqpSharedRelaySql,
     "amqp_stream_late"      -> amqpStreamLateSql)
 }
