@@ -1712,6 +1712,79 @@ object SimilarityQueries {
        |  p.n_near, p.max_cos
        |FROM pruned p JOIN heads h ON p.vec_id = h.vec_id""".stripMargin
 
+  // ------------------------------------------------- corpus_d4_select
+  /** D4 DATA SELECTION (public recipe: Tirumala et al. 2023,
+    * arXiv:2308.12284 — "Document De-Duplication and Diversification"):
+    * the two-stage embedding-space curation Meta used for LLM
+    * pretraining data, composed here from gates that already hold —
+    * k-means cluster (sim_kmeans's deterministic Lloyd contract), drop
+    * SEMANTIC DUPLICATES within clusters (SemDeDup's rule, SemTau), then
+    * drop the most PROTOTYPICAL quarter of each cluster's survivors
+    * (smallest distance-to-centroid — the redundant "typical" mass whose
+    * removal D4 shows improves training efficiency), keeping the
+    * diverse tail. Emits one verdict row per vector (kept / dup /
+    * proto); the oracle replays clustering, the dup rule, and the
+    * per-cluster prototype cut end to end, so a drifted centroid, a
+    * missed duplicate, or an off-by-one at the 25% cut each break the
+    * hash.
+    *
+    * Determinism: d2 (distance to final centroid) is the same
+    * left-to-right f64 fold both engines; the prototype rank orders by
+    * (d2 ASC, vec_id ASC) — a strict total order; the cut is the
+    * integer floor n/4 per cluster.
+    *
+    * Scale shape: assignment is the broadcast-argmin map (corpus never
+    * shuffles to be assigned); the dup screen is the cluster-bounded
+    * pair join SemDeDup exists to confine; the prototype cut is one
+    * per-cluster window over survivors. At 100 TB: K grows so |cluster|
+    * stays bounded, and every stage stays cluster-local. */
+  def corpusD4Select(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = kmeansFinalAssign(s, d) // (vec_id, cid, emb, d2)
+    val lower = a.select(col("cid"), col("vec_id").as("nbr_id"),
+      col("emb").as("nbr_emb"))
+    val dups = a.join(lower, Seq("cid"))
+      .filter(col("nbr_id") < col("vec_id"))
+      .withColumn("cos", expr(
+        "vec_dot(emb, nbr_emb) / (sqrt(vec_dot(emb, emb)) * sqrt(vec_dot(nbr_emb, nbr_emb)))"))
+      .filter(col("cos") >= SemTau)
+      .select(col("vec_id"), col("cid")).distinct()
+    val surv = a.join(dups.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val w = Window.partitionBy(col("cid"))
+    val ranked = surv
+      .withColumn("rk", org.apache.spark.sql.functions.row_number()
+        .over(w.orderBy(col("d2").asc, col("vec_id").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked
+      .select(col("vec_id"), col("cid"),
+        when(col("rk") <= (col("n") / 4).cast(LongType), lit("proto"))
+          .otherwise(lit("kept")).as("verdict"))
+      .unionByName(dups.select(col("vec_id"), col("cid"), lit("dup").as("verdict")))
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("verdict"))
+  }
+
+  val corpusD4SelectSql: String =
+    s"""WITH $kmeansAssignCtes,
+       |pairs AS (
+       |  SELECT a.vec_id, a.cid,
+       |    list_dot_product(a.emb, b.emb)
+       |      / (sqrt(list_dot_product(a.emb, a.emb))
+       |         * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+       |dups AS (SELECT DISTINCT vec_id, cid FROM pairs WHERE cos >= $SemTau),
+       |surv AS (
+       |  SELECT af.vec_id, af.cid,
+       |    row_number() OVER (PARTITION BY af.cid
+       |      ORDER BY af.d2 ASC, af.vec_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY af.cid) AS n
+       |  FROM af WHERE af.vec_id NOT IN (SELECT vec_id FROM dups))
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       |  CASE WHEN rk <= n // 4 THEN 'proto' ELSE 'kept' END AS verdict
+       |FROM surv
+       |UNION ALL
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, 'dup' AS verdict
+       |FROM dups""".stripMargin
+
   // ------------------------------------------------------ sim_graph_bfs
   private val BfsSeeds = 3 // seed set: vec_id < BfsSeeds
   private val BfsHops = 4  // bounded traversal depth
@@ -2451,6 +2524,7 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> (simIvfPq _),
     "sim_centroids"       -> (simCentroids _),
     "sim_kmeans"          -> (simKmeans _),
+    "corpus_d4_select"    -> (corpusD4Select _),
     "sim_semantic_dedup"  -> (simSemanticDedup _),
     "sim_graph_bfs"       -> (simGraphBfs _),
     "sim_sq8_topk"        -> (simSq8TopK _),
@@ -2487,6 +2561,7 @@ object SimilarityQueries {
     "sim_ivf_pq"          -> simIvfPqSql,
     "sim_centroids"       -> simCentroidsSql,
     "sim_kmeans"          -> simKmeansSql,
+    "corpus_d4_select"    -> corpusD4SelectSql,
     "sim_semantic_dedup"  -> simSemanticDedupSql,
     "sim_graph_bfs"       -> simGraphBfsSql,
     "sim_sq8_topk"        -> simSq8TopKSql,

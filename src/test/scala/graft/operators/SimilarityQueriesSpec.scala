@@ -756,4 +756,28 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
     assert(pf.contains("cid"), pf)
   }
+
+  test("corpus_d4_select: verdicts partition the corpus; the prototype cut is exactly n/4 of each cluster's survivors") {
+    import spark.implicits._
+    val rows = SimilarityQueries.corpusD4Select(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val total = SimilarityQueries.embedded(spark, sfDir).count()
+    // exactly one verdict per vector, covering the whole corpus
+    assert(rows.length.toLong == total, s"${rows.length} verdicts for $total vectors")
+    assert(rows.map(_._1).distinct.length == rows.length, "a vector got two verdicts")
+    assert(rows.map(_._3).toSet.subsetOf(Set("kept", "dup", "proto")))
+    // the dup set matches SemDeDup's pruned set (same clusters, same tau)
+    val dupIds = rows.filter(_._3 == "dup").map(_._1).toSet
+    val semPruned = SimilarityQueries.simSemanticDedup(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dupIds == semPruned, "D4's dup stage must equal SemDeDup's pruned set")
+    // per cluster: proto count = floor(survivors / 4), survivors = kept + proto
+    rows.filter(_._3 != "dup").groupBy(_._2).foreach { case (cid, vs) =>
+      val proto = vs.count(_._3 == "proto")
+      assert(proto == vs.length / 4,
+        s"cluster $cid: $proto prototypes of ${vs.length} survivors")
+    }
+    // something must actually be dropped at each stage (non-vacuous)
+    assert(dupIds.nonEmpty && rows.exists(_._3 == "proto") && rows.exists(_._3 == "kept"))
+  }
 }
