@@ -44,6 +44,17 @@ object SimilarityQueries {
   private val NumCells = 16   // IVF centroids: vec_id < 16
   private val NumProbes = 3
 
+  private val scratchRun = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-INVOCATION scratch directory for persisted-index side effects.
+    * A path keyed only by the dataset dir lets two concurrent runs over
+    * the same dataset (a parallel spec + gate in one JVM, or two bench
+    * JVMs) overwrite the layout while the other's scan reads it — the
+    * pid keys across JVMs, the counter within one. Directories are
+    * test/bench scratch: tmpdir-lifecycle, a few MB each at gate SF. */
+  private def scratchDir(tag: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}_${scratchRun.incrementAndGet()}").toString
+
   private[operators] def embedded(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     Tables.embeddings(s, d)
@@ -347,8 +358,7 @@ object SimilarityQueries {
   def simIndexBuild(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfidx_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfidx")
     // BUILD: assign every vector to its nearest cell, persist the
     // inverted lists as one partition directory per cell
     ivfAssign(e, centsArr)
@@ -378,8 +388,7 @@ object SimilarityQueries {
   def simIndexAppend(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfapp_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfapp")
     // initial build over the even half (static overwrite resets the dir)
     ivfAssign(e.filter(col("vec_id") % 2 === 0), centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
@@ -424,8 +433,7 @@ object SimilarityQueries {
   def simIndexDelete(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfdel_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfdel")
     ivfAssign(e, centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
     val before = FormatQueries.parquetFiles(idx)
@@ -468,8 +476,7 @@ object SimilarityQueries {
   def simIndexCompact(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfcmp_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfcmp")
     ivfAssign(e, centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
     val before = FormatQueries.parquetFiles(idx)
@@ -582,8 +589,7 @@ object SimilarityQueries {
   def simIvfRebalance(s: SparkSession, d: String): DataFrame = {
     val e = embedded(s, d)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfreb_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfreb")
     ivfAssign(e, centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
     val before = FormatQueries.parquetFiles(idx)
@@ -2159,8 +2165,7 @@ object SimilarityQueries {
     // partition-pruned; embeddings re-attach for the pairwise-penalty
     // rounds (|Q|·C rows; cached — K rounds read it)
     val centsArr = ivfCentroids(e)
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_sim_ivfmmr_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val idx = scratchDir("sim_ivfmmr")
     ivfAssign(e, centsArr)
       .write.mode("overwrite").partitionBy("cid").parquet(idx)
     val cand = ivfServe(s, e, centsArr, idx, 0L, NumQueries, k = C)

@@ -94,9 +94,16 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     /** Kafka `startingOffsets`-by-position parity: a NEW query starts
       * each named link at the given SEQUENCE (exclusive — "I have
       * consumed through n"), instead of the replayable floor. Unnamed
-      * links keep the floor. Composes with failOnDataLoss exactly like
-      * a checkpointed position: a start below the settlement prefix is
-      * loss (fail loudly / skip per the option). */
+      * links keep the floor. STREAMING composes with failOnDataLoss
+      * exactly like a checkpointed position: a start below the
+      * settlement prefix is loss (fail loudly / skip per the option).
+      * BATCH reads instead clamp a below-prefix start to the floor
+      * silently, regardless of failOnDataLoss — an intentional
+      * divergence from Kafka's batch contract (which fails on
+      * out-of-range offsets): a bounded audit read here asks "whatever
+      * of that span still exists", and the planner's floor IS that
+      * answer — see the startFloor note in
+      * [[AmqpBatchRead.planInputPartitions]]. */
     startingSequences: Map[String, Long] = Map.empty,
     /** Kafka `endingOffsets` parity, BATCH reads only: cap each named
       * link's scan at this sequence (inclusive) — with a start anchor
@@ -808,6 +815,38 @@ object AmqpOffset {
   }
 }
 
+/** Admission budget from `maxMessagesPerSecond`: the declarative
+  * replacement for the reference's rate-controller hierarchy
+  * (AMQPRateController.scala:38-341 in /root/reference — dead code
+  * there, but its manual-credit variant caps deliveries per pacing
+  * interval). Budget = rate x seconds since the last admission
+  * decision; the first trigger gets one second's worth. Unused budget
+  * does NOT accumulate beyond one interval (the reference's
+  * RateLimiter likewise smooths bursts). Shared by the default and
+  * shared-subscription streams so `maxMessagesPerSecond` is honored —
+  * never silently ignored — on every consuming mode. */
+private[streaming] final class AmqpRateBudget(maxPerSecond: Long) {
+  /** Injectable clock (nanos) so rate-limit admission is unit-testable. */
+  private[streaming] var nanoClock: () => Long = () => System.nanoTime()
+  private var lastNanos = 0L
+  private var first = true
+  def budget(): Long =
+    if (maxPerSecond <= 0L) Long.MaxValue
+    else {
+      val now = nanoClock()
+      val b =
+        if (first) maxPerSecond
+        else {
+          val dt = (now - lastNanos) / 1e9
+          math.max(1L, math.min(maxPerSecond * 10, // burst ceiling
+            (maxPerSecond * dt).toLong))
+        }
+      first = false
+      lastNanos = now
+      b
+    }
+}
+
 class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     pushed: AmqpPushedFilters = AmqpPushedFilters())
@@ -943,34 +982,10 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
 
+  private val rate = new AmqpRateBudget(cfg.maxPerSecond)
   /** Injectable clock (nanos) so rate-limit admission is unit-testable. */
-  private[streaming] var nanoClock: () => Long = () => System.nanoTime()
-  private var lastAdmissionNanos = 0L
-  private var firstAdmission = true
-
-  /** Admission cap from `maxMessagesPerSecond`: the declarative
-    * replacement for the reference's rate-controller hierarchy
-    * (AMQPRateController.scala:38-341 in /root/reference — dead code
-    * there, but its manual-credit variant caps deliveries per pacing
-    * interval). Budget = rate x seconds since the last admission
-    * decision; the first trigger gets one second's worth. Unused budget
-    * does NOT accumulate beyond one interval (the reference's
-    * RateLimiter likewise smooths bursts). */
-  private def rateBudget(): Long =
-    if (cfg.maxPerSecond <= 0L) Long.MaxValue
-    else {
-      val now = nanoClock()
-      val budget =
-        if (firstAdmission) cfg.maxPerSecond
-        else {
-          val dt = (now - lastAdmissionNanos) / 1e9
-          math.max(1L, math.min(cfg.maxPerSecond * 10, // burst ceiling
-            (cfg.maxPerSecond * dt).toLong))
-        }
-      firstAdmission = false
-      lastAdmissionNanos = now
-      budget
-    }
+  private[streaming] def nanoClock: () => Long = rate.nanoClock
+  private[streaming] def nanoClock_=(f: () => Long): Unit = rate.nanoClock = f
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     settledCache.clear() // one fresh settlement probe per address per trigger
@@ -988,7 +1003,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     // The trigger's row budget is shared across links: each link gets an
     // equal share (at least 1), so a hot link cannot starve the others —
     // the multi-link generalization of the reference's per-link credit.
-    val totalCap = math.min(triggerCap, rateBudget())
+    val totalCap = math.min(triggerCap, rate.budget())
     val perLink = math.max(1L, totalCap / active.length)
     AmqpOffset(active.map { a =>
       // an address first discovered mid-stream (not yet in the

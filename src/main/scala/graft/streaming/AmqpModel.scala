@@ -71,15 +71,29 @@ object AmqpEnvelope {
     * properties are typed on the wire; the reference stringifies them,
     * AMQPJsonFunction.scala:86 in /root/reference — parity-neutral),
     * which is what lets RANGE predicates push on it; unknown types
-    * refuse loudly rather than silently lifting text. */
-  def parsePropertyColumn(entry: String): (String, DataType) =
-    entry.split(":").map(_.trim) match {
-      case Array(n) if n.nonEmpty => n -> StringType
-      case Array(n, "string") if n.nonEmpty => n -> StringType
-      case Array(n, "long") if n.nonEmpty => n -> LongType
-      case other => throw new IllegalArgumentException(
-        s"bad propertyColumns entry '$entry' — use name or name:string|long")
+    * refuse loudly rather than silently lifting text.
+    *
+    * Only the LAST colon can introduce a type, so a property name that
+    * itself contains ':' is liftable via the explicit form
+    * (`a:b:string` lifts property "a:b"); a bare colon-bearing entry or
+    * a trailing ':' (the `price:` typo) refuses loudly instead of
+    * silently string-lifting a name the user didn't write. */
+  def parsePropertyColumn(entry: String): (String, DataType) = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"bad propertyColumns entry '$entry' — use name or name:string|long " +
+        "(a property name containing ':' needs the explicit name:string|long form)")
+    val cut = entry.lastIndexOf(':')
+    if (cut < 0) { val n = entry.trim; if (n.isEmpty) bad(); n -> StringType }
+    else {
+      val n = entry.substring(0, cut).trim
+      if (n.isEmpty) bad()
+      entry.substring(cut + 1).trim match {
+        case "string" => n -> StringType
+        case "long" => n -> LongType
+        case _ => bad()
+      }
     }
+  }
 
   /** The envelope schema plus one nullable column per LIFTED application
     * property (the source's `propertyColumns` option): string lifts use

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 /** SHARED SUBSCRIPTION (competing consumers) — the work-sharing dispatch
   * mode the single-consumer source cannot express: N consuming streams
@@ -54,11 +54,33 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: String,
     fields: Array[String] = AmqpEnvelope.schema.fieldNames,
     pushed: AmqpPushedFilters = AmqpPushedFilters())
-    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val group = cfg.sharedGroup.get
   private val owner = checkpointLocation
+  private val rate = new AmqpRateBudget(cfg.maxPerSecond)
+  /** Injectable clock (nanos) so rate-limit admission is unit-testable. */
+  private[streaming] def nanoClock: () => Long = rate.nanoClock
+  private[streaming] def nanoClock_=(f: () => Long): Unit = rate.nanoClock = f
   private def broker = AmqpEndpointRegistry.endpoint(cfg.endpoint)
+
+  /** Targeted refusal, not support: "the data available now" is not a
+    * well-defined per-consumer set under work-sharing — the group's
+    * backlog is contended (another consumer's lease can lapse back into
+    * it after this consumer's snapshot), so a run-to-completion trigger
+    * would either under-read the group or over-read its snapshot.
+    * Implementing the interface makes the refusal precise; without it
+    * Spark's generic wrapper would call the no-arg [[latestOffset]] and
+    * die with an unrelated planner error (or worse, CLAIM rows in a
+    * snapshot probe). Use a continuous trigger and stop on the lag
+    * report, or the single-consumer source for drain-and-stop jobs. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    throw new UnsupportedOperationException(
+      "sharedGroup does not support Trigger.AvailableNow: a work-sharing " +
+        "group's available set is contended across consumers. Run with a " +
+        "ProcessingTime trigger and stop on the share-group lag report, or " +
+        "drop sharedGroup for a run-to-completion read.")
 
   /** Per-trigger source metrics in StreamingQueryProgress — the GROUP's
     * view, not this consumer's (a share group's position is collective;
@@ -87,10 +109,14 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[AmqpSharedOffset]
-    val cap = limit match {
+    val triggerCap = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
       case _ => Long.MaxValue
     }
+    // maxMessagesPerSecond caps the CLAIM, same budget arithmetic as the
+    // default stream — a rate-limited shared consumer claims at most its
+    // budget, so unclaimed backlog stays dispatchable to the group
+    val cap = math.min(triggerCap, rate.budget())
     // equal share per link, like the default stream's budget split
     val perLink = math.max(1L, cap / cfg.addresses.length)
     val claims = cfg.addresses.sorted.flatMap { a =>

@@ -134,4 +134,20 @@ class AmqpModelSpec extends SparkSpecBase {
     val f = AmqpEnvelope.toFields(m)
     assert(f._6 == Seq("k1" -> "5", "k2" -> "v"))
   }
+
+  test("propertyColumns parsing: only the LAST colon types; typos refuse loudly") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    assert(AmqpEnvelope.parsePropertyColumn("price") == ("price" -> StringType))
+    assert(AmqpEnvelope.parsePropertyColumn("price:string") == ("price" -> StringType))
+    assert(AmqpEnvelope.parsePropertyColumn(" price : long ") == ("price" -> LongType))
+    // a property name containing ':' is liftable via the explicit form
+    assert(AmqpEnvelope.parsePropertyColumn("ns:price:long") == ("ns:price" -> LongType))
+    // the 'price:' typo must REFUSE, not silently string-lift 'price'
+    intercept[IllegalArgumentException](AmqpEnvelope.parsePropertyColumn("price:"))
+    // bare colon-bearing entry: ambiguous — refuse, pointing at the
+    // explicit form (a silent string lift could hide a type typo)
+    intercept[IllegalArgumentException](AmqpEnvelope.parsePropertyColumn("ns:price"))
+    intercept[IllegalArgumentException](AmqpEnvelope.parsePropertyColumn(":long"))
+    intercept[IllegalArgumentException](AmqpEnvelope.parsePropertyColumn(""))
+  }
 }

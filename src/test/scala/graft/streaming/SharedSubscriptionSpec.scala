@@ -225,6 +225,54 @@ class SharedSubscriptionSpec extends SparkSpecBase {
     finally { client.close(); server.close() }
   }
 
+  test("shared stream honors maxMessagesPerSecond in its claim admission") {
+    val (ep, b) = freshBroker("shared-rate")
+    pump(b, "q", 1000)
+    val cfg = AmqpSourceConfig(ep, "q", Seq("q"),
+      maxPerTrigger = 10000, maxPerSecond = 100, sharedGroup = Some("g"))
+    val stream = new AmqpSharedMicroBatchStream(cfg, "owner-1")
+    var now = 0L
+    stream.nanoClock = () => now
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def admit(start: AmqpSharedOffset): AmqpSharedOffset =
+      stream.latestOffset(start, ReadLimit.maxRows(10000))
+        .asInstanceOf[AmqpSharedOffset]
+    // first trigger claims one second's budget, NOT the trigger cap
+    val o1 = admit(AmqpSharedOffset("g", 0, Nil))
+    assert(o1.rows == 100, s"rate budget must cap the claim: ${o1.rows}")
+    // 500ms later: half a second's budget
+    now += 500L * 1000 * 1000
+    val o2 = admit(o1)
+    assert(o2.rows - o1.rows == 50, s"elapsed-time budget: ${o2.rows - o1.rows}")
+    // the unclaimed backlog stays dispatchable to OTHER group members
+    assert(b.claim("q", "g", "other", 10000, 60000).map(_.rows).sum == 850)
+  }
+
+  test("sharedGroup refuses Trigger.AvailableNow with a targeted error") {
+    val (ep, broker) = freshBroker("shared-avnow")
+    pump(broker, "jobs", 10)
+    val dir = Files.createTempDirectory("shared-avnow")
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "jobs")
+      .option("sharedGroup", "workers")
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000); ()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains(
+      "sharedGroup does not support Trigger.AvailableNow")),
+      s"refusal must be targeted, got: ${messages(e)}")
+    // nothing was claimed by the refused query — the backlog is intact
+    assert(broker.groupStats("jobs", "workers").dispatchedUpTo == 0L)
+  }
+
   test("sharedGroup refuses contradictory modes") {
     val (ep, _) = freshBroker("shared-refuse")
     def load(opts: (String, String)*): Unit = {
