@@ -80,8 +80,10 @@ object IngestQueries {
   }
 
   /** One tcp:// server per JVM for the shared-subscription gate (the
-    * claim surface lives on mem:// and tcp://; the amqp10:// wire has no
-    * claim performatives). Per-run addresses keep warm runs independent. */
+    * claim surface lives on mem://, tcp://, AND the amqp10:// wire —
+    * amqp_shared_consumers drives the compact-RPC transport,
+    * amqp_shared_wire the interoperable AMQP 1.0 framing). Per-run
+    * addresses keep warm runs independent. */
   private lazy val tcpGateEndpoint: String = {
     val server = new AmqpTcpServer(new InMemoryAmqpBroker)
     s"tcp://127.0.0.1:${server.port}"
@@ -2457,6 +2459,79 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 11 = 9""".stripMargin
 
+  // --------------------------------------------------- amqp_shared_wire
+  /** SHARED SUBSCRIPTION over the INTEROPERABLE WIRE: the same
+    * two-concurrent-consumers contract as amqp_shared_consumers, but
+    * every claim, renewal, per-claim settlement, and fetch crosses REAL
+    * AMQP 1.0 framing (claim RPCs ride probe attaches —
+    * [[graft.streaming.Amqp10Wire.ShareGroupProp]]) — the consumer-fleet
+    * topology against an actual AMQP 1.0 broker endpoint, which r8 could
+    * only run on the engine's compact RPC transport. The union of both
+    * consumers' outputs must hash the oracle exactly once: a claim
+    * triple corrupted in wire encode/decode double-reads or drops rows,
+    * and either breaks the hash.
+    *
+    * Scale shape: identical to the tcp:// gate — admission is one probe
+    * attach per trigger per consumer (O(1) ledger arithmetic
+    * broker-side), reads are per-claim drain slices on pooled
+    * per-reader connections; the wire adds framing, never coordination. */
+  def amqpSharedWire(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val ep = wireGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val address = s"wirejobs-${sharedGateRun.incrementAndGet()}"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 13 === 4)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    require(rows.nonEmpty, "shared-wire gate slice is empty")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-shared-wire-gate")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Int)]()
+    val perTrigger = math.max(20, rows.length / 6)
+    def consumer(idx: Int) =
+      s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("sharedGroup", "wire-workers")
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt$idx")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("message_id"), col("subject"), col("cents")).collect()
+            .foreach(r => emitted.add((idx, r.getString(0), r.getString(1), r.getInt(2))))
+          ()
+        }
+        .start()
+    val q1 = consumer(1)
+    val q2 = consumer(2)
+    try {
+      pumpAll(client, address, rows.toSeq.map { r =>
+          (AmqpMessage(
+            messageId = Some(r.getLong(0).toString),
+            subject = Some(r.getString(1)),
+            body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+        })
+      // double pass, same as the tcp gate: each consumer's first return
+      // can precede the other's in-flight claims
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq
+    require(got.map(_._1).toSet == Set(1, 2),
+      s"work-sharing degenerated to one consumer: split " +
+        s"${got.groupBy(_._1).view.mapValues(_.size).toMap}")
+    got.map { case (_, id, et, c) => (id, et, c) }
+      .toDF("message_id", "event_type", "cents")
+  }
+
+  val amqpSharedWireSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS message_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
+      |FROM events WHERE event_id % 13 = 4""".stripMargin
+
   // ----------------------------------------------- amqp_stream_from_seq
   /** SEQUENCE-anchored stream start under the oracle gate (Kafka
     * `startingOffsets`-by-position parity, the positional sibling of
@@ -3065,6 +3140,7 @@ object IngestQueries {
     "amqp_stream_tws_timer" -> (amqpStreamTwsTimer _),
     "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
+    "amqp_shared_wire"      -> (amqpSharedWire _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
@@ -3107,6 +3183,7 @@ object IngestQueries {
     "amqp_stream_tws_timer" -> amqpStreamTwsTimerSql,
     "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
+    "amqp_shared_wire"      -> amqpSharedWireSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,

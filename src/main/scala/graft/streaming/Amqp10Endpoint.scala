@@ -410,6 +410,71 @@ class Amqp10Endpoint(host: String, port: Int,
       }
   }
 
+  // ------------------------------------ shared subscription (work-sharing)
+  // The four claim-ledger RPCs ride probe attaches (request in
+  // attach.properties, reply in the echo) — see Amqp10Wire.ShareGroupProp
+  // for the framing. A peer without the extension omits the echo prop and
+  // the accessor below FAILS LOUDLY: a shared subscription silently
+  // degrading to prefix settlement would double-read, exactly the
+  // contract of the transport-less default in [[AmqpEndpoint.claim]].
+  private def shareEcho(echo: AmqpWireMap, prop: String): Any =
+    echo.get(Sym(prop)).getOrElse(throw new UnsupportedOperationException(
+      s"this AMQP peer has no shared-subscription claim surface " +
+        s"(probe attach echoed no $prop)"))
+
+  private def decodeClaims(v: Any): Seq[AmqpClaim] = v match {
+    case xs: Seq[_] => xs.map {
+      case c: Seq[_] if c.length == 3 =>
+        AmqpClaim(asLong(c(0)), asLong(c(1)), asLong(c(2)))
+      case other => throw new IllegalStateException(s"bad share-claim echo: $other")
+    }
+    case other => throw new IllegalStateException(s"bad share-claim echo: $other")
+  }
+
+  /** Same reconnect contract as [[TcpAmqpEndpoint.claim]]: a retried
+    * claim whose first reply was lost self-heals via lease expiry
+    * (nobody reads the orphan's slices); renew/settle are idempotent
+    * broker-side. */
+  override def claim(address: String, group: String, owner: String,
+      maxRows: Long, leaseMillis: Long): Seq[AmqpClaim] = call {
+    decodeClaims(shareEcho(probe(address, amqpWireMap(
+      Sym(ShareGroupProp) -> group, Sym(ShareOwnerProp) -> owner,
+      Sym(ShareMaxRowsProp) -> maxRows, Sym(ShareLeaseMsProp) -> leaseMillis)),
+      ShareClaimsProp))
+  }
+
+  override def renewClaims(address: String, group: String, owner: String,
+      claims: Seq[AmqpClaim], leaseMillis: Long): Seq[Long] = call {
+    val triples: Vector[Any] = claims.toVector.map(c =>
+      Vector(c.claimId, c.fromExclusive, c.toInclusive))
+    shareEcho(probe(address, amqpWireMap(
+      Sym(ShareGroupProp) -> group, Sym(ShareOwnerProp) -> owner,
+      Sym(ShareLeaseMsProp) -> leaseMillis, Sym(ShareRenewProp) -> triples)),
+      ShareLostProp) match {
+      case xs: Seq[_] => xs.map(asLong)
+      case other => throw new IllegalStateException(s"bad share-lost echo: $other")
+    }
+  }
+
+  override def settleClaims(address: String, group: String,
+      claimIds: Seq[Long]): Unit = call {
+    shareEcho(probe(address, amqpWireMap(
+      Sym(ShareGroupProp) -> group,
+      Sym(ShareSettleProp) -> (claimIds.toVector: Any))), ShareSettleProp)
+    ()
+  }
+
+  override def groupStats(address: String, group: String): AmqpGroupStats = call {
+    shareEcho(probe(address, amqpWireMap(
+      Sym(ShareGroupProp) -> group, Sym(ShareStatsProp) -> true)),
+      ShareStatsEchoProp) match {
+      case xs: Seq[_] if xs.length == 5 =>
+        AmqpGroupStats(asLong(xs(0)), asLong(xs(1)), asLong(xs(2)),
+          asLong(xs(3)), asLong(xs(4)))
+      case other => throw new IllegalStateException(s"bad share-stats echo: $other")
+    }
+  }
+
   override def fetch(address: String, fromExclusive: Long,
       toInclusive: Long): Seq[(Long, AmqpMessage, Long)] = call {
     if (toInclusive <= fromExclusive) Vector.empty

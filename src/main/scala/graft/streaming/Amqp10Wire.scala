@@ -79,6 +79,38 @@ private[streaming] object Amqp10Wire {
     * read an empty table forever). */
   val AddrPatternProp = "x-graft-addr-pattern"
   val AddrListProp = "x-graft-addr-list"
+  /** SHARED-SUBSCRIPTION claim surface over the wire: the four ledger
+    * RPCs (claim / renewClaims / settleClaims / groupStats) ride probe
+    * attaches — request fields in attach.properties, reply in the
+    * attach echo's properties — the same §2.7.3 extension discipline as
+    * the discovery and timestamp-window probes, so a fleet of real
+    * AMQP 1.0 consumers can work-share one address through the
+    * interoperable transport. `x-graft-share-group` selects the group
+    * and gates the branch; exactly one op prop picks the RPC (settle >
+    * renew > stats > claim). Claims travel as a wire list of
+    * [claim-id, from-exclusive, to-inclusive] triples. A server without
+    * the extension omits the echo prop — the client then FAILS LOUDLY
+    * (a shared subscription silently degrading to prefix settlement
+    * would double-read; same contract as the transport-less default in
+    * [[AmqpEndpoint.claim]]). */
+  val ShareGroupProp = "x-graft-share-group"
+  val ShareOwnerProp = "x-graft-share-owner"
+  val ShareMaxRowsProp = "x-graft-share-max-rows"
+  val ShareLeaseMsProp = "x-graft-share-lease-ms"
+  /** Claim reply: list of [id, from, to] triples (empty = nothing
+    * dispatchable — still present, distinguishing "no work" from "no
+    * extension"). */
+  val ShareClaimsProp = "x-graft-share-claims"
+  /** Renew request: list of [id, from, to] triples to re-assert. */
+  val ShareRenewProp = "x-graft-share-renew"
+  /** Renew reply: list of LOST claim ids (re-dispatched or settled). */
+  val ShareLostProp = "x-graft-share-lost"
+  /** Settle request: list of claim ids; echoed back as an ack count. */
+  val ShareSettleProp = "x-graft-share-settle"
+  /** Stats request marker; reply is [head, dispatched-up-to,
+    * outstanding-claims, outstanding-rows, redeliverable-rows]. */
+  val ShareStatsProp = "x-graft-share-stats"
+  val ShareStatsEchoProp = "x-graft-share-stats-echo"
   val PartitionAnnotation = "x-graft-partition"
   val PartitionResetAnnotation = "x-graft-partition-reset"
   val EmptyStageAnnotation = "x-graft-stage-empty"
@@ -483,8 +515,56 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
               }
               val fromSeq = filter.get(Sym(FromSeqFilter)).map(asLong).getOrElse(0L)
               links((ch, handle)) = ConsumerLink(sourceAddr, fromSeq)
+              // shared-subscription ledger RPCs: see the ShareGroupProp
+              // doc — op selection is settle > renew > stats > claim
+              def shareClaimList(v: Any): Seq[AmqpClaim] = v match {
+                case xs: Seq[_] => xs.map {
+                  case c: Seq[_] if c.length == 3 =>
+                    AmqpClaim(asLong(c(0)), asLong(c(1)), asLong(c(2)))
+                  case other =>
+                    throw new IllegalStateException(s"bad share-claim triple: $other")
+                }
+                case other =>
+                  throw new IllegalStateException(s"bad share-claim list: $other")
+              }
+              def shareIdList(v: Any): Seq[Long] = v match {
+                case xs: Seq[_] => xs.map(asLong)
+                case other =>
+                  throw new IllegalStateException(s"bad share-id list: $other")
+              }
               val echoProps =
-                if (props.get(Sym(ProbeProp)).isDefined) {
+                if (props.get(Sym(ShareGroupProp)).isDefined) {
+                  val group = String.valueOf(props.get(Sym(ShareGroupProp)).get)
+                  def owner = String.valueOf(props.get(Sym(ShareOwnerProp)).getOrElse(
+                    throw new IllegalStateException("share RPC without owner")))
+                  def lease = props.get(Sym(ShareLeaseMsProp)).map(asLong).getOrElse(
+                    throw new IllegalStateException("share RPC without lease"))
+                  props.get(Sym(ShareSettleProp)) match {
+                    case Some(ids) =>
+                      val claimIds = shareIdList(ids)
+                      backing.settleClaims(sourceAddr, group, claimIds)
+                      pruneSettled(sourceAddr)
+                      amqpWireMap(Sym(ShareSettleProp) -> claimIds.length.toLong)
+                    case None => props.get(Sym(ShareRenewProp)) match {
+                      case Some(cs) =>
+                        val lost = backing.renewClaims(sourceAddr, group, owner,
+                          shareClaimList(cs), lease)
+                        amqpWireMap(Sym(ShareLostProp) -> lost.toVector)
+                      case None if props.get(Sym(ShareStatsProp)).isDefined =>
+                        val st = backing.groupStats(sourceAddr, group)
+                        amqpWireMap(Sym(ShareStatsEchoProp) -> Vector(
+                          st.headSeq, st.dispatchedUpTo, st.outstandingClaims,
+                          st.outstandingRows, st.redeliverableRows))
+                      case None =>
+                        val maxRows = props.get(Sym(ShareMaxRowsProp)).map(asLong)
+                          .getOrElse(throw new IllegalStateException(
+                            "share claim without max-rows"))
+                        val cs = backing.claim(sourceAddr, group, owner, maxRows, lease)
+                        amqpWireMap(Sym(ShareClaimsProp) -> cs.toVector.map(c =>
+                          Vector(c.claimId, c.fromExclusive, c.toInclusive)))
+                    }
+                  }
+                } else if (props.get(Sym(ProbeProp)).isDefined) {
                   val tsWin = for {
                     lo <- props.get(Sym(TsWinLoProp)).map(asLong)
                     hi <- props.get(Sym(TsWinHiProp)).map(asLong)

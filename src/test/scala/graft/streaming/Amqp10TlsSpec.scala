@@ -65,6 +65,23 @@ class Amqp10TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ep.close()
   }
 
+  test("shared-subscription claim RPCs compose with TLS + SASL (amqps:// fleet path)") {
+    val ep = new Amqp10Endpoint("127.0.0.1", server.port,
+      Some("alice"), Some("secret"),
+      tls = Some(AmqpTls.clientContext(truststore, pw)))
+    try {
+      (1 to 30).foreach(i =>
+        assert(ep.send("tls-shared", AmqpMessage(messageId = Some(s"m-$i"),
+          body = AmqpValueBody(i.toString)), i.toLong) > 0))
+      val cs = ep.claim("tls-shared", "g", "worker-1", 10, 60000)
+      assert(cs.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 10L)))
+      assert(ep.renewClaims("tls-shared", "g", "worker-1", cs, 60000).isEmpty)
+      assert(ep.groupStats("tls-shared", "g").outstandingRows == 10)
+      ep.settleClaims("tls-shared", "g", cs.map(_.claimId))
+      assert(ep.fetch("tls-shared", 0, 30).map(_._1).forall(_ > 10))
+    } finally ep.close()
+  }
+
   test("a plaintext client cannot speak to the TLS port") {
     val ep = new Amqp10Endpoint("127.0.0.1", server.port,
       Some("alice"), Some("secret")) // no TLS context

@@ -112,6 +112,32 @@ class SharedSubscriptionSpec extends SparkSpecBase {
     } finally { client.close(); server.close() }
   }
 
+  test("claim surface round-trips the amqp10:// wire (probe-attach RPC framing)") {
+    val backing = new InMemoryAmqpBroker
+    pump(backing, "q", 40)
+    val server = new Amqp10Server(backing)
+    val client = new Amqp10Endpoint("127.0.0.1", server.port)
+    try {
+      // claim: redeliveries-first dispatch crosses the wire as triples
+      val cs = client.claim("q", "g", "worker-1", 15, 60000)
+      assert(cs.map(c => (c.fromExclusive, c.toInclusive)) == Seq((0L, 15L)))
+      // an empty claim is an EMPTY LIST echo, not a missing extension
+      assert(client.claim("q", "g", "worker-1", 0, 60000).isEmpty)
+      // renew: live lease extends; another owner's renew reports lost
+      assert(client.renewClaims("q", "g", "worker-1", cs, 60000).isEmpty)
+      assert(client.renewClaims("q", "g", "worker-2", cs, 60000) == cs.map(_.claimId))
+      // stats snapshot crosses as the 5-field list
+      val st = client.groupStats("q", "g")
+      assert(st == backing.groupStats("q", "g") &&
+        st.outstandingRows == 15 && st.headSeq == 40, st.toString)
+      // settle deletes exactly the claim's slice; replay is a no-op
+      client.settleClaims("q", "g", cs.map(_.claimId))
+      client.settleClaims("q", "g", cs.map(_.claimId))
+      assert(client.fetch("q", 0, 40).map(_._1).forall(_ > 15))
+      assert(client.settledUpTo("q") == 15L)
+    } finally { client.close(); server.close() }
+  }
+
   test("shared-offset JSON round-trips, including escaped addresses") {
     val off = AmqpSharedOffset("workers", 42L, Seq(
       "a\"weird\\addr" -> AmqpClaim(7, 10, 20),
