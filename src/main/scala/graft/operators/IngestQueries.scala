@@ -2532,6 +2532,121 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 13 = 4""".stripMargin
 
+  // -------------------------------------------------- amqp_shared_poison
+  /** POISON-MESSAGE ceiling + DLQ under the oracle gate (JMS
+    * max-delivery-count semantics on the share-group ledger): a planted
+    * poison message — the slice's FIRST row — crashes its consumer on
+    * every delivery. Three consumer incarnations (fresh checkpoints =
+    * fresh owners, `maxMessagesPerTrigger=1` so the poison claim is
+    * exactly one message) each claim it, crash, and let the lease lapse;
+    * the FOURTH consumer's first claim trips the broker's ceiling — the
+    * poison routes to the DLQ annotated `x-opt-dlq-reason=max-deliveries`
+    * / `-deliveries=3` (require'd) and the remaining backlog drains
+    * exactly-once under a normal trigger budget. The hash covers both
+    * lanes: every good row tagged 'ok' exactly once, the poison row
+    * tagged 'dlq' — a premature ceiling (good rows in the DLQ), a
+    * ceiling that never fires (the gate would hang), a double-delivered
+    * survivor, or missing DLQ annotations each break it. Everything —
+    * policy RPC, claims, renewals, settlement, DLQ readback — crosses
+    * real AMQP 1.0 framing.
+    *
+    * Scale shape: delivery counts are per-slice ledger integers (O(live
+    * claims) broker state); the ceiling check is O(1) at dispatch; DLQ
+    * routing moves exactly the poison slice's rows. A crashing consumer
+    * fleet converges instead of looping — redelivery cost is bounded by
+    * maxDeliveries, never wall-clock. */
+  def amqpSharedPoison(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val ep = wireGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val address = s"poison-${sharedGateRun.incrementAndGet()}"
+    val dlqAddr = s"$address-dlq"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 331 === 7)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+      .collect()
+    require(rows.length >= 2, "poison gate needs a poison row plus survivors")
+    val poisonId = rows.head.getLong(0).toString // min event_id: pumped FIRST
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          body = AmqpValueBody(r.getDouble(1).toString)), r.getLong(0))
+      })
+    val scratch = java.nio.file.Files.createTempDirectory("graft-poison-gate")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val leaseMs = 1000L
+    def consume(run: Int, perTrigger: Long): Unit = {
+      val q = s.readStream.format("amqp")
+        .option("endpoint", ep).option("address", address)
+        .option("sharedGroup", "poison-workers")
+        .option("sharedLeaseMillis", leaseMs.toString)
+        .option("sharedMaxDeliveries", "3")
+        .option("sharedDeadLetterAddress", dlqAddr)
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt$run") // fresh owner
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.select(col("message_id"), col("cents")).collect()
+            .map(r => (r.getString(0), r.getInt(1)))
+          // the poison message kills its consumer BEFORE any durable
+          // output (its claim stays unsettled — the redelivery path)
+          if (got.exists(_._1 == poisonId))
+            throw new RuntimeException(s"poison message $poisonId")
+          got.foreach(emitted.add)
+          ()
+        }
+        .start()
+      try {
+        if (run <= 3) {
+          // crashing incarnations: the first trigger claims exactly the
+          // poison row and dies; awaitTermination surfaces the crash
+          val died = intercept2(q.awaitTermination(120000))
+          require(died, s"run $run should have crashed on the poison message")
+        } else {
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      if (run <= 3) Thread.sleep(leaseMs + 400) // the orphan lease lapses
+    }
+    (1 to 3).foreach(consume(_, perTrigger = 1))
+    consume(4, perTrigger = math.max(20L, rows.length / 5L))
+    // DLQ readback over the same wire: exactly the poison row, annotated
+    val dlq = s.read.format("amqp")
+      .option("endpoint", ep).option("address", dlqAddr)
+      .load()
+      .select(col("message_id"),
+        (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType).as("cents"),
+        col("message_annotations"))
+      .collect()
+    require(dlq.length == 1 && dlq.head.getString(0) == poisonId,
+      s"exactly the poison row must dead-letter: ${dlq.map(_.getString(0)).toSeq}")
+    val anns = dlq.head.getMap[String, String](2)
+    require(anns.get("x-opt-dlq-reason").contains("max-deliveries") &&
+      anns.get("x-opt-dlq-deliveries").contains("3"),
+      s"DLQ annotations must carry reason + count: $anns")
+    import scala.jdk.CollectionConverters._
+    val ok = emitted.asScala.toSeq.map { case (id, c) => (id, c, "ok") }
+    (ok :+ ((poisonId, dlq.head.getInt(1), "dlq")))
+      .toDF("message_id", "cents", "lane")
+  }
+
+  /** True iff `body` threw (the crashed-incarnation assertion helper —
+    * scalatest's intercept is not available in main). */
+  private def intercept2(body: => Any): Boolean =
+    try { body; false } catch { case _: Throwable => true }
+
+  val amqpSharedPoisonSql: String =
+    """WITH s AS (SELECT event_id, value FROM events WHERE event_id % 331 = 7),
+      |p AS (SELECT min(event_id) AS pid FROM s)
+      |SELECT CAST(event_id AS VARCHAR) AS message_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents,
+      |  CASE WHEN event_id = (SELECT pid FROM p) THEN 'dlq' ELSE 'ok' END AS lane
+      |FROM s""".stripMargin
+
   // ----------------------------------------------- amqp_stream_from_seq
   /** SEQUENCE-anchored stream start under the oracle gate (Kafka
     * `startingOffsets`-by-position parity, the positional sibling of
@@ -3141,6 +3256,7 @@ object IngestQueries {
     "amqp_stream_dedup_ttl" -> (amqpStreamDedupTtl _),
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
     "amqp_shared_wire"      -> (amqpSharedWire _),
+    "amqp_shared_poison"    -> (amqpSharedPoison _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
@@ -3184,6 +3300,7 @@ object IngestQueries {
     "amqp_stream_dedup_ttl" -> amqpStreamDedupTtlSql,
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
     "amqp_shared_wire"      -> amqpSharedWireSql,
+    "amqp_shared_poison"    -> amqpSharedPoisonSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,

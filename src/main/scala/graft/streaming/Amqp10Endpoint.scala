@@ -464,6 +464,16 @@ class Amqp10Endpoint(host: String, port: Int,
     ()
   }
 
+  override def configureGroupPolicy(address: String, group: String,
+      maxDeliveries: Int, deadLetterAddress: Option[String]): Unit = call {
+    shareEcho(probe(address, amqpWireMap((Vector[(Any, Any)](
+      Sym(ShareGroupProp) -> group,
+      Sym(SharePolicyMaxProp) -> maxDeliveries.toLong) ++
+      deadLetterAddress.map(d => (Sym(SharePolicyDlqProp): Any) -> (d: Any))): _*)),
+      SharePolicyMaxProp)
+    ()
+  }
+
   override def groupStats(address: String, group: String): AmqpGroupStats = call {
     shareEcho(probe(address, amqpWireMap(
       Sym(ShareGroupProp) -> group, Sym(ShareStatsProp) -> true)),

@@ -111,6 +111,11 @@ private[streaming] object Amqp10Wire {
     * outstanding-claims, outstanding-rows, redeliverable-rows]. */
   val ShareStatsProp = "x-graft-share-stats"
   val ShareStatsEchoProp = "x-graft-share-stats-echo"
+  /** Poison-message policy (configureGroupPolicy): max-deliveries +
+    * dead-letter address ride one probe attach; the echo acks with the
+    * applied ceiling. */
+  val SharePolicyMaxProp = "x-graft-share-max-deliveries"
+  val SharePolicyDlqProp = "x-graft-share-dlq"
   val PartitionAnnotation = "x-graft-partition"
   val PartitionResetAnnotation = "x-graft-partition-reset"
   val EmptyStageAnnotation = "x-graft-stage-empty"
@@ -539,7 +544,12 @@ class Amqp10Server(backing: InMemoryAmqpBroker, bindPort: Int = 0,
                     throw new IllegalStateException("share RPC without owner")))
                   def lease = props.get(Sym(ShareLeaseMsProp)).map(asLong).getOrElse(
                     throw new IllegalStateException("share RPC without lease"))
-                  props.get(Sym(ShareSettleProp)) match {
+                  if (props.get(Sym(SharePolicyMaxProp)).isDefined) {
+                    val maxDel = asLong(props.get(Sym(SharePolicyMaxProp)).get).toInt
+                    val dlq = props.get(Sym(SharePolicyDlqProp)).map(String.valueOf(_))
+                    backing.configureGroupPolicy(sourceAddr, group, maxDel, dlq)
+                    amqpWireMap(Sym(SharePolicyMaxProp) -> maxDel.toLong)
+                  } else props.get(Sym(ShareSettleProp)) match {
                     case Some(ids) =>
                       val claimIds = shareIdList(ids)
                       backing.settleClaims(sourceAddr, group, claimIds)

@@ -146,6 +146,16 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
       * longest restart-with-replay gap — a replayed batch whose claims
       * were re-dispatched fails loudly as potential double-read. */
     sharedLeaseMillis: Long = 300000L,
+    /** Poison-message ceiling (JMS max-delivery-count parity, shared
+      * subscription only): a slice delivered this many times — each
+      * delivery ending in lease expiry, i.e. a consumer crash — routes
+      * to [[sharedDeadLetterAddress]] instead of redelivering forever,
+      * annotated x-opt-dlq-reason=max-deliveries / -source /
+      * -deliveries. 0 (default) = unlimited redelivery. The policy is
+      * broker-side group state, asserted (idempotently) by each
+      * consumer at stream start. */
+    sharedMaxDeliveries: Int = 0,
+    sharedDeadLetterAddress: Option[String] = None,
     /** Whether `address` was NAMED by the user (vs the default): the
       * sink refuses to write a pattern-subscribed table whose target
       * was never named — the glob has no single write target, and
@@ -162,6 +172,18 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
   // Two start anchors on one query have no defined winner — pick one.
   require(startingTimestampMicros.isEmpty || startingSequences.isEmpty,
     "startingTimestamp and startingSequences are mutually exclusive")
+  require(sharedMaxDeliveries >= 0,
+    s"sharedMaxDeliveries must be >= 0: $sharedMaxDeliveries")
+  // The poison policy is a share-group property: a ceiling without a
+  // group has no ledger to count on; a ceiling without a DLQ would drop
+  // poison silently; a DLQ without a ceiling would never route to it.
+  require(sharedMaxDeliveries == 0 || sharedGroup.isDefined,
+    "sharedMaxDeliveries requires sharedGroup (delivery counts live in " +
+      "the share-group ledger)")
+  require((sharedMaxDeliveries > 0) == sharedDeadLetterAddress.isDefined,
+    "sharedMaxDeliveries and sharedDeadLetterAddress go together: a " +
+      "ceiling without a DLQ drops poison silently, a DLQ without a " +
+      "ceiling is never routed to")
   /** Either TTL mode makes the scan reader-filtered on the expiry
     * predicate — same pushdown-composition rules for both. */
   def ttlFiltered: Boolean = respectTtl || expiredOnly
@@ -328,6 +350,9 @@ object AmqpSourceConfig {
       sharedGroup = Option(o.get("sharedGroup")).map(_.trim).filter(_.nonEmpty),
       sharedLeaseMillis = math.max(1000L,
         o.getOrDefault("sharedLeaseMillis", "300000").toLong),
+      sharedMaxDeliveries = o.getOrDefault("sharedMaxDeliveries", "0").toInt,
+      sharedDeadLetterAddress =
+        Option(o.get("sharedDeadLetterAddress")).map(_.trim).filter(_.nonEmpty),
       addressExplicit = o.get("address") != null)
   }
 }

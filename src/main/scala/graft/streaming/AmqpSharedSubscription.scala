@@ -109,7 +109,16 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
   override def latestOffset(): Offset = throw new IllegalStateException(
     "shared subscription plans through the admission-control path")
 
+  /** Poison policy asserted once per stream instance, BEFORE the first
+    * claim — idempotent broker-side, re-asserted by every restart (the
+    * checkpoint carries no policy; the group ledger does). */
+  private lazy val policyAsserted: Unit =
+    if (cfg.sharedMaxDeliveries > 0)
+      cfg.addresses.foreach(a => broker.configureGroupPolicy(a, group,
+        cfg.sharedMaxDeliveries, cfg.sharedDeadLetterAddress))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    policyAsserted
     val s = start.asInstanceOf[AmqpSharedOffset]
     val triggerCap = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()

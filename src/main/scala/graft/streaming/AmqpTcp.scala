@@ -47,6 +47,8 @@ private[streaming] object AmqpTcpProtocol {
   case class SettleClaimsReq(address: String, group: String,
       claimIds: Seq[Long]) extends Req
   case class GroupStatsReq(address: String, group: String) extends Req
+  case class ConfigureGroupReq(address: String, group: String,
+      maxDeliveries: Int, deadLetterAddress: Option[String]) extends Req
   case class StageReq(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]) extends Req
   case class CommitStagedReq(txn: String, queryId: String, epochId: Long,
       address: String, tsMicros: Long, routeByTo: Boolean) extends Req
@@ -112,6 +114,7 @@ class AmqpTcpServer(backing: InMemoryAmqpBroker, bindPort: Int = 0,
           case RenewClaimsReq(a, g, o, cs, l) => backing.renewClaims(a, g, o, cs, l)
           case SettleClaimsReq(a, g, ids)     => backing.settleClaims(a, g, ids)
           case GroupStatsReq(a, g)            => backing.groupStats(a, g)
+          case ConfigureGroupReq(a, g, n, dl) => backing.configureGroupPolicy(a, g, n, dl)
           case StageReq(x, p, ms)     => backing.stage(x, p, ms)
           case CommitStagedReq(x, q, e, a, ts, rt) => backing.commitStaged(x, q, e, a, ts, rt)
           case AbortReq(x)            => backing.abortStaged(x)
@@ -214,6 +217,9 @@ class TcpAmqpEndpoint(host: String, port: Int,
     call[Any](SettleClaimsReq(address, group, claimIds))
   override def groupStats(address: String, group: String): AmqpGroupStats =
     call[AmqpGroupStats](GroupStatsReq(address, group))
+  override def configureGroupPolicy(address: String, group: String,
+      maxDeliveries: Int, deadLetterAddress: Option[String]): Unit =
+    call[Any](ConfigureGroupReq(address, group, maxDeliveries, deadLetterAddress))
   override def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit =
     call[Any](StageReq(txn, partitionId, msgs))
   override def commitStaged(txn: String, queryId: String, epochId: Long, address: String,

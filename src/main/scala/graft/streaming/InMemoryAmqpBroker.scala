@@ -183,6 +183,21 @@ trait AmqpEndpoint {
     throw new UnsupportedOperationException(
       "this transport has no shared-subscription claim surface")
 
+  /** Set a share group's poison-message policy (JMS max-delivery-count /
+    * broker address-settings parity): a slice already delivered
+    * `maxDeliveries` times — dispatched, lease-lapsed, redelivered,
+    * lapsed again, `maxDeliveries` times over — is routed to
+    * `deadLetterAddress` (annotated `x-opt-dlq-reason=max-deliveries`,
+    * `x-opt-dlq-source`, `x-opt-dlq-deliveries`) instead of redelivered
+    * forever, while the rest of the backlog keeps draining exactly-once.
+    * `maxDeliveries=0` (the default) = unlimited redelivery. Idempotent
+    * — consumers re-assert it at stream start. A ceiling WITHOUT a DLQ
+    * address refuses: silently dropping poison is never the default. */
+  def configureGroupPolicy(address: String, group: String,
+      maxDeliveries: Int, deadLetterAddress: Option[String]): Unit =
+    throw new UnsupportedOperationException(
+      "this transport has no shared-subscription claim surface")
+
   def stage(txn: String, partitionId: Int, msgs: Seq[AmqpMessage]): Unit
 
   /** Atomically publish a staged transaction. By default every message
@@ -234,9 +249,11 @@ object AmqpAddressGlob {
   */
 class InMemoryAmqpBroker extends AmqpEndpoint {
 
-  /** One consumer's live lease on a slice of the backlog. */
+  /** One consumer's live lease on a slice of the backlog. `deliveries`
+    * counts dispatches of this slice INCLUDING the current one — the
+    * JMSXDeliveryCount analog that drives the poison-message ceiling. */
   private final class Outstanding(val fromExclusive: Long, val toInclusive: Long,
-      val owner: String, var deadlineMillis: Long)
+      val owner: String, var deadlineMillis: Long, val deliveries: Int)
 
   /** Per-(address, group) shared-subscription dispatch state. */
   private final class ShareGroup(initialFloor: Long) {
@@ -244,8 +261,14 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     /** Fresh-dispatch frontier: rows at or below it were handed out. */
     var dispatchedUpTo: Long = initialFloor
     val outstanding = scala.collection.mutable.LongMap.empty[Outstanding]
-    /** Lease-expired slices awaiting redelivery, oldest first. */
-    val redeliverable = scala.collection.mutable.Queue.empty[(Long, Long)]
+    /** Lease-expired slices awaiting redelivery, oldest first:
+      * (fromExclusive, toInclusive, deliveries so far). */
+    val redeliverable = scala.collection.mutable.Queue.empty[(Long, Long, Int)]
+    /** Poison-message policy (see [[AmqpEndpoint.configureGroupPolicy]]):
+      * a slice already delivered `maxDeliveries` times is routed to
+      * `deadLetterAddress` instead of redelivered. 0 = unlimited. */
+    var maxDeliveries: Int = 0
+    var deadLetterAddress: Option[String] = None
   }
 
   /** (seq, message, enqueue timestamp micros). seq starts at 1. */
@@ -386,48 +409,115 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
     }.toSeq.sorted
     dead.foreach { id =>
       val o = g.outstanding.remove(id).get
-      g.redeliverable.enqueue((o.fromExclusive, o.toInclusive))
+      g.redeliverable.enqueue((o.fromExclusive, o.toInclusive, o.deliveries))
     }
+  }
+
+  /** Poison-message ceiling + DLQ routing (the JMS max-delivery-count /
+    * broker address-settings contract): a group configured with a
+    * ceiling routes any slice already delivered `maxDeliveries` times to
+    * the dead-letter address instead of redelivering it forever. Applied
+    * per GROUP — policy is a property of the consuming application, and
+    * the broker enforces it at dispatch, so a consumer fleet that
+    * crashes on one message converges instead of looping. Idempotent;
+    * a transport without the claim surface throws (same contract as
+    * [[AmqpEndpoint.claim]]). */
+  override def configureGroupPolicy(address: String, group: String,
+      maxDeliveries: Int, deadLetterAddress: Option[String]): Unit = {
+    require(maxDeliveries >= 0, s"maxDeliveries must be >= 0: $maxDeliveries")
+    require(maxDeliveries == 0 || deadLetterAddress.exists(_.nonEmpty),
+      "a delivery ceiling needs a dead-letter address — dropping poison " +
+        "messages silently is never the right default")
+    val q = addr(address)
+    q.lock.lock()
+    try {
+      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+      g.maxDeliveries = maxDeliveries
+      g.deadLetterAddress = deadLetterAddress.filter(_.nonEmpty)
+    } finally q.lock.unlock()
   }
 
   override def claim(address: String, group: String, owner: String,
       maxRows: Long, leaseMillis: Long): Seq[AmqpClaim] = {
     val q = addr(address)
-    q.lock.lock()
-    try {
-      // a group born on a partially-settled address starts at the
-      // replayable floor — rows below it are gone for everyone
-      val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
-      val now = clockMillis()
-      expireSweep(g, now)
-      var budget = math.max(0L, maxRows)
-      val out = Vector.newBuilder[AmqpClaim]
-      def lease(f: Long, t: Long): Unit = {
-        val id = g.nextClaimId
-        g.nextClaimId += 1
-        g.outstanding(id) = new Outstanding(f, t, owner, now + leaseMillis)
-        out += AmqpClaim(id, f, t)
-        budget -= t - f
+    // poison slices collected under q's lock, published to the DLQ after
+    // releasing it — the DLQ is a DIFFERENT address whose lock must not
+    // nest inside q's (commitStaged's sorted-lock discipline; here the
+    // two-phase split avoids nesting entirely)
+    val poisoned = Vector.newBuilder[(String, AmqpMessage, Long, Int)]
+    val claims =
+      try {
+        q.lock.lock()
+        try {
+          // a group born on a partially-settled address starts at the
+          // replayable floor — rows below it are gone for everyone
+          val g = q.shareGroups.getOrElseUpdate(group, new ShareGroup(q.settledUpTo))
+          val now = clockMillis()
+          expireSweep(g, now)
+          var budget = math.max(0L, maxRows)
+          val out = Vector.newBuilder[AmqpClaim]
+          def lease(f: Long, t: Long, deliveries: Int): Unit = {
+            val id = g.nextClaimId
+            g.nextClaimId += 1
+            g.outstanding(id) = new Outstanding(f, t, owner, now + leaseMillis, deliveries)
+            out += AmqpClaim(id, f, t)
+            budget -= t - f
+          }
+          // redeliveries first (a dead consumer's backlog must not starve
+          // behind fresh traffic), splitting a slice at the budget — the
+          // remainder stays at the FRONT of the queue, preserving age
+          // order. A slice at the delivery ceiling is POISON: its
+          // messages leave the backlog for the DLQ (published after the
+          // lock drops) and the loop continues — poison never consumes
+          // claim budget, and the rest of the backlog keeps draining.
+          while (budget > 0 && g.redeliverable.nonEmpty) {
+            val (f, t, n) = g.redeliverable.dequeue()
+            if (g.maxDeliveries > 0 && n >= g.maxDeliveries) {
+              val dlq = g.deadLetterAddress.get
+              q.messages.filter { case (s, _, _) => s > f && s <= t }
+                .foreach { case (_, m, ts) => poisoned += ((dlq, m, ts, n)) }
+              val keep = q.messages.filter { case (s, _, _) => s <= f || s > t }
+              q.messages.clear()
+              q.messages ++= keep
+              // advance the settlement floor over the removed prefix,
+              // exactly like settleClaims — the slice is resolved
+              val head =
+                if (q.messages.isEmpty) q.nextSeq - 1 else q.messages.head._1 - 1
+              if (head > q.settledUpTo) q.settledUpTo = head
+            } else {
+              val take = math.min(budget, t - f)
+              lease(f, f + take, n + 1)
+              if (f + take < t) (f + take, t, n) +=: g.redeliverable
+            }
+          }
+          // then fresh backlog from the dispatch frontier
+          val latest = q.nextSeq - 1
+          if (budget > 0 && g.dispatchedUpTo < latest) {
+            val f = g.dispatchedUpTo
+            val t = math.min(latest, if (f > latest - budget) latest else f + budget)
+            lease(f, t, deliveries = 1)
+            g.dispatchedUpTo = t
+          }
+          out.result()
+        } finally q.lock.unlock()
       }
-      // redeliveries first (a dead consumer's backlog must not starve
-      // behind fresh traffic), splitting a slice at the budget — the
-      // remainder stays at the FRONT of the queue, preserving age order
-      while (budget > 0 && g.redeliverable.nonEmpty) {
-        val (f, t) = g.redeliverable.dequeue()
-        val take = math.min(budget, t - f)
-        lease(f, f + take)
-        if (f + take < t) (f + take, t) +=: g.redeliverable
-      }
-      // then fresh backlog from the dispatch frontier
-      val latest = q.nextSeq - 1
-      if (budget > 0 && g.dispatchedUpTo < latest) {
-        val f = g.dispatchedUpTo
-        val t = math.min(latest, if (f > latest - budget) latest else f + budget)
-        lease(f, t)
-        g.dispatchedUpTo = t
-      }
-      out.result()
-    } finally q.lock.unlock()
+    // DLQ publish outside q's lock: annotated with reason/source/count
+    // (the x-opt-dlq-* vocabulary amqp_dead_letter established), credit-
+    // exempt like any broker-internal move (sendUnconditionally)
+    poisoned.result().foreach { case (dlq, m, ts, n) =>
+      val dq = addr(dlq)
+      dq.lock.lock()
+      try {
+        dq.flow.sendUnconditionally()
+        val seq = dq.nextSeq
+        dq.nextSeq += 1
+        dq.messages += ((seq, m.copy(messageAnnotations = m.messageAnnotations ++ Seq(
+          "x-opt-dlq-reason" -> "max-deliveries",
+          "x-opt-dlq-source" -> address,
+          "x-opt-dlq-deliveries" -> n)), ts))
+      } finally dq.lock.unlock()
+    }
+    claims
   }
 
   override def renewClaims(address: String, group: String, owner: String,
@@ -446,12 +536,17 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
           case None =>
             // expired but not yet re-dispatched: rescue the exact slice
             // back under its original id; anything else is lost (the
-            // slice was re-claimed by another consumer, or settled)
-            val idx = g.redeliverable.indexOf((c.fromExclusive, c.toInclusive))
+            // slice was re-claimed by another consumer, or settled). The
+            // rescue keeps the expiry-time delivery count — a rescue is
+            // the SAME delivery resuming, not a new dispatch.
+            val idx = g.redeliverable.indexWhere(e =>
+              e._1 == c.fromExclusive && e._2 == c.toInclusive)
             if (idx >= 0) {
+              val n = g.redeliverable(idx)._3
               g.redeliverable.remove(idx)
               g.outstanding(c.claimId) =
-                new Outstanding(c.fromExclusive, c.toInclusive, owner, now + leaseMillis)
+                new Outstanding(c.fromExclusive, c.toInclusive, owner,
+                  now + leaseMillis, n)
               None
             } else Some(c.claimId)
         }
@@ -504,7 +599,7 @@ class InMemoryAmqpBroker extends AmqpEndpoint {
         outstandingClaims = g.outstanding.size.toLong,
         outstandingRows = g.outstanding.values
           .map(o => o.toInclusive - o.fromExclusive).sum,
-        redeliverableRows = g.redeliverable.map { case (f, t) => t - f }.sum)
+        redeliverableRows = g.redeliverable.map { case (f, t, _) => t - f }.sum)
     } finally q.lock.unlock()
   }
 

@@ -96,6 +96,9 @@ class SharedSubscriptionSpec extends SparkSpecBase {
         "another owner's renew reports the claims lost")
       client.settleClaims("q", "g", cs.map(_.claimId))
       assert(client.fetch("q", 0, 20).map(_._1).forall(_ > 15))
+      // the poison policy crosses the socket (and refusals surface)
+      client.configureGroupPolicy("q", "g", 5, Some("q-dlq"))
+      intercept[Exception](client.configureGroupPolicy("q", "g", 5, None))
       // a transport without the surface fails loudly, never degrades
       val bare: AmqpEndpoint = new AmqpEndpoint {
         def send(address: String, msg: AmqpMessage, timestampMicros: Long): Long = 0L
@@ -110,6 +113,50 @@ class SharedSubscriptionSpec extends SparkSpecBase {
       }
       intercept[UnsupportedOperationException](bare.claim("q", "g", "o", 1, 1000))
     } finally { client.close(); server.close() }
+  }
+
+  test("poison-message ceiling: a slice at max deliveries routes to the DLQ, annotated") {
+    val (_, b) = freshBroker("poison")
+    var now = 1000L
+    b.clockMillis = () => now
+    pump(b, "q", 10)
+    b.configureGroupPolicy("q", "g", maxDeliveries = 3, Some("q-dlq"))
+    // the whole backlog is claimed and the consumer dies — three times
+    (1 to 3).foreach { i =>
+      val cs = b.claim("q", "g", s"crash-$i", 100, leaseMillis = 1000)
+      assert(cs.map(_.rows).sum == 10, s"attempt $i re-claims the backlog: $cs")
+      now += 2000 // consumer dies; the lease lapses
+    }
+    // 4th dispatch: the ceiling fires — everything routes to the DLQ,
+    // nothing is redelivered, the healthy claim gets an empty answer
+    assert(b.claim("q", "g", "healthy", 100, leaseMillis = 1000).isEmpty)
+    val dlq = b.fetch("q-dlq", 0, b.latestSeq("q-dlq"))
+    assert(dlq.size == 10, s"poison lands in the DLQ: ${dlq.size}")
+    val anns = dlq.head._2.messageAnnotations.toMap
+    assert(anns.get("x-opt-dlq-reason").contains("max-deliveries") &&
+      anns.get("x-opt-dlq-source").contains("q") &&
+      anns.get("x-opt-dlq-deliveries").contains(3), anns.toString)
+    assert(dlq.map(_._2.messageId.get).toSet == (1 to 10).map(i => s"m$i").toSet)
+    // the source address is RESOLVED: ledger clean, backlog gone
+    val st = b.groupStats("q", "g")
+    assert(st.redeliverableRows == 0 && st.outstandingRows == 0, st.toString)
+    assert(b.fetch("q", 0, b.latestSeq("q")).isEmpty)
+    // a rescue keeps the expiry-time count (a rescue is the same
+    // delivery resuming, not a new dispatch)
+    pump(b, "q2", 4)
+    b.configureGroupPolicy("q2", "g", maxDeliveries = 2, Some("q2-dlq"))
+    val c1 = b.claim("q2", "g", "A", 10, leaseMillis = 1000) // deliveries=1
+    now += 2000
+    assert(b.renewClaims("q2", "g", "A", c1, 1000).isEmpty, "rescued")
+    now += 2000 // lapse again: still deliveries=1 in the queue
+    val c2 = b.claim("q2", "g", "B", 10, leaseMillis = 1000) // deliveries=2
+    assert(c2.map(_.rows).sum == 4, "rescue must not have burned a delivery")
+    now += 2000
+    assert(b.claim("q2", "g", "C", 10, leaseMillis = 1000).isEmpty,
+      "ceiling fires on the dispatch AFTER max deliveries")
+    assert(b.fetch("q2-dlq", 0, b.latestSeq("q2-dlq")).size == 4)
+    // a ceiling without a DLQ refuses — silent drop is never a default
+    intercept[IllegalArgumentException](b.configureGroupPolicy("q", "g", 2, None))
   }
 
   test("claim surface round-trips the amqp10:// wire (probe-attach RPC framing)") {
@@ -135,6 +182,8 @@ class SharedSubscriptionSpec extends SparkSpecBase {
       client.settleClaims("q", "g", cs.map(_.claimId))
       assert(client.fetch("q", 0, 40).map(_._1).forall(_ > 15))
       assert(client.settledUpTo("q") == 15L)
+      // the poison policy rides a probe attach too
+      client.configureGroupPolicy("q", "g", 7, Some("q-dlq"))
     } finally { client.close(); server.close() }
   }
 
