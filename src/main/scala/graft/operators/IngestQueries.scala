@@ -2399,7 +2399,10 @@ object IngestQueries {
     * Scale shape: admission is one claim RPC per trigger per consumer
     * (O(1) ledger arithmetic broker-side); adding consumers divides the
     * backlog without coordination among them — the broker's lease
-    * ledger is the only shared state. */
+    * ledger is the only shared state. Since r9 the gate also runs under
+    * the `minMessagesPerTrigger`/`maxTriggerDelay` admission floor
+    * (Kafka ReadMinRows parity) — held tails must still land exactly
+    * once. */
   def amqpSharedConsumers(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
     import s.implicits._
     val ep = tcpGateEndpoint
@@ -2418,6 +2421,13 @@ object IngestQueries {
         .option("endpoint", ep).option("address", address)
         .option("sharedGroup", "workers")
         .option("maxMessagesPerTrigger", perTrigger.toString)
+        // the gate runs UNDER the min-rows admission floor (Kafka
+        // minOffsetsPerTrigger/maxTriggerDelay parity): claims below 20
+        // available rows hold until the 1s ceiling — the floor is on the
+        // hash path, so an admission bug that drops or re-claims the
+        // held tail breaks the oracle
+        .option("minMessagesPerTrigger", "20")
+        .option("maxTriggerDelay", "1s")
         .load()
         .withColumn("cents",
           (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
@@ -2444,6 +2454,12 @@ object IngestQueries {
       // doc for why no fresh claim can slip in after that)
       q1.processAllAvailable(); q2.processAllAvailable()
       q1.processAllAvailable(); q2.processAllAvailable()
+      // the tail below the min-rows floor is HELD by admission (so
+      // processAllAvailable can return before it lands) and fires at
+      // the 1s delay ceiling — the continuous triggers keep polling
+      val deadline = System.currentTimeMillis() + 60000
+      while (emitted.size < rows.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
     } finally { q1.stop(); q2.stop() }
     import scala.jdk.CollectionConverters._
     val got = emitted.asScala.toSeq

@@ -90,6 +90,19 @@ class AmqpTable(options: CaseInsensitiveStringMap)
   * remains the single-link form (and the sink's target). */
 case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[String],
     maxPerTrigger: Long, maxPerSecond: Long, statsRowBytes: Long = 1024L,
+    /** Kafka `minOffsetsPerTrigger` parity: a trigger with fewer than
+      * this many new rows available across the subscription admits NO
+      * batch — trickle streams batch up instead of paying per-trigger
+      * overhead one row at a time — UNLESS the wait has reached
+      * [[maxTriggerDelayMillis]], at which point whatever is available
+      * fires (bounded staleness). 0 = fire on any data (the default).
+      * Ignored under Trigger.AvailableNow/Once (Kafka parity: a
+      * run-to-completion trigger must drain and stop, not wait). */
+    minPerTrigger: Long = 0L,
+    /** Ceiling on how long [[minPerTrigger]] may hold batches back,
+      * measured from the last admitted batch (Kafka `maxTriggerDelay`,
+      * default 15m there and here). */
+    maxTriggerDelayMillis: Long = 15L * 60 * 1000,
     startingTimestampMicros: Option[Long] = None,
     /** Kafka `startingOffsets`-by-position parity: a NEW query starts
       * each named link at the given SEQUENCE (exclusive — "I have
@@ -172,6 +185,9 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
   // Two start anchors on one query have no defined winner — pick one.
   require(startingTimestampMicros.isEmpty || startingSequences.isEmpty,
     "startingTimestamp and startingSequences are mutually exclusive")
+  require(minPerTrigger >= 0, s"minMessagesPerTrigger must be >= 0: $minPerTrigger")
+  require(maxTriggerDelayMillis > 0,
+    s"maxTriggerDelay must be positive: $maxTriggerDelayMillis ms")
   require(sharedMaxDeliveries >= 0,
     s"sharedMaxDeliveries must be >= 0: $sharedMaxDeliveries")
   // The poison policy is a share-group property: a ceiling without a
@@ -244,6 +260,18 @@ object AmqpSourceConfig {
         .getOrElse(Seq(primary)),
       maxPerTrigger = o.getOrDefault("maxMessagesPerTrigger", "10000").toLong,
       maxPerSecond = o.getOrDefault("maxMessagesPerSecond", "0").toLong,
+      // Kafka minOffsetsPerTrigger/maxTriggerDelay parity: batch up
+      // trickle streams (admit nothing below the min until the delay
+      // ceiling). maxTriggerDelay accepts Spark duration strings
+      // ("45s", "15m"; bare numbers = seconds) and is only meaningful
+      // with a min — set alone it refuses rather than silently idling.
+      minPerTrigger = o.getOrDefault("minMessagesPerTrigger", "0").toLong,
+      maxTriggerDelayMillis = Option(o.get("maxTriggerDelay")).map { t =>
+        require(o.getOrDefault("minMessagesPerTrigger", "0").toLong > 0,
+          "maxTriggerDelay only applies with minMessagesPerTrigger set — " +
+            "without a min, every trigger fires as soon as data exists")
+        org.apache.spark.network.util.JavaUtils.timeStringAsMs(t)
+      }.getOrElse(15L * 60 * 1000),
       // planner row-size estimate (statistics): AMQP has no byte-count
       // surface, so the width is declared; raise it for fat payloads
       statsRowBytes = o.getOrDefault("statsRowBytes", "1024").toLong,
@@ -1005,12 +1033,27 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
   override def reportLatestOffset(): Offset =
     AmqpOffset(subscribed.map(a => a -> broker.latestSeq(a)).toMap)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
+  /** With a min-rows floor configured, the default limit composes it
+    * with the trigger cap (exactly the Kafka source's shape): Spark
+    * hands the composite back to [[latestOffset(start*]], which holds
+    * batches below the floor until the delay ceiling. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (cfg.minPerTrigger > 0)
+      ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(cfg.minPerTrigger, cfg.maxTriggerDelayMillis),
+        ReadLimit.maxRows(cfg.maxPerTrigger)))
+    else ReadLimit.maxRows(cfg.maxPerTrigger)
 
   private val rate = new AmqpRateBudget(cfg.maxPerSecond)
   /** Injectable clock (nanos) so rate-limit admission is unit-testable. */
   private[streaming] def nanoClock: () => Long = rate.nanoClock
   private[streaming] def nanoClock_=(f: () => Long): Unit = rate.nanoClock = f
+
+  /** Injectable wall clock for the maxTriggerDelay ceiling. */
+  private[streaming] var wallClock: () => Long = () => System.currentTimeMillis()
+  /** Last ADMITTED batch (or first admission decision) — the anchor the
+    * min-rows delay ceiling measures from, like Kafka's lastTriggerMillis. */
+  private var lastTriggerMillis = 0L
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     settledCache.clear() // one fresh settlement probe per address per trigger
@@ -1021,9 +1064,38 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     // later probe misses is never dropped mid-stream.
     val active = (startOff.seqs.keySet ++ subscribed).toSeq.sorted
     if (active.isEmpty) return AmqpOffset(Map.empty)
-    val triggerCap = limit match {
+    val limits: Seq[ReadLimit] = limit match {
+      case c: streaming.CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    val triggerCap = limits.collectFirst {
       case rl: streaming.ReadMaxRows => rl.maxRows()
-      case _ => Long.MaxValue
+    }.getOrElse(Long.MaxValue)
+    // start positions resolve once, shared by the min-rows availability
+    // probe and the admission arithmetic below
+    val startSeqs = active.map { a =>
+      // an address first discovered mid-stream (not yet in the
+      // checkpoint) starts at its REPLAYABLE prefix, like initialOffset —
+      // a pre-existing queue joining a pattern subscription must not
+      // plan the settled span below it (one probe, first trigger only)
+      a -> startOff.seqs.getOrElse(a, cachedSettledUpTo(a))
+    }.toMap
+    // ReadMinRows admission (minMessagesPerTrigger + maxTriggerDelay):
+    // below the floor and inside the delay window, admit NOTHING — the
+    // same offset back means no batch, and the rate budget is NOT spent.
+    // Ignored under AvailableNow (a run-to-completion trigger drains and
+    // stops; waiting for rows that never come would hang it — Kafka
+    // ignores minOffsetsPerTrigger there for the same reason).
+    limits.collectFirst { case rl: streaming.ReadMinRows => rl } match {
+      case Some(m) if availableNowCap.isEmpty =>
+        val available = active.map(a =>
+          math.max(0L, latestFor(a) - startSeqs(a))).sum
+        val now = wallClock()
+        if (lastTriggerMillis == 0L) lastTriggerMillis = now
+        if (available < m.minRows && now - lastTriggerMillis < m.maxTriggerDelayMs)
+          return startOff
+        lastTriggerMillis = now
+      case _ => ()
     }
     // The trigger's row budget is shared across links: each link gets an
     // equal share (at least 1), so a hot link cannot starve the others —
@@ -1031,11 +1103,7 @@ class AmqpMicroBatchStream(cfg: AmqpSourceConfig,
     val totalCap = math.min(triggerCap, rate.budget())
     val perLink = math.max(1L, totalCap / active.length)
     AmqpOffset(active.map { a =>
-      // an address first discovered mid-stream (not yet in the
-      // checkpoint) starts at its REPLAYABLE prefix, like initialOffset —
-      // a pre-existing queue joining a pattern subscription must not
-      // plan the settled span below it (one probe, first trigger only)
-      val startSeq = startOff.seqs.getOrElse(a, cachedSettledUpTo(a))
+      val startSeq = startSeqs(a)
       // saturating add: an uncapped limit (ReadAllAvailable under
       // Trigger.Once) makes perLink = Long.MaxValue, and a wrapped sum
       // would move the end offset BACKWARD past the start — admitting

@@ -104,7 +104,19 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
 
   override def deserializeOffset(json: String): Offset = AmqpSharedOffset.fromJson(json)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.maxPerTrigger)
+  /** Same composite as the default stream: a min-rows floor (when
+    * configured) rides with the trigger cap, so trickle fleets batch up
+    * instead of claiming one row per trigger. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (cfg.minPerTrigger > 0)
+      ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(cfg.minPerTrigger, cfg.maxTriggerDelayMillis),
+        ReadLimit.maxRows(cfg.maxPerTrigger)))
+    else ReadLimit.maxRows(cfg.maxPerTrigger)
+
+  /** Injectable wall clock for the maxTriggerDelay ceiling. */
+  private[streaming] var wallClock: () => Long = () => System.currentTimeMillis()
+  private var lastTriggerMillis = 0L
 
   override def latestOffset(): Offset = throw new IllegalStateException(
     "shared subscription plans through the admission-control path")
@@ -120,9 +132,32 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     policyAsserted
     val s = start.asInstanceOf[AmqpSharedOffset]
-    val triggerCap = limit match {
+    val limits: Seq[ReadLimit] = limit match {
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    val triggerCap = limits.collectFirst {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
-      case _ => Long.MaxValue
+    }.getOrElse(Long.MaxValue)
+    // min-rows floor (minMessagesPerTrigger + maxTriggerDelay): below
+    // the floor and inside the delay window, CLAIM NOTHING — what this
+    // consumer leaves unclaimed stays dispatchable to the rest of the
+    // group, so holding back is free fleet-wide. "Available" here is the
+    // group's dispatchable volume (undispatched backlog + redeliveries),
+    // one ledger-snapshot RPC per address.
+    limits.collectFirst {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMinRows => rl
+    }.foreach { m =>
+      val available = cfg.addresses.map { a =>
+        val st = broker.groupStats(a, group)
+        math.max(0L, st.headSeq - st.dispatchedUpTo) + st.redeliverableRows
+      }.sum
+      val now = wallClock()
+      if (lastTriggerMillis == 0L) lastTriggerMillis = now
+      if (available < m.minRows && now - lastTriggerMillis < m.maxTriggerDelayMs)
+        return s
+      lastTriggerMillis = now
     }
     // maxMessagesPerSecond caps the CLAIM, same budget arithmetic as the
     // default stream — a rate-limited shared consumer claims at most its

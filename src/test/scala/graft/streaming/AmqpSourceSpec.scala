@@ -187,6 +187,74 @@ class AmqpSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("minMessagesPerTrigger holds sub-floor batches; maxTriggerDelay fires them (unit)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val (ep, broker) = freshEndpoint("minrows")
+    val stream = new AmqpMicroBatchStream(
+      AmqpSourceConfig(ep, "my_address", Seq("my_address"),
+        maxPerTrigger = 100, maxPerSecond = 0,
+        minPerTrigger = 5, maxTriggerDelayMillis = 10000))
+    var now = 1000L
+    stream.wallClock = () => now
+    // the composite default limit carries BOTH bounds, Kafka-shaped
+    val limit = stream.getDefaultReadLimit
+    def admit(from: Long): Long =
+      stream.latestOffset(AmqpOffset.single("my_address", from), limit)
+        .asInstanceOf[AmqpOffset].seqOf("my_address")
+    // 3 rows < floor of 5, inside the delay window: NO batch (the same
+    // offset back), however often the trigger polls
+    (1 to 3).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    now += 2000; assert(admit(0) == 0, "below the floor: hold")
+    now += 2000; assert(admit(0) == 0, "still below, still inside the window")
+    // more data reaches the floor: fires immediately
+    (4 to 6).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    assert(admit(0) == 6, "floor reached: admit everything available")
+    // a trickle below the floor waits out the ceiling, then fires
+    broker.send("my_address", AmqpMessage(body = AmqpValueBody("7")))
+    now += 9000; assert(admit(6) == 6, "1 row, 9s of 10s window: hold")
+    now += 2000; assert(admit(6) == 7, "delay ceiling reached: fire below the floor")
+    // the ceiling re-anchors at the admitted batch
+    broker.send("my_address", AmqpMessage(body = AmqpValueBody("8")))
+    now += 5000; assert(admit(7) == 7, "window re-anchored: hold again")
+    // an AvailableNow run ignores the floor (drain-and-stop must not hang)
+    stream.prepareForTriggerAvailableNow()
+    assert(admit(7) == 8, "AvailableNow drains regardless of the floor")
+  }
+
+  test("minMessagesPerTrigger batches a trickle stream end to end") {
+    val (ep, broker) = freshEndpoint("minrows-e2e")
+    (1 to 12).foreach(i =>
+      broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep).option("address", "my_address")
+      .option("minMessagesPerTrigger", "4")
+      .option("maxTriggerDelay", "1s")
+      .load()
+      .writeStream.format("memory").queryName("amqp_minrows").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      poll { assert(tableSize("amqp_minrows") == 12) }
+      // every admitted batch carried at least the floor (a per-row
+      // trigger would show 1-row batches)
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.nonEmpty && batchSizes.forall(_ >= 4),
+        s"batches: ${batchSizes.mkString(",")}")
+      // a 2-row trickle is BELOW the floor: it fires anyway once the 1s
+      // delay ceiling lapses (bounded staleness, not a hang)
+      (13 to 14).foreach(i =>
+        broker.send("my_address", AmqpMessage(body = AmqpValueBody(s"$i"))))
+      poll { assert(tableSize("amqp_minrows") == 14) }
+    } finally q.stop()
+    // maxTriggerDelay without a min refuses loudly
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("amqp")
+        .option("endpoint", ep).option("address", "my_address")
+        .option("maxTriggerDelay", "5s").load()
+    }
+  }
+
   test("progress reports source metrics: backlog, unsettled window, links") {
     val (ep, broker) = freshEndpoint("metrics")
     (1 to 8).foreach(i =>

@@ -323,6 +323,36 @@ class SharedSubscriptionSpec extends SparkSpecBase {
     assert(b.claim("q", "g", "other", 10000, 60000).map(_.rows).sum == 850)
   }
 
+  test("shared stream min-rows floor: hold below, fire at the delay ceiling, leave backlog claimable") {
+    val (ep, b) = freshBroker("shared-minrows")
+    val cfg = AmqpSourceConfig(ep, "q", Seq("q"),
+      maxPerTrigger = 100, maxPerSecond = 0, sharedGroup = Some("g"),
+      minPerTrigger = 5, maxTriggerDelayMillis = 10000)
+    val stream = new AmqpSharedMicroBatchStream(cfg, "owner-min")
+    var now = 1000L
+    stream.wallClock = () => now
+    val limit = stream.getDefaultReadLimit
+    def admit(start: AmqpSharedOffset): AmqpSharedOffset =
+      stream.latestOffset(start, limit).asInstanceOf[AmqpSharedOffset]
+    val o0 = AmqpSharedOffset("g", 0, Nil)
+    pump(b, "q", 3) // below the floor of 5
+    now += 2000
+    val held = admit(o0)
+    assert(held eq o0, "below the floor: claim NOTHING")
+    assert(b.groupStats("q", "g").dispatchedUpTo == 0,
+      "held rows stay dispatchable to the rest of the group")
+    pump(b, "q", 3, from = 4) // 6 total: floor reached
+    val fired = admit(o0)
+    assert(fired.rows == 6, s"floor reached: claim all, got ${fired.rows}")
+    stream.commit(fired)
+    // a sub-floor trickle fires once the delay ceiling lapses
+    pump(b, "q", 1, from = 7)
+    now += 9000
+    assert(admit(fired).rows == fired.rows, "inside the re-anchored window: hold")
+    now += 2000
+    assert(admit(fired).rows == fired.rows + 1, "ceiling reached: fire below the floor")
+  }
+
   test("sharedGroup refuses Trigger.AvailableNow with a targeted error") {
     val (ep, broker) = freshBroker("shared-avnow")
     pump(broker, "jobs", 10)
