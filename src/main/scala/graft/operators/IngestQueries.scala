@@ -2548,6 +2548,91 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 13 = 4""".stripMargin
 
+  // ------------------------------------------------- amqp_shared_pattern
+  /** PATTERN SUBSCRIPTION x SHARED GROUP — the two fleet features
+    * composed: `addressPattern` DISCOVERS a fleet of queues (never named
+    * in the query), `sharedGroup` work-shares EACH of them across two
+    * concurrent consumers, and a third queue created MID-STREAM joins
+    * the shared subscription at the next trigger's discovery probe —
+    * all over real AMQP 1.0 framing (discovery probe + claim RPCs on
+    * the wire). The union of both consumers' outputs must hash the
+    * whole 3-shard slice exactly once: a queue missed by discovery
+    * loses its shard, a double-dispatched claim duplicates, a
+    * mid-stream queue read from anywhere but its start breaks counts.
+    * Structural requires pin that both consumers worked AND that the
+    * mid-stream shard arrived.
+    *
+    * Scale shape: discovery is one driver-side probe per trigger per
+    * consumer (a listing, like file-source discovery); each discovered
+    * address claims independently, so queues x consumers parallelize
+    * with zero coordination beyond the broker's lease ledger. */
+  def amqpSharedPattern(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val ep = wireGateEndpoint
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val base = s"fleet${sharedGateRun.incrementAndGet()}"
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 5)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+    require(rows.length >= 12, "shared-pattern gate slice too small")
+    def msgs(pred: Long => Boolean) =
+      rows.toSeq.filter(r => pred(r.getLong(0))).map { r =>
+        (AmqpMessage(messageId = Some(r.getLong(0).toString),
+          subject = Some(r.getString(1)),
+          body = AmqpValueBody(r.getDouble(2).toString)), r.getLong(0))
+      }
+    // shards 0 and 1 exist before the consumers; shard 2 is pumped
+    // mid-stream into a BRAND-NEW queue the pattern must then discover
+    pumpAll(client, s"$base-shard0", msgs(_ % 3 == 0))
+    pumpAll(client, s"$base-shard1", msgs(_ % 3 == 1))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-shared-pattern-gate")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Int)]()
+    val perTrigger = math.max(10, rows.length / 12)
+    def consumer(idx: Int) =
+      s.readStream.format("amqp")
+        .option("endpoint", ep)
+        .option("addressPattern", s"$base-*")
+        .option("sharedGroup", "fleet-workers")
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .withColumn("cents",
+          (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt$idx")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("message_id"), col("subject"), col("cents")).collect()
+            .foreach(r => emitted.add((idx, r.getString(0), r.getString(1), r.getInt(2))))
+          ()
+        }
+        .start()
+    val q1 = consumer(1)
+    val q2 = consumer(2)
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // the mid-stream queue: created (first message) while both
+      // consumers run; the next trigger's discovery probe picks it up
+      pumpAll(client, s"$base-shard2", msgs(_ % 3 == 2))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq
+    require(got.map(_._1).toSet == Set(1, 2),
+      s"work-sharing degenerated to one consumer: split " +
+        s"${got.groupBy(_._1).view.mapValues(_.size).toMap}")
+    val shard2 = rows.map(_.getLong(0)).filter(_ % 3 == 2).map(_.toString).toSet
+    require(shard2.subsetOf(got.map(_._2).toSet),
+      "the mid-stream queue's shard must join the shared subscription")
+    got.map { case (_, id, et, c) => (id, et, c) }
+      .toDF("message_id", "event_type", "cents")
+  }
+
+  val amqpSharedPatternSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS message_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
+      |FROM events WHERE event_id % 7 = 5""".stripMargin
+
   // -------------------------------------------------- amqp_shared_poison
   /** POISON-MESSAGE ceiling + DLQ under the oracle gate (JMS
     * max-delivery-count semantics on the share-group ledger): a planted
@@ -3273,6 +3358,7 @@ object IngestQueries {
     "amqp_shared_consumers" -> (amqpSharedConsumers _),
     "amqp_shared_wire"      -> (amqpSharedWire _),
     "amqp_shared_poison"    -> (amqpSharedPoison _),
+    "amqp_shared_pattern"   -> (amqpSharedPattern _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
@@ -3317,6 +3403,7 @@ object IngestQueries {
     "amqp_shared_consumers" -> amqpSharedConsumersSql,
     "amqp_shared_wire"      -> amqpSharedWireSql,
     "amqp_shared_poison"    -> amqpSharedPoisonSql,
+    "amqp_shared_pattern"   -> amqpSharedPatternSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,

@@ -178,10 +178,12 @@ case class AmqpSourceConfig(endpoint: String, address: String, addresses: Seq[St
     "respectTtl and expiredOnly partition the backlog — pick one")
   // Shared subscription repartitions CONSUMPTION; modes that reposition
   // or copy the read are a different contract — refuse loudly.
+  // addressPattern COMPOSES: discovery names the queues, the share group
+  // work-shares each (a consumer fleet over a fleet of queues).
   require(sharedGroup.isEmpty || (!browse && startingTimestampMicros.isEmpty &&
-      startingSequences.isEmpty && addressPattern.isEmpty && !ttlFiltered),
+      startingSequences.isEmpty && !ttlFiltered),
     "sharedGroup cannot combine with browse, startingTimestamp/Sequences, " +
-      "addressPattern, or TTL-filtered reads")
+      "or TTL-filtered reads")
   // Two start anchors on one query have no defined winner — pick one.
   require(startingTimestampMicros.isEmpty || startingSequences.isEmpty,
     "startingTimestamp and startingSequences are mutually exclusive")

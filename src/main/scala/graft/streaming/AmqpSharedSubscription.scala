@@ -90,8 +90,16 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
     * undispatched backlog behind the frontier, rows under live leases
     * fleet-wide, and rows awaiting redelivery from dead consumers. One
     * ledger-snapshot RPC per address per trigger. */
+  /** The current subscription: the static address list, or — under
+    * `addressPattern` — a fresh discovery probe per call (the same
+    * contract as the default stream: a queue created mid-stream joins
+    * the work-sharing subscription on the next trigger, and every
+    * consumer of the group converges on the same sorted list because
+    * discovery is broker-side). */
+  private def subscribed: Seq[String] = cfg.subscription(broker).sorted
+
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
-    val stats = cfg.addresses.sorted.map(a => broker.groupStats(a, group))
+    val stats = subscribed.map(a => broker.groupStats(a, group))
     java.util.Map.of(
       "undispatchedMessages",
         stats.map(s => math.max(0L, s.headSeq - s.dispatchedUpTo)).sum.toString,
@@ -121,17 +129,26 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
   override def latestOffset(): Offset = throw new IllegalStateException(
     "shared subscription plans through the admission-control path")
 
-  /** Poison policy asserted once per stream instance, BEFORE the first
-    * claim — idempotent broker-side, re-asserted by every restart (the
-    * checkpoint carries no policy; the group ledger does). */
-  private lazy val policyAsserted: Unit =
+  /** Poison policy asserted once per ADDRESS per stream instance,
+    * BEFORE its first claim — idempotent broker-side, re-asserted by
+    * every restart (the checkpoint carries no policy; the group ledger
+    * does). Per-address because a pattern subscription grows: a queue
+    * discovered mid-stream gets the policy before anything is claimed
+    * from it. */
+  private val policyDone = scala.collection.mutable.HashSet.empty[String]
+  private def assertPolicy(addrs: Seq[String]): Unit =
     if (cfg.sharedMaxDeliveries > 0)
-      cfg.addresses.foreach(a => broker.configureGroupPolicy(a, group,
-        cfg.sharedMaxDeliveries, cfg.sharedDeadLetterAddress))
+      addrs.filterNot(policyDone.contains).foreach { a =>
+        broker.configureGroupPolicy(a, group,
+          cfg.sharedMaxDeliveries, cfg.sharedDeadLetterAddress)
+        policyDone += a
+      }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    policyAsserted
     val s = start.asInstanceOf[AmqpSharedOffset]
+    val addrs = subscribed
+    if (addrs.isEmpty) return s // pattern matches nothing yet: no batch
+    assertPolicy(addrs)
     val limits: Seq[ReadLimit] = limit match {
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
         c.getReadLimits.toSeq
@@ -149,7 +166,7 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
     limits.collectFirst {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMinRows => rl
     }.foreach { m =>
-      val available = cfg.addresses.map { a =>
+      val available = addrs.map { a =>
         val st = broker.groupStats(a, group)
         math.max(0L, st.headSeq - st.dispatchedUpTo) + st.redeliverableRows
       }.sum
@@ -164,8 +181,8 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
     // budget, so unclaimed backlog stays dispatchable to the group
     val cap = math.min(triggerCap, rate.budget())
     // equal share per link, like the default stream's budget split
-    val perLink = math.max(1L, cap / cfg.addresses.length)
-    val claims = cfg.addresses.sorted.flatMap { a =>
+    val perLink = math.max(1L, cap / addrs.length)
+    val claims = addrs.flatMap { a =>
       broker.claim(a, group, owner, perLink, cfg.sharedLeaseMillis).map(a -> _)
     }
     if (claims.isEmpty) s // nothing dispatchable: same offset, no batch

@@ -388,7 +388,51 @@ class SharedSubscriptionSpec extends SparkSpecBase {
     }
     intercept[IllegalArgumentException](load("browse" -> "true"))
     intercept[IllegalArgumentException](load("startingTimestampMicros" -> "1"))
-    intercept[IllegalArgumentException](load("addressPattern" -> "q*"))
     intercept[IllegalArgumentException](load("respectTtl" -> "true"))
+    // the poison policy options go together and need a group
+    intercept[IllegalArgumentException](load("sharedMaxDeliveries" -> "3"))
+    intercept[IllegalArgumentException](load("sharedDeadLetterAddress" -> "dlq"))
+  }
+
+  test("addressPattern composes with sharedGroup: discovery feeds the work-sharing claims") {
+    val (ep, broker) = freshBroker("shared-pattern")
+    val dir = Files.createTempDirectory("shared-pattern")
+    // two queues exist up front; a third is created MID-STREAM
+    (1 to 20).foreach(i => assert(broker.send("fleet-a",
+      AmqpMessage(messageId = Some(s"a$i"), body = AmqpValueBody(s"$i"))) > 0))
+    (1 to 15).foreach(i => assert(broker.send("fleet-b",
+      AmqpMessage(messageId = Some(s"b$i"), body = AmqpValueBody(s"$i"))) > 0))
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("amqp")
+      .option("endpoint", ep)
+      .option("addressPattern", "fleet-*")
+      .option("sharedGroup", "workers")
+      .option("maxMessagesPerTrigger", "10")
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => emitted.add(r.getAs[String]("message_id")))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet ==
+        ((1 to 20).map(i => s"a$i") ++ (1 to 15).map(i => s"b$i")).toSet,
+        "both discovered queues drain exactly once")
+      // a queue created mid-stream joins the shared subscription
+      (1 to 5).foreach(i => assert(broker.send("fleet-c",
+        AmqpMessage(messageId = Some(s"c$i"), body = AmqpValueBody(s"$i"))) > 0))
+      q.processAllAvailable()
+      assert(emitted.asScala.count(_.startsWith("c")) == 5,
+        "the mid-stream queue's rows land exactly once")
+      // the decoy outside the glob is never touched
+      assert(broker.send("other-q", AmqpMessage(body = AmqpValueBody("x"))) > 0)
+      q.processAllAvailable()
+      assert(emitted.asScala.size == 40, "no rows beyond the pattern's queues")
+      assert(broker.groupStats("other-q", "workers").dispatchedUpTo == 0)
+    } finally q.stop()
   }
 }
