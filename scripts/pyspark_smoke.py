@@ -197,6 +197,35 @@ tplan = typed._jdf.queryExecution().executedPlan().toString()
 assert "price >= 100" in tplan and "price <= 299" in tplan, tplan
 assert typed.count() == 20, typed.count()
 
+# MIN-ROWS admission from Python (minMessagesPerTrigger/maxTriggerDelay,
+# Kafka ReadMinRows parity): every non-empty batch carries at least the
+# floor — a trickle stream batches up instead of firing per row
+(
+    spark.range(n)
+    .select(F.col("id").cast("string").alias("message_id"),
+            F.col("id").cast("string").alias("body"))
+    .write.format("amqp")
+    .option("endpoint", ep).option("address", "smoke-minrows")
+    .mode("append").save()
+)
+qmin = (
+    spark.readStream.format("amqp")
+    .option("endpoint", ep).option("address", "smoke-minrows")
+    .option("minMessagesPerTrigger", 10)
+    .option("maxTriggerDelay", "1s")
+    .load()
+    .select("message_id")
+    .writeStream.format("memory")
+    .queryName("py_minrows")
+    .outputMode("append")
+    .start()
+)
+qmin.processAllAvailable()
+assert spark.table("py_minrows").count() == n
+sizes = [p["numInputRows"] for p in qmin.recentProgress if p["numInputRows"] > 0]
+assert sizes and all(s >= 10 for s in sizes), sizes
+qmin.stop()
+
 # SHARED SUBSCRIPTION from Python: two streaming consumers in one group
 # work-share a queue; the union is exactly-once across the fleet
 (
@@ -240,6 +269,6 @@ print(f"PYSPARK SMOKE OK: {n} messages sink->source round-trip, "
       "envelope schema + grouped agg + COUNT(*) pushdown + "
       "propertyColumns lift/pushdown (string AND typed long ranges) + "
       "addressPattern discovery + routeByTo per-row routing + "
-      "streaming AvailableNow drain + SQL DDL + shared-subscription "
-      "work-sharing, all from Python")
+      "streaming AvailableNow drain + SQL DDL + min-rows admission + "
+      "shared-subscription work-sharing, all from Python")
 sys.exit(0)
