@@ -84,12 +84,6 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
         "ProcessingTime trigger and stop on the share-group lag report, or " +
         "drop sharedGroup for a run-to-completion read.")
 
-  /** Per-trigger source metrics in StreamingQueryProgress — the GROUP's
-    * view, not this consumer's (a share group's position is collective;
-    * see [[AmqpStreamOps.sharedLagReport]] for the offline face):
-    * undispatched backlog behind the frontier, rows under live leases
-    * fleet-wide, and rows awaiting redelivery from dead consumers. One
-    * ledger-snapshot RPC per address per trigger. */
   /** The current subscription: the static address list, or — under
     * `addressPattern` — a fresh discovery probe per call (the same
     * contract as the default stream: a queue created mid-stream joins
@@ -98,6 +92,21 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
     * discovery is broker-side). */
   private def subscribed: Seq[String] = cfg.subscription(broker).sorted
 
+  /** This consumer's running share of the group's work (metrics only —
+    * never consulted for correctness; the ledger is the truth). */
+  private val claimedRowsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val settledClaimsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-trigger source metrics in StreamingQueryProgress — the GROUP's
+    * view plus this CONSUMER's contribution (a share group's position
+    * is collective; see [[AmqpStreamOps.sharedLagReport]] for the
+    * offline face): undispatched backlog behind the frontier, rows
+    * under live leases fleet-wide, rows awaiting redelivery from dead
+    * consumers — and the running totals of rows THIS consumer has
+    * claimed and claims it has settled, so StreamingQueryProgress alone
+    * shows fleet health AND this member's share of the work (rebalance
+    * monitoring without the offline lag report). One ledger-snapshot
+    * RPC per address per trigger. */
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val stats = subscribed.map(a => broker.groupStats(a, group))
     java.util.Map.of(
@@ -105,6 +114,8 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
         stats.map(s => math.max(0L, s.headSeq - s.dispatchedUpTo)).sum.toString,
       "leasedMessages", stats.map(_.outstandingRows).sum.toString,
       "redeliverableMessages", stats.map(_.redeliverableRows).sum.toString,
+      "claimedRowsTotal", claimedRowsTotal.get.toString,
+      "settledClaimsTotal", settledClaimsTotal.get.toString,
       "links", stats.length.toString)
   }
 
@@ -186,7 +197,10 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
       broker.claim(a, group, owner, perLink, cfg.sharedLeaseMillis).map(a -> _)
     }
     if (claims.isEmpty) s // nothing dispatchable: same offset, no batch
-    else AmqpSharedOffset(group, s.rows + claims.map(_._2.rows).sum, claims)
+    else {
+      claimedRowsTotal.addAndGet(claims.map(_._2.rows).sum)
+      AmqpSharedOffset(group, s.rows + claims.map(_._2.rows).sum, claims)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -226,6 +240,7 @@ class AmqpSharedMicroBatchStream(cfg: AmqpSourceConfig, checkpointLocation: Stri
     e.claims.groupBy(_._1).foreach { case (a, cs) =>
       broker.settleClaims(a, group, cs.map(_._2.claimId))
     }
+    settledClaimsTotal.addAndGet(e.claims.size.toLong)
   }
 
   override def stop(): Unit = ()

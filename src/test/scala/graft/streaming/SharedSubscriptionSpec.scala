@@ -246,6 +246,13 @@ class SharedSubscriptionSpec extends SparkSpecBase {
         s"drained group must report zero dispatchable backlog: $m")
       assert(m.get("leasedMessages").toLong <= 2L * 25,
         s"leases must be at most the final batches' settle-lag: $m")
+      // this CONSUMER's contribution rides the same progress metrics:
+      // it claimed part of the backlog (never more than all of it) and
+      // settled at least its earlier batches (settlement lags one)
+      val claimed = m.get("claimedRowsTotal").toLong
+      assert(claimed > 0 && claimed <= 200,
+        s"member contribution must show in progress metrics: $m")
+      assert(m.get("settledClaimsTotal").toLong > 0, m.toString)
     } finally { q1.stop(); q2.stop() }
   }
 
