@@ -61,7 +61,18 @@ class AmqpDataSource extends TableProvider with DataSourceRegister {
 }
 
 class AmqpTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with streaming.ReportsSinkMetrics {
+
+  /** Sink face of the observability story (`ReportsSinkMetrics` — the
+    * write-side sibling of the source's per-trigger metrics): committed
+    * vs REPLAYED epochs (a replay published nothing — the exactly-once
+    * guarantee made visible), messages the broker accepted, and aborts,
+    * all in StreamingQueryProgress.sink.metrics. Spark asks THIS table
+    * instance, so the counters live here and the streaming write
+    * updates them on each epoch commit. */
+  private val sinkMetrics = new AmqpSinkMetrics
+  override def metrics(): util.Map[String, String] = sinkMetrics.asJava
   override def name(): String =
     s"amqp:${AmqpSourceConfig(options).endpoint}/${AmqpSourceConfig(options).address}"
   override def schema(): StructType = AmqpSourceConfig(options).schema
@@ -82,7 +93,7 @@ class AmqpTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new AmqpScanBuilder(AmqpSourceConfig(merged(opts)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AmqpWriteBuilder(AmqpSourceConfig(merged(info.options())), info)
+    new AmqpWriteBuilder(AmqpSourceConfig(merged(info.options())), info, sinkMetrics)
 }
 
 /** `addresses` (plural) is the horizontal-scale surface: one AMQP link

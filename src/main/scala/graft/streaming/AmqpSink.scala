@@ -138,12 +138,34 @@ object AmqpSink {
   }
 }
 
+/** Sink-progress counters shared between the table — which Spark asks
+  * for sink metrics per trigger ([[graft.streaming.AmqpTable.metrics]],
+  * `ReportsSinkMetrics`) — and the streaming write that observes the
+  * epoch commits. Observability only, never consulted for correctness:
+  * the broker's epoch ledger is the truth. `publishedMessagesTotal`
+  * counts rows the broker ACCEPTED this run; a replayed epoch after
+  * restart (commitStaged = -1, published nothing) counts under
+  * `replayedEpochsTotal` — the exactly-once guarantee made visible in
+  * StreamingQueryProgress. */
+private[streaming] final class AmqpSinkMetrics {
+  val committedEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val publishedMessages = new java.util.concurrent.atomic.AtomicLong(0L)
+  val replayedEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val abortedEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def asJava: java.util.Map[String, String] = java.util.Map.of(
+    "committedEpochsTotal", committedEpochs.get.toString,
+    "publishedMessagesTotal", publishedMessages.get.toString,
+    "replayedEpochsTotal", replayedEpochs.get.toString,
+    "abortedEpochsTotal", abortedEpochs.get.toString)
+}
+
 /** Update mode publishes each changed row as a fresh message
   * (SupportsStreamingUpdateAsAppend — the Kafka sink's pattern: a
   * message stream has no keyed state to update in place). Complete mode
   * likewise re-publishes the full result per epoch; truncate is a no-op
   * because messages already published are immutable history. */
-class AmqpWriteBuilder(cfg: AmqpSourceConfig, info: LogicalWriteInfo)
+class AmqpWriteBuilder(cfg: AmqpSourceConfig, info: LogicalWriteInfo,
+    metrics: AmqpSinkMetrics = new AmqpSinkMetrics)
     extends WriteBuilder
     with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
     with org.apache.spark.sql.connector.write.SupportsTruncate {
@@ -155,12 +177,14 @@ class AmqpWriteBuilder(cfg: AmqpSourceConfig, info: LogicalWriteInfo)
     "writing needs an explicit `address` option when addressPattern is set — " +
       "a glob subscription has no single write target")
   override def truncate(): WriteBuilder = this
-  override def build(): Write = new AmqpWrite(cfg, info.schema(), info.queryId())
+  override def build(): Write = new AmqpWrite(cfg, info.schema(), info.queryId(), metrics)
 }
 
-class AmqpWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String)
+class AmqpWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String,
+    metrics: AmqpSinkMetrics = new AmqpSinkMetrics)
     extends Write {
-  override def toStreaming: StreamingWrite = new AmqpStreamingWrite(cfg, schema, queryId)
+  override def toStreaming: StreamingWrite =
+    new AmqpStreamingWrite(cfg, schema, queryId, metrics)
   override def toBatch: BatchWrite = new AmqpBatchWrite(cfg, schema, queryId)
   override def description(): String = s"AmqpWrite(${cfg.endpoint}/${cfg.address})"
 }
@@ -183,20 +207,31 @@ case class AmqpBatchWriterFactory(cfg: AmqpSourceConfig, schema: StructType,
     new AmqpDataWriter(cfg, schema, s"$queryId#batch", partitionId)
 }
 
-class AmqpStreamingWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String)
+class AmqpStreamingWrite(cfg: AmqpSourceConfig, schema: StructType, queryId: String,
+    metrics: AmqpSinkMetrics = new AmqpSinkMetrics)
     extends StreamingWrite {
   private def txn(epochId: Long) = s"$queryId#$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     AmqpStreamingWriterFactory(cfg, schema, queryId)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    AmqpEndpointRegistry.endpoint(cfg.endpoint)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val published = AmqpEndpointRegistry.endpoint(cfg.endpoint)
       .commitStaged(txn(epochId), queryId, epochId, cfg.address,
         routeByTo = cfg.routeByTo)
+    // -1 = the broker already committed this (query, epoch): a replayed
+    // commit after restart published NOTHING — exactly-once, surfaced
+    if (published < 0) metrics.replayedEpochs.incrementAndGet()
+    else {
+      metrics.committedEpochs.incrementAndGet()
+      metrics.publishedMessages.addAndGet(published.toLong)
+    }
+  }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     AmqpEndpointRegistry.endpoint(cfg.endpoint).abortStaged(txn(epochId))
+    metrics.abortedEpochs.incrementAndGet()
+  }
 }
 
 /** Batch writes publish as a single transaction keyed by the write's

@@ -201,6 +201,16 @@ class AmqpSinkSpec extends SparkSpecBase {
         case AmqpValueBody(s: String) => s
       }
       assert(bodies.toSet == (1 to 8).map(i => s"m-$i").toSet)
+      // the sink face of the observability story (ReportsSinkMetrics):
+      // committed epochs + broker-accepted rows ride sink.metrics in
+      // StreamingQueryProgress — and nothing was replayed or aborted
+      poll {
+        val m = q.lastProgress.sink.metrics
+        assert(m.get("publishedMessagesTotal").toLong == 8, m.toString)
+        assert(m.get("committedEpochsTotal").toLong >= 2, m.toString)
+        assert(m.get("replayedEpochsTotal") == "0" &&
+          m.get("abortedEpochsTotal") == "0", m.toString)
+      }
     } finally q.stop()
   }
 
