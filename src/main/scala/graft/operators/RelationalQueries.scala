@@ -1094,6 +1094,128 @@ object RelationalQueries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** RELATIONAL PIVOT (`groupBy().pivot(col, values).agg(...)` — the
+    * engine operator, not q13's manual CASE-WHEN emulation): one output
+    * column per pivoted value, produced by Spark's PivotFirst path.
+    * Values are EXPLICIT ('A','N','R') — the two-pass value-discovery
+    * form is a driver-side distinct scan the doc steers away from at
+    * scale, and explicit values keep the output schema static for the
+    * cross-engine hash. A (status, flag) pair absent from the data
+    * yields NULL in both engines.
+    *
+    * Scale shape: pivot compiles to one hash aggregate whose buffer
+    * holds |values| slots per group — map-side partial, one shuffle,
+    * no per-value pass; the wide frame is |groups| x |values|, a
+    * report-sized result by construction. */
+  def q80Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("cents",
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast(LongType))
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("cents")))
+
+  val q80Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS "R"
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** UNPIVOT / melt (`Dataset.unpivot`, SQL UNPIVOT — the inverse of
+    * q80): three integer measures per lineitem row melt into
+    * (id, measure, value) long form, then a per-measure profile
+    * (count / sum / min / max) consumes the melted shape — the
+    * wide-to-long reshape every feature-store export and per-metric
+    * quality report runs. Measure names and the exact fixed-point
+    * values sit under the hash, so a dropped measure column, a name
+    * drift, or a null-handling difference breaks it.
+    *
+    * Scale shape: unpivot is a projection-time explode (k output rows
+    * per input row, no shuffle of its own); the profile is one
+    * |measures|-group aggregate — map-side partial over k·N rows. */
+  def q81Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("qty_cents"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("price_cents"),
+        (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("disc_bp"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty_cents"), col("price_cents"), col("disc_bp")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  val q81Sql: String =
+    """WITH u AS (
+      |  SELECT 'qty_cents' AS measure,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+      |  FROM lineitem
+      |  UNION ALL SELECT 'price_cents',
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'disc_bp',
+      |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+      |  FROM lineitem)
+      |SELECT measure, count(*) AS n_rows,
+      |  CAST(sum(value) AS BIGINT) AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM u GROUP BY measure""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** LATERAL correlated subquery (SQL:1999 LATERAL, Spark's
+    * DecorrelateInnerQuery path): each nation row drives a correlated
+    * aggregate over its customers — the "for each row, run this
+    * subquery" shape analysts write, which the optimizer must
+    * DECORRELATE into a join + aggregate rather than execute per row.
+    * The gate hashes the decorrelated result against DuckDB's native
+    * LATERAL execution, so a decorrelation bug (dropped empty groups,
+    * mis-scoped correlation) breaks it; nations with zero matching
+    * customers surface with zero/NULL aggregates (LATERAL is an inner
+    * join against a one-row-per-invocation subquery — COUNT gives 0,
+    * SUM gives NULL, and the row SURVIVES).
+    *
+    * Scale shape: after decorrelation this is one aggregate over
+    * customer shuffled by nationkey + one broadcast-sized join back to
+    * nation — per-row subquery syntax, set-based execution. */
+  def q82Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lat_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat_v")
+    s.sql(
+      """SELECT n.n_name, t.n_custs, t.acct_cents
+        |FROM nation_lat_v n,
+        |LATERAL (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_custs,
+        |    CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS acct_cents
+        |  FROM customer_lat_v c
+        |  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+        |) t""".stripMargin)
+  }
+
+  val q82Sql: String =
+    """SELECT n.n_name, t.n_custs, t.acct_cents
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_custs,
+      |    CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS acct_cents
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+      |) t""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Sketch with a verified error bound: HyperLogLog++ distinct-user
     * counts per event type, gated against the exact count. The output
@@ -2972,6 +3094,9 @@ object RelationalQueries {
     "q77_listagg"         -> (q77Listagg _),
     "q78_aqe_skew_join"   -> (q78AqeSkewJoin _),
     "q79_runtime_bloom"   -> (q79RuntimeBloom _),
+    "q80_pivot"           -> (q80Pivot _),
+    "q81_unpivot"         -> (q81Unpivot _),
+    "q82_lateral"         -> (q82Lateral _),
     "q29_sketch_bounds"   -> (q29SketchBounds _),
     "q30_correlated_subquery" -> (q30CorrelatedSubquery _),
     "q31_udaf_wavg"       -> (q31UdafWavg _),
@@ -3045,6 +3170,9 @@ object RelationalQueries {
     "q77_listagg"         -> q77Sql,
     "q78_aqe_skew_join"   -> q78Sql,
     "q79_runtime_bloom"   -> q79Sql,
+    "q80_pivot"           -> q80Sql,
+    "q81_unpivot"         -> q81Sql,
+    "q82_lateral"         -> q82Sql,
     "q29_sketch_bounds"   -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_udaf_wavg"       -> q31Sql,
