@@ -1165,6 +1165,140 @@ object DedupQueries {
        |    // count(ta) AS recall_fp
        |FROM j""".stripMargin
 
+  // --------------------------------------------------- dedup_lsh_tuning
+  /** EMPIRICAL LSH parameter tuning — "which (bands, rows) should this
+    * corpus run?" answered by measurement, not the textbook S-curve
+    * alone: the SAME K=16 MinHash signatures are banded under every
+    * divisor split (b,r) ∈ {(16,1),(8,2),(4,4),(2,8),(1,16)} and each
+    * configuration is scored against the exact 3-gram Jaccard truth at
+    * θ=0.8 — candidates generated, true pairs caught / missed (recall
+    * loss), and sub-threshold candidates (wasted verify work, the
+    * precision cost). One row per configuration, every figure an exact
+    * integer, so the whole recall/verify-cost trade-off table sits
+    * under the cross-engine hash: the production knob the S-curve
+    * approximates, computed from the corpus's REAL collision structure
+    * (fewer rows per band = more permissive bands = more caught AND
+    * more wasted verifies — monotone in r, which the gate exhibits).
+    *
+    * Scale shape: signatures are one shingle-shuffled aggregate (shared
+    * across all configurations); each configuration adds one
+    * band-keyed self-join sized by its own collisions — exactly the
+    * cost being measured. The exact-truth side is the audit posture of
+    * [[dedupLshAudit]]: full truth at test scale, the same query over
+    * a uniform document sample in production (binomial error bars,
+    * exact-side cost proportional to the sample). */
+  def dedupLshTuning(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val Tau = 0.8
+    val inv = shingleStream(s, d, 3).cache()
+    val sizes = shingleSizes(inv)
+    val invH = inv.withColumn("h", CharFoldHash.charFoldHashNative(s, "shingle"))
+    val mhAggs = (1 to K).map(i => min(permute(col("h"), i)).as(s"mh$i"))
+    val sigs = invH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
+    // exact truth at θ (dedup_lsh_audit's truth side)
+    val ia = inv.select(col("shingle"), col("doc_id").as("doc_a"))
+    val ib = inv.select(col("shingle"), col("doc_id").as("doc_b"))
+    val truth = ia.join(ib, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("shared").cast(DoubleType)
+        / (col("n_a") + col("n_b") - col("shared")).cast(DoubleType) >= Tau)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+      .cache()
+    // a banded candidate set per configuration: bands of r CONSECUTIVE
+    // signature positions, joined on every position separately (no
+    // combined band key — polynomial packing of r>2 minhashes would
+    // overflow a long, and overflow semantics differ across engines)
+    def candidates(b: Int, r: Int): DataFrame = {
+      val bandArr = array((0 until b).map { t =>
+        struct(lit(t).as("band") +:
+          (0 until r).map(j => col(s"mh${t * r + j + 1}").as(s"k$j")): _*)
+      }: _*)
+      val keyCols = "band" +: (0 until r).map(j => s"k$j")
+      val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+        .select(col("doc_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
+      bands.select(col("doc_id").as("doc_a") +: keyCols.map(col): _*)
+        .join(bands.select(col("doc_id").as("doc_b") +: keyCols.map(col): _*), keyCols)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    val perConfig = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      candidates(b, r)
+        .join(truth, Seq("doc_a", "doc_b"), "left_outer")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(col("is_true")), lit(0L)).as("caught_true"))
+        .select(lit(b).cast(LongType).as("bands"), lit(r).cast(LongType).as("rows_per_band"),
+          col("n_cand"), col("caught_true"))
+    }.reduce(_ unionByName _)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    perConfig.crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"), col("n_true"),
+        col("caught_true"),
+        (col("n_true") - col("caught_true")).as("missed_true"),
+        (col("n_cand") - col("caught_true")).as("wasted_verifies"))
+  }
+
+  lazy val dedupLshTuningSql: String = {
+    val K = 16
+    val mhCols = (1 to K).map(i =>
+      s"min(${permuteSql("h", i)}) AS mh$i").mkString(",\n    ")
+    def configSql(b: Int, r: Int): String = {
+      val bandSelects = (0 until b).map { t =>
+        val ks = (0 until r).map(j => s"mh${t * r + j + 1} AS k$j").mkString(", ")
+        s"SELECT doc_id, $t AS band, $ks FROM sigs"
+      }.mkString("\n    UNION ALL ")
+      val on = ("a.band = b.band" +:
+        (0 until r).map(j => s"a.k$j = b.k$j")).mkString(" AND ")
+      s"""SELECT $b AS bands, $r AS rows_per_band, doc_a, doc_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM ($bandSelects) a
+         |    JOIN ($bandSelects) b ON $on AND a.doc_id < b.doc_id)""".stripMargin
+    }
+    val allConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+      .map { case (b, r) => configSql(b, r) }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${shingleSetSql(3)} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
+       |shx AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |shh AS (SELECT doc_id, ${charFoldHashSql("shingle")} AS h FROM shx),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhCols
+       |  FROM shh GROUP BY doc_id),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        >= 0.8),
+       |cands AS (
+       |  $allConfigs),
+       |nt AS (SELECT count(*) AS n_true FROM truth),
+       |configs AS (
+       |  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+       |    AS v(bands, rows_per_band)),
+       |scored AS (
+       |  SELECT c.bands, c.rows_per_band,
+       |    count(*) AS n_cand,
+       |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS caught
+       |  FROM cands c
+       |  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |  GROUP BY c.bands, c.rows_per_band)
+       |SELECT CAST(k.bands AS BIGINT) AS bands,
+       |  CAST(k.rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(coalesce(s.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST((SELECT n_true FROM nt) AS BIGINT) AS n_true,
+       |  CAST(coalesce(s.caught, 0) AS BIGINT) AS caught_true,
+       |  CAST((SELECT n_true FROM nt) - coalesce(s.caught, 0) AS BIGINT) AS missed_true,
+       |  CAST(coalesce(s.n_cand, 0) - coalesce(s.caught, 0) AS BIGINT) AS wasted_verifies
+       |FROM configs k
+       |LEFT JOIN scored s
+       |  ON s.bands = k.bands AND s.rows_per_band = k.rows_per_band""".stripMargin
+  }
+
   // ------------------------------------------------------ dedup_novelty
   /** Per-document n-gram NOVELTY score: the fraction of a document's
     * distinct word-5-grams whose canonical FIRST carrier (min doc_id
@@ -1489,6 +1623,7 @@ object DedupQueries {
     "dedup_substring"        -> (dedupSubstring _),
     "dedup_winnow"           -> (dedupWinnow _),
     "dedup_lsh_audit"        -> (dedupLshAudit _),
+    "dedup_lsh_tuning"       -> (dedupLshTuning _),
   )
 
   // lazy for the same init-order reason as dedupWinnowSql
@@ -1515,5 +1650,6 @@ object DedupQueries {
     "dedup_substring"        -> dedupSubstringSql,
     "dedup_winnow"           -> dedupWinnowSql,
     "dedup_lsh_audit"        -> dedupLshAuditSql,
+    "dedup_lsh_tuning"       -> dedupLshTuningSql,
   )
 }
