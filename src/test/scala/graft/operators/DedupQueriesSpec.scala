@@ -101,6 +101,32 @@ class DedupQueriesSpec extends SparkSpecBase {
       "OPH missed every pair the 16-permutation variant found")
   }
 
+  test("lsh tuning: permissiveness is monotone in rows-per-band, and (8,2) matches the shipped LSH") {
+    val rows = DedupQueries.dedupLshTuning(spark, sfDir).collect()
+      .map(r => (r.getLong(1), // rows_per_band
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))) // n_cand, n_true, caught, wasted
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L, 16L))
+    val nTrue = rows(1L)._2
+    assert(rows.values.forall(_._2 == nTrue), "n_true is configuration-independent")
+    // fewer rows per band = more permissive bands: candidates AND caught
+    // true pairs are monotone non-increasing as r grows (the S-curve's
+    // empirical face — this is the trade-off the operator tabulates)
+    val rs = Seq(1L, 2L, 4L, 8L, 16L)
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 >= rows(b)._1, s"candidates must not grow with r: $rows")
+      assert(rows(a)._3 >= rows(b)._3, s"caught must not grow with r: $rows")
+    }
+    // every configuration's caught is bounded by the truth
+    assert(rows.values.forall(v => v._3 <= v._2), rows.toString)
+    // (b=8, r=2) is the production config dedup_minhash_lsh ships: its
+    // caught count must equal what the shipped pipeline verifies (the
+    // tuning table and the pipeline must not disagree about the corpus)
+    val shipped = DedupQueries.dedupMinhashLsh(spark, sfDir).count()
+    assert(rows(2L)._3 == shipped,
+      s"tuning row (8,2) caught ${rows(2L)._3} vs shipped pipeline $shipped")
+  }
+
   test("cdc chunking: boundaries are content-defined, so an insertion only disturbs one chunk") {
     // reference implementation of the operator's chunking
     def chunks(text: String): Seq[Long] = {

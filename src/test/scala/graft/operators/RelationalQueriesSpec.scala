@@ -43,6 +43,22 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("l_shipdate"), plan)
   }
 
+  test("q80 pivot compiles to ONE aggregate pass per stage (PivotFirst), no per-value scans") {
+    val plan = RelationalQueries.q80Pivot(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // pivotfirst buffers all values in one aggregate; three separate
+    // scans of lineitem (one per value) would betray a per-value pass
+    assert(plan.contains("pivotfirst") || plan.contains("PivotFirst"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q82 LATERAL decorrelates to a join — never a per-row subquery or cartesian") {
+    val plan = RelationalQueries.q82Lateral(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("q05 uses a broadcast hash join") {
     val plan = RelationalQueries.q05BroadcastPromo(spark, sfDir)
       .queryExecution.executedPlan.toString
