@@ -2548,6 +2548,77 @@ object IngestQueries {
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
       |FROM events WHERE event_id % 13 = 4""".stripMargin
 
+  // ------------------------------------------------- amqp_stream_minrows
+  /** MIN-ROWS ADMISSION on the hash path (`minMessagesPerTrigger` +
+    * `maxTriggerDelay`, Kafka ReadMinRows parity, single-consumer
+    * stream): the gate drains a pumped slice under a floor of 10 rows
+    * and a 1 s delay ceiling — batches below the floor are HELD by
+    * admission (the structural require pins that every batch except
+    * the ceiling-fired tail carried at least the floor) and the tail
+    * fires at the ceiling rather than hanging, so the full slice must
+    * still land EXACTLY ONCE under the oracle hash: an admission bug
+    * that drops, re-admits, or double-counts a held tail breaks it.
+    * Runs over the amqp10:// wire like its siblings.
+    *
+    * Scale shape: the floor only REMOVES triggers (batching trickle
+    * streams); admission stays O(1) ledger arithmetic per trigger —
+    * what changes is per-trigger overhead amortization, which is the
+    * point. */
+  def amqpStreamMinrows(s: SparkSession, d: String): DataFrame = gateLock.synchronized {
+    import s.implicits._
+    val (ep, address) = gateTarget()
+    val client = AmqpEndpointRegistry.endpoint(ep)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 23 === 3)
+      .select(col("event_id"), col("value"))
+      .collect()
+    require(rows.nonEmpty, "minrows gate slice is empty")
+    pumpAll(client, address, rows.toSeq.map { r =>
+        (AmqpMessage(
+          messageId = Some(r.getLong(0).toString),
+          body = AmqpValueBody(r.getDouble(1).toString)), r.getLong(0))
+      })
+    val scratch = java.nio.file.Files.createTempDirectory("graft-minrows-gate")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = s.readStream.format("amqp")
+      .option("endpoint", ep).option("address", address)
+      .option("minMessagesPerTrigger", "10")
+      .option("maxTriggerDelay", "1s")
+      .option("maxMessagesPerTrigger", math.max(15, rows.length / 4).toString)
+      .load()
+      .withColumn("cents",
+        (col("body").cast(DecimalType(18, 2)) * 100).cast(IntegerType))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.select(col("message_id"), col("cents")).collect()
+          .map(r => (r.getString(0), r.getInt(1)))
+        if (got.nonEmpty) batchSizes.add(got.length)
+        got.foreach(emitted.add)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // a tail below the floor is HELD by admission (processAllAvailable
+      // can return before it lands) and fires at the 1 s ceiling
+      val deadline = System.currentTimeMillis() + 60000
+      while (emitted.size < rows.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    require(sizes.dropRight(1).forall(_ >= 10),
+      s"every batch but the ceiling-fired tail must carry the floor: $sizes")
+    emitted.asScala.toSeq.toDF("message_id", "cents")
+  }
+
+  val amqpStreamMinrowsSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS message_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS INTEGER) AS cents
+      |FROM events WHERE event_id % 23 = 3""".stripMargin
+
   // ------------------------------------------------- amqp_shared_pattern
   /** PATTERN SUBSCRIPTION x SHARED GROUP — the two fleet features
     * composed: `addressPattern` DISCOVERS a fleet of queues (never named
@@ -3359,6 +3430,7 @@ object IngestQueries {
     "amqp_shared_wire"      -> (amqpSharedWire _),
     "amqp_shared_poison"    -> (amqpSharedPoison _),
     "amqp_shared_pattern"   -> (amqpSharedPattern _),
+    "amqp_stream_minrows"   -> (amqpStreamMinrows _),
     "amqp_typed_property"   -> (amqpTypedProperty _),
     "amqp_shared_lag"       -> (amqpSharedLag _),
     "amqp_stream_from_seq"  -> (amqpStreamFromSeq _),
@@ -3404,6 +3476,7 @@ object IngestQueries {
     "amqp_shared_wire"      -> amqpSharedWireSql,
     "amqp_shared_poison"    -> amqpSharedPoisonSql,
     "amqp_shared_pattern"   -> amqpSharedPatternSql,
+    "amqp_stream_minrows"   -> amqpStreamMinrowsSql,
     "amqp_typed_property"   -> amqpTypedPropertySql,
     "amqp_shared_lag"       -> amqpSharedLagSql,
     "amqp_stream_from_seq"  -> amqpStreamFromSeqSql,

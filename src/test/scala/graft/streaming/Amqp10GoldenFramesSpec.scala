@@ -416,4 +416,65 @@ class Amqp10GoldenFramesSpec extends AnyFunSuite {
       assert(msg.body == AmqpValueBody("Hello World!"))
     } finally { sock.close(); server.close() }
   }
+
+  test("golden: a hand-encoded share-claim probe attach drives the claim ledger") {
+    // A spec-authored PEER (not this repo's client) claims 5 rows of
+    // 'gold-q' for group 'g', owner 'o', lease 60000 ms — the claim RPC
+    // riding attach.properties exactly as Amqp10Wire.ShareGroupProp
+    // documents. Attach list8 (§2.7.3), 14 fields so properties land at
+    // index 13: str8 name (10B) + handle/role/2 nulls (4B) + described
+    // source with str8 address (14B) + 7 nulls + map8 properties
+    // (3B header + 107B entries: two sym19→str1 pairs at 24B each, a
+    // sym22→smalllong at 26B, a sym22→long(60000=0xEA60) at 33B)
+    // = 145B content, count 0x0e, list8 size 0x92; frame total 0x9f.
+    val goldenClaimAttach = hex(
+      """00 00 00 9f 02 00 00 00
+         00 53 12 c0 92 0e
+         a1 08 67 6f 6c 64 2d 72 63 76
+         43 41 40 40
+         00 53 28 c0 09 01 a1 06 67 6f 6c 64 2d 71
+         40 40 40 40 40 40 40
+         c1 6c 08
+         a3 13 78 2d 67 72 61 66 74 2d 73 68 61 72 65 2d 67 72 6f 75 70
+         a1 01 67
+         a3 13 78 2d 67 72 61 66 74 2d 73 68 61 72 65 2d 6f 77 6e 65 72
+         a1 01 6f
+         a3 16 78 2d 67 72 61 66 74 2d 73 68 61 72 65 2d 6d 61 78 2d 72 6f 77 73
+         55 05
+         a3 16 78 2d 67 72 61 66 74 2d 73 68 61 72 65 2d 6c 65 61 73 65 2d 6d 73
+         81 00 00 00 00 00 00 ea 60""")
+    val goldenBeginCh0 = hex(
+      """00 00 00 1a 02 00 00 00
+         00 53 11 c0 0d 04
+         40 43 70 7f ff ff ff 70 7f ff ff ff""")
+    val backing = new InMemoryAmqpBroker
+    (1 to 8).foreach(i => assert(backing.send("gold-q",
+      AmqpMessage(body = AmqpValueBody(s"m$i"))) > 0))
+    val server = new Amqp10Server(backing)
+    val sock = new Socket("127.0.0.1", server.port)
+    sock.setTcpNoDelay(true)
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      writeAll(out, hex("41 4d 51 50 00 01 00 00"))
+      val echo = new Array[Byte](8)
+      in.readFully(echo)
+      writeAll(out, goldenOpen)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Open)
+      writeAll(out, goldenBeginCh0)
+      assert(descriptorCode(Amqp10Wire.readFrame(in).performative) == Desc.Begin)
+      writeAll(out, goldenClaimAttach)
+      val attachEcho = Amqp10Wire.readFrame(in)
+      assert(descriptorCode(attachEcho.performative) == Desc.Attach)
+      val props = field(attachEcho.performative, 13).asInstanceOf[AmqpWireMap]
+      // the echo carries the leased slice as an [id, from, to] triple
+      assert(props.get(Sym(Amqp10Wire.ShareClaimsProp))
+        .contains(Vector(Vector(1L, 0L, 5L))), props.toString)
+      // and the broker's ledger holds the lease for owner 'o'
+      assert(backing.outstandingClaims("gold-q", "g") == 1)
+      assert(backing.renewClaims("gold-q", "g", "o",
+        Seq(AmqpClaim(1L, 0L, 5L)), 60000).isEmpty,
+        "the hand-encoded owner string must own the claim")
+    } finally { sock.close(); server.close() }
+  }
 }
