@@ -67,6 +67,60 @@ object CompetingConsumers {
     val ids = got.map(_._2)
     println(s"[demo] union: ${ids.size} jobs, ${ids.distinct.size} distinct " +
       s"(exactly-once: ${ids.size == 500 && ids.distinct.size == 500})")
+
+    // Act 2 — the POISON JOB: one job crashes its worker on every
+    // delivery. With a max-delivery ceiling + DLQ configured, the
+    // broker routes it to the dead-letter queue after 2 failed
+    // deliveries while the rest of the backlog keeps draining —
+    // a crashing fleet converges instead of looping forever.
+    producer.send("jobs", AmqpMessage(messageId = Some("job-poison"),
+      body = AmqpValueBody("malformed payload")))
+    (501 to 520).foreach { i =>
+      producer.send("jobs", AmqpMessage(messageId = Some(s"job-$i"),
+        body = AmqpValueBody(s"payload-$i")))
+    }
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def fragileWorker(run: Int, perTrigger: Int) = {
+      val q = spark.readStream.format("amqp")
+        .option("endpoint", endpoint).option("address", "jobs")
+        .option("sharedGroup", "workers")
+        .option("sharedLeaseMillis", "1000")
+        .option("sharedMaxDeliveries", "2")
+        .option("sharedDeadLetterAddress", "jobs-dlq")
+        .option("maxMessagesPerTrigger", perTrigger.toString)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/fragile-$run") // fresh owner
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val jobs = b.collect().map(_.getAs[String]("message_id"))
+          if (jobs.contains("job-poison"))
+            throw new RuntimeException("worker crashed on job-poison")
+          jobs.foreach(survived.add)
+          ()
+        }
+        .start()
+      try {
+        if (run <= 2) {
+          try { q.awaitTermination(60000); () }
+          catch { case e: Exception =>
+            println(s"[demo] fragile worker $run died: ${e.getCause match {
+              case null => e.getMessage; case c => c.getMessage }}")
+          }
+        } else q.processAllAvailable()
+      } finally q.stop()
+      if (run <= 2) Thread.sleep(1400) // the orphan lease lapses
+    }
+    fragileWorker(1, perTrigger = 1)
+    fragileWorker(2, perTrigger = 1)
+    fragileWorker(3, perTrigger = 8) // ceiling fires: poison -> DLQ, rest drains
+    val dlq = spark.read.format("amqp")
+      .option("endpoint", endpoint).option("address", "jobs-dlq").load()
+      .select("message_id", "message_annotations").collect()
+    println(s"[demo] survivors drained: ${survived.size}/20")
+    dlq.foreach { r =>
+      println(s"[demo] dead-lettered: ${r.getString(0)} " +
+        s"annotations=${r.getMap[String, String](1)}")
+    }
     spark.stop()
     server.close()
   }
