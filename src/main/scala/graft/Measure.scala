@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Optimization-round measurement harness (guide §1): times individual
+  * SparkEntry queries in isolation under the exact Bench session config,
+  * and captures `.explain("formatted")` of each query's returned frame
+  * to an output directory (the plans/r09 deliverable).
+  *
+  * Usage:
+  *   runMain graft.Measure <sfDir> <planOutDir> <q1,q2,...|all> [reps]
+  *
+  * Timing methodology is Bench parity (fn(spark, sfDir).count() on a
+  * warm session, min over reps, cache cleared between runs) so numbers
+  * here are directly comparable to bench_results.json. This main is a
+  * dev tool: it is NOT part of the driver contract and adds no queries.
+  */
+object Measure {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names: Seq[String] =
+      if (args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").toSeq
+    val reps = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // experiment knob: override shuffle partitions independently of cores
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+
+    // Same warm-up as Bench: first-query JIT/classloading otherwise
+    // lands on whatever query runs first and poisons the comparison.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"), countDistinct("l_suppkey").as("d"))
+        .collect()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+        .groupBy("doc_id").agg(min(hash(col("tok")))).count()
+      ()
+    } catch { case e: Throwable => System.err.println(s"[measure] warmup: $e") }
+
+    val results = mutable.LinkedHashMap[String, Double]()
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[measure] UNKNOWN query: $name")
+        case Some(fn) =>
+          spark.sparkContext.setJobDescription(s"measure:$name")
+          val times = (1 to reps).map { i =>
+            val t0 = System.nanoTime()
+            try {
+              val df = fn(spark, sfDir)
+              val n = df.count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              if (i == 1) {
+                // plan of the returned frame (post-run: gates with side
+                // effects have already staged their inputs)
+                val plan = df.queryExecution.explainString(
+                  ExplainMode.fromString("formatted"))
+                Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+              }
+              System.err.println(f"[measure] $name rep$i $dt%.2fs ($n rows)")
+              dt
+            } catch { case e: Throwable =>
+              System.err.println(s"[measure] $name FAILED: $e")
+              -1.0
+            } finally spark.catalog.clearCache()
+          }
+          results(name) = times.filter(_ >= 0) match {
+            case ts if ts.nonEmpty => ts.min
+            case _ => -1.0
+          }
+      }
+    }
+    val line = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    System.out.println(s"""{"measure":$line,"sf":"$sfDir"}""")
+    Files.writeString(Paths.get(s"$outDir/_measure.json"),
+      s"""{"measure":$line,"sf":"$sfDir"}""" + "\n")
+    spark.stop()
+  }
+}

@@ -45,15 +45,24 @@ object SimilarityQueries {
   private val NumProbes = 3
 
   private val scratchRun = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Last allocated scratch dir per tag — spec observability: the
+    * per-invocation scheme removed the predictable path the index-layout
+    * specs inspect, so the layout assertions read the path of the run
+    * they just invoked from here (same-thread, same-suite reads). */
+  private[operators] val lastScratchDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Per-INVOCATION scratch directory for persisted-index side effects.
     * A path keyed only by the dataset dir lets two concurrent runs over
     * the same dataset (a parallel spec + gate in one JVM, or two bench
     * JVMs) overwrite the layout while the other's scan reads it — the
     * pid keys across JVMs, the counter within one. Directories are
     * test/bench scratch: tmpdir-lifecycle, a few MB each at gate SF. */
-  private def scratchDir(tag: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${ProcessHandle.current().pid()}_${scratchRun.incrementAndGet()}").toString
+    lastScratchDir.put(tag, p)
+    p
+  }
 
   private[operators] def embedded(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
