@@ -31,7 +31,7 @@ object Measure {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // experiment knob: override shuffle partitions independently of cores
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -40,7 +40,14 @@ object Measure {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: arbitrary session confs, "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder = builder.config(k, v)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
 
