@@ -1207,31 +1207,48 @@ object DedupQueries {
         / (col("n_a") + col("n_b") - col("shared")).cast(DoubleType) >= Tau)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
       .cache()
-    // a banded candidate set per configuration: bands of r CONSECUTIVE
-    // signature positions, joined on every position separately (no
-    // combined band key — polynomial packing of r>2 minhashes would
-    // overflow a long, and overflow semantics differ across engines)
-    def candidates(b: Int, r: Int): DataFrame = {
-      val bandArr = array((0 until b).map { t =>
-        struct(lit(t).as("band") +:
-          (0 until r).map(j => col(s"mh${t * r + j + 1}").as(s"k$j")): _*)
-      }: _*)
-      val keyCols = "band" +: (0 until r).map(j => s"k$j")
-      val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
-        .select(col("doc_id") +: keyCols.map(k => col(s"bs.$k").as(k)): _*)
-      bands.select(col("doc_id").as("doc_a") +: keyCols.map(col): _*)
-        .join(bands.select(col("doc_id").as("doc_b") +: keyCols.map(col): _*), keyCols)
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
-    val perConfig = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
-      candidates(b, r)
-        .join(truth, Seq("doc_a", "doc_b"), "left_outer")
-        .agg(count(lit(1)).as("n_cand"),
-          coalesce(sum(col("is_true")), lit(0L)).as("caught_true"))
-        .select(lit(b).cast(LongType).as("bands"), lit(r).cast(LongType).as("rows_per_band"),
-          col("n_cand"), col("caught_true"))
-    }.reduce(_ unionByName _)
+    // Banded candidates for ALL configurations in ONE pass (optimization
+    // round, guide §2.4/§7.2): the previous form built five independent
+    // subtrees — per config an explode, a self-join, a distinct, a truth
+    // join and an aggregate (a 227-operator plan, 5x the codegen and 5x
+    // the exchanges). Bands of r CONSECUTIVE signature positions now
+    // carry their keys as an ARRAY column (element-wise array equality —
+    // no polynomial packing, whose r>2 overflow semantics differ across
+    // engines), tagged (cfg=bands, band), so one self-join + one distinct
+    // + one truth join + one grouped aggregate score every configuration.
+    // The left join back onto the literal config frame restores the
+    // exactly-5-rows contract even for a configuration with zero
+    // candidates (the old global agg emitted its 0-row; a bare groupBy
+    // would drop it). Candidate sets per config are IDENTICAL, which the
+    // unchanged DuckDB oracle re-proves.
+    val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+    val bandArr = array(configs.flatMap { case (b, r) =>
+      (0 until b).map { t =>
+        struct(lit(b).as("cfg"), lit(t).as("band"),
+          array((0 until r).map(j => col(s"mh${t * r + j + 1}")): _*).as("keys"))
+      }
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.cfg").as("cfg"),
+        col("bs.band").as("band"), col("bs.keys").as("keys"))
+    val cand = bands.select(col("cfg"), col("band"), col("keys"),
+        col("doc_id").as("doc_a"))
+      .join(bands.select(col("cfg"), col("band"), col("keys"),
+        col("doc_id").as("doc_b")), Seq("cfg", "band", "keys"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("cfg"), col("doc_a"), col("doc_b")).distinct()
+    val scored = cand
+      .join(truth, Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(col("is_true")), lit(0L)).as("caught_true"))
+    val configFrame = s.createDataFrame(
+      configs.map { case (b, r) => (b, b.toLong, r.toLong) })
+      .toDF("cfg", "bands", "rows_per_band")
+    val perConfig = broadcast(configFrame).join(scored, Seq("cfg"), "left_outer")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("caught_true"), lit(0L)).as("caught_true"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     perConfig.crossJoin(broadcast(nTrue))
       .select(col("bands"), col("rows_per_band"), col("n_cand"), col("n_true"),

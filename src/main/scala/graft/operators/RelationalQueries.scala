@@ -2791,16 +2791,20 @@ object RelationalQueries {
       .agg(max((col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAY")).cast("int")).as("late"))
       .cache()
-    val l1 = perOS.filter(col("late") === 1)
-      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
-    val others = perOS
-      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"), col("late"))
-    val sole = l1
-      .join(others, col("okey") === col("o2") && col("skey") =!= col("s2"),
-        "left_semi")
-      .join(others.filter(col("late") === 1).drop("late"),
-        col("okey") === col("o2") && col("skey") =!= col("s2"), "left_anti")
-    sole.groupBy(col("skey"))
+    // Optimization round (guide §2.4 — remove shuffles outright): the
+    // EXISTS / NOT-EXISTS pair used to run as a left-semi + left-anti
+    // self-join, shuffling the per-(order,supplier) frame three times on
+    // okey. Both predicates are per-ORDER tallies over that same frame —
+    // EXISTS(other supplier) ⇔ n_supp > 1, NOT EXISTS(other late) ⇔
+    // n_late = 1 given the probe row itself is late — so ONE okey-keyed
+    // aggregate (map-side partials) + one join replaces both self-joins.
+    // Equivalence is under the unchanged DuckDB oracle hash.
+    val perO = perOS.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    perOS.filter(col("late") === 1)
+      .join(perO, Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey").as("skey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"))),

@@ -53,7 +53,7 @@ class DeterminismSpec extends AnyFunSuite {
     "corpus_filter_overlap" -> "filter bitmask partition",
     "sim_binary_hamming"   -> "sign-bit Hamming top-k with integer ties",
     "q64_order_count_dist" -> "zero-preserving left-join histogram",
-    "q65_sole_late_supplier" -> "semi+anti residual joins",
+    "q65_sole_late_supplier" -> "per-order tally residual (was semi+anti joins)",
     "q66_auto_topk"        -> "window form (TopKRewrite rewrites under extensions)",
     "corpus_shuffle_shards" -> "salted-hash training order",
     "mm_binary_files"      -> "binaryFile source + per-file decode",

@@ -727,4 +727,43 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(viaVariant == viaString, "variant_get must agree with get_json_object")
     assert(viaVariant.nonEmpty && viaVariant.forall(_._2 > 0))
   }
+
+  test("q65: per-order tally form equals the literal semi+anti-join form") {
+    // The optimization round replaced the EXISTS/NOT-EXISTS self-joins
+    // with one okey-keyed tally (n_supp, n_late); this re-derives the
+    // answer through the literal join formulation and requires identity.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val got = RelationalQueries.q65SoleLateSupplier(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSet
+    val perOS = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAY")).cast("int")).as("late"))
+      .cache()
+    val l1 = perOS.filter(col("late") === 1)
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+    val others = perOS
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"), col("late"))
+    val ref = l1
+      .join(others, col("okey") === col("o2") && col("skey") =!= col("s2"),
+        "left_semi")
+      .join(others.filter(col("late") === 1).drop("late"),
+        col("okey") === col("o2") && col("skey") =!= col("s2"), "left_anti")
+      .groupBy(col("skey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(graft.Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("skey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait").cast(LongType))
+      .as[(Long, String, Long)].collect().toSet
+    perOS.unpersist()
+    assert(got == ref, s"tally form diverged: got ${got.size} rows, ref ${ref.size}")
+    assert(got.nonEmpty)
+  }
 }
