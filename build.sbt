@@ -54,3 +54,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver would keep full tiered compilation.
   "-XX:TieredStopAtLevel=1",
 )
+// Experiment knob (optimization rounds): point JVM scratch (gate
+// checkpoints, interchange round-trip dirs, persisted-index layouts —
+// everything keyed off java.io.tmpdir) somewhere else, e.g. a tmpfs.
+// Default is unchanged when the env var is absent.
+javaOptions ++= sys.env.get("SPARK_GRAFT_TMPDIR")
+  .map(t => s"-Djava.io.tmpdir=$t").toSeq

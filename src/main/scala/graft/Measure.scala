@@ -95,6 +95,8 @@ object Measure {
             case ts if ts.nonEmpty => ts.min
             case _ => -1.0
           }
+          System.err.println(s"[measure] post-$name shuffle.partitions=" +
+            spark.conf.get("spark.sql.shuffle.partitions"))
       }
     }
     val line = results.map { case (k, v) => f""""$k":$v%.3f""" }
