@@ -219,14 +219,22 @@ object DedupQueries {
   /** MinHash (k=16) + LSH banding (r=2, b=8) over word-trigram shingles,
     * then exact-Jaccard verification of candidates at t=0.8. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val K = 16
     // Cached: the inverted index feeds signature building AND the
     // verification join; the signature frame feeds both sides of the
     // band self-join (no cross-branch CSE in Spark, so an uncached
     // frame would run the 16-min aggregation twice). Both are tiny vs
     // the corpus.
     val inv = shingleStream(s, d, 3).cache()
-    val sizes = shingleSizes(inv)
+    minhashLshOn(s, inv, shingleSizes(inv))
+  }
+
+  /** The MinHash+LSH pipeline on a CALLER-SUPPLIED inverted index —
+    * extracted (optimization round) so dedup_lsh_audit's found side
+    * rides the audit's own cached shingle stream instead of building
+    * and caching a second identical copy inside one invocation. */
+  private def minhashLshOn(s: SparkSession, inv: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val K = 16
     val invH = inv.withColumn("h", CharFoldHash.charFoldHashNative(s, "shingle"))
     val mhAggs = (1 to K).map(i => min(permute(col("h"), i)).as(s"mh$i"))
     val sigs = invH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
@@ -1127,7 +1135,9 @@ object DedupQueries {
       .filter(col("shared").cast(DoubleType)
         / (col("n_a") + col("n_b") - col("shared")).cast(DoubleType) >= 0.8)
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_true"))
-    val found = dedupMinhashLsh(s, d)
+    // found side shares THIS invocation's cached inverted index (the
+    // public entry would build and cache a second identical copy)
+    val found = minhashLshOn(s, inv, sizes)
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_found"))
     truth.join(found, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
