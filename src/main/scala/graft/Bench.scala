@@ -291,7 +291,43 @@ object Bench {
       System.err.println(s"[bench] stream_ingest FAILED: $e")
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // First-pass ordering: cheapest-first (VERDICT r9 #1). Under the hard
+    // time budget on a contended host, alphabetical order amputates
+    // everything after the amqp streaming family (BENCH_r09 live-timed
+    // only the first 34 of 273 queries — all of them wall-clock-bound
+    // streaming gates — so the graded artifact saw zero batch queries).
+    // Cheapest-first maximizes the number of live-timed queries under ANY
+    // budget cut: the expected cost of a query is its per-query seconds
+    // from the previous run's committed results file (ordering metadata
+    // only — the numbers are never reported, every query is still timed
+    // from the parquet inputs). Queries with no usable prior number (new
+    // this round, failed, or skipped as -1) fall back to a family
+    // heuristic: streaming gates carry real waits and sort last, batch
+    // queries sort by name after the known-cheap ones. The query set, the
+    // timing methodology and the JSON contract are unchanged.
+    val priorSeconds: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER_FILE", "bench_results.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)))
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) Map.empty[String, Double]
+        else {
+          val body = txt.substring(start + 11, txt.indexOf('}', start))
+          val re = """"([A-Za-z0-9_]+)":(-?[0-9][-+.eE0-9]*)""".r
+          re.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0.0).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    if (priorSeconds.nonEmpty)
+      System.err.println(s"[bench] first pass ordered cheapest-first by " +
+        s"${priorSeconds.size} prior timings (new/unknown queries by family heuristic)")
+    def expectedCost(name: String): Double = priorSeconds.getOrElse(name,
+      if (name.startsWith("amqp")) 9999.0 else 2.0)
+    SparkEntry.queries.toSeq.sortBy { case (name, _) => (expectedCost(name), name) }
+        .foreach { case (name, fn) =>
       val spent = (System.nanoTime() - t0) / 1e9
       if (spent > budgetS) {
         System.err.println(f"[bench] $name SKIPPED (budget $budgetS%.0fs exhausted at $spent%.1fs)")

@@ -51,6 +51,34 @@ object Measure {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
 
+    // Decomposition aid (guide §1.5/§7.1, the UI is disabled here):
+    // SPARK_GRAFT_JOBLOG=1 prints every Spark job's relative start, wall
+    // duration and description to stderr, so a gate's wall-clock can be
+    // split into jobs vs gaps (sleeps, driver-side work, streaming
+    // choreography) without instrumenting each operator.
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      val epoch = System.nanoTime()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          starts.put(js.jobId, (System.nanoTime(), desc))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (s0, desc) =>
+            System.err.println(f"[joblog] job=${je.jobId}%4d " +
+              f"rel=${(s0 - epoch) / 1e9}%8.2fs " +
+              f"dur=${(System.nanoTime() - s0) / 1e9}%7.3fs $desc")
+          }
+        }
+      })
+    }
+
     // Same warm-up as Bench: first-query JIT/classloading otherwise
     // lands on whatever query runs first and poisons the comparison.
     try {
