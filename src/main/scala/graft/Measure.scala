@@ -76,6 +76,21 @@ object Measure {
               f"dur=${(System.nanoTime() - s0) / 1e9}%7.3fs $desc")
           }
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          val m = si.taskMetrics
+          System.err.println(f"[stagelog] stage=${si.stageId}%4d " +
+            f"tasks=${si.numTasks}%3d wall=$wall%7.3fs " +
+            f"run=${m.executorRunTime / 1e3}%7.3fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.3fs " +
+            f"deser=${m.executorDeserializeTime / 1e3}%6.3fs " +
+            f"shR=${m.shuffleReadMetrics.totalBytesRead}%9d " +
+            f"shW=${m.shuffleWriteMetrics.bytesWritten}%9d " +
+            si.name.takeWhile(_ != '\n').take(80))
+        }
       })
     }
 

@@ -1255,7 +1255,11 @@ object DedupQueries {
     val configFrame = s.createDataFrame(
       configs.map { case (b, r) => (b, b.toLong, r.toLong) })
       .toDF("cfg", "bands", "rows_per_band")
-    val perConfig = broadcast(configFrame).join(scored, Seq("cfg"), "left_outer")
+    // broadcast the RIGHT (non-preserved) side: a left-outer BHJ can only
+    // build on the stream's opposite side, so hinting the 5-row literal
+    // frame was silently ignored (ADVICE r9) — scored is the ≤5-row
+    // post-aggregate frame and is the side a broadcast build can use
+    val perConfig = configFrame.join(broadcast(scored), Seq("cfg"), "left_outer")
       .select(col("bands"), col("rows_per_band"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("caught_true"), lit(0L)).as("caught_true"))

@@ -2822,7 +2822,10 @@ object IngestQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      if (run <= 3) Thread.sleep(leaseMs + 300) // the orphan lease lapses
+      // the orphan lease lapses; +500 ms absolute margin (ADVICE r9: a
+      // 300 ms margin sits inside GC/scheduler jitter on a loaded host —
+      // the wall-clock cost of widening it is 3×0.2 s)
+      if (run <= 3) Thread.sleep(leaseMs + 500)
     }
     (1 to 3).foreach(consume(_, perTrigger = 1))
     consume(4, perTrigger = math.max(20L, rows.length / 5L))

@@ -2775,14 +2775,15 @@ object RelationalQueries {
     * (order, supplier) with a max(late) flag — orderkey-keyed partial
     * agg off a two-column scan (the orders join brings only
     * o_orderdate, broadcast-sized keys aside it shuffles once on
-    * orderkey). The semi and anti probes both key on orderkey, so all
-    * three branches share one exchange layout; the cached per-OS frame
-    * is |order×supplier| rows, ~4× smaller than lineitem. Supplier
-    * names attach by broadcast (10k rows/SF). Output ≤|suppliers|. */
+    * orderkey). The per-order tally (n_supp, n_late) keys on orderkey
+    * too, so the aggregate and the late-probe join share one exchange
+    * layout; the cached per-OS frame is |order×supplier| rows, ~4×
+    * smaller than lineitem. Supplier names attach by broadcast
+    * (10k rows/SF). Output ≤|suppliers|. */
   def q65SoleLateSupplier(s: SparkSession, d: String): DataFrame = {
-    // cache(): the per-(order,supplier) frame is probed three times
-    // (late side, semi exists-side, anti not-exists-side); uncached the
-    // lineitem⋈orders aggregate would run three times.
+    // cache(): the per-(order,supplier) frame feeds BOTH the per-order
+    // tally aggregate and the late-filter probe; uncached the
+    // lineitem⋈orders aggregate would run twice.
     val perOS = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),

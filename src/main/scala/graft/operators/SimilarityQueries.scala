@@ -315,7 +315,15 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents"))
 
-  /** Assign each vector to its nearest centroid (ties → lowest cid). */
+  /** Assign each vector to its nearest centroid (ties → lowest cid).
+    * The output is hash-clustered by cid because every consumer writes
+    * it as the cid-partitioned index layout (guide §6 — the
+    * `write.distribution-mode=hash` discipline): without it each of the
+    * assignment's input partitions emits its own file into every cell
+    * directory it touches (upstream tasks × cells small files), and the
+    * partition-pruned serve pays one file open per fragment. One
+    * shuffle of (vec_id, cid, emb, nrm) buys one file per inverted
+    * list. */
   private def ivfAssign(vecs: DataFrame, centsArr: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centsArr))
       .withColumn("best", expr(
@@ -324,6 +332,7 @@ object SimilarityQueries {
           |    'negsim', -(vec_dot(emb, c.cemb) / (nrm * c.cnrm)),
           |    'cid', c.cid)))""".stripMargin))
       .select(col("vec_id"), col("best.cid").as("cid"), col("emb"), col("nrm"))
+      .repartition(col("cid"))
 
   /** Serve queries [loQ, hiQ) against the persisted cid-partitioned
     * index: nprobe cells per query, the corpus scan pruned to exactly
@@ -1579,16 +1588,21 @@ object SimilarityQueries {
     var cents = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
     for (_ <- 1 to KmIters) {
+      // Centroid update (optimization round, guide §2.3/§2.4): ONE
+      // cid-keyed aggregate carrying KmDims per-dimension decimal sums
+      // replaces posexplode(64×) → groupBy(cid, dim) → groupBy(cid) +
+      // collect_list — the same exact DECIMAL(28,9) sums over the same
+      // values (decimal addition is order-independent) and the same
+      // mean-of-dim doubles, with one shuffle instead of two and no
+      // 64× row explosion per Lloyd round. Dim order is positional
+      // (array(c_0..c_63)), the order array_sort(struct(dim, c)) gave.
+      val sums = (0 until KmDims).map(i =>
+        sum(col("emb").getItem(i).cast(DecimalType(28, 9))).as(s"sx$i"))
       cents = assign(cents)
-        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(count(lit(1)).as("nv"),
-          sum(col("x").cast(DecimalType(28, 9))).as("sx"))
-        .select(col("cid"), col("dim"),
-          (col("sx").cast(DoubleType) / col("nv").cast(DoubleType)).as("c"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
-        .select(col("cid"), transform(col("ps"), p => p.getField("c")).as("cemb"))
+        .agg(count(lit(1)).as("nv"), sums: _*)
+        .select(col("cid"), array((0 until KmDims).map(i =>
+          col(s"sx$i").cast(DoubleType) / col("nv").cast(DoubleType)): _*).as("cemb"))
     }
     assign(cents)
   }
@@ -2180,37 +2194,53 @@ object SimilarityQueries {
     val cand = ivfServe(s, e, centsArr, idx, 0L, NumQueries, k = C)
       .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
       .join(e.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
-      .cache()
-    val pickStruct = expr("named_struct('negscore', -score, 'vec_id', vec_id)")
-    var selected: DataFrame = null // (query_id, vec_id, score, rank)
-    try { for (r <- 1 to K) {
-      val remaining =
-        if (r == 1) cand
-        else cand.join(selected.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
-      val withPen =
-        if (r == 1) remaining.withColumn("pen", lit(0.0))
-        else {
-          val sel = selected.select(col("query_id"), col("vec_id").as("sel_id"))
-            .join(e.select(col("vec_id").as("sel_id"), col("emb").as("semb"),
-              col("nrm").as("snrm")), Seq("sel_id"))
-          remaining.join(sel, Seq("query_id"))
-            .withColumn("pcos", cosine(expr("vec_dot(emb, semb)"), col("nrm"), col("snrm")))
-            .groupBy(col("query_id"), col("vec_id"), col("rel"))
-            .agg(max(col("pcos")).as("pen"))
+    // Greedy rounds: DRIVER-SIDE over the collected candidate frame
+    // (guide §5 — bounded collect). The frame is rank-bounded |Q|·C
+    // (= 50 rows) at ANY corpus size — the same bounded-driver-work
+    // class as ivfServe's probed-cell list — while the distributed form
+    // paid ~16 jobs per invocation (4 rounds × anti-join + penalty join
+    // + argmax + eager localCheckpoint) to move 50 rows around. The
+    // greedy reproduces the cluster arithmetic BIT-EXACTLY: rel / emb /
+    // nrm are collected as computed by the cluster; pcos is the same
+    // strict left-to-right f64 vec_dot fold (VectorExpressions.dot)
+    // over the same doubles, divided by the same (nrm * snrm) product;
+    // pen = max (order-independent over exact doubles); score =
+    // 0.7*rel − 0.3*pen, literal-for-literal; the argmax is the same
+    // (−score, vec_id) total order the distributed min(struct) used.
+    // Oracle hash re-proven at sf0.01 and sf0.001.
+    val rows = cand
+      .select(col("query_id"), col("vec_id"), col("rel"), col("emb"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray, r.getDouble(4)))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    rows.groupBy(_._1).foreach { case (q, candsQ) =>
+      var selectedQ = List.empty[(Long, Array[Double], Double)] // (vec_id, emb, nrm)
+      for (r <- 1 to K) {
+        val remaining = candsQ.filter(c => !selectedQ.exists(_._1 == c._2))
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (_, v, rel, emb, nrm) =>
+            val pen =
+              if (selectedQ.isEmpty) 0.0
+              else selectedQ.map { case (_, semb, snrm) =>
+                dotD(emb, semb) / (nrm * snrm) }.max
+            (v, 0.7 * rel - 0.3 * pen, emb, nrm)
+          }
+          val best = scored.minBy { case (v, sc, _, _) => (-sc, v) }
+          out += ((q, r.toLong, best._1, best._2))
+          selectedQ ::= ((best._1, best._3, best._4))
         }
-      val pick = withPen
-        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("pen"))
-        .withColumn("p", pickStruct)
-        .groupBy(col("query_id")).agg(min(col("p")).as("best"))
-        .select(col("query_id"), col("best.vec_id").as("vec_id"),
-          (-col("best.negscore")).as("score"), lit(r.toLong).as("rank"))
-      selected = if (r == 1) pick else selected.unionByName(pick)
-      // each round's pick feeds the next round's anti-join and penalty:
-      // truncate the growing plan (4 rounds would replan a 12-join DAG)
-      selected = selected.localCheckpoint()
-    } } finally cand.unpersist() // checkpoints are eager: rounds are done
-    selected.select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("query_id", "rank", "vec_id", "score")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
 
   val simMmrDiversifySql: String = {

@@ -528,20 +528,27 @@ object TextQueries {
       .withColumn("sym", expr("substring(word, CAST(pos AS INT), 1)"))
       .select(col("word"), col("wc"), col("pos"), col("sym"))
     val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var merges: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to BpeTrainRounds) {
       val withNext = frame.withColumn("next_sym", lead(col("sym"), 1).over(wOrd))
-      val best = withNext.filter(col("next_sym").isNotNull)
+      // The round's winning pair is ONE row (guide §5 — bounded collect):
+      // the old form kept it as a 1-row frame, which (a) re-ran the whole
+      // pair-count aggregate once more PER ROUND when the final merges
+      // union was evaluated (each lineage still pointed at its round's
+      // checkpointed frame) and (b) paid a broadcast-exchange job per
+      // round for the crossJoin. Collecting turns the merge step into
+      // literal predicates and the final result into a local relation —
+      // same rows, same order, integer-exact.
+      val Array(bestRow) = withNext.filter(col("next_sym").isNotNull)
         .groupBy(col("sym").as("bl"), col("next_sym").as("br"))
         .agg(sum(col("wc")).as("bc"))
         .orderBy(col("bc").desc, col("bl").asc, col("br").asc).limit(1)
-      val roundMerge = best.select(lit(r.toLong).as("round"),
-        col("bl").as("merge_left"), col("br").as("merge_right"),
-        col("bc").as("pair_count"))
-      merges = if (merges == null) roundMerge else merges.unionAll(roundMerge)
-      val stepped = withNext.crossJoin(broadcast(best))
+        .collect()
+      val (bl, br, bc) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+      merges += ((r.toLong, bl, br, bc))
+      val stepped = withNext
         .withColumn("is_cand", coalesce(
-          col("sym") === col("bl") && col("next_sym") === col("br"), lit(false)))
+          col("sym") === lit(bl) && col("next_sym") === lit(br), lit(false)))
         .withColumn("crank",
           sum(when(col("is_cand"), 1L).otherwise(0L)).over(wOrd))
         .withColumn("isl", col("pos") - col("crank"))
@@ -554,12 +561,13 @@ object TextQueries {
         .withColumn("prev_keep", lag(col("keep"), 1, false).over(wOrd))
         .filter(!coalesce(col("prev_keep"), lit(false)))
         .withColumn("sym",
-          when(col("keep"), concat(col("bl"), col("br"))).otherwise(col("sym")))
+          when(col("keep"), concat(lit(bl), lit(br))).otherwise(col("sym")))
         .withColumn("pos", row_number().over(wOrd).cast(LongType))
         .select(col("word"), col("wc"), col("pos"), col("sym"))
         .localCheckpoint()
     }
-    merges
+    import s.implicits._
+    merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
   }
 
   val txtBpeTrainSql: String = {

@@ -5,6 +5,13 @@ import graft.SparkSpecBase
 class SimilarityQueriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  /** lastScratchDir lookup with a clear assertion instead of an NPE when
+    * the producing query failed before allocating its scratch dir
+    * (ADVICE r9: a null path would mask the real failure). */
+  private def scratchDirOf(tag: String): String =
+    Option(SimilarityQueries.lastScratchDir.get(tag))
+      .getOrElse(fail(s"no scratch dir recorded for $tag"))
+
   test("hybrid RRF: fusion arithmetic exact, both legs contribute, both-leg hits dominate") {
     val rows = SimilarityQueries.simHybridRrf(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("query_id")).distinct.length == 5)
@@ -519,7 +526,7 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     // the persisted index is a real partitioned layout: one cid= dir per
     // non-empty inverted list, at most NumCells of them
     val idx = java.nio.file.Paths.get(
-      SimilarityQueries.lastScratchDir.get("sim_ivfidx"))
+      scratchDirOf("sim_ivfidx"))
     val cellDirs = java.nio.file.Files.list(idx).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val dirs = new scala.collection.mutable.ArrayBuffer[String]
     while (cellDirs.hasNext) { val p = cellDirs.next().getFileName.toString; if (p.startsWith("cid=")) dirs += p }
@@ -535,7 +542,7 @@ class SimilarityQueriesSpec extends SparkSpecBase {
   test("append-maintained index serves identically to a from-scratch build") {
     // build-from-scratch over the FULL corpus (sim_index_build's dir)...
     SimilarityQueries.simIndexBuild(spark, sfDir)
-    val fullIdx = SimilarityQueries.lastScratchDir.get("sim_ivfidx")
+    val fullIdx = scratchDirOf("sim_ivfidx")
     val e = SimilarityQueries.embedded(spark, sfDir)
     val cents = SimilarityQueries.ivfCentroids(e)
     // ...served on the append gate's query slice [20, 25)
@@ -722,7 +729,7 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     // top-1 on the same slice (same tiebreak)
     val e = SimilarityQueries.embedded(spark, sfDir)
     val cents = SimilarityQueries.ivfCentroids(e)
-    val idx = SimilarityQueries.lastScratchDir.get("sim_ivfmmr")
+    val idx = scratchDirOf("sim_ivfmmr")
     val served = SimilarityQueries.ivfServe(spark, e, cents, idx, 0L, 10L)
       .as[(Long, Long, Double, Long)].collect()
     val top1 = served.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
@@ -746,7 +753,7 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     SimilarityQueries.simMmrDiversify(spark, sfDir) // ensures the index exists
     val e = SimilarityQueries.embedded(spark, sfDir)
     val cents = SimilarityQueries.ivfCentroids(e)
-    val idx = SimilarityQueries.lastScratchDir.get("sim_ivfmmr")
+    val idx = scratchDirOf("sim_ivfmmr")
     val cand = SimilarityQueries.ivfServe(spark, e, cents, idx, 0L, 10L, k = 10)
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(2000))
