@@ -60,10 +60,29 @@ object IngestQueries {
     * re-proves every query after this change. The conf is restored on
     * exit; the streaming query's session CLONE (captured at start())
     * keeps the gate value for the query's whole life. */
-  private def gatedStream[T](s: SparkSession)(body: => T): T =
+  private def gatedStream[T](s: SparkSession, d: String)(body: => T): T =
     gateLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
-      val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "4")
+      // State-partition count DERIVED from the gate's data volume
+      // (VERDICT r9 #5 — the round-1 constant 4 under-parallelizes an
+      // unset deployment at real scale): every gate's slice is carved
+      // from the events/orders/documents tables, so the source
+      // directory's bytes bound the pumped backlog and with it the
+      // keyed-state volume. One state partition per 32 MB of source
+      // (a few hundred thousand keyed registers), floored at 4 (the
+      // round-1 measured local optimum — at gate SF the formula stays
+      // below the floor, so local behavior and the driver's bench are
+      // unchanged), capped at session parallelism. Env override stays
+      // the deployment knob.
+      val srcBytes =
+        try {
+          val dir = new java.io.File(d)
+          Option(dir.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        } catch { case _: Throwable => 0L }
+      val derived = math.min(s.sparkContext.defaultParallelism.toLong,
+        math.max(4L, srcBytes / (32L << 20))).toString
+      val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", derived)
       val prior = s.conf.getOption(key)
       s.conf.set(key, parts)
       try body
@@ -199,7 +218,7 @@ object IngestQueries {
     }
   }
 
-  def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpIngestRoundtrip(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -245,7 +264,7 @@ object IngestQueries {
     * file listing); each discovered address is its own link partition,
     * so a fleet of queues parallelizes exactly like the static
     * `addresses` list. */
-  def amqpPatternMulti(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpPatternMulti(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -295,7 +314,7 @@ object IngestQueries {
     * fabric (per-tenant splitting, PII scrubbing between queues) — per
     * trigger it costs the admitted slice through one filter map; the
     * sink's staged transactional publish batches per partition. */
-  def amqpStreamRelay(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamRelay(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val dst = s"$address-relay"
@@ -360,7 +379,7 @@ object IngestQueries {
     * discovered queue is its own link partition. This is the
     * fleet-of-queues catch-up shape (per-tenant/per-sensor addresses)
     * where naming links statically cannot work. */
-  def amqpStreamPattern(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamPattern(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -422,7 +441,7 @@ object IngestQueries {
     *
     * Scale shape: identical to amqp_ingest_roundtrip — the catalog
     * entry is metadata; the scan partitions per link as always. */
-  def amqpSqlTable(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSqlTable(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -499,7 +518,7 @@ object IngestQueries {
     rows.length
   }
 
-  def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpTtlExpiry(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     pumpTtlClassed(client, address,
@@ -556,7 +575,7 @@ object IngestQueries {
     * row and emits only the dead; the republish is the sink's
     * executor-side transactional publish, sized by the expired volume,
     * never the backlog. */
-  def amqpDeadLetter(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpDeadLetter(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val dlq = s"$address-dlq"
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -631,7 +650,7 @@ object IngestQueries {
     * shuffle (the commit walks each staged message to its own queue
     * under sorted per-queue locks). A reply-queue fleet scales like
     * the pattern-subscription fleet: one address = one link. */
-  def amqpRequestReply(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpRequestReply(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     lastReplyAddresses.foreach { case (pep, paddr) =>
@@ -714,7 +733,7 @@ object IngestQueries {
     * metadata probe per address, driver-side like a file listing —
     * |addresses| rows regardless of backlog depth; nothing fetched or
     * decoded. */
-  def amqpLagReport(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpLagReport(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     lastLagAddresses.foreach { case (pep, paddr) =>
@@ -792,7 +811,7 @@ object IngestQueries {
     * batch's planning (a long stream must not freeze expiry at query
     * start) — spec-pinned in AmqpSourceSpec; the gate pins the instant
     * for cross-engine determinism. */
-  def amqpStreamTtl(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamTtl(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val n = pumpTtlClassed(client, address,
@@ -856,7 +875,7 @@ object IngestQueries {
     * at 100 TB the knobs are trigger interval and
     * `spark.sql.shuffle.partitions` (file count), plus the compaction
     * pass `corpus_refresh`/`mm_shard_layout` model downstream. */
-  def amqpStreamParquet(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamParquet(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -923,7 +942,7 @@ object IngestQueries {
     * epoch-aligned tumbling windows make `window.start` (cast to epoch
     * seconds) equal DuckDB's integer hour bucket × 3600; the value sum
     * rides DECIMAL with one terminal double cast. */
-  def amqpStreamWindow(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamWindow(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -973,7 +992,7 @@ object IngestQueries {
     *
     * Determinism: Trigger.AvailableNow + unwatermarked dedup state (all
     * ids retained for the run) + complete-mode aggregate. */
-  def amqpStreamDedup(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamDedup(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -1029,7 +1048,7 @@ object IngestQueries {
     * the complete-mode aggregate only — the join itself is stateless.
     * This is the pattern the reference's users hand-roll with foreachRDD
     * + driver-side lookups; here it is one declarative join. */
-  def amqpStreamJoin(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamJoin(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -1085,7 +1104,7 @@ object IngestQueries {
     *
     * Scale shape: session state is per-user and bounded by the gap;
     * the complete-mode output is session-count-sized. */
-  def amqpStreamSession(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamSession(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -1166,7 +1185,7 @@ object IngestQueries {
     * rows are collected via foreachBatch across both runs. Restart
     * recovery (offset replay + watermark restoration from the commit
     * log) is part of the gated path. */
-  def amqpStreamLate(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamLate(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1294,7 +1313,7 @@ object IngestQueries {
     *
     * Scale shape: state is one (key, expiry) register per id bounded
     * by the watermark horizon — the whole point of the operator. */
-  def amqpStreamDedupWm(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamDedupWm(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1387,7 +1406,7 @@ object IngestQueries {
     *
     * Scale shape: state is one 24-byte register per key; each batch
     * shuffles only (key, row) pairs to the state partitions. */
-  def amqpStreamState(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamState(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1465,7 +1484,7 @@ object IngestQueries {
     * Scale shape: the write is one map-shaped pass (no shuffle; each
     * task publishes its partition and the commit is one coordinator
     * round); the read-back aggregate is the ingest gate's shape. */
-  def amqpSinkRoundtrip(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSinkRoundtrip(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     Tables.events(s, d)
       .filter(col("event_id") % 10 === 8) // disjoint from the other gates' slices
@@ -1507,7 +1526,7 @@ object IngestQueries {
     * Scale shape: join state is keyed by user and bounded by the band
     * in any watermarked deployment; the gate's complete drain is the
     * deterministic test form. */
-  def amqpStreamJoin2(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamJoin2(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1590,7 +1609,7 @@ object IngestQueries {
     *
     * Scale shape: dedup state is one (h, h2) pair per distinct text;
     * the histogram is a ≤11-row complete-mode aggregate. */
-  def amqpStreamCorpus(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamCorpus(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     graft.expressions.CharFoldHash.register(s)
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1669,7 +1688,7 @@ object IngestQueries {
     * 100 TB queue snapshot from a full drain into an O(1) metadata
     * probe — the same ledger AmqpBatchRead plans its fetch bounds
     * from, so the pushed answer is exactly the row scan's. */
-  def amqpCountPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpCountPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -1705,7 +1724,7 @@ object IngestQueries {
     * skipped history is never fetched, never decoded, never crosses
     * the wire — attaching at "yesterday 00:00" on a 100 TB queue costs
     * the tail, not the backlog. */
-  def amqpStreamFromTs(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamFromTs(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -1768,7 +1787,7 @@ object IngestQueries {
     *
     * Scale shape: identical to the inner gate — state keyed by user,
     * bounded by watermark + band; null emission adds no extra state. */
-  def amqpStreamJoin2Outer(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamJoin2Outer(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1861,7 +1880,7 @@ object IngestQueries {
     * Scale shape: same as the inner/left gates — state keyed by user,
     * bounded by watermark + band on both sides; full-outer adds no
     * state beyond left-outer, only the extra right-side emission. */
-  def amqpStreamJoin2Full(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamJoin2Full(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -1958,7 +1977,7 @@ object IngestQueries {
     * ("what landed between 08:00 and 09:00?") fetches the covering
     * span instead of draining the backlog — and messages outside the
     * span never even pay envelope decode on the executors. */
-  def amqpFilterPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpFilterPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -2013,7 +2032,7 @@ object IngestQueries {
     * value" — now skips body decode for every non-matching message
     * and composes with the partial-limit fetch stop; on the map
     * column it would fetch, decode, and stringify everything. */
-  def amqpPropertyPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpPropertyPushdown(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     Tables.events(s, d)
       .filter(col("event_id") % 7 === 4)
@@ -2063,7 +2082,7 @@ object IngestQueries {
     * and Y") now prunes at the reader for the cost of two long
     * compares per message — on the map column it would fetch, decode,
     * and stringify everything. */
-  def amqpTypedProperty(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpTypedProperty(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     Tables.events(s, d)
       .filter(col("event_id") % 9 === 7)
@@ -2117,7 +2136,7 @@ object IngestQueries {
     * Scale shape: one int register per live key in RocksDB with
     * changelog checkpointing — the state API a forever-running 100 TB
     * pipeline should target. */
-  def amqpStreamTws(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamTws(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2181,7 +2200,7 @@ object IngestQueries {
     * Scale shape: k ints per live key in the state store regardless of
     * stream length; emissions are change-driven (a saturated board
     * goes quiet), so output volume tracks board churn, not traffic. */
-  def amqpStreamLeaderboard(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamLeaderboard(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2255,7 +2274,7 @@ object IngestQueries {
     * Scale shape: one map entry per live (key, user) pair — exact
     * distinct's register cost; the 100 TB form swaps in a mergeable
     * sketch and keeps this exact operator as its audit. */
-  def amqpStreamDistinct(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamDistinct(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2332,7 +2351,7 @@ object IngestQueries {
     *
     * Scale shape: one (count, sum, timer) register per OPEN session key
     * in RocksDB; completed islands never hold state across batches. */
-  def amqpStreamTwsTimer(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamTwsTimer(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2434,7 +2453,7 @@ object IngestQueries {
     * the `minMessagesPerTrigger`/`maxTriggerDelay` admission floor
     * (Kafka ReadMinRows parity) — held tails must still land exactly
     * once. */
-  def amqpSharedConsumers(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedConsumers(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val ep = tcpGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2522,7 +2541,7 @@ object IngestQueries {
     * attach per trigger per consumer (O(1) ledger arithmetic
     * broker-side), reads are per-claim drain slices on pooled
     * per-reader connections; the wire adds framing, never coordination. */
-  def amqpSharedWire(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedWire(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val ep = wireGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2595,7 +2614,7 @@ object IngestQueries {
     * streams); admission stays O(1) ledger arithmetic per trigger —
     * what changes is per-trigger overhead amortization, which is the
     * point. */
-  def amqpStreamMinrows(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamMinrows(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2668,7 +2687,7 @@ object IngestQueries {
     * consumer (a listing, like file-source discovery); each discovered
     * address claims independently, so queues x consumers parallelize
     * with zero coordination beyond the broker's lease ledger. */
-  def amqpSharedPattern(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedPattern(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val ep = wireGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2758,7 +2777,7 @@ object IngestQueries {
     * routing moves exactly the poison slice's rows. A crashing consumer
     * fleet converges instead of looping — redelivery cost is bounded by
     * maxDeliveries, never wall-clock. */
-  def amqpSharedPoison(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedPoison(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val ep = wireGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -2879,7 +2898,7 @@ object IngestQueries {
     * — no probe, no fetch of the skipped prefix (unlike the timestamp
     * anchor there is nothing to look up); the replay/ops shape for
     * "resume from the position that run X logged". */
-  def amqpStreamFromSeq(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamFromSeq(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -2945,7 +2964,7 @@ object IngestQueries {
     * Scale shape: window cost is the window's rows, independent of
     * backlog depth on either side; the audit/backfill read a message
     * fabric runs against its retention span. */
-  def amqpWindowRead(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpWindowRead(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -3002,7 +3021,7 @@ object IngestQueries {
     * + a transactional stage/commit per epoch; adding workers divides
     * the input with no coordination beyond the broker's lease ledger;
     * the output queue sees \|survivors\| messages exactly once. */
-  def amqpSharedRelay(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedRelay(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val ep = tcpGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
     val run = sharedGateRun.incrementAndGet()
@@ -3084,7 +3103,7 @@ object IngestQueries {
     *
     * Scale shape: one ledger-snapshot RPC per address, driver-side —
     * rows independent of backlog depth; nothing is fetched. */
-  def amqpSharedLag(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpSharedLag(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val ep = tcpGateEndpoint
     val client = AmqpEndpointRegistry.endpoint(ep)
     val address = s"lag-${sharedGateRun.incrementAndGet()}"
@@ -3149,7 +3168,7 @@ object IngestQueries {
     * Determinism: phase-1 copies of one id land in one micro-batch (one
     * handleInputRows call — no timing on the suppression side), and the
     * sleep is 2.5x the TTL, so the only wall-clock assumption is that a
-    * 1 s TTL lapses within 2.5 s (plus the restart choreography between
+    * 0.5 s TTL lapses within 1.25 s (plus the restart choreography between
     * the sleep and phase 3's batch, which only widens the margin; the
     * gate spent 5 s sleeping out a 2 s TTL before the optimization round
     * — the margin RATIO is what the determinism argument rests on, and
@@ -3160,7 +3179,7 @@ object IngestQueries {
     * Scale shape: one boolean register per id seen within the TTL
     * window — the eviction-bounded state a forever-running dedup needs
     * (the watermark-bounded sibling is amqp_stream_dedup_wm). */
-  def amqpStreamDedupTtl(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamDedupTtl(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     import s.implicits._
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
@@ -3179,7 +3198,7 @@ object IngestQueries {
         val env = s.readStream.format("amqp")
           .option("endpoint", ep).option("address", address).load()
         val q = graft.streaming.AmqpStreamOps
-          .dedupByIdTtlTws(env, java.time.Duration.ofMillis(1000))
+          .dedupByIdTtlTws(env, java.time.Duration.ofMillis(500))
           .writeStream.outputMode("append")
           .option("checkpointLocation", ckpt)
           .foreachBatch {
@@ -3203,7 +3222,7 @@ object IngestQueries {
       }
       pumpAll(client, address, msgsOf(1) ++ msgsOf(2)) // every id twice
       drain() // phase 1: duplicate suppressed by the live register
-      Thread.sleep(2500) // phase 2: 2.5x the TTL — registers expire
+      Thread.sleep(1250) // phase 2: 2.5x the TTL — registers expire
       pumpAll(client, address, msgsOf(3))
       drain() // phase 3: restart; evicted registers re-admit every id
       emitted.groupBy(identity)
@@ -3230,7 +3249,7 @@ object IngestQueries {
     * Scale shape: identical to the consuming path (browse only skips
     * the commit-time settle RPC); N browsers on one address cost the
     * broker one ledger, not N copies. */
-  def amqpBrowse(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpBrowse(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     val rows = Tables.events(s, d)
@@ -3299,7 +3318,7 @@ object IngestQueries {
     * the table; version resolution is directory/manifest arithmetic on
     * the driver, bounded by |partitions|. This is the Delta/Iceberg
     * streaming-MERGE loop with directory-granularity manifests. */
-  def amqpStreamCdcMerge(s: SparkSession, d: String): DataFrame = gatedStream(s) {
+  def amqpStreamCdcMerge(s: SparkSession, d: String): DataFrame = gatedStream(s, d) {
     val (ep, address) = gateTarget()
     val client = AmqpEndpointRegistry.endpoint(ep)
     // deterministic scratch (like FormatQueries.scratch): warm Bench /
