@@ -78,7 +78,16 @@ object FormatQueries {
     val srcBytes = parquetFiles(s"$d/lineitem.parquet").values.sum
     val target = 16L << 20
     val want = math.ceil(srcBytes * expansion / target.toDouble).toInt
-    math.max(1, math.min(s.sparkContext.defaultParallelism, want))
+    // Encode-CPU floor (optimization round 2, guide §2.6): output-shard
+    // sizing alone left the parquet-codec round-trips at parts = 1 —
+    // measured: the zstd and snappy writes each ran as ONE task (1.8 s +
+    // 2.3 s of single-core encode while 31 cores idled), the write-side
+    // twin of the Tables scan floor. One encode task per ~2 MB of source
+    // keeps tasks in the tens-of-ms range at any scale; the session cap
+    // still binds long before 100 TB.
+    val encodeWant = math.ceil(srcBytes / (2L << 20).toDouble).toInt
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      math.max(want, encodeWant)))
   }
 
   /** Repartition for the write only when it buys parallelism — a
@@ -133,7 +142,8 @@ object FormatQueries {
     * row-group skipping story as parquet row groups. */
   def fmtOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = scratch(d, "orc")
-    slice(s, d).write.mode("overwrite").orc(out)
+    parallelized(slice(s, d), writeParts(s, d, 1.0))
+      .write.mode("overwrite").orc(out)
     gateAgg(s.read.orc(out))
   }
 
@@ -202,9 +212,12 @@ object FormatQueries {
   def fmtZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
     val outZ = scratch(d, "zstd")
     val outS = scratch(d, "snappy")
-    slice(s, d).write.mode("overwrite")
+    // parts = the encode-CPU floor (writeParts expansion 1.0): each
+    // codec write was ONE task of single-core encode — see writeParts
+    val parts = writeParts(s, d, 1.0)
+    parallelized(slice(s, d), parts).write.mode("overwrite")
       .option("compression", "zstd").parquet(outZ)
-    slice(s, d).write.mode("overwrite")
+    parallelized(slice(s, d), parts).write.mode("overwrite")
       .option("compression", "snappy").parquet(outS)
     // gate on the zstd read; the spec cross-checks snappy equality
     gateAgg(s.read.parquet(outZ))
@@ -804,6 +817,11 @@ object FormatQueries {
         year(col("o_orderdate")).cast(IntegerType).as("yr"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
+      // hash-cluster by the partition key (guide §6, write.distribution-
+      // mode=hash): the 1-split orders scan otherwise writes every year
+      // directory serially from one task; clustered, each year encodes
+      // in parallel and still lands as one file per partition.
+      .repartition(col("yr"))
       .write.mode("overwrite").partitionBy("yr").parquet(v1)
     v1
   }

@@ -3338,7 +3338,10 @@ object IngestQueries {
         year(col("o_orderdate")).cast(IntegerType).as("yr"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
-    base.write.mode("overwrite").partitionBy("yr").parquet(s"$scratch/v1")
+    // hash-cluster by the partition key before the partitioned write
+    // (guide §6): parallel per-year encode, one file per partition
+    base.repartition(col("yr"))
+      .write.mode("overwrite").partitionBy("yr").parquet(s"$scratch/v1")
 
     // version chain bookkeeping (the "manifest"): vN dirs, highest wins
     val nextVersion = new java.util.concurrent.atomic.AtomicInteger(1)
