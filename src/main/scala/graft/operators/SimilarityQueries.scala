@@ -1604,7 +1604,14 @@ object SimilarityQueries {
         .select(col("cid"), array((0 until KmDims).map(i =>
           col(s"sx$i").cast(DoubleType) / col("nv").cast(DoubleType)): _*).as("cemb"))
     }
-    assign(cents)
+    // cache(): the final assignment feeds several consumers per gate —
+    // semantic dedup's within-cluster pair join references it on both
+    // sides, D4 adds the survivors anti-join and the prototype window.
+    // Uncached, every reference replays the whole Lloyd chain (measured
+    // in corpus_d4_select: 5-6 repeats of the 25-task assign stage,
+    // ~6 s CPU each). Intra-invocation reuse only — Bench and Verify
+    // clear the SQL cache between queries.
+    assign(cents).cache()
   }
 
   val simKmeansSql: String =
@@ -1772,12 +1779,15 @@ object SimilarityQueries {
     val a = kmeansFinalAssign(s, d) // (vec_id, cid, emb, d2)
     val lower = a.select(col("cid"), col("vec_id").as("nbr_id"),
       col("emb").as("nbr_emb"))
+    // cache(): dups feeds BOTH the survivors anti-join and the final
+    // union; uncached, the cluster-bounded pair-cosine screen (the
+    // gate's dominant compute) would run twice.
     val dups = a.join(lower, Seq("cid"))
       .filter(col("nbr_id") < col("vec_id"))
       .withColumn("cos", expr(
         "vec_dot(emb, nbr_emb) / (sqrt(vec_dot(emb, emb)) * sqrt(vec_dot(nbr_emb, nbr_emb)))"))
       .filter(col("cos") >= SemTau)
-      .select(col("vec_id"), col("cid")).distinct()
+      .select(col("vec_id"), col("cid")).distinct().cache()
     val surv = a.join(dups.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val w = Window.partitionBy(col("cid"))
     val ranked = surv
