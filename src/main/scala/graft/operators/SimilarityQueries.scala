@@ -1243,7 +1243,12 @@ object SimilarityQueries {
     * votes + the keep-own carry), so without materialization the plan
     * would duplicate the upstream subtree 2^iters times; the per-round
     * `localCheckpoint` pins the frame once and truncates lineage (the
-    * same discipline as the BFS frontier loop). */
+    * same discipline as the BFS frontier loop). Optimization round 2
+    * tried LAZY cache() pinning instead (one job for the whole loop):
+    * measured 1.5-3x WORSE — the round's two consumers run in the same
+    * job, race the unpopulated cache, and recompute each level, which
+    * compounds across rounds. Eager per-round materialization is the
+    * correct form; kept. */
   private[operators] def lpaPropagate(edges: DataFrame, verts: DataFrame,
       iters: Int): DataFrame = {
     var labels = verts.select(col("vec_id"), col("vec_id").as("lbl"))
